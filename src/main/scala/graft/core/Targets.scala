@@ -1,0 +1,159 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column metadata as discovered per table — the analogue of the reference's
+  * `column` struct (/root/reference/column.go:10-14) with constraint strings
+  * collapsed to the one bit the engine uses (/root/reference/column.go:18-20).
+  */
+case class ColumnMeta(name: String, dataType: String, isPrimaryKey: Boolean)
+
+/** Per-table verification spec: primary-key columns plus optional column
+  * include/exclude filters (/root/reference/verify.go:138-144). Tables with no
+  * PK are skipped by the run loop (/root/reference/verify.go:194-198).
+  */
+case class TableSpec(table: String, pks: Seq[String],
+                     includeColumns: Seq[String] = Nil, excludeColumns: Seq[String] = Nil) {
+  /** include list wins over exclude — /root/reference/verify.go:138-144 (P6). */
+  def validColumn(name: String): Boolean =
+    if (includeColumns.nonEmpty) includeColumns.contains(name)
+    else !excludeColumns.contains(name)
+}
+
+/** One verification target — the analogue of one `*pgx.ConnConfig` database
+  * (/root/reference/verify.go:16-23). Reading is lazy; `tables` is the S1
+  * catalog scan.
+  */
+sealed trait Target {
+  def name: String
+  def tables(spark: SparkSession): Seq[String]
+  def read(spark: SparkSession, table: String): DataFrame
+}
+
+/** Directory of `<table>.parquet` files; the primary target kind for the
+  * driver harness (TESTDATA.md). Table discovery = directory listing, the
+  * parquet analogue of scanning `information_schema.tables`
+  * (/root/reference/query.go:21-100).
+  *
+  * `tweaks` lets a test build a deliberately-perturbed target (extra/missing/
+  * changed rows) from the same files — the analogue of the reference's
+  * negative integration test (/root/reference/integration_test.go:370-375).
+  */
+case class ParquetTarget(name: String, dir: String,
+                         tweaks: Map[String, DataFrame => DataFrame] = Map.empty) extends Target {
+  override def tables(spark: SparkSession): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.iterator.map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).toSeq.sorted
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val df = Readers.fixture(spark, dir, table)
+    tweaks.get(table).map(_(df)).getOrElse(df)
+  }
+}
+
+/** Parquet reading with one normalization: nanosecond-precision timestamp
+  * columns. Spark has no TIMESTAMP(NANOS) type — sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader converts the
+  * raw nanos to a microsecond TimestampType via integer division (truncation
+  * toward zero), which matches how DuckDB coerces ns parquet to its µs
+  * TIMESTAMP, keeping oracle parity.
+  */
+object Readers {
+  import org.apache.spark.sql.types.LongType
+
+  /** Columns stored as TIMESTAMP(NANOS) in the fixture parquet (TESTDATA.md). */
+  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def fixture(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    nanosColumns.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
+        // integer `div`, not `/`: the nanos exceed a double's exact range
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else d
+    }
+  }
+}
+
+/** JDBC target — the faithful analogue of the reference's PostgreSQL targets.
+  * Not exercised by the parquet test harness (no live database in the
+  * container) but kept API-complete: discovery reads the same three
+  * information_schema tables the reference queries and reproduces its two
+  * LEFT OUTER catalog joins (J1, /root/reference/query.go:102-118) as Spark
+  * joins — tiny dimension tables, so Catalyst plans them as broadcast joins.
+  */
+case class JdbcTarget(name: String, url: String,
+                      props: java.util.Properties = new java.util.Properties) extends Target {
+
+  private def readTable(spark: SparkSession, dbtable: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+      .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props).asScala.toMap)
+      .load()
+
+  /** S1: user tables, views excluded (/root/reference/query.go:23). */
+  override def tables(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    readTable(spark, "information_schema.tables")
+      .filter(col("table_type") =!= "VIEW")
+      .filter(!col("table_schema").isin("pg_catalog", "information_schema"))
+      .select(concat_ws(".", col("table_schema"), col("table_name")).as[String])
+      .collect().toSeq.sorted
+  }
+
+  /** S2+J1: columns ⟕ key_column_usage ⟕ table_constraints, excluding
+    * always-generated columns (/root/reference/query.go:102-118, P5).
+    */
+  def discoverColumns(spark: SparkSession, schema: String, table: String): Seq[ColumnMeta] = {
+    val cols = readTable(spark, "information_schema.columns")
+      .filter(col("table_schema") === schema && col("table_name") === table)
+      .filter(coalesce(col("is_generated"), lit("")) =!= "ALWAYS")
+      .select("column_name", "data_type", "table_schema", "table_name")
+    val kcu = readTable(spark, "information_schema.key_column_usage")
+      .select("column_name", "table_schema", "table_name", "constraint_name")
+    val tc = readTable(spark, "information_schema.table_constraints")
+      .select("constraint_name", "constraint_type")
+    cols
+      .join(kcu, Seq("column_name", "table_name", "table_schema"), "left_outer")
+      .join(tc, Seq("constraint_name"), "left_outer")
+      .groupBy("column_name", "data_type")
+      .agg(max(col("constraint_type") === "PRIMARY KEY").as("is_pk"))
+      .collect()
+      .map(r => ColumnMeta(r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    readTable(spark, table)
+}
+
+/** Static catalog for the driver's fixture tables (TESTDATA.md): primary keys
+  * declared here because parquet has no constraint metadata — the analogue of
+  * the reference discovering PKs from `key_column_usage`.
+  */
+object Fixtures {
+  val specs: Map[String, TableSpec] = Map(
+    "region"     -> TableSpec("region", Seq("r_regionkey")),
+    "nation"     -> TableSpec("nation", Seq("n_nationkey")),
+    "customer"   -> TableSpec("customer", Seq("c_custkey")),
+    "supplier"   -> TableSpec("supplier", Seq("s_suppkey")),
+    "part"       -> TableSpec("part", Seq("p_partkey")),
+    "orders"     -> TableSpec("orders", Seq("o_orderkey")),
+    // composite PK, the reference's multi-column case (/root/reference/query_test.go:64-100)
+    "lineitem"   -> TableSpec("lineitem", Seq("l_orderkey", "l_linenumber")),
+    "events"     -> TableSpec("events", Seq("event_id")),
+    "documents"  -> TableSpec("documents", Seq("doc_id")),
+    "embeddings" -> TableSpec("embeddings", Seq("vec_id"))
+  )
+
+  val tableNames: Seq[String] = specs.keys.toSeq.sorted
+
+  /** Fixture tables whose columns are all canonicalizable to engine-portable
+    * text (embeddings' float vectors are excluded from fingerprinting — float
+    * shortest-repr rendering differs across engines; they are covered by the
+    * similarity operators instead).
+    */
+  val fingerprintTables: Seq[String] = tableNames.filterNot(_ == "embeddings")
+}

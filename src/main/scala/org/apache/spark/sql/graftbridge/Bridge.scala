@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge. Spark 4 made the classic
+  * converters `private[sql]`, so this one-file shim lives under
+  * `org.apache.spark.sql` to lift custom Catalyst expressions into the public
+  * Column API (the supported extension route for native, codegen'd functions —
+  * see /opt/skills/guides/spark_guide.md "Custom Catalyst Expression").
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.canon.Canon
+import graft.functions.GraftFunctions
+
+class CanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(df: org.apache.spark.sql.DataFrame, name: String): Seq[String] = {
+    val dt = df.schema.fields.find(_.name == name).get.dataType
+    df.select(Canon.canonCol(col(name), dt)).as[String].collect().toSeq
+  }
+
+  test("booleans canonicalize to true/false") {
+    val df = Seq(Some(true), Some(false), None).toDF("b")
+    assert(canonOf(df, "b") == Seq("true", "false", ""))
+  }
+
+  test("integers and longs canonicalize to plain digits") {
+    assert(canonOf(Seq(42, -7).toDF("i"), "i") == Seq("42", "-7"))
+    assert(canonOf(Seq(1234567890123L).toDF("l"), "l") == Seq("1234567890123"))
+  }
+
+  test("doubles canonicalize to shortest round-trip form") {
+    val df = Seq(123.45, -0.5, 100.0).toDF("d")
+    assert(canonOf(df, "d") == Seq("123.45", "-0.5", "100.0"))
+  }
+
+  test("timestamps canonicalize to epoch micros truncated to milliseconds") {
+    val ts = Timestamp.valueOf("2020-01-01 01:02:03.456789")
+    val df = Seq(ts).toDF("t")
+    // 2020-01-01T01:02:03.456789Z = 1577840523456789 us -> ms-truncated
+    assert(canonOf(df, "t") == Seq("1577840523456000"))
+  }
+
+  test("timestamp precision variants") {
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00.123456")
+    val df = Seq(ts).toDF("t")
+    def canonAt(p: String) =
+      df.select(Canon.canonCol(col("t"), TimestampType, p)).as[String].head()
+    assert(canonAt("microseconds").endsWith("123456"))
+    assert(canonAt("milliseconds").endsWith("123000"))
+    assert(canonAt("seconds").endsWith("000000"))
+  }
+
+  test("binary canonicalizes to lowercase hex") {
+    val df = Seq(Array[Byte](0x0a, -1, 0x00)).toDF("b")
+    assert(canonOf(df, "b") == Seq("0aff00"))
+  }
+
+  test("arrays canonicalize to PG-literal-ish form") {
+    val df = Seq(Seq(1, 2, 3)).toDF("a")
+    assert(canonOf(df, "a") == Seq("{1,2,3}"))
+  }
+
+  test("null canonicalizes to empty string (PG CONCAT semantics)") {
+    val df = Seq[Option[String]](None, Some("x")).toDF("s")
+    assert(canonOf(df, "s") == Seq("", "x"))
+  }
+
+  test("row hash is insensitive to column order (P2)") {
+    val schema1 = StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))
+    val h1 = Seq(("x", 1)).toDF("a", "b").select(Canon.rowHash(schema1, Seq("a", "b"))).as[String].head()
+    val h2 = Seq((1, "x")).toDF("b", "a").select(Canon.rowHash(
+      StructType(Seq(StructField("b", IntegerType), StructField("a", StringType))),
+      Seq("b", "a"))).as[String].head()
+    assert(h1 == h2)
+  }
+
+  test("hex_to_signed_long reinterprets bits like PG ::bit(64)::bigint") {
+    val df = Seq("ffffffffffffffff", "0000000000000001", "8000000000000000", "7fffffffffffffff").toDF("h")
+    val got = df.select(GraftFunctions.hexToSignedLong(col("h"))).as[Long].collect().toSeq
+    assert(got == Seq(-1L, 1L, Long.MinValue, Long.MaxValue))
+  }
+
+  test("md5Bucket is stable and in range") {
+    val got = Seq("a", "b", "c").toDF("k")
+      .select(GraftFunctions.md5Bucket(col("k"), 64)).as[Long].collect().toSeq
+    assert(got.forall(b => b >= 0 && b < 64))
+    val again = Seq("a", "b", "c").toDF("k")
+      .select(GraftFunctions.md5Bucket(col("k"), 64)).as[Long].collect().toSeq
+    assert(got == again)
+  }
+}

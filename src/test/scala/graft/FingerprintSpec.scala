@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.functions.{Digests, OrderedConcatMd5}
+
+/** Port of the reference's agree/disagree integration strategy
+  * (/root/reference/integration_test.go): identical targets agree on every
+  * mode; a perturbed target (row added / removed / value changed) must flip
+  * every mode that can see the change. Plus invariance properties from
+  * SURVEY.md §5(d).
+  */
+class FingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = VerifyConfig(bookendLimit = 10)
+  private val spec = TableSpec("t", Seq("id"))
+
+  private def df(rows: (Int, String, Double)*) =
+    rows.toSeq.toDF("id", "s", "d")
+
+  private val base = df((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5))
+
+  test("identical frames agree on every mode") {
+    val other = df((4, "d", 4.5), (2, "b", 2.5), (3, "c", 3.5), (1, "a", 1.5)) // shuffled rows
+    for (mode <- TestModes.All) {
+      assert(Fingerprints.runMode(mode, base, spec, cfg)
+        == Fingerprints.runMode(mode, other, spec, cfg), s"mode $mode")
+    }
+  }
+
+  test("full digest is invariant under partitioning") {
+    assert(Fingerprints.fullDigest(base.repartition(7), spec, cfg)
+      == Fingerprints.fullDigest(base.coalesce(1), spec, cfg))
+  }
+
+  test("a changed value flips full/sparse-visible digests but not rowcount") {
+    val changed = df((1, "a", 1.5), (2, "XXX", 2.5), (3, "c", 3.5), (4, "d", 4.5))
+    assert(Fingerprints.fullDigest(base, spec, cfg) != Fingerprints.fullDigest(changed, spec, cfg))
+    assert(Fingerprints.rowCountDigest(base) == Fingerprints.rowCountDigest(changed))
+    assert(Fingerprints.bookendDigest(base, spec, cfg) != Fingerprints.bookendDigest(changed, spec, cfg))
+  }
+
+  test("an extra row flips every mode (the reference negative test)") {
+    val extra = df((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5), (5, "e", 5.5))
+    assert(Fingerprints.fullDigest(base, spec, cfg) != Fingerprints.fullDigest(extra, spec, cfg))
+    assert(Fingerprints.bookendDigest(base, spec, cfg) != Fingerprints.bookendDigest(extra, spec, cfg))
+    assert(Fingerprints.rowCountDigest(base) != Fingerprints.rowCountDigest(extra))
+  }
+
+  test("empty table digests to the no-rows sentinel") {
+    val empty = base.filter(col("id") < 0)
+    assert(Fingerprints.fullDigest(empty, spec, cfg) == Fingerprints.NoRows)
+    assert(Fingerprints.sparseDigest(empty, spec, cfg) == Fingerprints.NoRows)
+    assert(Fingerprints.rowCountDigest(empty) == "0")
+  }
+
+  test("sparse digest only hashes the deterministic 1/mod sample") {
+    // with mod=1 every row is sampled: sparse == full
+    assert(Fingerprints.sparseDigest(base, spec, cfg.copy(sparseMod = 1))
+      == Fingerprints.fullDigest(base, spec, cfg))
+  }
+
+  test("bookend with limit >= n equals md5(full||full-reversed bookends)") {
+    val d1 = Fingerprints.bookendDigest(base, spec, cfg.copy(bookendLimit = 100))
+    val d2 = Fingerprints.bookendDigest(base.repartition(5), spec, cfg.copy(bookendLimit = 100))
+    assert(d1 == d2)
+  }
+
+  test("hashPrimaryKeys changes the sort but stays deterministic") {
+    val a = Fingerprints.fullDigest(base, spec, cfg.copy(hashPrimaryKeys = true))
+    val b = Fingerprints.fullDigest(base.repartition(3), spec, cfg.copy(hashPrimaryKeys = true))
+    assert(a == b)
+  }
+
+  test("merkle digest is partition-invariant and change-sensitive") {
+    val a = Fingerprints.merkleDigest(base, spec, cfg, buckets = 8)
+    val b = Fingerprints.merkleDigest(base.repartition(5), spec, cfg, buckets = 8)
+    assert(a == b)
+    val changed = df((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "ZZ", 4.5))
+    assert(a != Fingerprints.merkleDigest(changed, spec, cfg, buckets = 8))
+  }
+
+  test("OrderedConcatMd5 aggregator equals the streamed exact digest") {
+    val kh = Fingerprints.hashedRows(base, spec, cfg)
+    val agg = new OrderedConcatMd5().toColumn
+    val viaAgg = kh.as[(String, String)].select(agg).head()
+    assert(viaAgg == Fingerprints.fullDigest(base, spec, cfg))
+  }
+
+  test("column include/exclude filters change the hashed column set (P6)") {
+    val withS = Fingerprints.fullDigest(base, spec.copy(excludeColumns = Seq("d")), cfg)
+    val withD = Fingerprints.fullDigest(base, spec.copy(excludeColumns = Seq("s")), cfg)
+    assert(withS != withD)
+    val includeOnly = Fingerprints.fullDigest(base, spec.copy(includeColumns = Seq("id", "s")), cfg)
+    assert(includeOnly == withS)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** The multi-target pipeline: fan-out, merge (A3), consistency diff (A4) and
+  * pivot report (A5) over real fixture parquet — agree on identical targets,
+  * flag a perturbed target (/root/reference/integration_test.go:294-398).
+  */
+class ReportSpec extends SparkSpec {
+
+  private val cfg = VerifyConfig(modes = Seq(TestModes.Full, TestModes.RowCount, TestModes.Bookend),
+    bookendLimit = 20)
+  private val tables = Seq("region", "nation", "customer")
+
+  test("identical targets agree: no inconsistencies, full pivot report") {
+    val targets = Seq(ParquetTarget("alpha", sfDir), ParquetTarget("beta", sfDir))
+    val results = VerifyRun.run(spark, targets, Fixtures.specs, cfg, includeTables = tables)
+    assert(results.count() == tables.size * cfg.modes.size * targets.size)
+    assert(VerifyRun.inconsistencies(results, targets.size).count() == 0)
+    val report = VerifyRun.pivotReport(results, cfg.modes)
+    assert(report.count() == tables.size * targets.size)
+    assert(report.columns.toSeq == Seq("schema", "table", "target", "bookend", "full", "rowcount"))
+  }
+
+  test("a perturbed target is flagged by every affected mode") {
+    val perturbed = ParquetTarget("beta", sfDir,
+      tweaks = Map("customer" -> (df => df.filter(col("c_custkey") =!= 1))))
+    val targets = Seq(ParquetTarget("alpha", sfDir), perturbed)
+    val results = VerifyRun.run(spark, targets, Fixtures.specs, cfg, includeTables = tables)
+    val bad = VerifyRun.inconsistencies(results, targets.size).collect()
+    // only customer disagrees, on all three modes (row 1 is inside the bookend window)
+    assert(bad.map(_.getString(1)).distinct.toSeq == Seq("customer"))
+    assert(bad.map(_.getString(2)).sorted.toSeq == Seq("bookend", "full", "rowcount"))
+  }
+
+  test("a failing table leaves the (err) sentinel and is flagged") {
+    val broken = ParquetTarget("beta", sfDir,
+      tweaks = Map("region" -> (df => df.select(col("r_name"))))) // drops the PK column
+    val targets = Seq(ParquetTarget("alpha", sfDir), broken)
+    val results = VerifyRun.run(spark, targets, Fixtures.specs, cfg, includeTables = Seq("region"))
+    val outputs = results.filter(col("target") === "beta").select("mode", "output")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hash modes need the PK and fail to the sentinel; rowcount still works
+    assert(outputs(TestModes.Full) == Fingerprints.Err)
+    assert(outputs(TestModes.Bookend) == Fingerprints.Err)
+    assert(outputs(TestModes.RowCount) == "5")
+    assert(VerifyRun.inconsistencies(results, targets.size).count() == 2)
+  }
+}
