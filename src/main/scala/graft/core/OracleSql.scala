@@ -60,21 +60,25 @@ object OracleSql {
   /** `(SELECT <k>, <h> FROM table [WHERE ...])` — the (sort-key, row-hash)
     * projection, twin of [[Fingerprints.hashedRows]].
     */
-  def khSub(table: String, spec: TableSpec, cfg: VerifyConfig, where: String = ""): String = {
+  def khSub(table: String, spec: TableSpec, cfg: VerifyConfig, where: String = "",
+            source: Option[String] = None): String = {
     val schema = schemas(table)
     val cols = schema.fields.map(_.name).filter(spec.validColumn).toSeq
     val k = Canon.duckPkSortKey(schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
     val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision)
-    s"(SELECT $k AS k, $h AS h FROM $table$where)"
+    s"(SELECT $k AS k, $h AS h FROM ${source.getOrElse(table)} AS src$where)"
   }
 
   private def orderedAgg(sub: String): String =
     s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' " +
       s"ELSE md5(string_agg(h, '' ORDER BY k, h)) END FROM $sub AS kh)"
 
-  /** Twin of [[Fingerprints.fullDigest]]. */
-  def full(table: String, spec: TableSpec, cfg: VerifyConfig): String =
-    orderedAgg(khSub(table, spec, cfg))
+  /** Twin of [[Fingerprints.fullDigest]]. `where` (including the leading
+    * " WHERE ") lets report oracles express a perturbed target.
+    */
+  def full(table: String, spec: TableSpec, cfg: VerifyConfig, where: String = "",
+           source: Option[String] = None): String =
+    orderedAgg(khSub(table, spec, cfg, where, source))
 
   /** Signed 64-bit reinterpretation of the first 16 MD5 hex chars — PG's
     * `('x'||substr(md5(k),1,16))::bit(64)::bigint` in DuckDB HUGEINT
@@ -87,15 +91,17 @@ object OracleSql {
   }
 
   /** Twin of [[Fingerprints.sparseDigest]]. */
-  def sparse(table: String, spec: TableSpec, cfg: VerifyConfig): String = {
+  def sparse(table: String, spec: TableSpec, cfg: VerifyConfig,
+             source: Option[String] = None): String = {
     val schema = schemas(table)
     val pkConcat = Canon.duckPkSortKey(schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)
-    orderedAgg(khSub(table, spec, cfg, s" WHERE ${signedMd564(pkConcat)} % ${cfg.sparseMod} = 0"))
+    orderedAgg(khSub(table, spec, cfg, s" WHERE ${signedMd564(pkConcat)} % ${cfg.sparseMod} = 0", source))
   }
 
   /** Twin of [[Fingerprints.bookendDigest]]. */
-  def bookend(table: String, spec: TableSpec, cfg: VerifyConfig): String = {
-    val kh = khSub(table, spec, cfg)
+  def bookend(table: String, spec: TableSpec, cfg: VerifyConfig,
+              source: Option[String] = None): String = {
+    val kh = khSub(table, spec, cfg, "", source)
     val n = cfg.bookendLimit
     val start = s"(SELECT coalesce(md5(string_agg(h, '' ORDER BY k ASC, h ASC)), '') " +
       s"FROM (SELECT k, h FROM $kh AS kh1 ORDER BY k ASC, h ASC LIMIT $n) AS s)"
@@ -105,8 +111,8 @@ object OracleSql {
   }
 
   /** Twin of [[Fingerprints.rowCountDigest]]. */
-  def rowCount(table: String): String =
-    s"(SELECT CAST(count(*) AS VARCHAR) FROM $table)"
+  def rowCount(table: String, where: String = "", source: Option[String] = None): String =
+    s"(SELECT CAST(count(*) AS VARCHAR) FROM ${source.getOrElse(table)} AS src$where)"
 
   /** Twin of [[Fingerprints.merkleDigest]]. */
   def merkle(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
@@ -120,11 +126,12 @@ object OracleSql {
   }
 
   /** Mode dispatch, twin of [[Fingerprints.runMode]]. */
-  def forMode(mode: String, table: String, spec: TableSpec, cfg: VerifyConfig): String = mode match {
-    case TestModes.Full     => full(table, spec, cfg)
-    case TestModes.Sparse   => sparse(table, spec, cfg)
-    case TestModes.Bookend  => bookend(table, spec, cfg)
-    case TestModes.RowCount => rowCount(table)
+  def forMode(mode: String, table: String, spec: TableSpec, cfg: VerifyConfig,
+              source: Option[String] = None): String = mode match {
+    case TestModes.Full     => full(table, spec, cfg, "", source)
+    case TestModes.Sparse   => sparse(table, spec, cfg, source)
+    case TestModes.Bookend  => bookend(table, spec, cfg, source)
+    case TestModes.RowCount => rowCount(table, "", source)
     case other => throw new IllegalArgumentException(s"unknown test mode $other")
   }
 }

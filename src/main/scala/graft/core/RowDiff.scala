@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.canon.Canon
+
+/** Row-level drill-down for a table that fingerprint modes flagged as
+  * inconsistent — the extension the survey sketches in §7.6 ("row-level diff
+  * drill-down via except/full-outer-join on PK"). The reference stops at
+  * per-table disagreement; this answers "which rows".
+  *
+  * Scale: one shuffle join keyed on the PK. At 100 TB this is the
+  * unavoidable expensive path (both sides repartition on pk); with
+  * pk-bucketed storage the exchange disappears entirely, and AQE's skew-join
+  * splitting covers hot keys. Row hashes are computed *before* the join so
+  * only (pk, 32-char hash) crosses the wire, not full rows.
+  */
+object RowDiff {
+
+  /** Rows differing between two versions of a table: status per PK —
+    * `only_a` (missing in b), `only_b` (missing in a), `differs` (same PK,
+    * different row hash).
+    */
+  def diff(a: DataFrame, b: DataFrame, spec: TableSpec,
+           cfg: VerifyConfig = VerifyConfig()): DataFrame = {
+    def keyed(df: DataFrame, hname: String) = {
+      val cols = Fingerprints.hashableColumns(df, spec)
+      df.select(spec.pks.map(col) :+
+        Canon.rowHash(df.schema, cols, cfg.tsPrecision).as(hname): _*)
+    }
+    keyed(a, "h_a").join(keyed(b, "h_b"), spec.pks, "full_outer")
+      .filter(col("h_a").isNull || col("h_b").isNull || col("h_a") =!= col("h_b"))
+      .select(spec.pks.map(col) :+
+        when(col("h_b").isNull, "only_a")
+          .when(col("h_a").isNull, "only_b")
+          .otherwise("differs").as("status"): _*)
+      .orderBy(spec.pks.map(col): _*)
+  }
+
+  /** DuckDB twin of [[diff]] over `table` with per-side WHERE/perturbation
+    * subqueries (full table when empty).
+    */
+  def duckSql(table: String, spec: TableSpec, aSql: String, bSql: String,
+              cfg: VerifyConfig = VerifyConfig()): String = {
+    val schema = OracleSql.schemas(table)
+    val cols = schema.fieldNames.filter(spec.validColumn).toSeq
+    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision)
+    val pkList = spec.pks.map(p => s""""$p"""").mkString(", ")
+    val pkOut = spec.pks.map(p => s"""coalesce(a."$p", b."$p") AS "$p"""").mkString(", ")
+    val joinOn = spec.pks.map(p => s"""a."$p" = b."$p"""").mkString(" AND ")
+    s"""SELECT $pkOut,
+       CASE WHEN b.h IS NULL THEN 'only_a' WHEN a.h IS NULL THEN 'only_b' ELSE 'differs' END AS status
+       FROM (SELECT $pkList, $h AS h FROM $aSql) a
+       FULL OUTER JOIN (SELECT $pkList, $h AS h FROM $bSql) b ON $joinOn
+       WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h
+       ORDER BY ${spec.pks.map(p => s"coalesce(a.\"$p\", b.\"$p\")").mkString(", ")}"""
+  }
+}

@@ -37,7 +37,111 @@ object VerifierQueries {
 
   private val smallTables = Seq("region", "nation", "supplier", "customer", "part")
 
+  // ---------------------------------------------------------------------------
+  // Multi-target report pipeline (A3-A5, X1-X3) with a deterministically
+  // perturbed second target — the reference's negative integration test
+  // (/root/reference/integration_test.go:294-398) as a registered query.
+  // ---------------------------------------------------------------------------
+
+  /** beta's orders: one key-band deleted, one key-band value-changed. */
+  private val perturbOrders: DataFrame => DataFrame = df =>
+    df.filter(col("o_orderkey") % 1000 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 1000 === 11, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+
+  private val perturbOrdersSql: String =
+    "(SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 1000 = 11 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 1000 <> 7)"
+
+  /** The long-form results relation as a DuckDB CTE: one row per
+    * target × table × mode with the digest computed in SQL — the oracle twin
+    * of [[VerifyRun.run]]'s output.
+    */
+  private def resultsCte(targets: Seq[(String, Option[String])], tables: Seq[String],
+                         modes: Seq[String], c: VerifyConfig): String = {
+    val rows = for {
+      (tname, source) <- targets
+      t <- tables
+      m <- modes
+    } yield s"SELECT '$tname' AS target, '${VerifyRun.SchemaName}' AS schema_name, " +
+      s"'$t' AS table_name, '$m' AS mode, " +
+      s"${OracleSql.forMode(m, t, spec(t), c, if (t == "orders") source else None)} AS output"
+    s"WITH results AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  /** Spark side of the merged report, long form with portable column names. */
+  private def mergedDf(spark: SparkSession, sfDir: String, beta: ParquetTarget,
+                       tables: Seq[String], modes: Seq[String], c: VerifyConfig): DataFrame = {
+    val targets = Seq(ParquetTarget("alpha", sfDir), beta)
+    val results = VerifyRun.run(spark, targets, Fixtures.specs, c, includeTables = tables)
+    VerifyRun.merged(results)
+      .select(col("schema").as("schema_name"), col("table").as("table_name"),
+        col("mode"), col("output"), array_join(col("targets"), ",").as("targets"))
+      .orderBy(col("table_name"), col("mode"), col("output"))
+  }
+
+  private def mergedSql(targets: Seq[(String, Option[String])], tables: Seq[String],
+                        modes: Seq[String], c: VerifyConfig): String =
+    s"""${resultsCte(targets, tables, modes, c)}
+       SELECT schema_name, table_name, mode, output,
+              string_agg(target, ',' ORDER BY target) AS targets
+       FROM results GROUP BY schema_name, table_name, mode, output
+       ORDER BY table_name, mode, output"""
+
+  private val reportModes = TestModes.All
+  private val reportCfg = cfg.copy(bookendLimit = 100)
+
   val entries: Map[String, QueryEntry] = Map(
+
+    // A3 merged report: two identical targets agree on every cell
+    "pv_report_agree" -> QueryEntry(
+      fn = (spark, sfDir) => mergedDf(spark, sfDir, ParquetTarget("beta", sfDir),
+        Seq("region", "orders"), reportModes, reportCfg),
+      oracle = Some(mergedSql(Seq("alpha" -> None, "beta" -> None),
+        Seq("region", "orders"), reportModes, reportCfg))),
+
+    // A3 merged report with a perturbed target: disagreeing cells split
+    "pv_report_mismatch" -> QueryEntry(
+      fn = (spark, sfDir) => mergedDf(spark, sfDir,
+        ParquetTarget("beta", sfDir, tweaks = Map("orders" -> perturbOrders)),
+        Seq("region", "orders"), reportModes, reportCfg),
+      oracle = Some(mergedSql(Seq("alpha" -> None, "beta" -> Some(perturbOrdersSql)),
+        Seq("region", "orders"), reportModes, reportCfg))),
+
+    // A4 consistency diff over the perturbed pair
+    "pv_inconsistency" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val targets = Seq(ParquetTarget("alpha", sfDir),
+          ParquetTarget("beta", sfDir, tweaks = Map("orders" -> perturbOrders)))
+        val results = VerifyRun.run(spark, targets, Fixtures.specs, reportCfg,
+          includeTables = Seq("region", "orders"))
+        VerifyRun.inconsistencies(results, targets.size)
+          .select(col("schema").as("schema_name"), col("table").as("table_name"),
+            col("mode"), col("n_outputs").cast("long"), col("n_reports").cast("long"),
+            col("has_err"))
+      },
+      oracle = Some(
+        s"""${resultsCte(Seq("alpha" -> None, "beta" -> Some(perturbOrdersSql)),
+            Seq("region", "orders"), reportModes, reportCfg)}
+           SELECT schema_name, table_name, mode,
+                  CAST(count(DISTINCT output) AS BIGINT) AS n_outputs,
+                  CAST(count(*) AS BIGINT) AS n_reports,
+                  bool_or(output = '${Fingerprints.Err}') AS has_err
+           FROM results GROUP BY schema_name, table_name, mode
+           HAVING count(DISTINCT output) > 1 OR count(*) <> 2
+                  OR bool_or(output = '${Fingerprints.Err}')
+           ORDER BY schema_name, table_name, mode""")),
+
+    // row-level drill-down (SURVEY.md §7.6): which PKs differ and how
+    "pv_diff_rows" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val orders = Readers.fixture(spark, sfDir, "orders")
+        RowDiff.diff(orders, perturbOrders(orders), spec("orders"))
+      },
+      oracle = Some(RowDiff.duckSql("orders", spec("orders"), "orders", perturbOrdersSql)))
+  ) ++ Map(
 
     // S1: catalog discovery — directory listing as the information_schema scan
     "pv_tables" -> QueryEntry(
