@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, quality scoring, stopword-profile language ID, BPE-ish token
+  * counting, and bottom-k document fingerprints.
+  *
+  * Every primitive is a pure per-row expression (no UDFs, no shuffles): at
+  * 100 TB these run embarrassingly parallel inside whole-stage codegen
+  * directly over the parquet scan. Each Spark builder has a DuckDB twin
+  * (`duck*`) generated from the same constants so oracle SQL can't drift.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Fixture text is single-space delimited. */
+  def tokens(text: Column): Column = split(text, " ")
+  def duckTokens(text: String): String = s"string_split($text, ' ')"
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Documents shorter than n words shingle to the whole text.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    array_distinct(grams)
+  }
+
+  def duckShingles(text: String, n: Int): String = {
+    val tk = duckTokens(text)
+    val parts = (0 until n).map(o => s"tk[i+$o]").mkString(", ' ', ")
+    s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(tk) - ${n - 1}, 1)), " +
+      s"i -> concat($parts))) FROM (SELECT $tk AS tk) AS _sh)"
+  }
+
+  /** Small function-word profiles per language. Real pipelines use character
+    * n-gram profiles (fastText-style); word profiles keep the operator
+    * SQL-expressible for the oracle. CJK needs char-level profiles — the
+    * fixture corpus is space-delimited, so word-level suffices here.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "por"),
+    "fr" -> Seq("le", "la", "et", "un", "une", "est", "que", "dans", "pour", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这", "中")
+  )
+
+  val langs: Seq[String] = stopwords.keys.toSeq.sorted
+
+  /** Count of tokens that appear in `words` (with multiplicity). */
+  def matchCount(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => array_contains(array(words.map(lit): _*), t)))
+
+  def duckMatchCount(tkSql: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($tkSql, t -> list_contains($arr, t)))"
+  }
+
+  /** Per-language stopword ratio, the language-ID score. */
+  def langScore(tk: Column, lang: String): Column =
+    matchCount(tk, stopwords(lang)).cast("double") / size(tk)
+
+  def duckLangScore(tkSql: String, lang: String): String =
+    s"CAST(${duckMatchCount(tkSql, stopwords(lang))} AS DOUBLE) / len($tkSql)"
+
+  /** Argmax over per-language scores with alphabetical tiebreak: evaluated in
+    * sorted-lang order, first language whose score >= every other wins.
+    */
+  def predictedLang(scores: Map[String, Column]): Column =
+    langs.init.foldRight(lit(langs.last)) { (lang, rest) =>
+      val ge = langs.filter(_ != lang).map(o => scores(lang) >= scores(o)).reduce(_ && _)
+      when(ge, lang).otherwise(rest)
+    }
+
+  def duckPredictedLang(scoreSql: String => String): String = {
+    val cases = langs.init.map { lang =>
+      val ge = langs.filter(_ != lang)
+        .map(o => s"${scoreSql(lang)} >= ${scoreSql(o)}").mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** BPE-ish piece pattern: letter runs, digit runs, single other non-space.
+    * Identical regex semantics in Java (Spark) and RE2 (DuckDB).
+    */
+  val piecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Bottom-k sketch of character n-gram MD5 hashes — a winnowing-style
+    * document fingerprint (Schleimer et al., SIGMOD'03): deterministic,
+    * engine-portable, and comparable via overlap of the k minima.
+    */
+  def fingerprint(text: Column, n: Int, k: Int): Column = {
+    val hashes = transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => md5(text.substr(i, lit(n))))
+    md5(array_join(slice(array_sort(array_distinct(hashes)), 1, k), ""))
+  }
+
+  def duckFingerprint(text: String, n: Int, k: Int): String =
+    s"md5(array_to_string(list_slice(list_sort(list_distinct(" +
+      s"list_transform(generate_series(1, greatest(length($text) - ${n - 1}, 1)), " +
+      s"i -> md5($text[i:i+${n - 1}])))), 1, $k), ''))"
+}

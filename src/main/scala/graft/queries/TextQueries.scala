@@ -1,7 +1,110 @@
 package graft.queries
 
-import graft.QueryEntry
+import org.apache.spark.sql.functions._
 
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.TextAnalysis._
+
+/** Text-analysis operators over the `documents` fixture: stats/quality
+  * scoring, language ID, BPE-ish token counting, document fingerprinting.
+  * All pure per-row expressions — scan-parallel at any scale.
+  *
+  * Float parity note: ratios are per-row IEEE double ops (one division, a few
+  * multiply/adds) — bit-identical on both engines; no double aggregation.
+  */
 object TextQueries {
-  val entries: Map[String, QueryEntry] = Map()
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // token/char stats + quality score per document
+    "text_stats" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val tk = tokens(col("text"))
+        val nTok = size(tk)
+        val nDistinct = size(array_distinct(tk))
+        val stopRatio = langScore(tk, "en")
+        val distinctRatio = nDistinct.cast("double") / nTok
+        docs.select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          (length(col("text")).cast("long") === col("n_chars")).as("n_chars_ok"),
+          nTok.cast("long").as("n_tokens"),
+          nDistinct.cast("long").as("n_distinct_tokens"),
+          ((length(col("text")) - (nTok - lit(1))).cast("double") / nTok).as("avg_token_len"),
+          stopRatio.as("stopword_ratio"),
+          (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4
+            + distinctRatio * 0.3 + least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality_score")
+        ).orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        val stop = duckLangScore(tk, "en")
+        s"""SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(length(text) AS BIGINT) = n_chars AS n_chars_ok,
+             CAST(len($tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct($tk)) AS BIGINT) AS n_distinct_tokens,
+             CAST(length(text) - (len($tk) - 1) AS DOUBLE) / len($tk) AS avg_token_len,
+             $stop AS stopword_ratio,
+             least(len($tk) / 100.0, 1.0) * 0.4
+               + (CAST(len(list_distinct($tk)) AS DOUBLE) / len($tk)) * 0.3
+               + least($stop * 5.0, 1.0) * 0.3 AS quality_score
+           FROM documents ORDER BY doc_id"""
+      }),
+
+    // stopword-profile language identification with argmax + tiebreak
+    "text_langid" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val tk = tokens(col("text"))
+        val scores = langs.map(l => l -> langScore(tk, l)).toMap
+        docs.select(
+          col("doc_id"), col("lang"),
+          predictedLang(scores).as("pred_lang"),
+          greatest(langs.map(scores): _*).as("best_score")
+        ).orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        val score = (l: String) => duckLangScore(tk, l)
+        s"""SELECT doc_id, lang,
+             ${duckPredictedLang(score)} AS pred_lang,
+             greatest(${langs.map(score).mkString(", ")}) AS best_score
+           FROM documents ORDER BY doc_id"""
+      }),
+
+    // BPE-ish token counting: letter runs / digit runs / single symbols
+    "text_tokens" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pieces = expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)")
+        docs.select(
+          col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_pieces"),
+          size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).cast("long").as("n_digit_pieces")
+        ).orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '$piecePattern')) AS BIGINT) AS n_pieces,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_pieces,
+             CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_pieces
+           FROM documents ORDER BY doc_id""")),
+
+    // winnowing-style bottom-k fingerprint over char 8-grams
+    "text_fingerprint" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        docs.select(
+          col("doc_id"),
+          fingerprint(col("text"), n = 8, k = 4).as("doc_fingerprint")
+        ).orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id, ${duckFingerprint("text", 8, 4)} AS doc_fingerprint
+           FROM documents ORDER BY doc_id"""))
+  )
 }
