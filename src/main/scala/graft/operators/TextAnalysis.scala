@@ -29,11 +29,14 @@ object TextAnalysis {
     array_distinct(grams)
   }
 
-  def duckShingles(text: String, n: Int): String = {
-    val tk = duckTokens(text)
-    val parts = (0 until n).map(o => s"tk[i+$o]").mkString(", ' ', ")
-    s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(tk) - ${n - 1}, 1)), " +
-      s"i -> concat($parts))) FROM (SELECT $tk AS tk) AS _sh)"
+  /** Shingle expression over an already-materialized token-array column
+    * `tkCol` (DuckDB rejects subqueries inside lambdas, so callers stage the
+    * token split through a CTE and pass its column name here).
+    */
+  def duckShinglesExpr(tkCol: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$tkCol[i+$o]").mkString(", ' ', ")
+    s"list_distinct(list_transform(generate_series(1, greatest(len($tkCol) - ${n - 1}, 1)), " +
+      s"i -> concat($parts)))"
   }
 
   /** Small function-word profiles per language. Real pipelines use character

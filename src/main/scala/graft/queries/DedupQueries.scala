@@ -1,7 +1,119 @@
 package graft.queries
 
-import graft.QueryEntry
+import org.apache.spark.sql.functions._
 
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.{MinHashLSH, SimHash, Similarity}
+import graft.operators.TextAnalysis.shingles
+
+/** Deduplication family over `documents` and `embeddings`: exact hash dedup,
+  * MinHash+LSH candidates, exact n-gram Jaccard verification, SimHash, and
+  * embedding-cosine near-dup — the core training-data-pipeline operators.
+  */
 object DedupQueries {
-  val entries: Map[String, QueryEntry] = Map()
+
+  private val ShingleN = 3
+  private val NumPerm = 16
+  private val NumBands = 4
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // exact dedup: hash-groupBy, keep the smallest id per distinct text
+    "dedup_exact" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy("text_hash")
+      },
+      oracle = Some("""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // MinHash+LSH near-dup candidates: shingle → signature → band → bucket join
+    "dedup_minhash_lsh" -> QueryEntry(
+      fn = (spark, sfDir) => MinHashLSH.candidatePairs(
+        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+        ShingleN, NumPerm, NumBands),
+      oracle = Some(MinHashLSH.duckCandidatePairs(
+        "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
+
+    // exact n-gram Jaccard verification of the LSH candidates (the standard
+    // candidate-then-verify dedup pipeline; nothing touches O(n^2) pairs)
+    "dedup_ngram_jaccard" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", ShingleN, NumPerm, NumBands)
+          .select("doc_a", "doc_b")
+        val sh = docs.select(col("doc_id"),
+          shingles(col("text"), ShingleN).as("sh"))
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS c),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)}
+           SELECT cand.doc_a, cand.doc_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM cand JOIN shs a ON a.id = cand.doc_a JOIN shs b ON b.id = cand.doc_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+           ORDER BY doc_a, doc_b"""
+      )),
+
+    // per-document 32-bit SimHash signatures
+    "dedup_simhash" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash
+           FROM documents ORDER BY doc_id""")),
+
+    // SimHash near-dup pairs via pigeonhole chunk buckets (== brute force)
+    "dedup_simhash_pairs" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val withSh = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+        SimHash.nearPairs(withSh, "doc_id", "simhash")
+      },
+      oracle = Some(
+        s"""WITH sh AS (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHash.MaxHamming}
+           ORDER BY doc_a, doc_b""")),
+
+    // embedding-cosine near-dup pairs (brute force at fixture scale; the LSH
+    // bucketed path in sim_ann_lsh is the 100 TB variant)
+    "dedup_embcos" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            Similarity.cosineScaled(col("va"), col("vb")).as("cos_micro"))
+          .filter(col("cos_micro") >= 450000)
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some(
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} AS cos_micro
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} >= 450000
+           ORDER BY vec_a, vec_b"""))
+  )
 }

@@ -1,7 +1,61 @@
 package graft.queries
 
-import graft.QueryEntry
+import org.apache.spark.sql.functions._
 
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` fixture: exact brute-force cosine
+  * top-k (baseline) and the random-hyperplane LSH bucketed ANN (scale path).
+  */
 object SimilarityQueries {
-  val entries: Map[String, QueryEntry] = Map()
+
+  private val K = 10
+  private val NumPlanes = 8
+  private val Dims = 64
+  private lazy val planeMatrix = Similarity.planes(NumPlanes, Dims)
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // exact top-k: broadcast queries × full scan, windowed rank per query
+    "sim_topk" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some(
+        s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                               n.vec_id ASC) AS BIGINT) AS rank
+             FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+             WHERE q.vec_id < 8) AS t
+           WHERE rank <= $K ORDER BY query_id, rank""")),
+
+    // ANN: candidates restricted to the query's LSH bucket (deterministic
+    // MD5-derived hyperplanes embedded as literals on both engines)
+    "sim_ann_lsh" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some {
+        val bucket = Similarity.duckLshBucket("embedding", planeMatrix)
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+           SELECT query_id, neighbor_id, cos_micro, rank FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                               n.vec_id ASC) AS BIGINT) AS rank
+             FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+             WHERE q.vec_id < 8) AS t
+           WHERE rank <= $K ORDER BY query_id, rank"""
+      })
+  )
 }
