@@ -1,7 +1,114 @@
 package graft.queries
 
-import graft.QueryEntry
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.QueryEntry
+import graft.core.Readers
+
+/** Batch analytics over the `events` stream table: tumbling-window
+  * aggregation, gap-based sessionization, first-event dedup, and top-k —
+  * each the batch twin of a Structured Streaming pipeline in
+  * [[graft.streaming.EventStreams]] (same transformations over readStream).
+  *
+  * Money-style doubles (`value` is 2dp) sum in decimal for engine parity;
+  * timestamps leave as epoch micros BIGINT.
+  */
 object EventQueries {
-  val entries: Map[String, QueryEntry] = Map()
+
+  private val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // tumbling hourly window per event type
+    "ev_window_hourly" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "events")
+          .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("hour_us", "event_type")
+      },
+      oracle = Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
+
+    // gap-based sessionization: a >30min silence starts a new session
+    "ev_sessionize" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val flagged = ev.withColumn("is_new",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+            || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        val sessions = flagged
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("session_events"))
+        sessions.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("session_events")).as("n_events"),
+            max(col("session_events")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, ts_us, event_id,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        sessions AS (SELECT user_id, session_idx, count(*) AS session_events
+                     FROM numbered GROUP BY user_id, session_idx)
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(session_events) AS BIGINT) AS n_events,
+               max(session_events) AS max_session_events
+        FROM sessions GROUP BY user_id ORDER BY user_id""")),
+
+    // first event per (user, type) — the batch twin of streaming dedup state
+    "ev_dedup_first" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us"), col("event_id"))
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"), col("ts_us").as("first_ts_us"))
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+        FROM (SELECT user_id, event_type, event_id, ts,
+                row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY epoch_us(ts), event_id) AS rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // top-k users by activity (TakeOrderedAndProject, no full sort)
+    "ev_topk_users" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy(col("n_events").desc, col("user_id").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 20"""))
+  )
 }

@@ -1,7 +1,60 @@
 package graft.queries
 
-import graft.QueryEntry
+import org.apache.spark.sql.functions._
 
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.Multimodal
+
+/** Multimodal binary-column operators. Fixture media is synthesized as
+  * `unhex(md5(text))` (16 opaque bytes per document) so both engines derive
+  * identical binaries; the decode stage itself is a marked stub
+  * ([[Multimodal.decodeStub]]) with real Spark plumbing around it.
+  */
 object MultimodalQueries {
-  val entries: Map[String, QueryEntry] = Map()
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // batch decode + feature extraction via mapPartitions over binary column
+    "mm_meta" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("img"))
+        Multimodal.extractMeta(docs, "doc_id", "img").orderBy("doc_id")
+      },
+      oracle = Some(Multimodal.duckMetaSql("documents", "doc_id"))),
+
+    // resize + frame-sample, expression path (hex-pair parsing via conv):
+    // aspect-preserving resize to max dim 64, every-4th-byte "frame" sample
+    "mm_transform" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("img"))
+        val hx = lower(hex(col("img")))
+        // byte i (1-based) = hex chars (2i-1, 2i)
+        def b(i: Int) = conv(hx.substr(lit(2 * i - 1), lit(2)), 16, 10).cast("long")
+        val width = lit(32L) + b(1) % 224
+        val height = lit(32L) + b(2) % 224
+        val scale = lit(64.0) / greatest(width, height).cast("double")
+        docs.select(
+          col("doc_id"),
+          width.as("width"), height.as("height"),
+          floor(width.cast("double") * scale).cast("long").as("resized_w"),
+          floor(height.cast("double") * scale).cast("long").as("resized_h"),
+          transform(sequence(lit(1), lit(16), lit(4)),
+            i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")).as("frame_sample")
+        ).orderBy("doc_id")
+      },
+      oracle = Some {
+        val b = (i: Int) => s"CAST(CAST('0x' || substr(h, ${2 * i - 1}, 2) AS UBIGINT) AS BIGINT)"
+        s"""WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+           dims AS (SELECT doc_id, h, 32 + ${b(1)} % 224 AS width, 32 + ${b(2)} % 224 AS height FROM hx)
+           SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+                  CAST(floor(width * (64.0 / greatest(width, height))) AS BIGINT) AS resized_w,
+                  CAST(floor(height * (64.0 / greatest(width, height))) AS BIGINT) AS resized_h,
+                  list_transform(generate_series(1, 16, 4), i ->
+                    CAST(CAST('0x' || substr(h, 2*i - 1, 2) AS UBIGINT) AS BIGINT)) AS frame_sample
+           FROM dims ORDER BY doc_id"""
+      })
+  )
 }

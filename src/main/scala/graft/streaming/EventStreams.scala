@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the `events` table: the streaming
+  * twins of [[graft.queries.EventQueries]]' batch plans (readStream →
+  * identical transforms → writeStream), plus a stateful sessionizer on
+  * `flatMapGroupsWithState` — the reference has no streaming at all
+  * (SURVEY.md §2.8); this is north-star surface.
+  *
+  * Scale shape: watermark + windowed aggregation is incremental state keyed
+  * by (window, event_type); dedup state is keyed by (user, type) and pruned
+  * by the watermark; sessionization state is one small record per user.
+  */
+object EventStreams {
+
+  /** Raw fixture schema (ts read as nanos-long, see graft.core.Readers). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of the events fixture with ts normalized to µs. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming twin of ev_window_hourly: tumbling window + watermark. */
+  def hourlyWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Streaming twin of ev_dedup_first: stateful first-event-wins dedup. */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: per-user state
+    * is (last event micros, open session count, event count). Events inside a
+    * micro-batch are sorted before folding, so a single-batch replay equals
+    * the batch ev_sessionize query.
+    */
+  def sessionize(events: DataFrame, gapUs: Long): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[SessionSummary]
+
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          val sorted = rows.map(_._2).toArray.sorted
+          var (lastTs, nSessions, nEvents) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapUs) nSessions += 1
+            nEvents += 1
+            lastTs = ts
+          }
+          state.update((lastTs, nSessions, nEvents))
+          Iterator(SessionSummary(user, nSessions, nEvents))
+        })
+  }
+
+  /** Run a streaming frame to completion against the (finite) fixture dir and
+    * return the materialized result — memory-sink harness for specs/smoke.
+    */
+  def runToBatch(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Readers, RowDiff, TableSpec}
+import graft.operators._
+
+/** Operator-level behavior not covered by the DuckDB oracle gate: LSH finds
+  * the planted near-dups, SimHash banding equals brute force, ANN is a
+  * subset of exact top-k, multimodal stub decode agrees with the expression
+  * path, row-diff statuses.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Readers.fixture(spark, sfDir, "documents")
+  private lazy val emb = Readers.fixture(spark, sfDir, "embeddings")
+
+  test("minhash LSH candidates verify as high-Jaccard near-dups") {
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+    assert(pairs.count() > 0, "fixture has planted near-dups")
+    // every candidate estimated >= 1 matching band => est_jaccard well above random
+    assert(pairs.filter(col("est_jaccard") < 0.25).count() == 0)
+  }
+
+  test("simhash chunk-banding equals brute-force hamming pairs") {
+    val withSh = docs.limit(120)
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+    val banded = SimHash.nearPairs(withSh, "doc_id", "simhash")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val a = withSh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(expr("sa ^ sb")) <= SimHash.MaxHamming)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("ANN results are a subset of exact top-k scores") {
+    val planes = Similarity.planes(8, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.topK(queries, emb, 100)
+      .select("query_id", "neighbor_id", "cos_micro").as[(Long, Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(queries, emb, 10, planes)
+      .select("query_id", "neighbor_id", "cos_micro").as[(Long, Long, Long)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit scores identically to the exact computation for that pair
+    val exactScores = exact.map { case (q, n, c) => (q, n) -> c }.toMap
+    assert(ann.forall { case (q, n, c) => exactScores.get((q, n)).forall(_ == c) })
+  }
+
+  test("multimodal stub decode agrees with the hex-expression path") {
+    val withImg = docs.limit(50).select(col("doc_id"), unhex(md5(col("text"))).as("img"))
+    val viaStub = Multimodal.extractMeta(withImg, "doc_id", "img")
+      .select("doc_id", "width", "height").as[(Long, Long, Long)].collect().toMap2
+    val hx = lower(hex(col("img")))
+    def b(i: Int) = conv(hx.substr(lit(2 * i - 1), lit(2)), 16, 10).cast("long")
+    val viaExpr = withImg.select(col("doc_id"),
+        (lit(32L) + b(1) % 224).as("width"), (lit(32L) + b(2) % 224).as("height"))
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(viaStub == viaExpr)
+  }
+
+  test("row diff classifies added/removed/changed rows") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val other = Seq((2, "b"), (3, "CHANGED"), (4, "d")).toDF("id", "v")
+    val d = RowDiff.diff(base, other, TableSpec("t", Seq("id")))
+      .as[(Int, String)].collect().toMap
+    assert(d == Map(1 -> "only_a", 3 -> "differs", 4 -> "only_b"))
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}

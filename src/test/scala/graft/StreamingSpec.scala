@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.Readers
+import graft.streaming.EventStreams
+
+/** Streaming pipelines replayed over the finite fixture must agree with
+  * their batch twins in graft.queries.EventQueries.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** File-source streams need a directory; stage the single fixture file. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private lazy val batchEvents = Readers.fixture(spark, sfDir, "events")
+
+  test("streaming hourly window equals the batch aggregation") {
+    val stream = EventStreams.hourlyWindow(EventStreams.readEvents(spark, streamDir))
+    val got = EventStreams.runToBatch(stream, "hourly", OutputMode.Complete)
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val want = batchEvents
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("streaming dedup keeps one event per (user, type)") {
+    val stream = EventStreams.dedupFirst(EventStreams.readEvents(spark, streamDir))
+    val got = EventStreams.runToBatch(stream, "dedup", OutputMode.Append)
+    val wantKeys = batchEvents.select("user_id", "event_type").distinct().count()
+    assert(got.count() == wantKeys)
+    assert(got.select("user_id", "event_type").distinct().count() == wantKeys)
+  }
+
+  test("stateful sessionization equals the batch session counts") {
+    val gapUs = 30L * 60 * 1000000
+    val stream = EventStreams.sessionize(EventStreams.readEvents(spark, streamDir), gapUs)
+    val got = EventStreams.runToBatch(stream.toDF(), "sessions", OutputMode.Update)
+    // single-batch replay: last update per user is the full-history summary
+    val gotFinal = got.groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+    val want = SparkEntry.queries("ev_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(gotFinal.except(want).isEmpty && want.except(gotFinal).isEmpty)
+  }
+}
