@@ -44,6 +44,112 @@ object AnalyticsQueries {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
-    )
+    ),
+
+    // TPC-H Q3-style: 3-way join, filter both sides, top-10 by revenue.
+    // customer is the small side -> broadcast; lineitem⋈orders shuffles on
+    // the order key (AQE picks the final strategy).
+    "q3_topk_orders" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cust = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val ord = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        val dec = (c: String) => col(c).cast("decimal(18,2)")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+          .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate_us
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // TPC-H Q5-style: 6-way join through region->nation->customer/supplier,
+    // revenue per nation. All dimensions broadcast; only the fact tables
+    // shuffle, keyed on the order key.
+    "q5_nation_revenue" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val rd = (t: String) => graft.core.Readers.fixture(spark, sfDir, t)
+        val dec = (c: String) => col(c).cast("decimal(18,2)")
+        rd("lineitem")
+          .join(rd("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(rd("customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(rd("supplier")),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(rd("nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(rd("region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // window-function ranking: top-3 parts by price within each brand
+    "q_window_brand_rank" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val part = graft.core.Readers.fixture(spark, sfDir, "part")
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        part.withColumn("price_rank", row_number().over(w).cast("long"))
+          .filter(col("price_rank") <= 3)
+          .select("p_brand", "price_rank", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "price_rank")
+      },
+      oracle = Some("""
+        SELECT p_brand, price_rank, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 CAST(row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS price_rank
+          FROM part) t
+        WHERE price_rank <= 3 ORDER BY p_brand, price_rank""")),
+
+    // set operations: segments present in one nation's customers but not
+    // another's (EXCEPT), plus their intersection counts
+    "q_setops_segments" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cust = graft.core.Readers.fixture(spark, sfDir, "customer")
+        val a = cust.filter(col("c_nationkey") === 1).select(col("c_mktsegment"))
+        val b = cust.filter(col("c_nationkey") === 2).select(col("c_mktsegment"))
+        a.distinct().exceptAll(b.distinct())
+          .withColumn("op", lit("except"))
+          .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+          .orderBy("op", "c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, 'except' AS op FROM (
+          SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 1
+          EXCEPT SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 2) e
+        UNION ALL
+        SELECT c_mktsegment, 'intersect' AS op FROM (
+          SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 1
+          INTERSECT SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 2) i
+        ORDER BY op, c_mktsegment"""))
   )
 }
