@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis.{duckTokens, shingles, tokens}
+import graft.operators.TextAnalysis.{duckTokens, shinglesFromTokens, tokens}
 
 /** Near-duplicate detection for a training-data pipeline: MinHash+LSH
   * (shingle → signature → band → bucket-join), SimHash with chunk-bucketed
@@ -44,12 +44,37 @@ object MinHashLSH {
   /** Candidate pairs (a < b) with estimated Jaccard = matching signature
     * positions / numPerm. `df` must have an id column and a text column.
     */
+  /** Materialized (id, sig) signatures: the expensive shingle+signature
+    * expressions are computed exactly once per row behind a persist() barrier
+    * — without it Catalyst inlines them into downstream join predicates and
+    * re-evaluates per comparison (measured: minutes instead of seconds at
+    * sf0.1). The repartition spreads per-row CPU across cores: a single
+    * parquet file otherwise plans as one partition.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, numPerm: Int): DataFrame = {
+    // explode + codegen'd hash-aggregate instead of the per-row HOF
+    // [[signature]]: HOFs evaluate interpreted (closure per element); the
+    // exploded form runs the same 16 MD5s per shingle inside whole-stage
+    // codegen with map-side partial min — measured ~4x faster at sf0.1.
+    val exploded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .withColumn("tk", tokens(col("text")))
+      .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("s"))
+    val mins = (0 until numPerm).map(p =>
+      min(md5(concat(lit(p.toString), lit(":"), col("s")))).as(s"m$p"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
+      .persist()
+  }
+
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int, numPerm: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numPerm / numBands
-    val sigs = df.select(col(idCol).as("id"),
-        signature(shingles(col(textCol), shingleN), numPerm).as("sig"))
+    val sigs = signatures(df, idCol, textCol, shingleN, numPerm)
       .withColumn("bands", bandHashes(col("sig"), numBands, rowsPerBand))
+      .persist()
     // narrow band relation: only (id, band_idx, band_hash) shuffles
     val bands = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val pairs = bands.as("x").join(bands.as("y"),
@@ -114,6 +139,25 @@ object SimHash {
         shiftleft_dyn(lit(1L), b)).otherwise(lit(0L)))
   }
 
+  /** Scan-scale simhash: explode tokens, one codegen'd hash-aggregate with 32
+    * per-bit vote sums (map-side partial agg), reassemble the hash from the
+    * 32 scalars. Identical output to the per-row [[simhash]] expression —
+    * that one evaluates interpreted (HOFs) and exists as the semantic
+    * reference; this is the one to run on real data.
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .repartition(col("id"))
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until Bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val assembled = (0 until Bits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    th.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), assembled.as("simhash"))
+  }
+
   /** Dynamic-shift helpers: functions.shiftright/left only take Int literals;
     * division/multiplication by 2^b is the portable equivalent (b <= 31, so
     * pow(2,b) is exact in double).
@@ -136,10 +180,15 @@ object SimHash {
     * bit_count(xor) <= MaxHamming thanks to the pigeonhole bound.
     */
   def nearPairs(df: DataFrame, idCol: String, simhashCol: String): DataFrame = {
+    // persist: the chunk relation feeds both sides of the self-join; without
+    // the barrier the upstream simhash pipeline runs twice (or worse, inlines
+    // into the join predicate)
     val chunks = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
+      .repartition(col("id"))
       .select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(Chunks - 1)),
           c => shiftright_dyn(col("sh"), c * lit(8)) % 256)).as(Seq("chunk_idx", "chunk")))
+      .persist()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))

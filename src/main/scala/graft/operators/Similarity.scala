@@ -23,15 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum via sequential left fold — same order as DuckDB list_reduce. */
-  private def fold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (see [[graft.functions.DotProduct]]):
+    * double accumulation, ascending index — the same left-fold order as
+    * DuckDB's list_reduce twin, so results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotProduct(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  def norm(a: Column): Column =
-    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -50,17 +48,29 @@ object Similarity {
   def duckCosineScaled(a: String, b: String): String =
     s"CAST(floor(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) * 1e6) AS BIGINT)"
 
+  /** Scaled cosine with norms precomputed as columns — callers stage `na`/`nb`
+    * once per vector instead of once per pair (norms inside the pair loop
+    * would redo O(dims) work |queries|× per row).
+    */
+  def cosineScaledWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    floor(dot(a, b) / (na * nb) * 1e6).cast("long")
+
   /** Exact top-k neighbors for each query vector (brute force): broadcast the
     * query set, score every (query, neighbor) pair, keep k per query by
     * windowed rank with deterministic (score desc, id asc) tiebreak.
+    * The scan side repartitions first: per-row scoring is CPU-bound and a
+    * single-file local fixture otherwise plans as one partition.
     */
   def topK(queries: DataFrame, neighbors: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
     val n = neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .repartition(col("neighbor_id"))
+      .withColumn("nn", norm(col("nv")))
     val scored = n.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineScaled(col("qv"), col("nv")).as("cos_micro"))
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -104,13 +114,16 @@ object Similarity {
   def annTopK(queries: DataFrame, neighbors: DataFrame, k: Int,
               planeMatrix: Seq[Seq[Int]]): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"),
       lshBucket(col("embedding"), planeMatrix).as("bucket"))
-    val n = neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      lshBucket(col("embedding"), planeMatrix).as("bucket"))
+    val n = neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .repartition(col("neighbor_id"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("bucket", lshBucket(col("nv"), planeMatrix))
     val scored = n.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineScaled(col("qv"), col("nv")).as("cos_micro"))
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

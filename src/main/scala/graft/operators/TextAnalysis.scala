@@ -21,8 +21,14 @@ object TextAnalysis {
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Documents shorter than n words shingle to the whole text.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-computed token array. Callers doing heavy
+    * downstream work should materialize the token array as its own column
+    * first — expressions referenced inside lambdas are re-evaluated per
+    * element, so an inline `split()` here turns shingling quadratic.
+    */
+  def shinglesFromTokens(tk: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))

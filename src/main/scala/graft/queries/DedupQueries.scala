@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import graft.QueryEntry
 import graft.core.Readers
 import graft.operators.{MinHashLSH, SimHash, Similarity}
-import graft.operators.TextAnalysis.shingles
 
 /** Deduplication family over `documents` and `embeddings`: exact hash dedup,
   * MinHash+LSH candidates, exact n-gram Jaccard verification, SimHash, and
@@ -46,8 +45,14 @@ object DedupQueries {
         val docs = Readers.fixture(spark, sfDir, "documents")
         val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", ShingleN, NumPerm, NumBands)
           .select("doc_a", "doc_b")
-        val sh = docs.select(col("doc_id"),
-          shingles(col("text"), ShingleN).as("sh"))
+        // shingle sets materialized once (persist barrier) — both pair sides
+        // join against this, and inlining would re-shingle per comparison
+        val sh = docs.select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .withColumn("tk", graft.operators.TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.shinglesFromTokens(col("tk"), ShingleN).as("sh"))
+          .persist()
         pairs
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -73,8 +78,8 @@ object DedupQueries {
     // per-document 32-bit SimHash signatures
     "dedup_simhash" -> QueryEntry(
       fn = (spark, sfDir) => {
-        Readers.fixture(spark, sfDir, "documents")
-          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+        SimHash.simhashDf(Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -84,9 +89,9 @@ object DedupQueries {
     // SimHash near-dup pairs via pigeonhole chunk buckets (== brute force)
     "dedup_simhash_pairs" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val withSh = Readers.fixture(spark, sfDir, "documents")
-          .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
-        SimHash.nearPairs(withSh, "doc_id", "simhash")
+        val withSh = SimHash.simhashDf(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
+        SimHash.nearPairs(withSh, "id", "simhash")
       },
       oracle = Some(
         s"""WITH sh AS (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents)
@@ -101,11 +106,17 @@ object DedupQueries {
     "dedup_embcos" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
+        // stream side repartitioned for CPU parallelism; norms staged once
+        // per vector, not once per pair
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+          .repartition(col("vec_a"))
+          .withColumn("na", Similarity.norm(col("va")))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+          .withColumn("nb", Similarity.norm(col("vb")))
+        a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            Similarity.cosineScaled(col("va"), col("vb")).as("cos_micro"))
+            Similarity.cosineScaledWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+              .as("cos_micro"))
           .filter(col("cos_micro") >= 450000)
           .orderBy("vec_a", "vec_b")
       },

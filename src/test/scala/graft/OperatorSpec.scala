@@ -23,9 +23,19 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.filter(col("est_jaccard") < 0.25).count() == 0)
   }
 
+  test("scan-scale simhashDf equals the per-row simhash expression") {
+    val sample = docs.limit(60)
+    val viaDf = SimHash.simhashDf(sample, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = sample.select(col("doc_id"), SimHash.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDf == viaExpr)
+  }
+
   test("simhash chunk-banding equals brute-force hamming pairs") {
-    val withSh = docs.limit(120)
-      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+    val withSh = SimHash.simhashDf(docs.limit(120), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("simhash", "simhash")
     val banded = SimHash.nearPairs(withSh, "doc_id", "simhash")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val a = withSh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
