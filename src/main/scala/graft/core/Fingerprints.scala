@@ -70,18 +70,22 @@ object Fingerprints {
       Canon.rowHash(df.schema, cols, cfg.tsPrecision).as("h"))
   }
 
-  /** Digest an already-(k,h)-projected frame in exact global (k,h) order by
-    * streaming the range-sorted partitions through a driver-side MD5 chain.
-    * Equal to SQL `md5(string_agg(h, '' ORDER BY k, h))`.
+  /** Digest an already-(k,h)-projected frame in exact global (k,h) order:
+    * parallel range-partitioned sort, then a driver-side MD5 chain over the
+    * collected hashes (32 bytes/row — 600k rows is ~19 MB). Equal to SQL
+    * `md5(string_agg(h, '' ORDER BY k, h))`.
+    *
+    * The MD5 chain is inherently sequential, so the exact-parity fingerprint
+    * is driver-bound by construction (like the reference's single-node
+    * `string_agg`, README.md:69); at real scale use [[merkleDigest]], whose
+    * combine is parallel. collect() over toLocalIterator: one job instead of
+    * one per partition (~2x at sf0.1); a 100 TB exact run would switch back
+    * to streaming, but at that point the Merkle mode is the right tool.
     */
   private def digestOrdered(kh: DataFrame): Option[String] = {
-    val it = kh.orderBy(col("k"), col("h")).select(col("h"))
-      .toLocalIterator()
-    if (!it.hasNext) None
-    else Some(Digests.md5OfConcat(new Iterator[String] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): String = it.next().getString(0)
-    }))
+    val rows = kh.orderBy(col("k"), col("h")).select(col("h")).collect()
+    if (rows.isEmpty) None
+    else Some(Digests.md5OfConcat(rows.iterator.map(_.getString(0))))
   }
 
   /** full mode — /root/reference/query.go:122-158. */
@@ -154,5 +158,55 @@ object Fingerprints {
     case TestModes.Bookend  => bookendDigest(df, spec, cfg)
     case TestModes.RowCount => rowCountDigest(df)
     case other => throw new IllegalArgumentException(s"unknown test mode $other")
+  }
+
+  /** All requested modes over one table with the canonicalize+hash projection
+    * computed ONCE: the (k, h, sparse-key) frame persists across modes
+    * instead of re-canonicalizing per mode (a multi-mode run is the common
+    * case — /root/reference/verify.go:205-232 loops modes per table the same
+    * way but pays the scan each time server-side). Per-mode failures degrade
+    * to the `(err)` sentinel like the reference (X3).
+    */
+  def runModes(modes: Seq[String], df: DataFrame, spec: TableSpec, cfg: VerifyConfig): Map[String, String] = {
+    import scala.util.Try
+    val needsHash = modes.exists(_ != TestModes.RowCount)
+    // (k, h, sparse-key) computed once and persisted across modes; building
+    // the plan throws for tables whose PK columns are missing — each hash
+    // mode then degrades to the (err) sentinel below
+    val khOpt: Option[DataFrame] = if (!needsHash) None else Try {
+      val kh = df.select(
+        Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
+        Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision).as("h"),
+        GraftFunctions.md5Signed64(
+          Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)).as("sk"))
+        .persist()
+      kh.count() // materialize once so every mode reads the cache
+      kh
+    }.toOption
+    def bookendOf(kh: DataFrame): String = {
+      val start = kh.orderBy(col("k").asc, col("h").asc).limit(cfg.bookendLimit)
+        .select(col("h")).collect().map(_.getString(0))
+      val end = kh.orderBy(col("k").desc, col("h").desc).limit(cfg.bookendLimit)
+        .select(col("h")).collect().map(_.getString(0))
+      val s = if (start.isEmpty) "" else Digests.md5OfConcat(start.iterator)
+      val e = if (end.isEmpty) "" else Digests.md5OfConcat(end.iterator)
+      Digests.md5OfConcat(Iterator(s, e))
+    }
+    val out = modes.map { mode =>
+      mode -> Try {
+        mode match {
+          case TestModes.RowCount => rowCountDigest(df)
+          case TestModes.Full =>
+            digestOrdered(khOpt.get.select(col("k"), col("h"))).getOrElse(NoRows)
+          case TestModes.Sparse =>
+            digestOrdered(khOpt.get.filter(col("sk") % cfg.sparseMod === 0)
+              .select(col("k"), col("h"))).getOrElse(NoRows)
+          case TestModes.Bookend => bookendOf(khOpt.get)
+          case other => throw new IllegalArgumentException(s"unknown test mode $other")
+        }
+      }.getOrElse(Err)
+    }.toMap
+    khOpt.foreach(_.unpersist(blocking = false))
+    out
   }
 }

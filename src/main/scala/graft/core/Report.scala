@@ -38,15 +38,14 @@ object VerifyRun {
           .filter(specs.contains)
         tables.flatMap { tb =>
           val spec = specs(tb)
-          cfg.modes.map { mode =>
-            val out = Try(Fingerprints.runMode(mode, t.read(spark, tb), spec, cfg)) match {
-              case Success(v) => v
-              case Failure(e) =>
-                System.err.println(s"[graft] $mode on ${t.name}/$tb failed: ${e.getMessage}")
-                Fingerprints.Err
-            }
-            ResultRow(t.name, SchemaName, tb, mode, out)
+          // all modes share one canonicalize+hash pass per table
+          val outputs = Try(Fingerprints.runModes(cfg.modes, t.read(spark, tb), spec, cfg)) match {
+            case Success(m) => m
+            case Failure(e) =>
+              System.err.println(s"[graft] ${t.name}/$tb failed: ${e.getMessage}")
+              cfg.modes.map(_ -> Fingerprints.Err).toMap
           }
+          cfg.modes.map(mode => ResultRow(t.name, SchemaName, tb, mode, outputs(mode)))
         }
       }
     }

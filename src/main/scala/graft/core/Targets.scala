@@ -62,7 +62,17 @@ case class ParquetTarget(name: String, dir: String,
   * TIMESTAMP, keeping oracle parity.
   */
 object Readers {
+  import org.apache.spark.sql.Column
   import org.apache.spark.sql.types.LongType
+
+  /** Spread rows across all cores before a CPU-heavy per-row stage. An
+    * explicit partition count, not `repartition(col)`: AQE sizes shuffles by
+    * BYTES and would coalesce a few-MB frame back to one partition even when
+    * the downstream cost is CPU per row (measured: md5-heavy stages ran
+    * single-threaded without this).
+    */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
   /** Columns stored as TIMESTAMP(NANOS) in the fixture parquet (TESTDATA.md). */
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))

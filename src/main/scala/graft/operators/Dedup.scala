@@ -57,8 +57,8 @@ object MinHashLSH {
     // [[signature]]: HOFs evaluate interpreted (closure per element); the
     // exploded form runs the same 16 MD5s per shingle inside whole-stage
     // codegen with map-side partial min — measured ~4x faster at sf0.1.
-    val exploded = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id"))
+    val exploded = graft.core.Readers.spread(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
       .withColumn("tk", tokens(col("text")))
       .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("s"))
     val mins = (0 until numPerm).map(p =>
@@ -146,8 +146,8 @@ object SimHash {
     * reference; this is the one to run on real data.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .repartition(col("id"))
+    val th = graft.core.Readers.spread(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")), col("id"))
       .select(col("id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val votes = (0 until Bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
@@ -183,8 +183,8 @@ object SimHash {
     // persist: the chunk relation feeds both sides of the self-join; without
     // the barrier the upstream simhash pipeline runs twice (or worse, inlines
     // into the join predicate)
-    val chunks = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
-      .repartition(col("id"))
+    val chunks = graft.core.Readers.spread(
+      df.select(col(idCol).as("id"), col(simhashCol).as("sh")), col("id"))
       .select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(Chunks - 1)),
           c => shiftright_dyn(col("sh"), c * lit(8)) % 256)).as(Seq("chunk_idx", "chunk")))

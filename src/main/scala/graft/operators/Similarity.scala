@@ -64,8 +64,9 @@ object Similarity {
   def topK(queries: DataFrame, neighbors: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val n = neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      .repartition(col("neighbor_id"))
+    val n = graft.core.Readers.spread(
+      neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      col("neighbor_id"))
       .withColumn("nn", norm(col("nv")))
     val scored = n.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -116,8 +117,9 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"),
       lshBucket(col("embedding"), planeMatrix).as("bucket"))
-    val n = neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      .repartition(col("neighbor_id"))
+    val n = graft.core.Readers.spread(
+      neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      col("neighbor_id"))
       .withColumn("nn", norm(col("nv")))
       .withColumn("bucket", lshBucket(col("nv"), planeMatrix))
     val scored = n.join(broadcast(q), "bucket")

@@ -47,8 +47,7 @@ object DedupQueries {
           .select("doc_a", "doc_b")
         // shingle sets materialized once (persist barrier) — both pair sides
         // join against this, and inlining would re-shingle per comparison
-        val sh = docs.select(col("doc_id"), col("text"))
-          .repartition(col("doc_id"))
+        val sh = Readers.spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
           .withColumn("tk", graft.operators.TextAnalysis.tokens(col("text")))
           .select(col("doc_id"),
             graft.operators.TextAnalysis.shinglesFromTokens(col("tk"), ShingleN).as("sh"))
@@ -108,8 +107,8 @@ object DedupQueries {
         val e = Readers.fixture(spark, sfDir, "embeddings")
         // stream side repartitioned for CPU parallelism; norms staged once
         // per vector, not once per pair
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-          .repartition(col("vec_a"))
+        val a = Readers.spread(
+          e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), col("vec_a"))
           .withColumn("na", Similarity.norm(col("va")))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
           .withColumn("nb", Similarity.norm(col("vb")))

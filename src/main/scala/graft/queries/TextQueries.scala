@@ -20,7 +20,8 @@ object TextQueries {
     // token/char stats + quality score per document
     "text_stats" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
         val tk = tokens(col("text"))
         val nTok = size(tk)
         val nDistinct = size(array_distinct(tk))
@@ -57,7 +58,8 @@ object TextQueries {
     // stopword-profile language identification with argmax + tiebreak
     "text_langid" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
         val tk = tokens(col("text"))
         val scores = langs.map(l => l -> langScore(tk, l)).toMap
         docs.select(
@@ -78,7 +80,8 @@ object TextQueries {
     // BPE-ish token counting: letter runs / digit runs / single symbols
     "text_tokens" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
         val pieces = expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)")
         docs.select(
           col("doc_id"),
@@ -97,7 +100,8 @@ object TextQueries {
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
         docs.select(
           col("doc_id"),
           fingerprint(col("text"), n = 8, k = 4).as("doc_fingerprint")
