@@ -109,6 +109,19 @@ object Fingerprints {
     digestOrdered(hashedRows(df.filter(sparseFilter(df, spec, cfg)), spec, cfg))
       .getOrElse(NoRows)
 
+  /** The reference's literal sparse formulation — `WHERE pk IN (SELECT pk
+    * FROM t WHERE <P7>)`, one clause per PK column (/root/reference/
+    * query.go:186-205) — as a left-semi join. Semantically identical to the
+    * direct [[sparseFilter]] (the subquery scans the same table), kept for
+    * J2 form parity; the direct filter is one scan instead of N+1 and is
+    * what [[sparseDigest]] uses.
+    */
+  def sparseDigestSemiJoin(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    val sampledKeys = df.filter(sparseFilter(df, spec, cfg)).select(spec.pks.map(col): _*)
+    val sampled = df.join(sampledKeys, spec.pks, "left_semi")
+    digestOrdered(hashedRows(sampled, spec, cfg)).getOrElse(NoRows)
+  }
+
   /** bookend mode — first and last `limit` rows in PK order, digested
     * separately and combined (/root/reference/query.go:231-277). Spark plans
     * the ORDER BY+LIMIT as TakeOrderedAndProject (no full sort/shuffle).

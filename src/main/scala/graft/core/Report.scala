@@ -31,6 +31,17 @@ object VerifyRun {
   def run(spark: SparkSession, targets: Seq[Target], specs: Map[String, TableSpec],
           cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
           implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
+    // S6 fail-fast: validate every target up front; any unreachable target
+    // aborts the whole run before any work (/root/reference/verify.go:33-61)
+    targets.foreach { t =>
+      val discovered = Try(t.tables(spark)) match {
+        case Success(ts) => ts
+        case Failure(e) =>
+          throw new IllegalStateException(s"target ${t.name} unreachable: ${e.getMessage}", e)
+      }
+      if (discovered.isEmpty)
+        throw new IllegalStateException(s"target ${t.name} has no tables")
+    }
     val perTarget = targets.map { t =>
       Future {
         val tables = t.tables(spark)

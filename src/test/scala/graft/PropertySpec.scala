@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{Fingerprints, TableSpec, VerifyConfig}
+
+/** ScalaCheck properties from SURVEY.md §5(d): fingerprint invariance under
+  * row order, sensitivity to any single-cell change, sparse determinism.
+  * Raw ScalaCheck generators driven from a fixed seed (the scalatestplus
+  * bridge isn't in the offline artifact cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = VerifyConfig(bookendLimit = 5)
+  private val spec = TableSpec("t", Seq("id"))
+
+  private val rowsGen: Gen[List[(Int, String, Double)]] = for {
+    n <- Gen.choose(1, 12)
+    rows <- Gen.listOfN(n, for {
+      s <- Gen.alphaNumStr.map(_.take(6))
+      d <- Gen.choose(-999, 999).map(_ / 100.0) // 2dp money-like
+    } yield (s, d))
+  } yield rows.zipWithIndex.map { case ((s, d), i) => (i, s, d) }
+
+  private def samples(k: Int): Seq[List[(Int, String, Double)]] =
+    (0 until k).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("full digest is invariant under row order") {
+    for (rows <- samples(8)) {
+      val a = Fingerprints.fullDigest(rows.toDF("id", "s", "d"), spec, cfg)
+      val b = Fingerprints.fullDigest(
+        new scala.util.Random(7).shuffle(rows).toDF("id", "s", "d"), spec, cfg)
+      assert(a == b, s"rows=$rows")
+    }
+  }
+
+  test("any single-cell change flips the full digest") {
+    for ((rows, pick) <- samples(8).zipWithIndex) {
+      val i = pick % rows.length
+      val mutated = rows.updated(i, rows(i).copy(_2 = rows(i)._2 + "!"))
+      val a = Fingerprints.fullDigest(rows.toDF("id", "s", "d"), spec, cfg)
+      val b = Fingerprints.fullDigest(mutated.toDF("id", "s", "d"), spec, cfg)
+      assert(a != b, s"rows=$rows i=$i")
+    }
+  }
+
+  test("sparse samples a deterministic subset: mod=1 equals full, stable across partitionings") {
+    for (rows <- samples(5)) {
+      val df = rows.toDF("id", "s", "d")
+      assert(Fingerprints.sparseDigest(df, spec, cfg.copy(sparseMod = 1))
+        == Fingerprints.fullDigest(df, spec, cfg))
+      assert(Fingerprints.sparseDigest(df, spec, cfg)
+        == Fingerprints.sparseDigest(df.repartition(3), spec, cfg))
+    }
+  }
+
+  test("semi-join sparse (J2 reference form) equals the direct-filter sparse") {
+    for (rows <- samples(5)) {
+      val df = rows.toDF("id", "s", "d")
+      assert(Fingerprints.sparseDigestSemiJoin(df, spec, cfg)
+        == Fingerprints.sparseDigest(df, spec, cfg))
+    }
+  }
+}

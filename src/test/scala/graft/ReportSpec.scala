@@ -35,6 +35,14 @@ class ReportSpec extends SparkSpec {
     assert(bad.map(_.getString(2)).sorted.toSeq == Seq("bookend", "full", "rowcount"))
   }
 
+  test("an unreachable target aborts the run up front (S6 fail-fast)") {
+    val targets = Seq(ParquetTarget("alpha", sfDir), ParquetTarget("ghost", "/nonexistent"))
+    val e = intercept[IllegalStateException] {
+      VerifyRun.run(spark, targets, Fixtures.specs, cfg, includeTables = tables)
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("a failing table leaves the (err) sentinel and is flagged") {
     val broken = ParquetTarget("beta", sfDir,
       tweaks = Map("region" -> (df => df.select(col("r_name"))))) // drops the PK column
