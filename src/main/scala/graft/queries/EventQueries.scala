@@ -95,6 +95,30 @@ object EventQueries {
                   ORDER BY epoch_us(ts), event_id) AS rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // the same hourly window through Structured Streaming: readStream over
+    // the fixture, watermark + tumbling window, replayed to completion — the
+    // streaming engine must agree with the DuckDB batch oracle
+    "ev_window_hourly_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Files.createTempDirectory("graft-evstream")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val stream = graft.streaming.EventStreams.hourlyWindow(
+          graft.streaming.EventStreams.readEvents(spark, dir.toString))
+        val result = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_hourly_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        result.select(
+            unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .orderBy("hour_us", "event_type")
+      },
+      oracle = Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
+
     // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape assertions (SURVEY.md §5: test the plan, not SQL text):
+  * column pruning reaches the parquet scan, small dimensions broadcast,
+  * hot paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q1 scan is pruned to the referenced lineitem columns") {
+    val plan = physicalPlan("q1_pricing")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse(fail(s"no FileScan in:\n$plan"))
+    // 5 of 11 lineitem columns are referenced; the scan must not read more
+    assert(scanCols.split(",").length == 5, scanCols)
+    assert(!scanCols.contains("l_shipdate"), scanCols)
+    assert(scanCols.contains("l_returnflag"), scanCols)
+  }
+
+  test("q1 aggregates map-side (partial) before the shuffle and codegens") {
+    val plan = physicalPlan("q1_pricing")
+    assert(plan.contains("partial_sum"), plan)
+    val codegen = SparkEntry.queries("q1_pricing")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+
+  test("q3 broadcasts the customer dimension") {
+    val plan = physicalPlan("q3_topk_orders")
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q3 pushes the date filters into the scans") {
+    val plan = physicalPlan("q3_topk_orders")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+  }
+
+  test("q3 plans the top-10 as TakeOrderedAndProject, not a global sort") {
+    assert(physicalPlan("q3_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity top-k broadcasts the query side") {
+    assert(physicalPlan("sim_topk").contains("Broadcast"))
+  }
+}
