@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive closure of near-dup candidate pairs into dedup clusters:
+  * connected components by iterative min-label propagation, each doc labeled
+  * with the smallest doc id reachable from it — the canonical-representative
+  * selection step that turns pairwise dedup candidates into a keep/drop
+  * decision.
+  *
+  * Scale shape: pure DataFrame label propagation — per iteration one join +
+  * one partial-aggregated groupBy, both keyed on doc id; iterations bounded
+  * by component diameter (near-dup clusters are shallow — a handful of
+  * rounds). This is the standard large-graph CC formulation (the
+  * alternating-algorithm family, Kiveris et al. "Connected Components in
+  * MapReduce"); no driver-side state beyond the convergence counter.
+  */
+object DedupClusters {
+
+  /** (doc_id, cluster_id) for every doc appearing in `pairs` (doc_a, doc_b);
+    * cluster_id = min doc id of the component.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // push each doc's label to its neighbors, keep the minimum seen
+      val pushed = edges.join(labels, edges("a") === labels("doc"))
+        .select(col("b").as("doc"), col("label"))
+      val next = labels.select(col("doc"), col("label")).union(pushed)
+        .groupBy("doc").agg(min("label").as("label")).persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: transitive closure via recursive CTE, then min over the
+    * reachable set. `candSql` must yield (doc_a, doc_b).
+    */
+  def duckComponents(candSql: String): String =
+    s"""WITH RECURSIVE cand AS (SELECT doc_a, doc_b FROM ($candSql) AS c0),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                 UNION SELECT doc_b, doc_a FROM cand),
+       reach(doc, r) AS (
+         SELECT a, a FROM (SELECT DISTINCT a FROM edges) AS n
+         UNION
+         SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc)
+       SELECT doc AS doc_id, min(r) AS cluster_id FROM reach
+       GROUP BY doc ORDER BY doc_id"""
+}

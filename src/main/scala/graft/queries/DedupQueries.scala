@@ -100,6 +100,63 @@ object DedupQueries {
            WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHash.MaxHamming}
            ORDER BY doc_a, doc_b""")),
 
+    // transitive dedup clusters: LSH candidates (est_jaccard >= 0.5) closed
+    // into connected components, labeled by the minimum doc id
+    "dedup_clusters" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val pairs = MinHashLSH.candidatePairs(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        graft.operators.DedupClusters.components(pairs)
+      },
+      oracle = Some(graft.operators.DedupClusters.duckComponents(
+        s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+            "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+           WHERE est_jaccard >= 0.5"""))),
+
+    // end-to-end curated corpus: drop non-representative near-dup cluster
+    // members, keep quality_score >= 0.45 — the full pipeline in one query
+    "corpus_curated" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis._
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        val drop = graft.operators.DedupClusters.components(pairs)
+          .filter(col("doc_id") =!= col("cluster_id")) // keep the representative
+        val tk = tokens(col("text"))
+        val stopRatio = langScore(tk, "en")
+        val quality = least(size(tk).cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (size(array_distinct(tk)).cast("double") / size(tk)) * 0.3 +
+          least(stopRatio * 5.0, lit(1.0)) * 0.3
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            size(tk).cast("long").as("n_tokens"), quality.as("quality_score"))
+          .filter(col("quality_score") >= 0.45)
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis._
+        val tk = duckTokens("text")
+        val stop = duckLangScore(tk, "en")
+        val quality = s"least(len($tk) / 100.0, 1.0) * 0.4 + " +
+          s"(CAST(len(list_distinct($tk)) AS DOUBLE) / len($tk)) * 0.3 + " +
+          s"least($stop * 5.0, 1.0) * 0.3"
+        s"""WITH comp AS (${graft.operators.DedupClusters.duckComponents(
+            s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+                "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+               WHERE est_jaccard >= 0.5""")}),
+           drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+           SELECT doc_id, lang, CAST(len($tk) AS BIGINT) AS n_tokens,
+                  $quality AS quality_score
+           FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+             AND $quality >= 0.45
+           ORDER BY doc_id"""
+      }),
+
     // embedding-cosine near-dup pairs (brute force at fixture scale; the LSH
     // bucketed path in sim_ann_lsh is the 100 TB variant)
     "dedup_embcos" -> QueryEntry(
