@@ -18,10 +18,53 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Pair-count threshold below which the closure runs as driver-side
+    * union-find: near-dup pair sets are a tiny fraction of the corpus, and
+    * the iterative join loop pays ~3 Spark jobs per round in scheduling
+    * alone. 10M pairs ≈ 160 MB of longs — trivially driver-sized even on a
+    * 100 TB run; beyond that, [[propagate]] takes over.
+    */
+  val DriverPairLimit = 10000000L
+
   /** (doc_id, cluster_id) for every doc appearing in `pairs` (doc_a, doc_b);
-    * cluster_id = min doc id of the component.
+    * cluster_id = min doc id of the component. Size-aware: small pair sets
+    * close on the driver (union-find), large ones via distributed min-label
+    * propagation — identical output either way.
     */
   def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val p = pairs.persist()
+    val result =
+      if (p.count() <= DriverPairLimit) unionFind(p)
+      else propagate(p, maxIters)
+    p.unpersist(blocking = false)
+    result
+  }
+
+  /** Driver-side union-find with path compression over collected pairs. */
+  private def unionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation (the >10M-pairs path). */
+  def propagate(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().persist()

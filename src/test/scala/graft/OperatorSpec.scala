@@ -71,6 +71,18 @@ class OperatorSpec extends SparkSpec {
     assert(viaStub == viaExpr)
   }
 
+  test("driver union-find equals distributed label propagation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val viaUf = DedupClusters.components(pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaProp = DedupClusters.propagate(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaUf == viaProp)
+    assert(viaUf == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+  }
+
   test("row diff classifies added/removed/changed rows") {
     val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
     val other = Seq((2, "b"), (3, "CHANGED"), (4, "d")).toDF("id", "v")
