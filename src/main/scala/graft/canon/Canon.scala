@@ -70,15 +70,26 @@ object Canon {
   def canonCol(c: Column, dt: DataType, tsPrecision: String = "milliseconds"): Column =
     coalesce(canonText(c, dt, tsPrecision), lit(""))
 
+  /** JSON length proxy — the reference's json/jsonb rule
+    * (/root/reference/column.go:30-32, rationale README.md:74-76: engines
+    * disagree on key order/whitespace, so only the text length is compared).
+    * Our JSON columns are plain strings, so the proxy is `length(c)::TEXT`.
+    */
+  def canonJson(c: Column): Column = length(c).cast(StringType)
+  def duckJsonSql(name: String): String = s"""coalesce(CAST(length("$name") AS VARCHAR), '')"""
+
   /** Canonicalized columns of `schema` restricted to `cols`, sorted
     * lexicographically by column name so DDL column order never affects the
     * row hash — the analogue of the reference sorting canonicalized expression
-    * strings before CONCAT (/root/reference/query.go:136-137).
+    * strings before CONCAT (/root/reference/query.go:136-137). Columns named
+    * in `jsonCols` take the JSON length proxy (P1 json/jsonb rule).
     */
-  def canonCols(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): Seq[Column] = {
+  def canonCols(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
+                jsonCols: Set[String] = Set.empty): Seq[Column] = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     cols.sorted.map { name =>
-      canonCol(col(name), byName(name), tsPrecision)
+      if (jsonCols.contains(name)) coalesce(canonJson(col(name)), lit(""))
+      else canonCol(col(name), byName(name), tsPrecision)
     }
   }
 
@@ -87,8 +98,9 @@ object Canon {
     * no-separator concat is deliberately replicated, ambiguity and all
     * (SURVEY.md §7 risk 5): "ab"+"c" and "a"+"bc" collide by design parity.
     */
-  def rowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): Column =
-    md5(concat(canonCols(schema, cols, tsPrecision): _*))
+  def rowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
+              jsonCols: Set[String] = Set.empty): Column =
+    md5(concat(canonCols(schema, cols, tsPrecision, jsonCols): _*))
 
   /** Sort key for PK-ordered hashing: concat of canonicalized PK columns in
     * lexicographic column-name order (/root/reference/query.go:141-145), or
@@ -131,9 +143,11 @@ object Canon {
   }
 
   /** DuckDB SQL for [[rowHash]]. */
-  def duckRowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds"): String = {
+  def duckRowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
+                  jsonCols: Set[String] = Set.empty): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = cols.sorted.map(n => duckSql(n, byName(n), tsPrecision))
+    val parts = cols.sorted.map(n =>
+      if (jsonCols.contains(n)) duckJsonSql(n) else duckSql(n, byName(n), tsPrecision))
     s"md5(concat(${parts.mkString(", ")}))"
   }
 

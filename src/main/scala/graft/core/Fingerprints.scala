@@ -67,7 +67,7 @@ object Fingerprints {
     val cols = hashableColumns(df, spec)
     df.select(
       Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
-      Canon.rowHash(df.schema, cols, cfg.tsPrecision).as("h"))
+      Canon.rowHash(df.schema, cols, cfg.tsPrecision, spec.jsonColumns).as("h"))
   }
 
   /** Digest an already-(k,h)-projected frame in exact global (k,h) order:
@@ -189,7 +189,7 @@ object Fingerprints {
     val khOpt: Option[DataFrame] = if (!needsHash) None else Try {
       val kh = df.select(
         Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
-        Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision).as("h"),
+        Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision, spec.jsonColumns).as("h"),
         GraftFunctions.md5Signed64(
           Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)).as("sk"))
         .persist()

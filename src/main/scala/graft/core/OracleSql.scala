@@ -65,7 +65,7 @@ object OracleSql {
     val schema = schemas(table)
     val cols = schema.fields.map(_.name).filter(spec.validColumn).toSeq
     val k = Canon.duckPkSortKey(schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
-    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision)
+    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision, spec.jsonColumns)
     s"(SELECT $k AS k, $h AS h FROM ${source.getOrElse(table)} AS src$where)"
   }
 

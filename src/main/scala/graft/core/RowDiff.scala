@@ -27,7 +27,7 @@ object RowDiff {
     def keyed(df: DataFrame, hname: String) = {
       val cols = Fingerprints.hashableColumns(df, spec)
       df.select(spec.pks.map(col) :+
-        Canon.rowHash(df.schema, cols, cfg.tsPrecision).as(hname): _*)
+        Canon.rowHash(df.schema, cols, cfg.tsPrecision, spec.jsonColumns).as(hname): _*)
     }
     keyed(a, "h_a").join(keyed(b, "h_b"), spec.pks, "full_outer")
       .filter(col("h_a").isNull || col("h_b").isNull || col("h_a") =!= col("h_b"))
@@ -45,7 +45,7 @@ object RowDiff {
               cfg: VerifyConfig = VerifyConfig()): String = {
     val schema = OracleSql.schemas(table)
     val cols = schema.fieldNames.filter(spec.validColumn).toSeq
-    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision)
+    val h = Canon.duckRowHash(schema, cols, cfg.tsPrecision, spec.jsonColumns)
     val pkList = spec.pks.map(p => s""""$p"""").mkString(", ")
     val pkOut = spec.pks.map(p => s"""coalesce(a."$p", b."$p") AS "$p"""").mkString(", ")
     val joinOn = spec.pks.map(p => s"""a."$p" = b."$p"""").mkString(" AND ")

@@ -14,7 +14,8 @@ case class ColumnMeta(name: String, dataType: String, isPrimaryKey: Boolean)
   * PK are skipped by the run loop (/root/reference/verify.go:194-198).
   */
 case class TableSpec(table: String, pks: Seq[String],
-                     includeColumns: Seq[String] = Nil, excludeColumns: Seq[String] = Nil) {
+                     includeColumns: Seq[String] = Nil, excludeColumns: Seq[String] = Nil,
+                     jsonColumns: Set[String] = Set.empty) {
   /** include list wins over exclude — /root/reference/verify.go:138-144 (P6). */
   def validColumn(name: String): Boolean =
     if (includeColumns.nonEmpty) includeColumns.contains(name)
@@ -153,7 +154,8 @@ object Fixtures {
     "orders"     -> TableSpec("orders", Seq("o_orderkey")),
     // composite PK, the reference's multi-column case (/root/reference/query_test.go:64-100)
     "lineitem"   -> TableSpec("lineitem", Seq("l_orderkey", "l_linenumber")),
-    "events"     -> TableSpec("events", Seq("event_id")),
+    // props carries JSON: canonicalized via the length proxy (P1 json rule)
+    "events"     -> TableSpec("events", Seq("event_id"), jsonColumns = Set("props")),
     "documents"  -> TableSpec("documents", Seq("doc_id")),
     "embeddings" -> TableSpec("embeddings", Seq("vec_id"))
   )
