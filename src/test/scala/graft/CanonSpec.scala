@@ -58,6 +58,20 @@ class CanonSpec extends SparkSpec {
     assert(canonOf(df, "a") == Seq("{1,2,3}"))
   }
 
+  test("declared JSON columns canonicalize to the length proxy (P1 json rule)") {
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("j", StringType)))
+    // key order must NOT affect the hash when the column is JSON
+    val a = Seq((1, """{"a":1,"b":2}""")).toDF("id", "j")
+      .select(Canon.rowHash(schema, Seq("id", "j"), jsonCols = Set("j"))).as[String].head()
+    val b = Seq((1, """{"b":2,"a":1}""")).toDF("id", "j")
+      .select(Canon.rowHash(schema, Seq("id", "j"), jsonCols = Set("j"))).as[String].head()
+    assert(a == b)
+    // but a different length still flips it
+    val c = Seq((1, """{"a":1,"b":22}""")).toDF("id", "j")
+      .select(Canon.rowHash(schema, Seq("id", "j"), jsonCols = Set("j"))).as[String].head()
+    assert(a != c)
+  }
+
   test("null canonicalizes to empty string (PG CONCAT semantics)") {
     val df = Seq[Option[String]](None, Some("x")).toDF("s")
     assert(canonOf(df, "s") == Seq("", "x"))
