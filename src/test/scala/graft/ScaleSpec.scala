@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Readers
+import graft.operators.SkewJoin
+
+/** Scale-pattern demonstrations: salted skew joins equal plain joins, and
+  * bucketed tables co-locate joins (no shuffle exchange on the join keys).
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of rows share one key — the classic hot-key shape
+    val large = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, s"v$i"))
+      .toDF("k", "v")
+    val small = (1 to 300).map(i => (i.toLong, s"dim$i")).toDF("k", "d")
+    val plain = large.join(small, "k")
+    val salted = SkewJoin.saltedJoin(large, small, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // tables land in ./spark-warehouse (gitignored); warehouse.dir is static
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    val lineitem = Readers.fixture(spark, sfDir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: neither join side may shuffle on the join key
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(joined.count() > 0)
+  }
+
+  test("csv and json sources fingerprint identically to parquet (format-independent canon)") {
+    import graft.core.{Fingerprints, TableSpec, VerifyConfig}
+    val cfg = VerifyConfig()
+    val spec = TableSpec("documents", Seq("doc_id"))
+    val parquetDigest = Fingerprints.fullDigest(
+      Readers.fixture(spark, sfDir, "documents"), spec, cfg)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt")
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    docs.write.mode("overwrite").json(s"$tmp/json")
+    val viaJson = spark.read.schema(docs.schema).json(s"$tmp/json")
+    assert(Fingerprints.fullDigest(viaJson, spec, cfg) == parquetDigest)
+  }
+}
