@@ -23,11 +23,20 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    // tables land in ./spark-warehouse (gitignored); warehouse.dir is static
+    // tables land in ./spark-warehouse (gitignored); warehouse.dir is static.
+    // DROP only clears the in-memory catalog — a previous JVM's directories
+    // survive on disk and CTAS refuses to overwrite them, so remove both.
     val orders = Readers.fixture(spark, sfDir, "orders")
     val lineitem = Readers.fixture(spark, sfDir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
