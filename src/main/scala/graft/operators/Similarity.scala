@@ -109,6 +109,71 @@ object Similarity {
       s"CASE WHEN ${duckDot(v, planeLit)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** IVF-style coarse quantization (the other standard ANN scale path):
+    * every `centroidStride`-th vector serves as a centroid (a deterministic
+    * stand-in for k-means training — real pipelines would plug trained
+    * centroids into the same dataflow), each vector is assigned to its
+    * nearest centroid, and search probes only the query's cell.
+    *
+    * Scale shape: assignment is |vectors| × |centroids| with the centroid
+    * list broadcast; search joins on cell id — O(n/cells) candidates per
+    * query. All scores floor-scaled; ties broken by id.
+    */
+  def ivfAssign(vectors: DataFrame, centroidStride: Int): DataFrame = {
+    val cent = vectors.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+    val scored = vectors
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosineScaledWithNorms(col("embedding"), col("cv"), col("vn"), col("cn")).as("c"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, centroidStride: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, centroidStride).persist()
+    val q = assigned.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), col("cent_id"))
+    val n = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn"), col("cent_id"))
+    val scored = n.join(broadcast(q), "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
+  def duckIvfTopK(k: Int, centroidStride: Int, queryPred: String): String = {
+    val cos = duckCosineScaled("v.embedding", "c.embedding")
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+                      WHERE vec_id % $centroidStride = 0),
+       assign AS (SELECT vec_id, embedding, cent_id FROM (
+         SELECT v.vec_id, v.embedding, c.cent_id,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY $cos DESC, c.cent_id ASC) AS rn
+         FROM embeddings v CROSS JOIN cent c) AS a WHERE rn = 1)
+       SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                           n.vec_id ASC) AS BIGINT) AS rank
+         FROM assign q JOIN assign n
+           ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id
+         WHERE $queryPred) AS t
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** ANN top-k: like [[topK]] but candidates restricted to the query's LSH
     * bucket — the O(n/2^planes) scale path; recall < 1 by design.
     */
