@@ -25,6 +25,9 @@ object Bench {
       // Catalyst prune unreferenced columns and under-report)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+      // isolate queries: drop persisted intermediates so no query is timed
+      // against another query's warm cache
+      spark.catalog.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt

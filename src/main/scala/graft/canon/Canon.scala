@@ -132,8 +132,10 @@ object Canon {
       case _: DecimalType => s"CAST($c AS VARCHAR)"
       case TimestampType | TimestampNTZType =>
         val unit = precisionMicros(tsPrecision)
+        // floor-mod, not %: DuckDB % truncates toward zero, which would
+        // diverge from Spark's pmod for pre-1970 sub-unit timestamps
         if (unit == 1L) s"CAST(epoch_us($c) AS VARCHAR)"
-        else s"CAST(epoch_us($c) - epoch_us($c) % $unit AS VARCHAR)"
+        else s"CAST(epoch_us($c) - ((epoch_us($c) % $unit + $unit) % $unit) AS VARCHAR)"
       case DateType => s"CAST($c AS VARCHAR)"
       case BinaryType => s"lower(hex($c))"
       case StringType => c

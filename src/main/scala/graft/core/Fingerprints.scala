@@ -127,12 +127,17 @@ object Fingerprints {
     * the ORDER BY+LIMIT as TakeOrderedAndProject (no full sort/shuffle).
     * PG `CONCAT` null-skip semantics on an empty side → md5 over ''.
     */
-  def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
-    val kh = hashedRows(df, spec, cfg)
+  def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
+    bookendFromKh(hashedRows(df, spec, cfg), cfg)
+
+  /** Bookend over an existing (k, h) frame — shared by [[bookendDigest]] and
+    * the multi-mode path so the algorithm exists exactly once.
+    */
+  private def bookendFromKh(kh: DataFrame, cfg: VerifyConfig): String = {
     val start = kh.orderBy(col("k").asc, col("h").asc).limit(cfg.bookendLimit)
-      .collect().map(_.getString(1))
+      .select(col("h")).collect().map(_.getString(0))
     val end = kh.orderBy(col("k").desc, col("h").desc).limit(cfg.bookendLimit)
-      .collect().map(_.getString(1))
+      .select(col("h")).collect().map(_.getString(0))
     val startHash = if (start.isEmpty) "" else Digests.md5OfConcat(start.iterator)
     val endHash = if (end.isEmpty) "" else Digests.md5OfConcat(end.iterator)
     Digests.md5OfConcat(Iterator(startHash, endHash))
@@ -196,15 +201,6 @@ object Fingerprints {
       kh.count() // materialize once so every mode reads the cache
       kh
     }.toOption
-    def bookendOf(kh: DataFrame): String = {
-      val start = kh.orderBy(col("k").asc, col("h").asc).limit(cfg.bookendLimit)
-        .select(col("h")).collect().map(_.getString(0))
-      val end = kh.orderBy(col("k").desc, col("h").desc).limit(cfg.bookendLimit)
-        .select(col("h")).collect().map(_.getString(0))
-      val s = if (start.isEmpty) "" else Digests.md5OfConcat(start.iterator)
-      val e = if (end.isEmpty) "" else Digests.md5OfConcat(end.iterator)
-      Digests.md5OfConcat(Iterator(s, e))
-    }
     val out = modes.map { mode =>
       mode -> Try {
         mode match {
@@ -214,7 +210,7 @@ object Fingerprints {
           case TestModes.Sparse =>
             digestOrdered(khOpt.get.filter(col("sk") % cfg.sparseMod === 0)
               .select(col("k"), col("h"))).getOrElse(NoRows)
-          case TestModes.Bookend => bookendOf(khOpt.get)
+          case TestModes.Bookend => bookendFromKh(khOpt.get, cfg)
           case other => throw new IllegalArgumentException(s"unknown test mode $other")
         }
       }.getOrElse(Err)

@@ -32,19 +32,21 @@ object VerifyRun {
           cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
           implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
     // S6 fail-fast: validate every target up front; any unreachable target
-    // aborts the whole run before any work (/root/reference/verify.go:33-61)
-    targets.foreach { t =>
-      val discovered = Try(t.tables(spark)) match {
-        case Success(ts) => ts
+    // aborts the whole run before any work (/root/reference/verify.go:33-61).
+    // The discovered list is carried into the Futures — re-discovering there
+    // would both double the catalog scan and reopen the validation window.
+    val discovered: Seq[(Target, Seq[String])] = targets.map { t =>
+      Try(t.tables(spark)) match {
+        case Success(ts) if ts.nonEmpty => t -> ts
+        case Success(_) =>
+          throw new IllegalStateException(s"target ${t.name} has no tables")
         case Failure(e) =>
           throw new IllegalStateException(s"target ${t.name} unreachable: ${e.getMessage}", e)
       }
-      if (discovered.isEmpty)
-        throw new IllegalStateException(s"target ${t.name} has no tables")
     }
-    val perTarget = targets.map { t =>
+    val perTarget = discovered.map { case (t, discoveredTables) =>
       Future {
-        val tables = t.tables(spark)
+        val tables = discoveredTables
           .filter(tb => includeTables.isEmpty || includeTables.contains(tb))
           .filter(specs.contains)
         tables.flatMap { tb =>

@@ -130,7 +130,9 @@ case class JdbcTarget(name: String, url: String,
       .join(kcu, Seq("column_name", "table_name", "table_schema"), "left_outer")
       .join(tc, Seq("constraint_name"), "left_outer")
       .groupBy("column_name", "data_type")
-      .agg(max(col("constraint_type") === "PRIMARY KEY").as("is_pk"))
+      // coalesce: a column with no constraints has all-NULL constraint_type,
+      // and max() over it is NULL — getBoolean would NPE
+      .agg(coalesce(max(col("constraint_type") === "PRIMARY KEY"), lit(false)).as("is_pk"))
       .collect()
       .map(r => ColumnMeta(r.getString(0), r.getString(1), r.getBoolean(2)))
       .toSeq

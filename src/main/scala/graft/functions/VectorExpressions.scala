@@ -26,7 +26,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // fail fast on ragged inputs: silently truncating to the shorter array
+    // would mask corrupt data and diverge from the DuckDB twin (which
+    // iterates len(a) and NULLs out on the out-of-range side)
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: mismatched vector lengths ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var sum = 0.0
     var i = 0
     (elemType(left), elemType(right)) match {
@@ -54,7 +60,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         if ($a.numElements() != $b.numElements()) {
+           throw new IllegalArgumentException(
+             "graft_dot: mismatched vector lengths " + $a.numElements() + " vs " + $b.numElements());
+         }
+         int $n = $a.numElements();
          double $sum = 0.0;
          for (int $i = 0; $i < $n; $i++) {
            $sum += ${get(left, a, i)} * ${get(right, b, i)};

@@ -86,6 +86,11 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // wrong-but-plausible labels are worse than failing: a component whose
+    // diameter exceeds maxIters would silently split into several clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters iterations; raise maxIters")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -29,10 +29,14 @@ object TextAnalysis {
     * element, so an inline `split()` here turns shingling quadratic.
     */
   def shinglesFromTokens(tk: Column, n: Int): Column = {
+    // explicit short-doc branch: relying on concat_ws to drop the NULL
+    // tokens of a partial window is Spark-specific (DuckDB concat keeps the
+    // literal separators), so both engines take the whole-text fallback
     val grams = transform(
-      sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+      sequence(lit(1), size(tk) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
-    array_distinct(grams)
+    when(size(tk) >= n, array_distinct(grams))
+      .otherwise(array(array_join(tk, " ")))
   }
 
   /** Shingle expression over an already-materialized token-array column
@@ -41,8 +45,9 @@ object TextAnalysis {
     */
   def duckShinglesExpr(tkCol: String, n: Int): String = {
     val parts = (0 until n).map(o => s"$tkCol[i+$o]").mkString(", ' ', ")
-    s"list_distinct(list_transform(generate_series(1, greatest(len($tkCol) - ${n - 1}, 1)), " +
-      s"i -> concat($parts)))"
+    s"CASE WHEN len($tkCol) >= $n THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($tkCol) - ${n - 1}), " +
+      s"i -> concat($parts))) ELSE [array_to_string($tkCol, ' ')] END"
   }
 
   /** Small function-word profiles per language. Real pipelines use character

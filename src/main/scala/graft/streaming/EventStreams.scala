@@ -36,11 +36,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
-  /** Streaming twin of ev_dedup_first: stateful first-event-wins dedup. */
+  /** Streaming twin of ev_dedup_first: stateful first-ARRIVING-event dedup.
+    * `dropDuplicatesWithinWatermark` so the (user, type) state is pruned once
+    * the watermark passes (plain dropDuplicates without an event-time key
+    * keeps state forever). Note the semantic difference from the batch twin:
+    * streaming keeps the first event to ARRIVE; the batch query keeps the
+    * min-(event-time, id) row — they agree when input is event-time ordered.
+    */
   def dedupFirst(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
 

@@ -48,6 +48,25 @@ class CanonSpec extends SparkSpec {
     assert(canonAt("seconds").endsWith("000000"))
   }
 
+  test("pre-1970 timestamps truncate by floor, matching the oracle's floor-mod") {
+    // 1969-12-31 23:59:59.9995 = -500us; ms-floor -> -1000us (not -0 or -500)
+    val df = Seq(new Timestamp(-1L)).toDF("t") // -1 ms = -1000 us
+      .withColumn("t", col("t"))
+    val canon = df.select(Canon.canonCol(col("t"), TimestampType, "milliseconds"))
+      .as[String].head()
+    assert(canon == "-1000", canon)
+    val canonSec = df.select(Canon.canonCol(col("t"), TimestampType, "seconds"))
+      .as[String].head()
+    assert(canonSec == "-1000000", canonSec) // floor to the second below
+  }
+
+  test("short documents shingle to the whole text on both engines") {
+    import graft.operators.TextAnalysis
+    val df = Seq("a b").toDF("text")
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b"))
+  }
+
   test("binary canonicalizes to lowercase hex") {
     val df = Seq(Array[Byte](0x0a, -1, 0x00)).toDF("b")
     assert(canonOf(df, "b") == Seq("0aff00"))
