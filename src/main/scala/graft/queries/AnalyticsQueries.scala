@@ -110,6 +110,29 @@ object AnalyticsQueries {
           JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
+    // exact quantiles: interpolating median/p90 of prices per return flag.
+    // Spark `percentile` and DuckDB `quantile_cont` are both exact
+    // sort-and-interpolate over doubles -> deterministic parity. (The
+    // approximate sketch variants — approx_percentile/approx_count_distinct —
+    // use engine-specific sketches and are covered by accuracy-bound tests
+    // in SketchSpec instead of an equality oracle.)
+    "q_quantiles" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // window-function ranking: top-3 parts by price within each brand
     "q_window_brand_rank" -> QueryEntry(
       fn = (spark, sfDir) => {
