@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Fingerprints, TableSpec, VerifyConfig}
+import graft.operators.{DedupClusters, MinHashLSH, SimHash}
+
+/** Empirical scale probe: run the dedup/fingerprint pipelines on a replicated
+  * documents set (see IMPLEMENTATION.md "scale probe") and print stage
+  * timings. Usage: sbt "runMain graft.tools.ScaleProbe <documents.parquet>"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/scaleprobe/documents_x10.parquet")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(path)
+    println(s"[probe] $path rows=${docs.count()}")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val nPairs = timed("minhash_lsh candidates") {
+      MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4).count()
+    }
+    println(s"[probe]   candidate pairs: $nPairs")
+    val nClusters = timed("dedup clusters") {
+      val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+      DedupClusters.components(pairs).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    println(s"[probe]   clusters: $nClusters")
+    timed("simhash signatures") {
+      SimHash.simhashDf(docs, "doc_id", "text").count()
+    }
+    timed("merkle fingerprint") {
+      Fingerprints.merkleDigest(docs, TableSpec("documents", Seq("doc_id")),
+        VerifyConfig(), buckets = 256)
+    }
+    timed("exact full fingerprint") {
+      Fingerprints.fullDigest(docs, TableSpec("documents", Seq("doc_id")), VerifyConfig())
+    }
+    spark.catalog.clearCache()
+    spark.stop()
+  }
+}
