@@ -119,6 +119,34 @@ object EventQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
 
+    // as-of join: each event matched to the user's latest order at-or-before
+    // the event time (union+window composition, graft.operators.AsOfJoin);
+    // oracle uses DuckDB's native ASOF LEFT JOIN
+    "ev_asof_orders" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val events = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        // dedupe to one order per (custkey, date): asof needs unique right times
+        val orders = Readers.fixture(spark, sfDir, "orders")
+          .groupBy(col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+          .agg(max(col("o_orderkey")).as("last_order_key"))
+          .withColumn("last_order_date_us", col("od_us"))
+        graft.operators.AsOfJoin.asOf(events, orders,
+            leftKey = "user_id", leftTime = "ts_us",
+            rightKey = "o_custkey", rightTime = "od_us",
+            valueCols = Seq("last_order_key", "last_order_date_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               od.last_order_key, epoch_us(od.o_orderdate) AS last_order_date_us
+        FROM events e ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        ORDER BY event_id""")),
+
     // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {

@@ -83,6 +83,20 @@ class OperatorSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
   }
 
+  test("as-of join: exact-time match, between-times match, no-prior-row null") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L), (4L, 200L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, "a"), (100L, 20L, "b"), (300L, 1L, "z"))
+      .toDF("rk", "rt", "v")
+    val got = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "rk", "rt", Seq("v"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // id 1: t=10 matches the rt=10 row exactly (<= semantics)
+    // id 2: t=25 takes the latest at-or-before, rt=20
+    // id 3: t=5 has no prior right row -> null
+    // id 4: key 200 has no right rows at all -> null
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
+  }
+
   test("row diff classifies added/removed/changed rows") {
     val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
     val other = Seq((2, "b"), (3, "CHANGED"), (4, "d")).toDF("id", "v")
