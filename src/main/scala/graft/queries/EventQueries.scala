@@ -147,6 +147,23 @@ object EventQueries {
           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         ORDER BY event_id""")),
 
+    // banded interval self-join: same-user event pairs within 5 minutes —
+    // the range-join scale pattern (time-bucket equi-join, no cross product)
+    "ev_copresence" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        graft.operators.RangeJoin.withinIntervalPairs(
+          ev, "event_id", "user_id", "ts_us", tolerance = 300000000L)
+      },
+      oracle = Some("""
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               abs(epoch_us(b.ts) - epoch_us(a.ts)) AS gap
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+        ORDER BY id_a, id_b""")),
+
     // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {
