@@ -16,6 +16,19 @@ class OperatorSpec extends SparkSpec {
   private lazy val docs = Readers.fixture(spark, sfDir, "documents")
   private lazy val emb = Readers.fixture(spark, sfDir, "embeddings")
 
+  test("explode+agg minhash signatures equal the per-row HOF reference expression") {
+    import graft.operators.TextAnalysis
+    val sample = docs.limit(40)
+    val viaAgg = MinHashLSH.signatures(sample, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[String])].collect().toMap
+    val viaHof = sample
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens(col("tk"), 3))
+      .select(col("doc_id"), MinHashLSH.signature(col("sh"), 16))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaAgg == viaHof)
+  }
+
   test("minhash LSH candidates verify as high-Jaccard near-dups") {
     val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
     assert(pairs.count() > 0, "fixture has planted near-dups")
