@@ -138,10 +138,27 @@ object Canon {
         else s"CAST(epoch_us($c) - ((epoch_us($c) % $unit + $unit) % $unit) AS VARCHAR)"
       case DateType => s"CAST($c AS VARCHAR)"
       case BinaryType => s"lower(hex($c))"
+      case ArrayType(et, _) =>
+        val elem = duckElemSql("e", et, tsPrecision)
+        // NULL guard: DuckDB concat skips NULL args (a NULL array would
+        // yield '{}'), Spark concat nulls out -> ''; make NULL propagate
+        s"CASE WHEN $c IS NULL THEN NULL ELSE " +
+          s"concat('{', array_to_string(list_transform($c, e -> $elem), ','), '}') END"
       case StringType => c
       case other => throw new IllegalArgumentException(s"no oracle canonical form for $other")
     }
     s"coalesce($inner, '')"
+  }
+
+  /** Element-level twin of [[duckSql]] for array lambdas (bare identifier,
+    * not a quoted column reference).
+    */
+  private def duckElemSql(v: String, dt: DataType, tsPrecision: String): String = dt match {
+    case StringType => v
+    case BooleanType | ByteType | ShortType | IntegerType | LongType => s"CAST($v AS VARCHAR)"
+    case FloatType => s"CAST(CAST($v AS DOUBLE) AS VARCHAR)"
+    case DoubleType | _: DecimalType | DateType => s"CAST($v AS VARCHAR)"
+    case other => throw new IllegalArgumentException(s"no oracle canonical array-element form for $other")
   }
 
   /** DuckDB SQL for [[rowHash]]. */
