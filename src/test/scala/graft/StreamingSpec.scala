@@ -43,6 +43,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("user_id", "event_type").distinct().count() == wantKeys)
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    import spark.implicits._
+    // static dimension: per-user order count from the orders fixture
+    val dim = Readers.fixture(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val stream = EventStreams.readEvents(spark, streamDir)
+      .join(dim, Seq("user_id"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("n_orders"), lit(0L))).as("orders_touched"))
+    val got = EventStreams.runToBatch(stream, "enriched", OutputMode.Complete)
+    val want = batchEvents.join(dim, Seq("user_id"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("n_orders"), lit(0L))).as("orders_touched"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stateful sessionization equals the batch session counts") {
     val gapUs = 30L * 60 * 1000000
     val stream = EventStreams.sessionize(EventStreams.readEvents(spark, streamDir), gapUs)
