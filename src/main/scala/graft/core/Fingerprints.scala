@@ -94,9 +94,14 @@ object Fingerprints {
 
   /** sparse mode — deterministic 1/mod MD5-keyed sample *before* hashing all
     * columns (/root/reference/query.go:160-229). The reference filters through
-    * a per-PK-column `IN` self-semi-join; we filter directly with the same
-    * predicate, which is semantically identical and one scan instead of
-    * N+1 (SURVEY.md §4 "sampling before hashing").
+    * one `IN` subquery **per PK column**, AND-ed (/root/reference/
+    * query.go:186-205): a row passes when each of its PK values appears in
+    * the P7-sampled set's projection of that column. For single-column PKs
+    * that collapses to the direct P7 predicate (the sample key depends only
+    * on that column), so we use the one-scan filter; for composite PKs the
+    * per-column form selects a *superset* of the jointly-sampled rows and we
+    * replicate it exactly ([[sparseDigestSemiJoin]]) — warts and all — so
+    * fingerprints match real pgverify output.
     */
   def sparseFilter(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): Column = {
     // the sparse key is the MD5 of the *unhashed* canonicalized PK concat
@@ -106,20 +111,23 @@ object Fingerprints {
   }
 
   def sparseDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
-    digestOrdered(hashedRows(df.filter(sparseFilter(df, spec, cfg)), spec, cfg))
-      .getOrElse(NoRows)
+    if (spec.pks.lengthCompare(1) <= 0)
+      digestOrdered(hashedRows(df.filter(sparseFilter(df, spec, cfg)), spec, cfg))
+        .getOrElse(NoRows)
+    else sparseDigestSemiJoin(df, spec, cfg)
 
   /** The reference's literal sparse formulation — `WHERE pk IN (SELECT pk
-    * FROM t WHERE <P7>)`, one clause per PK column (/root/reference/
-    * query.go:186-205) — as a left-semi join. Semantically identical to the
-    * direct [[sparseFilter]] (the subquery scans the same table), kept for
-    * J2 form parity; the direct filter is one scan instead of N+1 and is
-    * what [[sparseDigest]] uses.
+    * FROM t WHERE <P7>) AND pk2 IN (...)`, one independent subquery per PK
+    * column (/root/reference/query.go:186-205) — as chained left-semi joins.
+    * This is the production path for composite PKs (the per-column IN form is
+    * NOT equivalent to the joint filter there; see [[sparseFilter]]).
     */
   def sparseDigestSemiJoin(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
-    val sampledKeys = df.filter(sparseFilter(df, spec, cfg)).select(spec.pks.map(col): _*)
-    val sampled = df.join(sampledKeys, spec.pks, "left_semi")
-    digestOrdered(hashedRows(sampled, spec, cfg)).getOrElse(NoRows)
+    val sampled = df.filter(sparseFilter(df, spec, cfg))
+    val selected = spec.pks.foldLeft(df) { (acc, pk) =>
+      acc.join(sampled.select(col(pk)), Seq(pk), "left_semi")
+    }
+    digestOrdered(hashedRows(selected, spec, cfg)).getOrElse(NoRows)
   }
 
   /** bookend mode — first and last `limit` rows in PK order, digested
@@ -191,12 +199,15 @@ object Fingerprints {
     // (k, h, sparse-key) computed once and persisted across modes; building
     // the plan throws for tables whose PK columns are missing — each hash
     // mode then degrades to the (err) sentinel below
+    // pk columns ride along (aliased positionally so they can't collide with
+    // k/h/sk) for the composite-PK sparse semantics, which semi-join per column
     val khOpt: Option[DataFrame] = if (!needsHash) None else Try {
       val kh = df.select(
-        Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
-        Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision, spec.jsonColumns).as("h"),
-        GraftFunctions.md5Signed64(
-          Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)).as("sk"))
+        Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k") +:
+          Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision, spec.jsonColumns).as("h") +:
+          GraftFunctions.md5Signed64(
+            Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)).as("sk") +:
+          spec.pks.zipWithIndex.map { case (p, i) => col(p).as(s"__pk$i") }: _*)
         .persist()
       kh.count() // materialize once so every mode reads the cache
       kh
@@ -208,9 +219,15 @@ object Fingerprints {
           case TestModes.Full =>
             digestOrdered(khOpt.get.select(col("k"), col("h"))).getOrElse(NoRows)
           case TestModes.Sparse =>
-            digestOrdered(khOpt.get.filter(col("sk") % cfg.sparseMod === 0)
-              .select(col("k"), col("h"))).getOrElse(NoRows)
-          case TestModes.Bookend => bookendFromKh(khOpt.get, cfg)
+            val kh = khOpt.get
+            val sampled = kh.filter(col("sk") % cfg.sparseMod === 0)
+            val selected =
+              if (spec.pks.lengthCompare(1) <= 0) sampled
+              else spec.pks.indices.foldLeft(kh) { (acc, i) =>
+                acc.join(sampled.select(col(s"__pk$i")), Seq(s"__pk$i"), "left_semi")
+              }
+            digestOrdered(selected.select(col("k"), col("h"))).getOrElse(NoRows)
+          case TestModes.Bookend => bookendFromKh(khOpt.get.select(col("k"), col("h")), cfg)
           case other => throw new IllegalArgumentException(s"unknown test mode $other")
         }
       }.getOrElse(Err)

@@ -90,12 +90,22 @@ object OracleSql {
       s"THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
   }
 
-  /** Twin of [[Fingerprints.sparseDigest]]. */
+  /** Twin of [[Fingerprints.sparseDigest]]: direct P7 filter for single-column
+    * PKs; the reference's per-PK-column `IN` subquery form for composite PKs
+    * (/root/reference/query.go:186-205 — selects a superset of the jointly
+    * sampled rows, replicated for parity).
+    */
   def sparse(table: String, spec: TableSpec, cfg: VerifyConfig,
              source: Option[String] = None): String = {
     val schema = schemas(table)
     val pkConcat = Canon.duckPkSortKey(schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)
-    orderedAgg(khSub(table, spec, cfg, s" WHERE ${signedMd564(pkConcat)} % ${cfg.sparseMod} = 0", source))
+    val p7 = s"${signedMd564(pkConcat)} % ${cfg.sparseMod} = 0"
+    val where =
+      if (spec.pks.lengthCompare(1) <= 0) s" WHERE $p7"
+      else spec.pks.map(pk =>
+        s"$pk IN (SELECT $pk FROM ${source.getOrElse(table)} AS sub WHERE $p7)")
+        .mkString(" WHERE ", " AND ", "")
+    orderedAgg(khSub(table, spec, cfg, where, source))
   }
 
   /** Twin of [[Fingerprints.bookendDigest]]. */

@@ -21,31 +21,38 @@ object AsOfJoin {
     * (rightTime, rightKey, valueCols) at-or-before leftTime. Right rows must
     * be unique per (key, time) — pre-aggregate duplicates first, or the
     * match is ambiguous on any engine.
+    *
+    * All valueCols ride in ONE struct carried by a single
+    * `last(ignoreNulls)` — the struct is non-null for every right row even
+    * when every payload field is NULL, so a matched row's NULLs propagate to
+    * the left row (per-column carry would skip past them to an older match,
+    * diverging from native ASOF semantics). Internal columns are suffixed
+    * until they collide with nothing in either input.
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String,
            valueCols: Seq[String]): DataFrame = {
-    val l = left.withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-    val r = right.select(
-      col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        valueCols.map(col): _*)
+    val reserved = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(reserved.contains).next()
+    val (kC, tC, sideC, payC) = (fresh("__k"), fresh("__t"), fresh("__side"), fresh("__pay"))
     val leftCols = left.columns.toSeq
-    val unioned = l.select(
-      (Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(col) ++ valueCols.map(c => lit(null).cast(r.schema(c).dataType).as(c))): _*)
+    val r = right.select(col(rightKey).as(kC), col(rightTime).as(tC), lit(0).as(sideC),
+      struct(valueCols.map(col): _*).as(payC))
+    val payType = r.schema(payC).dataType
+    val unioned = left.select(
+      (Seq(col(leftKey).as(kC), col(leftTime).as(tC), lit(1).as(sideC),
+        lit(null).cast(payType).as(payC)) ++ leftCols.map(col)): _*)
       .unionByName(r.select(
-        (Seq(col("__k"), col("__t"), col("__side")) ++
-          leftCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++ valueCols.map(col)): _*))
+        (Seq(col(kC), col(tC), col(sideC), col(payC)) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
     // right rows sort before left rows at equal time (side 0 < 1), so an
     // exactly-coincident right row IS visible to the left row — ASOF <= semantics
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+    unioned.withColumn(payC, last(col(payC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(payC).getField(c).as(c)): _*)
   }
 }

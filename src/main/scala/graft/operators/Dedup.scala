@@ -71,6 +71,8 @@ object MinHashLSH {
 
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int, numPerm: Int, numBands: Int): DataFrame = {
+    require(numPerm % numBands == 0,
+      s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
     val rowsPerBand = numPerm / numBands
     val sigs = signatures(df, idCol, textCol, shingleN, numPerm)
       .withColumn("bands", bandHashes(col("sig"), numBands, rowsPerBand))
@@ -99,6 +101,8 @@ object MinHashLSH {
 
   def duckCandidatePairs(table: String, idCol: String, textCol: String,
                          shingleN: Int, numPerm: Int, numBands: Int): String = {
+    require(numPerm % numBands == 0,
+      s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
     val rowsPerBand = numPerm / numBands
     val sig = duckSignature("sh", numPerm)
     s"""WITH ${duckShingleCte(table, idCol, textCol, shingleN)},

@@ -21,8 +21,9 @@ object DedupClusters {
   /** Pair-count threshold below which the closure runs as driver-side
     * union-find: near-dup pair sets are a tiny fraction of the corpus, and
     * the iterative join loop pays ~3 Spark jobs per round in scheduling
-    * alone. 10M pairs ≈ 160 MB of longs — trivially driver-sized even on a
-    * 100 TB run; beyond that, [[propagate]] takes over.
+    * alone. Pairs collect into primitive long arrays and the parent table is
+    * an open-addressed long→long map (~16 B/entry + arrays ≈ ~0.5 GB at the
+    * limit, no per-element boxing); beyond that, [[propagate]] takes over.
     */
   val DriverPairLimit = 10000000L
 
@@ -40,27 +41,77 @@ object DedupClusters {
     result
   }
 
-  /** Driver-side union-find with path compression over collected pairs. */
+  /** Open-addressed long→long map (linear probing, power-of-two capacity) —
+    * the driver union-find's parent table without boxing: two primitive
+    * arrays, ~16 B per entry at 50% load.
+    */
+  private final class LongLongMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (used(i)) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vals(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val (ok, ou, ov) = (keys, used, vals)
+      cap <<= 1; keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      vals = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) put(ok(i), ov(i)); i += 1 }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i)); i += 1 }
+    }
+  }
+
+  /** Driver-side union-find with path compression over collected pairs;
+    * primitive long arrays end-to-end (no boxed tuples/maps near the limit).
+    */
   private def unionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")).collect()
+    val ea = new Array[Long](rows.length)
+    val eb = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { ea(i) = rows(i).getLong(0); eb(i) = rows(i).getLong(1); i += 1 }
+    val parent = new LongLongMap(rows.length)
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent.put(c, r); c = n }
       r
     }
-    edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+    i = 0
+    while (i < ea.length) {
+      val (a, b) = (ea(i), eb(i))
+      // seed both endpoints so every doc appears as a key in the output
+      parent.put(a, parent.getOrElse(a, a))
+      parent.put(b, parent.getOrElse(b, b))
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      i += 1
     }
-    parent.keys.toSeq.sorted.map(d => (d, find(d)))
-      .toDF("doc_id", "cluster_id")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.foreachKey(d => out += ((d, find(d))))
+    out.sortBy(_._1).toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** Distributed min-label propagation (the >10M-pairs path). */

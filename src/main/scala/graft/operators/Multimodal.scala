@@ -72,9 +72,9 @@ object Multimodal {
               CAST(32 + ${b(1)} % 224 AS BIGINT) AS width,
               CAST(32 + ${b(2)} % 224 AS BIGINT) AS height,
               CAST(1 + ${b(3)} % 3 AS BIGINT) AS channels,
-              list_transform(generate_series(0, 15), n ->
+              array_to_string(list_transform(generate_series(0, 15), n ->
                 CAST(len(list_filter(generate_series(1, 16), i ->
-                  substr(h, 2*i, 1) = substr('0123456789abcdef', n + 1, 1))) AS BIGINT)) AS feat
+                  substr(h, 2*i, 1) = substr('0123456789abcdef', n + 1, 1))) AS BIGINT)), ',') AS feat
        FROM hx ORDER BY doc_id"""
   }
 }

@@ -20,7 +20,11 @@ object MultimodalQueries {
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
           .select(col("doc_id"), unhex(md5(col("text"))).as("img"))
-        Multimodal.extractMeta(docs, "doc_id", "img").orderBy("doc_id")
+        // serialize the feature vector at the query boundary: the driver's
+        // comparator sorts result cells and can't hash raw arrays
+        Multimodal.extractMeta(docs, "doc_id", "img")
+          .withColumn("feat", array_join(col("feat").cast("array<string>"), ","))
+          .orderBy("doc_id")
       },
       oracle = Some(Multimodal.duckMetaSql("documents", "doc_id"))),
 
@@ -41,8 +45,9 @@ object MultimodalQueries {
           width.as("width"), height.as("height"),
           floor(width.cast("double") * scale).cast("long").as("resized_w"),
           floor(height.cast("double") * scale).cast("long").as("resized_h"),
-          transform(sequence(lit(1), lit(16), lit(4)),
-            i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")).as("frame_sample")
+          array_join(transform(sequence(lit(1), lit(16), lit(4)),
+            i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("string")), ",")
+            .as("frame_sample")
         ).orderBy("doc_id")
       },
       oracle = Some {
@@ -52,8 +57,8 @@ object MultimodalQueries {
            SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
                   CAST(floor(width * (64.0 / greatest(width, height))) AS BIGINT) AS resized_w,
                   CAST(floor(height * (64.0 / greatest(width, height))) AS BIGINT) AS resized_h,
-                  list_transform(generate_series(1, 16, 4), i ->
-                    CAST(CAST('0x' || substr(h, 2*i - 1, 2) AS UBIGINT) AS BIGINT)) AS frame_sample
+                  array_to_string(list_transform(generate_series(1, 16, 4), i ->
+                    CAST(CAST('0x' || substr(h, 2*i - 1, 2) AS UBIGINT) AS BIGINT)), ',') AS frame_sample
            FROM dims ORDER BY doc_id"""
       })
   )

@@ -63,4 +63,27 @@ class PropertySpec extends SparkSpec {
         == Fingerprints.sparseDigest(df, spec, cfg))
     }
   }
+
+  test("composite-PK sparse replicates the reference's per-column IN superset") {
+    // small key domains force PK-column value collisions, so the per-column
+    // IN form genuinely differs from the joint P7 filter
+    val rows = (for { a <- 0 to 6; b <- 0 to 6 } yield (a, b, s"v$a-$b")).toList
+    val df = rows.toDF("a", "b", "s")
+    val cspec = TableSpec("t", Seq("a", "b"))
+    // independent expectation: collect the jointly-sampled rows, then apply
+    // the per-column membership semantics in plain Scala
+    val sampled = df.filter(Fingerprints.sparseFilter(df, cspec, cfg))
+      .select("a", "b").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val setA = sampled.map(_._1).toSet
+    val setB = sampled.map(_._2).toSet
+    val expectedRows = rows.filter(r => setA(r._1) && setB(r._2))
+    assert(sampled.nonEmpty && expectedRows.size > sampled.length,
+      s"fixture must exercise the superset: sampled=${sampled.length} expected=${expectedRows.size}")
+    val expected = Fingerprints.fullDigest(expectedRows.toDF("a", "b", "s"), cspec, cfg)
+    assert(Fingerprints.sparseDigestSemiJoin(df, cspec, cfg) == expected)
+    // both production entry points route composite PKs through the faithful form
+    assert(Fingerprints.sparseDigest(df, cspec, cfg) == expected)
+    assert(Fingerprints.runModes(Seq(core.TestModes.Sparse), df, cspec, cfg)(core.TestModes.Sparse)
+      == expected)
+  }
 }
