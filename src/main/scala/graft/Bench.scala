@@ -35,12 +35,13 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // a failed query's near-zero time must not read as a fast run: failures
+    // report null in the queries map and are excluded from the total
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else "null") }
       .mkString("{", ",", "}")
-    // a failed query's near-zero time must not read as a fast run
     val failures = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -135,8 +135,14 @@ object Fingerprints {
     * the ORDER BY+LIMIT as TakeOrderedAndProject (no full sort/shuffle).
     * PG `CONCAT` null-skip semantics on an empty side → md5 over ''.
     */
-  def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
-    bookendFromKh(hashedRows(df, spec, cfg), cfg)
+  def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    // persist the (k, h) projection: both bookend sides scan it, and without
+    // the barrier the full canonicalize+hash pass runs twice (the first
+    // TakeOrdered action populates the cache; the second reads it)
+    val kh = hashedRows(df, spec, cfg).persist()
+    try bookendFromKh(kh, cfg)
+    finally kh.unpersist(blocking = false)
+  }
 
   /** Bookend over an existing (k, h) frame — shared by [[bookendDigest]] and
     * the multi-mode path so the algorithm exists exactly once.

@@ -103,7 +103,7 @@ object OracleSql {
     val where =
       if (spec.pks.lengthCompare(1) <= 0) s" WHERE $p7"
       else spec.pks.map(pk =>
-        s"$pk IN (SELECT $pk FROM ${source.getOrElse(table)} AS sub WHERE $p7)")
+        s""""$pk" IN (SELECT "$pk" FROM ${source.getOrElse(table)} AS sub WHERE $p7)""")
         .mkString(" WHERE ", " AND ", "")
     orderedAgg(khSub(table, spec, cfg, where, source))
   }

@@ -33,6 +33,8 @@ object AsOfJoin {
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String,
            valueCols: Seq[String]): DataFrame = {
+    // a zero-field payload struct has no null-vs-non-null carry signal
+    require(valueCols.nonEmpty, "asOf requires at least one value column to carry")
     val reserved = (left.columns ++ right.columns).toSet
     def fresh(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(reserved.contains).next()

@@ -19,23 +19,51 @@ import graft.operators.TextAnalysis.{duckTokens, shinglesFromTokens, tokens}
   */
 object MinHashLSH {
 
-  /** MinHash signature: for permutation p, min over shingles of
-    * md5("p:shingle") — string min over hex is a uniform hash min.
+  /** Each MD5 yields 128 bits = 4 independent 32-bit hash lanes, so `numPerm`
+    * permutations cost `numPerm / 4` MD5 evaluations per shingle instead of
+    * `numPerm` — the dominant cost of the whole LSH pipeline (measured 4x
+    * fewer digest calls at sf0.1). Lane values are unsigned-32 in a BIGINT;
+    * min over longs also beats min over hex strings (no UTF8 compares).
     */
-  def signature(sh: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(sh, s => md5(concat(p.cast("string"), lit(":"), s)))))
+  val LanesPerMd5 = 4
 
-  def duckSignature(shSql: String, numPerm: Int): String =
-    s"list_transform(generate_series(0, ${numPerm - 1}), " +
-      s"p -> list_min(list_transform($shSql, s -> md5(concat(CAST(p AS VARCHAR), ':', s)))))"
+  private def laneCount(numPerm: Int): Int = {
+    require(numPerm % LanesPerMd5 == 0,
+      s"numPerm=$numPerm must be a multiple of $LanesPerMd5 (128-bit MD5 split into 32-bit lanes)")
+    numPerm / LanesPerMd5
+  }
+
+  /** Permutation p of shingle s = 32-bit lane (p % 4) of md5("{p/4}:s"). */
+  def permHash(s: Column, p: Int): Column =
+    conv(substring(md5(concat(lit((p / LanesPerMd5).toString), lit(":"), s)),
+      (p % LanesPerMd5) * 8 + 1, 8), 16, 10).cast("long")
+
+  def duckPermHash(sSql: String, p: Int): String =
+    s"CAST(CAST('0x' || substr(md5(concat('${p / LanesPerMd5}', ':', $sSql)), " +
+      s"${(p % LanesPerMd5) * 8 + 1}, 8) AS UBIGINT) AS BIGINT)"
+
+  /** MinHash signature: for permutation p, min over shingles of [[permHash]]. */
+  def signature(sh: Column, numPerm: Int): Column = {
+    laneCount(numPerm)
+    array((0 until numPerm).map(p => array_min(transform(sh, s => permHash(s, p)))): _*)
+  }
+
+  def duckSignature(shSql: String, numPerm: Int): String = {
+    laneCount(numPerm)
+    (0 until numPerm).map(p =>
+      s"list_min(list_transform($shSql, s -> ${duckPermHash("s", p)}))")
+      .mkString("[", ", ", "]")
+  }
 
   /** Band hashes: signature split into `numBands` rows-per-band chunks, each
     * hashed — two docs sharing any band hash become a candidate pair.
+    * Signature lanes are longs; both engines render them as plain decimal
+    * before joining, so band hashes stay cross-engine identical.
     */
   def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
-      b => md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|")))
+      b => md5(array_join(
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), "|")))
 
   def duckBandHashes(sigSql: String, numBands: Int, rowsPerBand: Int): String =
     s"list_transform(generate_series(0, ${numBands - 1}), " +
@@ -55,14 +83,20 @@ object MinHashLSH {
                  shingleN: Int, numPerm: Int): DataFrame = {
     // explode + codegen'd hash-aggregate instead of the per-row HOF
     // [[signature]]: HOFs evaluate interpreted (closure per element); the
-    // exploded form runs the same 16 MD5s per shingle inside whole-stage
-    // codegen with map-side partial min — measured ~4x faster at sf0.1.
+    // exploded form runs inside whole-stage codegen with map-side partial
+    // min — measured ~4x faster at sf0.1. The numPerm/4 MD5 hex strings are
+    // staged as named columns so each digest is computed exactly once per
+    // shingle (not relying on codegen CSE across the 4 lanes that read it).
+    val nMd5 = laneCount(numPerm)
     val exploded = graft.core.Readers.spread(
       df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
       .withColumn("tk", tokens(col("text")))
       .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("s"))
+      .select(col("id") +: (0 until nMd5).map(q =>
+        md5(concat(lit(q.toString), lit(":"), col("s"))).as(s"h$q")): _*)
     val mins = (0 until numPerm).map(p =>
-      min(md5(concat(lit(p.toString), lit(":"), col("s")))).as(s"m$p"))
+      min(conv(substring(col(s"h${p / LanesPerMd5}"), (p % LanesPerMd5) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"m$p"))
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
@@ -121,63 +155,81 @@ object MinHashLSH {
   }
 }
 
-/** 32-bit SimHash (Charikar'02 / Manku et al. WWW'07, scaled down from their
-  * 64-bit so signed-integer semantics stay portable): per-token 32-bit MD5
-  * hash, per-bit weighted vote, near-dup = Hamming distance <= k.
+/** 64-bit SimHash (Charikar'02; the Manku et al. WWW'07 near-dup config):
+  * per-token 64-bit MD5-derived hash, per-bit weighted vote, near-dup =
+  * Hamming distance <= k.
   *
-  * Pairing uses the pigeonhole chunk trick: with 4 byte-chunks and k = 3,
+  * Pairing uses the pigeonhole chunk trick: with 4 16-bit chunks and k = 3,
   * any pair within distance 3 shares at least one exact chunk, so a
   * chunk-bucket join finds exactly the brute-force result without O(n²).
+  * Chunk selectivity is what makes this scale: 2^16 = 65,536 bucket values
+  * per chunk index keeps each bucket's self-join candidate set at n/65536
+  * per chunk (the former 32-bit/8-bit-chunk layout had only 256 buckets and
+  * degenerated toward O(n²/1024) at large n).
+  *
+  * Signed-64 portability: the hash value is the two's-complement
+  * reinterpretation of the first 16 MD5 hex chars. All bit extraction happens
+  * on non-negative 16-bit chunk values parsed straight from the hex string
+  * (no dynamic shifts on negative numbers on either engine); the DuckDB twin
+  * assembles the same value via HUGEINT and subtracts 2^64 when >= 2^63.
   */
 object SimHash {
-  val Bits = 32
+  val Bits = 64
   val Chunks = 4
+  val ChunkBits = 16
   val MaxHamming = 3 // must stay < Chunks for the pigeonhole guarantee
 
+  /** Hex substring position of chunk `c` (c=0 is the LOW 16 bits, hex chars
+    * 13-16 of the big-endian 16-char prefix).
+    */
+  private def chunkPos(c: Int): Int = 13 - 4 * c
+
+  /** Per-row HOF reference expression — interpreted, exists so the
+    * equivalence spec can pin [[simhashDf]] to an independent formulation.
+    * Static Scala loops over bits/chunks keep every shift distance literal.
+    */
   def simhash(text: Column): Column = {
-    val th = transform(tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    aggregate(sequence(lit(0), lit(Bits - 1)), lit(0L), (acc, b) =>
-      acc + when(
-        aggregate(th, lit(0L), (a2, h) => a2 + (shiftright_dyn(h, b) % 2) * 2 - 1) > 0,
-        shiftleft_dyn(lit(1L), b)).otherwise(lit(0L)))
+    val th = transform(tokens(text), t => md5(t))
+    (0 until Bits).map { b =>
+      val vote = aggregate(th, lit(0L), (acc, hx) =>
+        acc + (shiftright(conv(substring(hx, chunkPos(b / ChunkBits), 4), 16, 10).cast("long"),
+          b % ChunkBits).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
   }
 
-  /** Scan-scale simhash: explode tokens, one codegen'd hash-aggregate with 32
+  /** Scan-scale simhash: explode tokens, one codegen'd hash-aggregate with 64
     * per-bit vote sums (map-side partial agg), reassemble the hash from the
-    * 32 scalars. Identical output to the per-row [[simhash]] expression —
-    * that one evaluates interpreted (HOFs) and exists as the semantic
-    * reference; this is the one to run on real data.
+    * 64 scalars. The per-token MD5 is staged once as a column; chunk values
+    * are non-negative 16-bit longs so every shift is on a literal distance.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val th = graft.core.Readers.spread(
       df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")), col("id"))
-      .select(col("id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("id"), md5(col("tok")).as("hx"))
+      .select(col("id") +: (0 until Chunks).map(c =>
+        conv(substring(col("hx"), chunkPos(c), 4), 16, 10).cast("long").as(s"c$c")): _*)
     val votes = (0 until Bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+      sum(shiftright(col(s"c${b / ChunkBits}"), b % ChunkBits).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"b$b"))
     val assembled = (0 until Bits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
     th.groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), assembled.as("simhash"))
   }
 
-  /** Dynamic-shift helpers: functions.shiftright/left only take Int literals;
-    * division/multiplication by 2^b is the portable equivalent (b <= 31, so
-    * pow(2,b) is exact in double).
-    */
-  private def shiftright_dyn(c: Column, b: Column): Column =
-    (c / pow(lit(2.0), b)).cast("long") // power-of-two division is IEEE-exact
-  private def shiftleft_dyn(c: Column, b: Column): Column =
-    c * pow(lit(2.0), b).cast("long")
-
   def duckSimhash(text: String): String = {
-    val th = s"list_transform(${duckTokens(text)}, " +
-      "t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT))"
-    s"""(SELECT CAST(list_sum(list_transform(generate_series(0, ${Bits - 1}), b ->
-          CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) > 0
-               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-        FROM (SELECT $th AS th) AS _t)"""
+    val th = s"list_transform(${duckTokens(text)}, t -> md5(t))"
+    // unsigned 64-bit sum in HUGEINT, then two's-complement to BIGINT
+    s"""(SELECT CAST(t.u - CASE WHEN t.u >= CAST('9223372036854775808' AS HUGEINT)
+               THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+        FROM (SELECT list_sum(list_transform(generate_series(0, ${Bits - 1}), b ->
+          CASE WHEN list_sum(list_transform(th, hx ->
+                 ((CAST('0x' || substr(hx, 13 - 4 * (b // $ChunkBits), 4) AS INTEGER)
+                   >> (b % $ChunkBits)) & 1) * 2 - 1)) > 0
+               THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS u
+          FROM (SELECT $th AS th) AS _t) AS t)"""
   }
 
   /** Near-dup pairs via chunk-bucket join; exactly equals brute-force
@@ -190,8 +242,9 @@ object SimHash {
     val chunks = graft.core.Readers.spread(
       df.select(col(idCol).as("id"), col(simhashCol).as("sh")), col("id"))
       .select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(Chunks - 1)),
-          c => shiftright_dyn(col("sh"), c * lit(8)) % 256)).as(Seq("chunk_idx", "chunk")))
+        posexplode(array((0 until Chunks).map(c =>
+          shiftright(col("sh"), ChunkBits * c).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
       .persist()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&

@@ -86,11 +86,14 @@ object DedupClusters {
   private def unionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")).collect()
+    // typed collect: the encoder materializes specialized (Long, Long) tuples
+    // (~32 B/pair transient) instead of GenericRow objects several times larger
+    val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
     val ea = new Array[Long](rows.length)
     val eb = new Array[Long](rows.length)
     var i = 0
-    while (i < rows.length) { ea(i) = rows(i).getLong(0); eb(i) = rows(i).getLong(1); i += 1 }
+    while (i < rows.length) { ea(i) = rows(i)._1; eb(i) = rows(i)._2; i += 1 }
     val parent = new LongLongMap(rows.length)
     def find(x: Long): Long = {
       var r = x

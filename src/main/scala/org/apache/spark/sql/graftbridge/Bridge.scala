@@ -7,8 +7,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Column <-> catalyst Expression bridge. Spark 4 made the classic
   * converters `private[sql]`, so this one-file shim lives under
   * `org.apache.spark.sql` to lift custom Catalyst expressions into the public
-  * Column API (the supported extension route for native, codegen'd functions —
-  * see /opt/skills/guides/spark_guide.md "Custom Catalyst Expression").
+  * Column API — the supported extension route for native, codegen'd functions.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
