@@ -110,17 +110,23 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   /** IVF-style coarse quantization (the other standard ANN scale path):
-    * every `centroidStride`-th vector serves as a centroid (a deterministic
-    * stand-in for k-means training — real pipelines would plug trained
-    * centroids into the same dataflow), each vector is assigned to its
-    * nearest centroid, and search probes only the query's cell.
+    * a FIXED number of vectors serve as centroids — the `numCentroids`
+    * smallest by MD5-of-id order, a deterministic uniform sample whose size
+    * is independent of table size (a stand-in for k-means training — real
+    * pipelines would plug trained centroids into the same dataflow). Each
+    * vector is assigned to its nearest centroid; search probes only the
+    * query's cell.
     *
-    * Scale shape: assignment is |vectors| × |centroids| with the centroid
-    * list broadcast; search joins on cell id — O(n/cells) candidates per
-    * query. All scores floor-scaled; ties broken by id.
+    * Scale shape: centroid selection is a TakeOrderedAndProject over the
+    * narrow (id, embedding) projection; assignment is |vectors| × k with the
+    * centroid list broadcast (k fixed ⇒ assignment stays O(n·k), not
+    * O(n²/stride)); search joins on cell id — O(n/k) candidates per query.
+    * All scores floor-scaled; ties broken by id.
     */
-  def ivfAssign(vectors: DataFrame, centroidStride: Int): DataFrame = {
-    val cent = vectors.filter(col("vec_id") % centroidStride === 0)
+  def ivfAssign(vectors: DataFrame, numCentroids: Int): DataFrame = {
+    val cent = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(numCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"))
     val scored = vectors
@@ -133,8 +139,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
-  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, centroidStride: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, centroidStride).persist()
+  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, numCentroids: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, numCentroids).persist()
     val q = assigned.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("cent_id"))
@@ -153,10 +159,10 @@ object Similarity {
   }
 
   /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
-  def duckIvfTopK(k: Int, centroidStride: Int, queryPred: String): String = {
+  def duckIvfTopK(k: Int, numCentroids: Int, queryPred: String): String = {
     val cos = duckCosineScaled("v.embedding", "c.embedding")
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-                      WHERE vec_id % $centroidStride = 0),
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $numCentroids),
        assign AS (SELECT vec_id, embedding, cent_id FROM (
          SELECT v.vec_id, v.embedding, c.cent_id,
                 row_number() OVER (PARTITION BY v.vec_id

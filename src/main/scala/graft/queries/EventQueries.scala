@@ -119,6 +119,65 @@ object EventQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
 
+    // streaming first-event dedup replayed to completion: the fixture is
+    // written sorted by (ts, event_id) into one file, so arrival order ==
+    // event-time order and dropDuplicatesWithinWatermark's first-to-ARRIVE
+    // semantics coincide with the batch min-(ts, id) oracle
+    "ev_dedup_first_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.Files
+        val dir = Files.createTempDirectory("graft-evdedup").toString
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        ev.orderBy(col("ts"), col("event_id")).coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        val stream = spark.readStream.schema(ev.schema).parquet(dir)
+        val result = graft.streaming.EventStreams.runToBatch(
+          graft.streaming.EventStreams.dedupFirst(stream),
+          s"ev_dedup_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Append)
+        result.select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"), unix_micros(col("ts")).as("first_ts_us"))
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+        FROM (SELECT user_id, event_type, event_id, ts,
+                row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY epoch_us(ts), event_id) AS rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // stateful gap sessionization (flatMapGroupsWithState) replayed to
+    // completion; session/event counts grow monotonically across updates, so
+    // max per user == the final state == the batch windowed oracle
+    "ev_sessionize_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Files.createTempDirectory("graft-evsess")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val stream = graft.streaming.EventStreams.readEvents(spark, dir.toString)
+        val result = graft.streaming.EventStreams.runToBatch(
+          graft.streaming.EventStreams.sessionize(stream, SessionGapUs).toDF(),
+          s"ev_sess_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Update)
+        result.groupBy(col("user_id"))
+          .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, ts_us, event_id,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        sessions AS (SELECT user_id, session_idx, count(*) AS session_events
+                     FROM numbered GROUP BY user_id, session_idx)
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(session_events) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id ORDER BY user_id""")),
+
     // as-of join: each event matched to the user's latest order at-or-before
     // the event time (union+window composition, graft.operators.AsOfJoin);
     // oracle uses DuckDB's native ASOF LEFT JOIN

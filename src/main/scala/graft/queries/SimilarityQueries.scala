@@ -36,15 +36,16 @@ object SimilarityQueries {
              WHERE q.vec_id < 8) AS t
            WHERE rank <= $K ORDER BY query_id, rank""")),
 
-    // IVF coarse quantization: deterministic centroid subset, nearest-cell
-    // assignment, probe-1 search — the clustered ANN scale path
+    // IVF coarse quantization: fixed-k deterministic centroid sample (size
+    // independent of n), nearest-cell assignment, probe-1 search — the
+    // clustered ANN scale path
     "sim_ivf" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.ivfTopK(e, col("vec_id") < 8, K, centroidStride = 50)
+        Similarity.ivfTopK(e, col("vec_id") < 8, K, numCentroids = 20)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
       },
-      oracle = Some(Similarity.duckIvfTopK(K, 50, "q.vec_id < 8"))),
+      oracle = Some(Similarity.duckIvfTopK(K, 20, "q.vec_id < 8"))),
 
     // ANN: candidates restricted to the query's LSH bucket (deterministic
     // MD5-derived hyperplanes embedded as literals on both engines)
