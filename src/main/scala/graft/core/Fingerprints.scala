@@ -16,7 +16,14 @@ case class VerifyConfig(
     tsPrecision: String = "milliseconds",
     hashPrimaryKeys: Boolean = false,
     bookendLimit: Int = 1000,
-    sparseMod: Int = 10)
+    sparseMod: Int = 10,
+    // row count above which full mode auto-degrades to the Merkle digest in
+    // [[Fingerprints.runModes]]: the exact digest collects 32 B/row onto the
+    // driver (100M rows ~ 3.2 GB), so beyond this the scale-safe variant is
+    // the default rather than a caller opt-in. Both sides of a comparison
+    // share the config, so both degrade identically.
+    fullModeRowLimit: Long = 100000000L,
+    merkleBuckets: Int = 1024)
 
 object TestModes {
   val Full = "full"
@@ -167,21 +174,24 @@ object Fingerprints {
     * per-bucket ordered aggregation is built-in codegen'd
     * `array_sort(collect_list(struct))`, memory-bounded by bucket sizing.
     */
-  def merkleBucketDigests(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): DataFrame = {
-    val kh = hashedRows(df, spec, cfg)
+  def merkleBucketDigests(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): DataFrame =
+    merkleBucketsFromKh(hashedRows(df, spec, cfg), buckets)
+
+  private def merkleBucketsFromKh(kh: DataFrame, buckets: Int): DataFrame =
     kh.withColumn("bucket", GraftFunctions.md5Bucket(col("k"), buckets))
       .groupBy(col("bucket"))
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("k"), col("h")))), s => s.getField("h")),
         "")).as("bucket_hash"))
-  }
 
-  def merkleDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
-    val parts = merkleBucketDigests(df, spec, cfg, buckets)
-      .orderBy(col("bucket")).collect()
+  private def merkleFromKh(kh: DataFrame, buckets: Int): String = {
+    val parts = merkleBucketsFromKh(kh, buckets).orderBy(col("bucket")).collect()
     if (parts.isEmpty) NoRows
     else Digests.md5OfConcat(parts.iterator.map(_.getString(1)))
   }
+
+  def merkleDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String =
+    merkleFromKh(hashedRows(df, spec, cfg), buckets)
 
   /** Mode dispatch — /root/reference/verify.go:205-232. */
   def runMode(mode: String, df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = mode match {
@@ -207,7 +217,7 @@ object Fingerprints {
     // mode then degrades to the (err) sentinel below
     // pk columns ride along (aliased positionally so they can't collide with
     // k/h/sk) for the composite-PK sparse semantics, which semi-join per column
-    val khOpt: Option[DataFrame] = if (!needsHash) None else Try {
+    val khOpt: Option[(DataFrame, Long)] = if (!needsHash) None else Try {
       val kh = df.select(
         Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k") +:
           Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision, spec.jsonColumns).as("h") +:
@@ -215,17 +225,27 @@ object Fingerprints {
             Canon.pkSortKey(df.schema, spec.pks, hashPrimaryKeys = false, cfg.tsPrecision)).as("sk") +:
           spec.pks.zipWithIndex.map { case (p, i) => col(p).as(s"__pk$i") }: _*)
         .persist()
-      kh.count() // materialize once so every mode reads the cache
-      kh
+      val n = kh.count() // materialize once so every mode reads the cache
+      (kh, n)
     }.toOption
     val out = modes.map { mode =>
       mode -> Try {
         mode match {
           case TestModes.RowCount => rowCountDigest(df)
           case TestModes.Full =>
-            digestOrdered(khOpt.get.select(col("k"), col("h"))).getOrElse(NoRows)
+            val (kh, n) = khOpt.get
+            // scale guard: past the row limit the exact digest's driver-side
+            // collect is the 100TB killer — degrade to the Merkle digest
+            // (same sensitivity, parallel combine, different literal value;
+            // both comparison sides share cfg so both degrade together)
+            if (n > cfg.fullModeRowLimit) {
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"full mode: $n rows > fullModeRowLimit=${cfg.fullModeRowLimit}; " +
+                  s"switching to Merkle digest (${cfg.merkleBuckets} buckets)")
+              merkleFromKh(kh.select(col("k"), col("h")), cfg.merkleBuckets)
+            } else digestOrdered(kh.select(col("k"), col("h"))).getOrElse(NoRows)
           case TestModes.Sparse =>
-            val kh = khOpt.get
+            val kh = khOpt.get._1
             val sampled = kh.filter(col("sk") % cfg.sparseMod === 0)
             val selected =
               if (spec.pks.lengthCompare(1) <= 0) sampled
@@ -233,12 +253,12 @@ object Fingerprints {
                 acc.join(sampled.select(col(s"__pk$i")), Seq(s"__pk$i"), "left_semi")
               }
             digestOrdered(selected.select(col("k"), col("h"))).getOrElse(NoRows)
-          case TestModes.Bookend => bookendFromKh(khOpt.get.select(col("k"), col("h")), cfg)
+          case TestModes.Bookend => bookendFromKh(khOpt.get._1.select(col("k"), col("h")), cfg)
           case other => throw new IllegalArgumentException(s"unknown test mode $other")
         }
       }.getOrElse(Err)
     }.toMap
-    khOpt.foreach(_.unpersist(blocking = false))
+    khOpt.foreach(_._1.unpersist(blocking = false))
     out
   }
 }

@@ -264,6 +264,44 @@ object VerifierQueries {
               FROM (SELECT $k AS k, $h AS h FROM typed) AS kh) AS fingerprint"""
       }),
 
+    // hostile identifiers — the reference's naming-hazard fixtures
+    // (/root/reference/integration_test.go:181,189,227-252): reserved-word
+    // column names ("default", "order"), a mixed-case table name, and the
+    // collation-hostile text-PK prefix ladder A/AA/a/aa/A-A/a-a hashed under
+    // hashPrimaryKeys with rows arriving in shuffled order — only PK-ordered,
+    // collation-free hashing can agree across engines
+    "pv_full_naming" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val namesSchema = StructType(Seq(StructField("id", IntegerType),
+          StructField("default", IntegerType), StructField("order", IntegerType)))
+        val names = spark.createDataFrame(java.util.Arrays.asList(
+          Row(1, 10, 20), Row(2, null, 30), Row(3, 40, null)), namesSchema)
+        val skSchema = StructType(Seq(StructField("sid", StringType),
+          StructField("v", IntegerType)))
+        val prefixes = NamingFixture.Prefixes
+        // deterministic shuffle (i*7 mod 30 is a permutation): input order
+        // must not be PK order or the test proves nothing
+        val skRows = NamingFixture.shuffled.map(i => Row(s"${prefixes(i % 6)}-$i", i))
+        val sk = spark.createDataFrame(java.util.Arrays.asList(skRows: _*), skSchema)
+        val multiSchema = StructType(Seq(StructField("id", IntegerType),
+          StructField("zid", IntegerType), StructField("t", StringType)))
+        val multi = spark.createDataFrame(java.util.Arrays.asList(
+          Row(2, 0, "x"), Row(1, 1, "y"), Row(1, 0, "z")), multiSchema)
+        val rows = Seq(
+          ("testTABLE_multi_col_2",
+            Fingerprints.fullDigest(multi, TableSpec("testTABLE_multi_col_2", Seq("id", "zid")), cfg)),
+          ("test_column_names",
+            Fingerprints.fullDigest(names, TableSpec("test_column_names", Seq("id")), cfg)),
+          ("test_stringkey_table4",
+            Fingerprints.fullDigest(sk, TableSpec("test_stringkey_table4", Seq("sid")),
+              cfg.copy(hashPrimaryKeys = true))))
+        import spark.implicits._
+        rows.sortBy(_._1).toDF("table_name", "fingerprint")
+      },
+      oracle = Some(NamingFixture.oracleSql(cfg))),
+
     // scalable Merkle fingerprint (SURVEY.md §4) — bucketed, one shuffle
     "pv_merkle" -> QueryEntry(
       fn = (spark, sfDir) => {
@@ -278,4 +316,48 @@ object VerifierQueries {
       }.mkString("", " UNION ALL ", " ORDER BY table_name"))
     )
   )
+}
+
+/** Shared fixture pieces for `pv_full_naming` (hostile identifiers — see the
+  * query registration above). Literal rows exist on both engines, so every
+  * identifier-quoting or collation divergence surfaces as a hash mismatch.
+  */
+private[queries] object NamingFixture {
+  import org.apache.spark.sql.types._
+
+  import graft.canon.Canon
+
+  /** Reference's collation-hostile prefixes (/root/reference/integration_test.go:189). */
+  val Prefixes = Seq("A", "AA", "a", "aa", "A-A", "a-a")
+
+  /** Permutation of 0..29 (7 coprime to 30) — deterministic shuffled insert order. */
+  val shuffled: Seq[Int] = (0 until 30).map(i => (i * 7) % 30)
+
+  private val namesSchema = StructType(Seq(StructField("id", IntegerType),
+    StructField("default", IntegerType), StructField("order", IntegerType)))
+  private val skSchema = StructType(Seq(StructField("sid", StringType),
+    StructField("v", IntegerType)))
+  private val multiSchema = StructType(Seq(StructField("id", IntegerType),
+    StructField("zid", IntegerType), StructField("t", StringType)))
+
+  def oracleSql(cfg: VerifyConfig): String = {
+    def agg(schema: StructType, pks: Seq[String], hashPks: Boolean, table: String): String = {
+      val k = Canon.duckPkSortKey(schema, pks, hashPks, cfg.tsPrecision)
+      val h = Canon.duckRowHash(schema, schema.fieldNames.toSeq, cfg.tsPrecision)
+      s"""(SELECT CASE WHEN count(*) = 0 THEN '${graft.core.Fingerprints.NoRows}'
+            ELSE md5(string_agg(h, '' ORDER BY k, h)) END
+          FROM (SELECT $k AS k, $h AS h FROM "$table") AS kh)"""
+    }
+    val skValues = shuffled.map(i => s"('${Prefixes(i % 6)}-$i', $i)").mkString(", ")
+    s"""WITH "test_column_names"(id, "default", "order") AS (VALUES (1,10,20), (2,NULL,30), (3,40,NULL)),
+       "test_stringkey_table4"(sid, v) AS (VALUES $skValues),
+       "testTABLE_multi_col_2"(id, zid, t) AS (VALUES (2,0,'x'), (1,1,'y'), (1,0,'z'))
+       SELECT 'testTABLE_multi_col_2' AS table_name,
+              ${agg(multiSchema, Seq("id", "zid"), hashPks = false, "testTABLE_multi_col_2")} AS fingerprint
+       UNION ALL SELECT 'test_column_names',
+              ${agg(namesSchema, Seq("id"), hashPks = false, "test_column_names")}
+       UNION ALL SELECT 'test_stringkey_table4',
+              ${agg(skSchema, Seq("sid"), hashPks = true, "test_stringkey_table4")}
+       ORDER BY table_name"""
+  }
 }

@@ -64,4 +64,18 @@ class ScaleSpec extends SparkSpec {
     val viaJson = spark.read.schema(docs.schema).json(s"$tmp/json")
     assert(Fingerprints.fullDigest(viaJson, spec, cfg) == parquetDigest)
   }
+
+  test("full mode auto-degrades to the Merkle digest above fullModeRowLimit") {
+    import graft.core.{Fingerprints, TableSpec, TestModes, VerifyConfig}
+    val spec = TableSpec("orders", Seq("o_orderkey"))
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    val small = VerifyConfig(fullModeRowLimit = 10L, merkleBuckets = 16)
+    val big = small.copy(fullModeRowLimit = Long.MaxValue)
+    val degraded = Fingerprints.runModes(Seq(TestModes.Full), orders, spec, small)(TestModes.Full)
+    val exact = Fingerprints.runModes(Seq(TestModes.Full), orders, spec, big)(TestModes.Full)
+    // past the limit the output IS the Merkle digest, not the exact chain
+    assert(degraded == Fingerprints.merkleDigest(orders, spec, small, buckets = 16))
+    assert(exact == Fingerprints.fullDigest(orders, spec, big))
+    assert(degraded != exact)
+  }
 }
