@@ -1,0 +1,183 @@
+package graft
+
+import java.io.Writer
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core._
+
+/** Parsed CLI flags — field-for-field the reference's flag surface
+  * (/root/reference/cmd/pgverify/cmd.go:24-47) with its defaults
+  * (/root/reference/config.go:83-98).
+  */
+case class CliConfig(
+    aliases: Seq[String] = Nil,
+    bookendLimit: Int = 1000,
+    excludeColumns: Seq[String] = Nil,
+    excludeSchemas: Seq[String] = Nil,
+    excludeTables: Seq[String] = Nil,
+    hashPrimaryKeys: Boolean = false,
+    includeColumns: Seq[String] = Nil,
+    includeSchemas: Seq[String] = Nil,
+    includeTables: Seq[String] = Nil,
+    level: String = "info",
+    sparseMod: Int = 10,
+    tests: Seq[String] = Seq(TestModes.Full),
+    tzPrecision: String = "milliseconds",
+    targets: Seq[String] = Nil) {
+
+  def verifyConfig: VerifyConfig = VerifyConfig(
+    modes = tests, tsPrecision = tzPrecision, hashPrimaryKeys = hashPrimaryKeys,
+    bookendLimit = bookendLimit, sparseMod = sparseMod)
+}
+
+/** Flag parser + help text, the analogue of the reference's cobra command
+  * (/root/reference/cmd/pgverify/cmd.go) locked by the same kind of golden
+  * help test (/root/reference/cmd/pgverify/cmd_test.go:13-46).
+  */
+object Cli {
+
+  val helpText: String =
+    """Verify data consistency between Spark-readable targets.
+      |
+      |Usage:
+      |  graft [flags] target...
+      |
+      |A target is a directory of <table>.parquet files or a jdbc: URL.
+      |
+      |Flags:
+      |      --aliases strings           alias names for the supplied targets (comma separated)
+      |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
+      |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
+      |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
+      |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
+      |      --hash-primary-keys         hash primary key values before comparing them (useful for TEXT primary keys)
+      |  -h, --help                      help for graft
+      |      --include-columns strings   columns to explicitly verify (comma separated, defaults to all)
+      |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
+      |      --include-tables strings    tables to verify (comma separated, defaults to all)
+      |      --level string              logging level (default "info")
+      |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
+      |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
+      |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
+      |""".stripMargin
+
+  /** Right(config) on success; Left(message) for --help or a parse error. */
+  def parse(args: Seq[String]): Either[String, CliConfig] = {
+    def csv(v: String): Seq[String] = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    @annotation.tailrec
+    def loop(rest: List[String], acc: CliConfig): Either[String, CliConfig] = rest match {
+      case Nil => Right(acc)
+      case ("-h" | "--help") :: _ => Left(helpText)
+      case "--hash-primary-keys" :: tail => loop(tail, acc.copy(hashPrimaryKeys = true))
+      case flag :: value :: tail if flag.startsWith("--") || flag == "-t" =>
+        flag match {
+          case "--aliases"         => loop(tail, acc.copy(aliases = csv(value)))
+          case "--bookend-limit"   => loop(tail, acc.copy(bookendLimit = value.toInt))
+          case "--exclude-columns" => loop(tail, acc.copy(excludeColumns = csv(value)))
+          case "--exclude-schemas" => loop(tail, acc.copy(excludeSchemas = csv(value)))
+          case "--exclude-tables"  => loop(tail, acc.copy(excludeTables = csv(value)))
+          case "--include-columns" => loop(tail, acc.copy(includeColumns = csv(value)))
+          case "--include-schemas" => loop(tail, acc.copy(includeSchemas = csv(value)))
+          case "--include-tables"  => loop(tail, acc.copy(includeTables = csv(value)))
+          case "--level"           => loop(tail, acc.copy(level = value))
+          case "--sparse-mod"      => loop(tail, acc.copy(sparseMod = value.toInt))
+          case "--tests" | "-t"    => loop(tail, acc.copy(tests = csv(value)))
+          case "--tz-precision"    => loop(tail, acc.copy(tzPrecision = value))
+          case other               => Left(s"unknown flag: $other\n\n$helpText")
+        }
+      case flag :: Nil if flag.startsWith("-") => Left(s"flag needs an argument: $flag\n\n$helpText")
+      case target :: tail => loop(tail, acc.copy(targets = acc.targets :+ target))
+    }
+    loop(args.toList, CliConfig()).flatMap { c =>
+      val badModes = c.tests.filterNot(TestModes.All.contains)
+      if (c.targets.isEmpty)
+        Left(s"requires at least 1 arg(s), received 0; see 'graft --help' for more information")
+      else if (badModes.nonEmpty)
+        Left(s"invalid test modes: ${badModes.mkString(",")} (options: ${TestModes.All.sorted.mkString(",")})")
+      else Right(c)
+    }
+  }
+
+  /** Display names: aliases when the count matches the target count, else the
+    * URI-derived name — /root/reference/config.go:188-194 (X5).
+    */
+  def targetNames(uris: Seq[String], aliases: Seq[String]): Seq[String] =
+    if (aliases.length == uris.length) aliases
+    else uris.map(u => u.stripSuffix("/").split("/").last)
+
+  private def buildTargets(cfg: CliConfig): Seq[Target] =
+    cfg.targets.zip(targetNames(cfg.targets, cfg.aliases)).map {
+      case (uri, name) if uri.startsWith("jdbc:") => JdbcTarget(name, uri)
+      case (dir, name) => ParquetTarget(name, dir)
+    }
+
+  /** Table specs for the run. Parquet targets use the static fixture catalog
+    * (parquet has no PK metadata); JDBC targets discover PKs live (S2+J1).
+    * Column include/exclude filters (P6) apply either way; tables that end up
+    * with no PK are dropped (P8).
+    */
+  private def buildSpecs(spark: SparkSession, target: Target, cfg: CliConfig): Map[String, TableSpec] = {
+    val base: Map[String, Seq[String]] = target match {
+      case j: JdbcTarget =>
+        j.tables(spark).map { full =>
+          val parts = full.split("\\.", 2)
+          val pks = j.discoverColumns(spark, parts(0), parts(1))
+            .filter(_.isPrimaryKey).map(_.name).sorted
+          full -> pks
+        }.toMap
+      case _ => Fixtures.specs.map { case (t, s) => t -> s.pks }
+    }
+    base.collect { case (t, pks) if pks.nonEmpty =>
+      t -> TableSpec(t, pks, cfg.includeColumns, cfg.excludeColumns,
+        jsonColumns = Fixtures.specs.get(t).map(_.jsonColumns).getOrElse(Set.empty))
+    }
+  }
+
+  /** Full CLI run: fan out over targets, render the ASCII report, and return
+    * the process exit code (1 when any inconsistency exists — the analogue of
+    * the reference's CheckForErrors, /root/reference/verify.go:80-87).
+    */
+  def run(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
+    val targets = buildTargets(cfg)
+    val specs = buildSpecs(spark, targets.head, cfg)
+    val vcfg = cfg.verifyConfig
+    val wanted = specs.keys.toSeq
+      .filter(t => cfg.includeTables.isEmpty || cfg.includeTables.contains(t))
+      .filter(t => cfg.includeTables.nonEmpty || !cfg.excludeTables.contains(t))
+    val results = VerifyRun.run(spark, targets, specs, vcfg, includeTables = wanted)
+    VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
+    if (VerifyRun.inconsistencies(results, targets.size).isEmpty) 0 else 1
+  }
+}
+
+/** `graft` CLI entry point — EP1 of the reference (/root/reference/main.go,
+  * cmd.go:49-106): parse flags, build targets, verify, print the report.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    Cli.parse(args.toSeq) match {
+      case Left(msg) =>
+        println(msg)
+        if (msg != Cli.helpText) sys.exit(2)
+      case Right(cfg) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+          .appName("graft")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel(cfg.level match {
+          case "debug" | "trace" => "INFO"
+          case "warn" | "error"  => "ERROR"
+          case _                 => "WARN"
+        })
+        val out = new java.io.OutputStreamWriter(System.out)
+        val code = try Cli.run(spark, cfg, out) finally spark.stop()
+        sys.exit(code)
+    }
+  }
+}

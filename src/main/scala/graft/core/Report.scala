@@ -102,4 +102,33 @@ object VerifyRun {
       .na.fill(Fingerprints.Err, sortedModes)
     pivoted.orderBy(pivoted.columns.map(col).toSeq: _*)
   }
+
+  /** S5 report sink: render the pivot as an ASCII box table to `out` — the
+    * analogue of the reference's tablewriter output
+    * (/root/reference/results.go:101-166): header `schema, table, <modes
+    * alphabetical>, target`, rows sorted lexicographically across ALL columns
+    * in header order, uppercase header row. The report is one row per
+    * (schema, table, target) — always tiny — so the driver-side collect is
+    * the right shape.
+    */
+  def renderAsciiTable(pivot: DataFrame, modes: Seq[String], out: java.io.Writer): Unit = {
+    val header = Seq("schema", "table") ++ modes.sorted ++ Seq("target")
+    val rows = pivot.select(header.map(col): _*).collect()
+      .map(r => header.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
+      .sortWith { (a, b) => // column-wise lexicographic, results.go:148-156
+        a.indices.find(i => a(i) != b(i)).exists(i => a(i) < b(i))
+      }
+    val widths = header.indices.map { i =>
+      (header(i).length +: rows.map(_(i).length)).max
+    }
+    def sep: String = widths.map("-" * (_: Int)).mkString("+-", "-+-", "-+\n")
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |\n")
+    out.write(sep)
+    out.write(line(header.map(_.toUpperCase)))
+    out.write(sep)
+    rows.foreach(r => out.write(line(r)))
+    out.write(sep)
+    out.flush()
+  }
 }

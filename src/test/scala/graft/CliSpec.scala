@@ -1,0 +1,102 @@
+package graft
+
+import java.io.StringWriter
+
+import graft.core.{ResultRow, TestModes, VerifyRun}
+
+/** Locks the CLI flag surface with a golden help test (the analogue of
+  * /root/reference/cmd/pgverify/cmd_test.go:13-46) and the ASCII report
+  * renderer with a golden output test (results.go:101-166 parity), plus an
+  * end-to-end CLI run over parquet targets.
+  */
+class CliSpec extends SparkSpec {
+
+  private val expectedHelp =
+    """Verify data consistency between Spark-readable targets.
+      |
+      |Usage:
+      |  graft [flags] target...
+      |
+      |A target is a directory of <table>.parquet files or a jdbc: URL.
+      |
+      |Flags:
+      |      --aliases strings           alias names for the supplied targets (comma separated)
+      |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
+      |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
+      |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
+      |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
+      |      --hash-primary-keys         hash primary key values before comparing them (useful for TEXT primary keys)
+      |  -h, --help                      help for graft
+      |      --include-columns strings   columns to explicitly verify (comma separated, defaults to all)
+      |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
+      |      --include-tables strings    tables to verify (comma separated, defaults to all)
+      |      --level string              logging level (default "info")
+      |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
+      |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
+      |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
+      |""".stripMargin
+
+  test("golden help output") {
+    assert(Cli.parse(Seq("--help")) == Left(expectedHelp))
+    assert(Cli.parse(Seq("-h", "whatever")) == Left(expectedHelp))
+  }
+
+  test("flag parsing mirrors the reference surface and defaults") {
+    val parsed = Cli.parse(Seq(
+      "--aliases", "a,b", "--tests", "full,sparse", "--bookend-limit", "5",
+      "--sparse-mod", "7", "--hash-primary-keys", "--include-tables", "region,orders",
+      "--exclude-columns", "o_comment", "--tz-precision", "seconds",
+      "/data/x", "/data/y"))
+    assert(parsed == Right(CliConfig(
+      aliases = Seq("a", "b"), bookendLimit = 5, excludeColumns = Seq("o_comment"),
+      hashPrimaryKeys = true, includeTables = Seq("region", "orders"),
+      sparseMod = 7, tests = Seq("full", "sparse"), tzPrecision = "seconds",
+      targets = Seq("/data/x", "/data/y"))))
+    // defaults match config.go:83-98
+    val dflt = Cli.parse(Seq("/data/z")).toOption.get
+    assert(dflt.tests == Seq(TestModes.Full) && dflt.bookendLimit == 1000 &&
+      dflt.sparseMod == 10 && dflt.tzPrecision == "milliseconds" && !dflt.hashPrimaryKeys)
+    assert(Cli.parse(Nil).isLeft) // no targets
+    assert(Cli.parse(Seq("--tests", "bogus", "/d")).isLeft) // mode whitelist
+  }
+
+  test("alias resolution: aliases used only when the count matches (X5)") {
+    assert(Cli.targetNames(Seq("/a/b", "/c/d"), Seq("x", "y")) == Seq("x", "y"))
+    assert(Cli.targetNames(Seq("/a/b", "/c/d"), Seq("onlyone")) == Seq("b", "d"))
+  }
+
+  test("golden ASCII report render") {
+    import spark.implicits._
+    val rows = Seq(
+      ResultRow("beta", "main", "orders", "full", "(err)"),
+      ResultRow("alpha", "main", "orders", "full", "abc123"),
+      ResultRow("alpha", "main", "orders", "rowcount", "42"),
+      ResultRow("beta", "main", "orders", "rowcount", "42"))
+    val pivot = VerifyRun.pivotReport(spark.createDataset(rows).toDF(),
+      Seq("rowcount", "full"))
+    val sw = new StringWriter()
+    VerifyRun.renderAsciiTable(pivot, Seq("rowcount", "full"), sw)
+    val expected =
+      """+--------+--------+--------+----------+--------+
+        || SCHEMA | TABLE  | FULL   | ROWCOUNT | TARGET |
+        |+--------+--------+--------+----------+--------+
+        || main   | orders | (err)  | 42       | beta   |
+        || main   | orders | abc123 | 42       | alpha  |
+        |+--------+--------+--------+----------+--------+
+        |""".stripMargin
+    assert(sw.toString == expected)
+  }
+
+  test("end-to-end CLI run: identical parquet targets agree (exit 0), report rendered") {
+    val cfg = Cli.parse(Seq(
+      "--tests", "full,rowcount", "--include-tables", "region,nation",
+      "--aliases", "alpha,beta", sfDir, sfDir)).toOption.get
+    val sw = new StringWriter()
+    val code = Cli.run(spark, cfg, sw)
+    assert(code == 0, sw.toString)
+    val out = sw.toString
+    assert(out.contains("| SCHEMA |") && out.contains("alpha") && out.contains("beta"))
+    assert(out.linesIterator.count(_.startsWith("| main")) == 4) // 2 tables x 2 targets
+    assert(!out.contains("(err)"))
+  }
+}

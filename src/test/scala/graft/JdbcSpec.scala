@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.core.{Fingerprints, JdbcTarget, TableSpec, TestModes, VerifyConfig}
+
+/** Live-JDBC exercise of [[JdbcTarget]] against an embedded Derby database
+  * (Spark ships the Derby jars for its Hive metastore, so no extra
+  * dependency): S1 catalog scan, S2+J1 column discovery with the P5
+  * generated-column filter, and one end-to-end fingerprint whose every byte
+  * travels through `spark.read.jdbc`.
+  *
+  * Derby exposes its catalog as `SYS.*`, not PG's `information_schema`, so
+  * the spec materializes an `INFORMATION_SCHEMA` schema whose tables mirror
+  * what PostgreSQL would publish for the fixture table (the reference's
+  * discovery queries are PG-dialect, /root/reference/query.go:21-118) — the
+  * discovery SQL, the catalog joins, and the data reads all execute live
+  * over the wire.
+  */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private lazy val db: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    def exec(sql: String): Unit = st.execute(sql)
+    exec("CREATE TABLE verifyme (id INT NOT NULL PRIMARY KEY, name VARCHAR(64), amount DOUBLE)")
+    exec("INSERT INTO verifyme VALUES (2, 'beta', 12.5), (1, 'alpha', 3.25), (3, NULL, 100.0)")
+    exec("CREATE SCHEMA information_schema")
+    exec("CREATE TABLE information_schema.tables " +
+      "(table_schema VARCHAR(128), table_name VARCHAR(128), table_type VARCHAR(32))")
+    exec("INSERT INTO information_schema.tables VALUES " +
+      "('APP', 'VERIFYME', 'BASE TABLE'), " +
+      "('APP', 'SOMEVIEW', 'VIEW'), " + // excluded: views (P4)
+      "('pg_catalog', 'pg_class', 'BASE TABLE')") // excluded: system schema
+    exec("CREATE TABLE information_schema.columns (column_name VARCHAR(128), " +
+      "data_type VARCHAR(64), table_schema VARCHAR(128), table_name VARCHAR(128), " +
+      "is_generated VARCHAR(16))")
+    exec("INSERT INTO information_schema.columns VALUES " +
+      "('id', 'integer', 'APP', 'VERIFYME', 'NEVER'), " +
+      "('name', 'character varying', 'APP', 'VERIFYME', 'NEVER'), " +
+      "('amount', 'double precision', 'APP', 'VERIFYME', 'NEVER'), " +
+      "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS')") // excluded: P5
+    exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
+      "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
+    exec("INSERT INTO information_schema.key_column_usage VALUES " +
+      "('id', 'APP', 'VERIFYME', 'verifyme_pkey')")
+    exec("CREATE TABLE information_schema.table_constraints " +
+      "(constraint_name VARCHAR(128), constraint_type VARCHAR(32))")
+    exec("INSERT INTO information_schema.table_constraints VALUES " +
+      "('verifyme_pkey', 'PRIMARY KEY')")
+    st.close()
+    conn.close()
+  }
+
+  private def target: JdbcTarget = { db; JdbcTarget("derby", url) }
+
+  test("S1: JDBC catalog scan lists base tables, excluding views and system schemas") {
+    assert(target.tables(spark) == Seq("APP.VERIFYME"))
+  }
+
+  test("S2+J1+P5: live column discovery joins catalog tables and drops generated columns") {
+    val cols = target.discoverColumns(spark, "APP", "VERIFYME")
+    assert(cols.map(_.name).sorted == Seq("amount", "id", "name"))
+    assert(cols.filter(_.isPrimaryKey).map(_.name) == Seq("id"))
+    assert(!cols.exists(_.name == "ghost"))
+  }
+
+  test("end-to-end: full-mode fingerprint over a live JDBC read matches the in-memory digest") {
+    val cfg = VerifyConfig()
+    // Derby uppercases unquoted identifiers; the in-memory twin mirrors that
+    val spec = TableSpec("verifyme", Seq("ID"))
+    val viaJdbc = target.read(spark, "APP.VERIFYME")
+    val schema = StructType(Seq(StructField("ID", IntegerType),
+      StructField("NAME", StringType), StructField("AMOUNT", DoubleType)))
+    val local = spark.createDataFrame(java.util.Arrays.asList(
+      Row(2, "beta", 12.5), Row(1, "alpha", 3.25), Row(3, null, 100.0)), schema)
+    val jdbcModes = Fingerprints.runModes(TestModes.All, viaJdbc, spec, cfg)
+    val localModes = Fingerprints.runModes(TestModes.All, local, spec, cfg)
+    assert(jdbcModes == localModes)
+    assert(jdbcModes(TestModes.RowCount) == "3")
+    assert(jdbcModes.values.forall(_ != Fingerprints.Err))
+  }
+}
