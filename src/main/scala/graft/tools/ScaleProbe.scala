@@ -44,6 +44,11 @@ object ScaleProbe {
     timed("simhash signatures") {
       SimHash.simhashDf(docs, "doc_id", "text").count()
     }
+    val nSimPairs = timed("simhash near pairs") {
+      val sh = SimHash.simhashDf(docs, "doc_id", "text")
+      SimHash.nearPairs(sh, "id", "simhash").count()
+    }
+    println(s"[probe]   simhash pairs: $nSimPairs")
     timed("merkle fingerprint") {
       Fingerprints.merkleDigest(docs, TableSpec("documents", Seq("doc_id")),
         VerifyConfig(), buckets = 256)
