@@ -120,12 +120,15 @@ object MinHashLSH {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
     val sa = sigs.select(col("id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("id").as("doc_b"), col("sig").as("sig_b"))
+    // no output sort here: downstream consumers (cluster closure, jaccard
+    // verification, curation) destroy any order immediately — a global sort
+    // of the pair set is pure waste at scale. Callers that need deterministic
+    // output (the registered query) add their own orderBy.
     pairs.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_matching",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v), x => x)).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("n_matching"),
         (col("n_matching").cast("double") / numPerm).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** CTE staging shared by duck twins: id + tokens + shingles. */

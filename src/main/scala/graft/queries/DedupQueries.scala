@@ -34,7 +34,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> QueryEntry(
       fn = (spark, sfDir) => MinHashLSH.candidatePairs(
         Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-        ShingleN, NumPerm, NumBands),
+        ShingleN, NumPerm, NumBands).orderBy("doc_a", "doc_b"),
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
 
