@@ -14,6 +14,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JIT/codegen warmup on tiny inputs: the md5/HOF/agg/window
+    // codegen paths cost ~10 s to compile+JIT cold (measured — BASELINE.md
+    // variance analysis), and without this the alphabetically-first query
+    // absorbs all of it. Standard JVM bench methodology; failures ignored
+    // (a warmup must never fail the bench).
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      operators.MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+        .write.format("noop").mode("overwrite").save()
+      operators.SimHash.nearPairs(
+        operators.SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
+        .write.format("noop").mode("overwrite").save()
+      core.Fingerprints.runModes(core.TestModes.All,
+        spark.read.parquet(s"$sfDir/orders.parquet").limit(256),
+        core.Fixtures.specs("orders"), core.VerifyConfig())
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    spark.catalog.clearCache()
     // optional subset filter for local iteration: SPARK_GRAFT_QUERIES=a,b,c
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
