@@ -15,6 +15,7 @@ object QueryRegistry {
     queries.VerifierQueries.entries,
     queries.AnalyticsQueries.entries,
     queries.TextQueries.entries,
+    queries.CorpusQueries.entries,
     queries.DedupQueries.entries,
     queries.SimilarityQueries.entries,
     queries.EventQueries.entries,

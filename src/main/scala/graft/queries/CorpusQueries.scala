@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.Corpus
+
+/** Corpus-management operators over `documents`: deterministic train/val/test
+  * splitting, stratified per-language downsampling, and regex text cleaning —
+  * the standard front half of a training-data pipeline. All per-row hash/regex
+  * expressions plus one tiny group-agg; scan-parallel at any scale.
+  */
+object CorpusQueries {
+
+  /** 90/5/5 split. */
+  private val TrainPct = 90
+  private val ValPct = 5
+
+  /** Per-language keep rates (1/rate of each stratum), default 1/10. */
+  private val SampleRates = Map("en" -> 2, "de" -> 5, "es" -> 5, "fr" -> 5)
+  private val DefaultRate = 10
+
+  // simple regex dialect (char classes + bounded quantifiers) so Java and
+  // RE2 agree byte-for-byte
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9.]+"
+  private val NumPat = "[0-9][0-9][0-9][0-9]+"
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // deterministic id-hash train/val/test split with per-split stats: a
+    // document's split never changes as the corpus grows
+    "corpus_split" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            Corpus.splitAssign(col("doc_id"), TrainPct, ValPct).as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .orderBy("split")
+      },
+      oracle = Some(
+        s"""SELECT ${Corpus.duckSplitAssign("doc_id", TrainPct, ValPct)} AS split,
+              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // stratified downsampling: each language keeps a deterministic 1/rate
+    // hash-sample of its documents
+    "corpus_sample_stratified" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "documents")
+          .filter(Corpus.stratifiedKeep(col("doc_id"), col("lang"), SampleRates, DefaultRate))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id, lang FROM documents
+           WHERE ${Corpus.duckStratifiedKeep("doc_id", "lang", SampleRates, DefaultRate)}
+           ORDER BY doc_id""")),
+
+    // regex cleaning: redact emails and long digit runs; hash the cleaned
+    // text (not the text itself) to keep the compared output narrow
+    "text_redact" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clean = regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<email>"), NumPat, "<num>")
+        Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .select(col("doc_id"),
+            md5(clean).as("clean_md5"),
+            size(regexp_extract_all(col("text"), lit(NumPat), lit(0))).cast("long").as("n_nums"),
+            (length(col("text")) - length(clean)).cast("long").as("chars_removed"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id,
+              md5(regexp_replace(regexp_replace(text, '$EmailPat', '<email>', 'g'),
+                  '$NumPat', '<num>', 'g')) AS clean_md5,
+              CAST(len(regexp_extract_all(text, '$NumPat')) AS BIGINT) AS n_nums,
+              CAST(length(text) -
+                   length(regexp_replace(regexp_replace(text, '$EmailPat', '<email>', 'g'),
+                          '$NumPat', '<num>', 'g')) AS BIGINT) AS chars_removed
+           FROM documents ORDER BY doc_id"""))
+  )
+}
