@@ -47,6 +47,14 @@ object SimilarityQueries {
       },
       oracle = Some(Similarity.duckIvfTopK(K, 20, "q.vec_id < 8"))),
 
+    // in-engine k-means training (2 unrolled Lloyd iterations): the trainer
+    // for IVF centroids — deterministic hash init, floor-scaled cosine
+    // assignment, ordered-fold means for cross-engine bit parity
+    "sim_kmeans" -> QueryEntry(
+      fn = (spark, sfDir) => graft.operators.KMeans.summary(
+        Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
+      oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
+
     // ANN: candidates restricted to the query's LSH bucket (deterministic
     // MD5-derived hyperplanes embedded as literals on both engines)
     "sim_ann_lsh" -> QueryEntry(
