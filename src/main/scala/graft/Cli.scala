@@ -124,7 +124,10 @@ object Cli {
           val parts = full.split("\\.", 2)
           val pks = j.discoverColumns(spark, parts(0), parts(1))
             .filter(_.isPrimaryKey).map(_.name).sorted
-          full -> pks
+          // align catalog-case PK names to the physical result-set case
+          // (Derby uppercases unquoted identifiers; PG lowercases them)
+          val fields = j.read(spark, full).schema.fieldNames
+          full -> pks.flatMap(p => fields.find(_.equalsIgnoreCase(p)))
         }.toMap
       case _ => Fixtures.specs.map { case (t, s) => t -> s.pks }
     }

@@ -87,6 +87,18 @@ class CliSpec extends SparkSpec {
     assert(sw.toString == expected)
   }
 
+  test("end-to-end CLI run over live JDBC targets: discovery + fingerprints agree") {
+    // reuse the Derby database JdbcSpec materializes (idempotent setup)
+    new JdbcSpec {}.ensureDb()
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val cfg = Cli.parse(Seq("--tests", "full,rowcount", "--aliases", "a,b", url, url))
+      .toOption.get
+    val sw = new StringWriter()
+    val code = Cli.run(spark, cfg, sw)
+    assert(code == 0, sw.toString)
+    assert(sw.toString.contains("APP.VERIFYME") && !sw.toString.contains("(err)"))
+  }
+
   test("end-to-end CLI run: identical parquet targets agree (exit 0), report rendered") {
     val cfg = Cli.parse(Seq(
       "--tests", "full,rowcount", "--include-tables", "region,nation",

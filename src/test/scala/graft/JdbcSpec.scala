@@ -26,6 +26,14 @@ class JdbcSpec extends SparkSpec {
 
   private lazy val db: Unit = {
     val conn = DriverManager.getConnection(url)
+    // idempotent across suite instances (CliSpec reuses this database)
+    if (!conn.getMetaData.getTables(null, "APP", "VERIFYME", null).next()) {
+      populate(conn)
+    }
+    conn.close()
+  }
+
+  private def populate(conn: java.sql.Connection): Unit = {
     val st = conn.createStatement()
     def exec(sql: String): Unit = st.execute(sql)
     exec("CREATE TABLE verifyme (id INT NOT NULL PRIMARY KEY, name VARCHAR(64), amount DOUBLE)")
@@ -54,10 +62,12 @@ class JdbcSpec extends SparkSpec {
     exec("INSERT INTO information_schema.table_constraints VALUES " +
       "('verifyme_pkey', 'PRIMARY KEY')")
     st.close()
-    conn.close()
   }
 
   private def target: JdbcTarget = { db; JdbcTarget("derby", url) }
+
+  /** Idempotent database setup, shared with CliSpec's live-JDBC CLI test. */
+  def ensureDb(): Unit = db
 
   test("S1: JDBC catalog scan lists base tables, excluding views and system schemas") {
     assert(target.tables(spark) == Seq("APP.VERIFYME"))
