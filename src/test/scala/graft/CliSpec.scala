@@ -99,6 +99,13 @@ class CliSpec extends SparkSpec {
     assert(sw.toString.contains("APP.VERIFYME") && !sw.toString.contains("(err)"))
   }
 
+  test("CLI exits 1 when targets disagree (different scale factors)") {
+    val cfg = Cli.parse(Seq("--tests", "rowcount", "--include-tables", "region,orders",
+      "--aliases", "a,b", sfDir, "/root/testdata/sf0.01")).toOption.get
+    val sw = new StringWriter()
+    assert(Cli.run(spark, cfg, sw) == 1, sw.toString)
+  }
+
   test("end-to-end CLI run: identical parquet targets agree (exit 0), report rendered") {
     val cfg = Cli.parse(Seq(
       "--tests", "full,rowcount", "--include-tables", "region,nation",
