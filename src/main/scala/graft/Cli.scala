@@ -62,10 +62,21 @@ object Cli {
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
       |""".stripMargin
 
-  /** Right(config) on success; Left(message) for --help or a parse error. */
+  /** Right(config) on success; Left(message) for --help or a parse error.
+    * `--flag=value` splits before matching (the reference's cobra parser
+    * accepts both spellings); unknown `-`-prefixed tokens are rejected rather
+    * than silently treated as targets; numeric flags fail with a usage error,
+    * not a NumberFormatException stack trace.
+    */
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     def csv(v: String): Seq[String] = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    @annotation.tailrec
+    val split = args.toList.flatMap { a =>
+      if (a.startsWith("--") && a.contains("=")) { val Array(f, v) = a.split("=", 2); List(f, v) }
+      else List(a)
+    }
+    def int(flag: String, value: String)(set: Int => CliConfig): Either[String, CliConfig] =
+      value.toIntOption.toRight(s"""invalid argument "$value" for $flag: not an integer\n\n$helpText""")
+        .map(set)
     def loop(rest: List[String], acc: CliConfig): Either[String, CliConfig] = rest match {
       case Nil => Right(acc)
       case ("-h" | "--help") :: _ => Left(helpText)
@@ -73,7 +84,7 @@ object Cli {
       case flag :: value :: tail if flag.startsWith("--") || flag == "-t" =>
         flag match {
           case "--aliases"         => loop(tail, acc.copy(aliases = csv(value)))
-          case "--bookend-limit"   => loop(tail, acc.copy(bookendLimit = value.toInt))
+          case "--bookend-limit"   => int(flag, value)(n => acc.copy(bookendLimit = n)).flatMap(loop(tail, _))
           case "--exclude-columns" => loop(tail, acc.copy(excludeColumns = csv(value)))
           case "--exclude-schemas" => loop(tail, acc.copy(excludeSchemas = csv(value)))
           case "--exclude-tables"  => loop(tail, acc.copy(excludeTables = csv(value)))
@@ -81,20 +92,26 @@ object Cli {
           case "--include-schemas" => loop(tail, acc.copy(includeSchemas = csv(value)))
           case "--include-tables"  => loop(tail, acc.copy(includeTables = csv(value)))
           case "--level"           => loop(tail, acc.copy(level = value))
-          case "--sparse-mod"      => loop(tail, acc.copy(sparseMod = value.toInt))
+          case "--sparse-mod"      => int(flag, value)(n => acc.copy(sparseMod = n)).flatMap(loop(tail, _))
           case "--tests" | "-t"    => loop(tail, acc.copy(tests = csv(value)))
           case "--tz-precision"    => loop(tail, acc.copy(tzPrecision = value))
           case other               => Left(s"unknown flag: $other\n\n$helpText")
         }
-      case flag :: Nil if flag.startsWith("-") => Left(s"flag needs an argument: $flag\n\n$helpText")
+      case flag :: Nil if flag.startsWith("--") || flag == "-t" =>
+        Left(s"flag needs an argument: $flag\n\n$helpText")
+      case flag :: _ if flag.startsWith("-") && flag != "-" =>
+        Left(s"unknown flag: $flag\n\n$helpText")
       case target :: tail => loop(tail, acc.copy(targets = acc.targets :+ target))
     }
-    loop(args.toList, CliConfig()).flatMap { c =>
+    loop(split, CliConfig()).flatMap { c =>
       val badModes = c.tests.filterNot(TestModes.All.contains)
       if (c.targets.isEmpty)
         Left(s"requires at least 1 arg(s), received 0; see 'graft --help' for more information")
       else if (badModes.nonEmpty)
         Left(s"invalid test modes: ${badModes.mkString(",")} (options: ${TestModes.All.sorted.mkString(",")})")
+      else if (!graft.canon.Canon.precisionMicros.contains(c.tzPrecision))
+        Left(s"invalid --tz-precision: ${c.tzPrecision} " +
+          s"(options: ${graft.canon.Canon.precisionMicros.keys.toSeq.sorted.mkString(",")})")
       else Right(c)
     }
   }
@@ -112,43 +129,58 @@ object Cli {
       case (dir, name) => ParquetTarget(name, dir)
     }
 
-  /** Table specs for the run. Parquet targets use the static fixture catalog
-    * (parquet has no PK metadata); JDBC targets discover PKs live (S2+J1).
-    * Column include/exclude filters (P6) apply either way; tables that end up
-    * with no PK are dropped (P8).
+  /** Table include/exclude (P4) on the bare table name, schema-qualified or
+    * not, include-wins, case-insensitive (users type `verifyme`; Derby's
+    * catalog says `VERIFYME`).
     */
-  private def buildSpecs(spark: SparkSession, target: Target, cfg: CliConfig): Map[String, TableSpec] = {
-    val base: Map[String, Seq[String]] = target match {
-      case j: JdbcTarget =>
-        j.tables(spark).map { full =>
-          val parts = full.split("\\.", 2)
-          val pks = j.discoverColumns(spark, parts(0), parts(1))
-            .filter(_.isPrimaryKey).map(_.name).sorted
-          // align catalog-case PK names to the physical result-set case
-          // (Derby uppercases unquoted identifiers; PG lowercases them)
-          val fields = j.read(spark, full).schema.fieldNames
-          full -> pks.flatMap(p => fields.find(_.equalsIgnoreCase(p)))
-        }.toMap
-      case _ => Fixtures.specs.map { case (t, s) => t -> s.pks }
-    }
-    base.collect { case (t, pks) if pks.nonEmpty =>
-      t -> TableSpec(t, pks, cfg.includeColumns, cfg.excludeColumns,
-        jsonColumns = Fixtures.specs.get(t).map(_.jsonColumns).getOrElse(Set.empty))
-    }
+  private def tableWanted(cfg: CliConfig, fullName: String): Boolean = {
+    val table = fullName.split("\\.", 2).last
+    if (cfg.includeTables.nonEmpty) cfg.includeTables.exists(_.equalsIgnoreCase(table))
+    else !cfg.excludeTables.exists(_.equalsIgnoreCase(table))
   }
 
-  /** Full CLI run: fan out over targets, render the ASCII report, and return
-    * the process exit code (1 when any inconsistency exists — the analogue of
-    * the reference's CheckForErrors, /root/reference/verify.go:80-87).
+  /** Per-target work for one discovered table: PKs discovered (JDBC, S2+J1)
+    * or taken from the fixture catalog (parquet has no PK metadata), in either
+    * case ALIGNED TO THIS TARGET's physical column case — the analogue of the
+    * reference discovering columns per connection
+    * (/root/reference/verify.go:146-198). Tables with no PK drop out (P8).
+    */
+  private def buildWork(spark: SparkSession, target: Target, fullName: String,
+                        cfg: CliConfig): Option[VerifyRun.TableWork] = {
+    val (schema, table) = VerifyRun.splitName(fullName)
+    val fields = target.read(spark, fullName).schema.fieldNames
+    val catalogPks: Seq[String] = target match {
+      case j: JdbcTarget =>
+        j.discoverColumns(spark, schema, table).filter(_.isPrimaryKey).map(_.name).sorted
+      case _ => Fixtures.specs.get(table).map(_.pks).getOrElse(Nil)
+    }
+    // align catalog-case PK names to the physical result-set case
+    // (Derby uppercases unquoted identifiers; PG lowercases them)
+    val pks = catalogPks.flatMap(p => fields.find(_.equalsIgnoreCase(p)))
+    if (pks.isEmpty) None
+    else Some(VerifyRun.TableWork(schema, table, fullName,
+      TableSpec(table, pks, cfg.includeColumns, cfg.excludeColumns,
+        jsonColumns = Fixtures.specs.get(table).map(_.jsonColumns).getOrElse(Set.empty))))
+  }
+
+  /** Full CLI run: discover PER TARGET (tables, PKs, column casing — each
+    * target binds its own catalog), fan out, render the ASCII report, and
+    * return the process exit code (1 when any inconsistency exists — the
+    * analogue of the reference's CheckForErrors,
+    * /root/reference/verify.go:80-87). Schema filters apply at discovery
+    * (/root/reference/query.go:25-50).
     */
   def run(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
     val targets = buildTargets(cfg)
-    val specs = buildSpecs(spark, targets.head, cfg)
+    val schemas = SchemaFilter(cfg.includeSchemas, cfg.excludeSchemas)
     val vcfg = cfg.verifyConfig
-    val wanted = specs.keys.toSeq
-      .filter(t => cfg.includeTables.isEmpty || cfg.includeTables.contains(t))
-      .filter(t => cfg.includeTables.nonEmpty || !cfg.excludeTables.contains(t))
-    val results = VerifyRun.run(spark, targets, specs, vcfg, includeTables = wanted)
+    // all discovery happens before any fingerprint work (S6 fail-fast)
+    val plans = targets.map { t =>
+      t -> VerifyRun.discoverTables(spark, t, schemas)
+        .filter(tableWanted(cfg, _))
+        .flatMap(buildWork(spark, t, _, cfg))
+    }
+    val results = VerifyRun.runPerTarget(spark, plans, vcfg)
     VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
     if (VerifyRun.inconsistencies(results, targets.size).isEmpty) 0 else 1
   }

@@ -39,12 +39,41 @@ import org.apache.spark.sql.types._
   */
 object Canon {
 
-  /** Microseconds per unit for the supported truncation precisions. */
+  /** Microseconds per unit for the supported truncation precisions — the
+    * fixed-width subset of PG's `date_trunc` fields, which is what the
+    * reference feeds `--tz-precision` into (/root/reference/column.go:28,
+    * option /root/reference/config.go:196-203). Month and coarser are
+    * variable-width and cannot be expressed as epoch-micros arithmetic, so
+    * they are intentionally unsupported. "seconds" is kept as a legacy
+    * synonym of PG's "second".
+    */
   val precisionMicros: Map[String, Long] = Map(
     "microseconds" -> 1L,
     "milliseconds" -> 1000L,
-    "seconds"      -> 1000000L
+    "second"       -> 1000000L,
+    "seconds"      -> 1000000L,
+    "minute"       -> 60L * 1000000L,
+    "hour"         -> 3600L * 1000000L,
+    "day"          -> 86400L * 1000000L,
+    "week"         -> 7L * 86400L * 1000000L
   )
+
+  /** Epoch-alignment offset: PG truncates weeks to Monday, but the epoch
+    * (1970-01-01) was a Thursday, so week-folding anchors at the preceding
+    * Monday, 1969-12-29T00:00Z. Every other supported unit is epoch-aligned.
+    */
+  private val weekAnchorMicros: Long = -259200000000L
+  def precisionOffsetMicros(precision: String): Long =
+    if (precision == "week") weekAnchorMicros else 0L
+
+  /** Unit lookup with a clean failure mode: an unknown unit is a user error
+    * (the reference validates its enum-like options the same way,
+    * /root/reference/config.go:101-114), not a NoSuchElementException.
+    */
+  def unitMicros(precision: String): Long =
+    precisionMicros.getOrElse(precision, throw new IllegalArgumentException(
+      s"unknown timestamp precision '$precision' " +
+        s"(supported: ${precisionMicros.keys.toSeq.sorted.mkString(", ")})"))
 
   /** Canonical TEXT form of one column (no null-coalescing; see [[canonCol]]). */
   def canonText(c: Column, dt: DataType, tsPrecision: String = "milliseconds"): Column = dt match {
@@ -54,9 +83,13 @@ object Canon {
     case DoubleType => c.cast(StringType)
     case _: DecimalType => c.cast(StringType)
     case TimestampType | TimestampNTZType =>
-      val unit = precisionMicros(tsPrecision)
+      val unit = unitMicros(tsPrecision)
+      val off = precisionOffsetMicros(tsPrecision)
       val micros = unix_micros(c.cast(TimestampType))
-      (if (unit == 1L) micros else (micros - pmod(micros, lit(unit)))).cast(StringType)
+      // floor-fold onto the unit grid anchored at `off` (non-zero only for
+      // week, whose PG boundary is Monday, not the epoch)
+      (if (unit == 1L) micros
+       else micros - pmod(micros - lit(off), lit(unit))).cast(StringType)
     case DateType => c.cast(StringType)
     case BinaryType => lower(hex(c))
     case ArrayType(et, _) =>
@@ -78,17 +111,29 @@ object Canon {
   def canonJson(c: Column): Column = length(c).cast(StringType)
   def duckJsonSql(name: String): String = s"""coalesce(CAST(length("$name") AS VARCHAR), '')"""
 
+  /** Column-name ordering for hashing: lexicographic on the LOWERCASED name
+    * (exact name as tie-break). Case-insensitive because heterogeneous targets
+    * render the same logical column in different physical case (Derby
+    * uppercases unquoted identifiers, PG lowercases them) — an exact-case sort
+    * would order e.g. `AB_C`/`ABD` differently from `ab_c`/`abd` ('_' sorts
+    * between the cases) and silently produce different row hashes for
+    * identical data. Must stay in lock-step with the DuckDB twins below.
+    */
+  def hashColumnOrder(cols: Seq[String]): Seq[String] =
+    cols.sortBy(n => (n.toLowerCase, n))
+
   /** Canonicalized columns of `schema` restricted to `cols`, sorted
-    * lexicographically by column name so DDL column order never affects the
+    * per [[hashColumnOrder]] so DDL column order never affects the
     * row hash — the analogue of the reference sorting canonicalized expression
     * strings before CONCAT (/root/reference/query.go:136-137). Columns named
-    * in `jsonCols` take the JSON length proxy (P1 json/jsonb rule).
+    * in `jsonCols` take the JSON length proxy (P1 json/jsonb rule; matched
+    * case-insensitively for the same heterogeneous-target reason).
     */
   def canonCols(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
                 jsonCols: Set[String] = Set.empty): Seq[Column] = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    cols.sorted.map { name =>
-      if (jsonCols.contains(name)) coalesce(canonJson(col(name)), lit(""))
+    hashColumnOrder(cols).map { name =>
+      if (jsonCols.exists(_.equalsIgnoreCase(name))) coalesce(canonJson(col(name)), lit(""))
       else canonCol(col(name), byName(name), tsPrecision)
     }
   }
@@ -131,11 +176,12 @@ object Canon {
       case DoubleType => s"CAST($c AS VARCHAR)"
       case _: DecimalType => s"CAST($c AS VARCHAR)"
       case TimestampType | TimestampNTZType =>
-        val unit = precisionMicros(tsPrecision)
+        val unit = unitMicros(tsPrecision)
+        val off = precisionOffsetMicros(tsPrecision)
         // floor-mod, not %: DuckDB % truncates toward zero, which would
         // diverge from Spark's pmod for pre-1970 sub-unit timestamps
         if (unit == 1L) s"CAST(epoch_us($c) AS VARCHAR)"
-        else s"CAST(epoch_us($c) - ((epoch_us($c) % $unit + $unit) % $unit) AS VARCHAR)"
+        else s"CAST(epoch_us($c) - (((epoch_us($c) - ($off)) % $unit + $unit) % $unit) AS VARCHAR)"
       case DateType => s"CAST($c AS VARCHAR)"
       case BinaryType => s"lower(hex($c))"
       case ArrayType(et, _) =>
@@ -165,8 +211,8 @@ object Canon {
   def duckRowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
                   jsonCols: Set[String] = Set.empty): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = cols.sorted.map(n =>
-      if (jsonCols.contains(n)) duckJsonSql(n) else duckSql(n, byName(n), tsPrecision))
+    val parts = hashColumnOrder(cols).map(n =>
+      if (jsonCols.exists(_.equalsIgnoreCase(n))) duckJsonSql(n) else duckSql(n, byName(n), tsPrecision))
     s"md5(concat(${parts.mkString(", ")}))"
   }
 
@@ -174,7 +220,7 @@ object Canon {
   def duckPkSortKey(schema: StructType, pks: Seq[String], hashPrimaryKeys: Boolean,
                     tsPrecision: String = "milliseconds"): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = pks.sorted.map(n => duckSql(n, byName(n), tsPrecision))
+    val parts = hashColumnOrder(pks).map(n => duckSql(n, byName(n), tsPrecision))
     val k = s"concat(${parts.mkString(", ")})"
     if (hashPrimaryKeys) s"md5($k)" else k
   }

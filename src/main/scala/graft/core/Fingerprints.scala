@@ -95,9 +95,30 @@ object Fingerprints {
     else Some(Digests.md5OfConcat(rows.iterator.map(_.getString(0))))
   }
 
-  /** full mode — /root/reference/query.go:122-158. */
-  def fullDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
-    digestOrdered(hashedRows(df, spec, cfg)).getOrElse(NoRows)
+  /** full mode — /root/reference/query.go:122-158. Carries the same
+    * `fullModeRowLimit` auto-degrade as the multi-mode path in [[runModes]]:
+    * without it, the same `VerifyConfig` would yield different "full" outputs
+    * depending on call path (single-mode vs multi-mode), and the driver-side
+    * collect hazard the limit exists for would survive on this path. The
+    * persist makes the count and the digest share one canonicalize+hash pass.
+    */
+  def fullDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    val kh = hashedRows(df, spec, cfg).persist()
+    try {
+      if (kh.count() > cfg.fullModeRowLimit) degradeToMerkle(kh, cfg)
+      else digestOrdered(kh).getOrElse(NoRows)
+    } finally kh.unpersist(blocking = false)
+  }
+
+  /** Shared full→Merkle degrade (scale guard), logged so a degraded run is
+    * never silent; both comparison sides share `cfg`, so both degrade together.
+    */
+  private def degradeToMerkle(kh: DataFrame, cfg: VerifyConfig): String = {
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"full mode: row count exceeds fullModeRowLimit=${cfg.fullModeRowLimit}; " +
+        s"switching to Merkle digest (${cfg.merkleBuckets} buckets)")
+    merkleFromKh(kh.select(col("k"), col("h")), cfg.merkleBuckets)
+  }
 
   /** sparse mode — deterministic 1/mod MD5-keyed sample *before* hashing all
     * columns (/root/reference/query.go:160-229). The reference filters through
@@ -236,14 +257,9 @@ object Fingerprints {
             val (kh, n) = khOpt.get
             // scale guard: past the row limit the exact digest's driver-side
             // collect is the 100TB killer — degrade to the Merkle digest
-            // (same sensitivity, parallel combine, different literal value;
-            // both comparison sides share cfg so both degrade together)
-            if (n > cfg.fullModeRowLimit) {
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"full mode: $n rows > fullModeRowLimit=${cfg.fullModeRowLimit}; " +
-                  s"switching to Merkle digest (${cfg.merkleBuckets} buckets)")
-              merkleFromKh(kh.select(col("k"), col("h")), cfg.merkleBuckets)
-            } else digestOrdered(kh.select(col("k"), col("h"))).getOrElse(NoRows)
+            // (same sensitivity, parallel combine, different literal value)
+            if (n > cfg.fullModeRowLimit) degradeToMerkle(kh, cfg)
+            else digestOrdered(kh.select(col("k"), col("h"))).getOrElse(NoRows)
           case TestModes.Sparse =>
             val kh = khOpt.get._1
             val sampled = kh.filter(col("sk") % cfg.sparseMod === 0)

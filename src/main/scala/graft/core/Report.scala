@@ -21,44 +21,57 @@ object VerifyRun {
   /** Parquet targets have a single implicit schema. */
   val SchemaName = "main"
 
-  /** Run every (target × table × mode) fingerprint. One `Future` per target
-    * replaces the reference's goroutine-per-target (/root/reference/
-    * verify.go:66-77); Spark's scheduler interleaves the submitted jobs, so
-    * each target's scans run concurrently. Failures log and leave the `(err)`
-    * sentinel, the run continues (/root/reference/verify.go:131,153-157).
-    * Tables without a PK spec are skipped (/root/reference/verify.go:194-198).
+  /** `schema.table` catalog key → (schema, table); bare names (parquet) get
+    * the implicit `main` schema — the reference keys results by the actual
+    * (schema, table) pair (/root/reference/results.go:41-43).
     */
-  def run(spark: SparkSession, targets: Seq[Target], specs: Map[String, TableSpec],
-          cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
-          implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
-    // S6 fail-fast: validate every target up front; any unreachable target
-    // aborts the whole run before any work (/root/reference/verify.go:33-61).
-    // The discovered list is carried into the Futures — re-discovering there
-    // would both double the catalog scan and reopen the validation window.
-    val discovered: Seq[(Target, Seq[String])] = targets.map { t =>
-      Try(t.tables(spark)) match {
-        case Success(ts) if ts.nonEmpty => t -> ts
-        case Success(_) =>
-          throw new IllegalStateException(s"target ${t.name} has no tables")
-        case Failure(e) =>
-          throw new IllegalStateException(s"target ${t.name} unreachable: ${e.getMessage}", e)
-      }
+  def splitName(full: String): (String, String) = full.split("\\.", 2) match {
+    case Array(s, t) => (s, t)
+    case _ => (SchemaName, full)
+  }
+
+  /** One unit of per-target work: where the result rows are keyed (schema and
+    * table in THIS target's physical catalog case), the name to read it by,
+    * and the PK/column spec bound against this target's own catalog — the
+    * analogue of the reference discovering columns per connection
+    * (/root/reference/verify.go:146-198).
+    */
+  case class TableWork(schema: String, table: String, readName: String, spec: TableSpec)
+
+  /** S6 fail-fast discovery: an unreachable or empty target aborts the whole
+    * run before any fingerprint work (/root/reference/verify.go:33-61).
+    */
+  def discoverTables(spark: SparkSession, target: Target, schemas: SchemaFilter): Seq[String] =
+    Try(target.tables(spark, schemas)) match {
+      case Success(ts) if ts.nonEmpty => ts
+      case Success(_) =>
+        throw new IllegalStateException(s"target ${target.name} has no tables")
+      case Failure(e) =>
+        throw new IllegalStateException(s"target ${target.name} unreachable: ${e.getMessage}", e)
     }
-    val perTarget = discovered.map { case (t, discoveredTables) =>
+
+  /** Run every (target × table × mode) fingerprint over per-target plans. One
+    * `Future` per target replaces the reference's goroutine-per-target
+    * (/root/reference/verify.go:66-77); Spark's scheduler interleaves the
+    * submitted jobs, so each target's scans run concurrently. Failures log
+    * and leave the `(err)` sentinel, the run continues
+    * (/root/reference/verify.go:131,153-157).
+    */
+  def runPerTarget(spark: SparkSession, plans: Seq[(Target, Seq[TableWork])],
+                   cfg: VerifyConfig)(
+                   implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
+    val perTarget = plans.map { case (t, works) =>
       Future {
-        val tables = discoveredTables
-          .filter(tb => includeTables.isEmpty || includeTables.contains(tb))
-          .filter(specs.contains)
-        tables.flatMap { tb =>
-          val spec = specs(tb)
+        works.flatMap { w =>
           // all modes share one canonicalize+hash pass per table
-          val outputs = Try(Fingerprints.runModes(cfg.modes, t.read(spark, tb), spec, cfg)) match {
-            case Success(m) => m
-            case Failure(e) =>
-              System.err.println(s"[graft] ${t.name}/$tb failed: ${e.getMessage}")
-              cfg.modes.map(_ -> Fingerprints.Err).toMap
-          }
-          cfg.modes.map(mode => ResultRow(t.name, SchemaName, tb, mode, outputs(mode)))
+          val outputs =
+            Try(Fingerprints.runModes(cfg.modes, t.read(spark, w.readName), w.spec, cfg)) match {
+              case Success(m) => m
+              case Failure(e) =>
+                System.err.println(s"[graft] ${t.name}/${w.readName} failed: ${e.getMessage}")
+                cfg.modes.map(_ -> Fingerprints.Err).toMap
+            }
+          cfg.modes.map(mode => ResultRow(t.name, w.schema, w.table, mode, outputs(mode)))
         }
       }
     }
@@ -67,12 +80,37 @@ object VerifyRun {
     spark.createDataset(rows).toDF()
   }
 
+  /** Shared-spec convenience run: every target verifies the same catalog of
+    * table specs (the fixture-parquet shape). Tables without a PK spec are
+    * skipped (/root/reference/verify.go:194-198); heterogeneous targets should
+    * build per-target plans and call [[runPerTarget]] instead.
+    */
+  def run(spark: SparkSession, targets: Seq[Target], specs: Map[String, TableSpec],
+          cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
+          implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
+    val plans = targets.map { t =>
+      t -> discoverTables(spark, t, SchemaFilter.All)
+        .filter(tb => includeTables.isEmpty || includeTables.contains(tb))
+        .filter(specs.contains)
+        .map { tb =>
+          val (schema, table) = splitName(tb)
+          TableWork(schema, table, tb, specs(tb))
+        }
+    }
+    runPerTarget(spark, plans, cfg)
+  }
+
   /** A3: group cells by (schema, table, mode, output), collecting which
     * targets produced each output — the reference's mutex-guarded nested-map
     * insert (/root/reference/results.go:46-69) becomes one tiny shuffle.
+    * Schema/table keys are lowercased: heterogeneous targets fold identifier
+    * case differently (Derby `APP.VERIFYME` vs a quoted-lowercase
+    * `APP.verifyme`), and the comparison must line those up as the same
+    * logical table rather than report a spurious missing-table mismatch.
     */
   def merged(results: DataFrame): DataFrame =
-    results.groupBy("schema", "table", "mode", "output")
+    results.groupBy(lower(col("schema")).as("schema"), lower(col("table")).as("table"),
+        col("mode"), col("output"))
       .agg(sort_array(collect_list(col("target"))).as("targets"))
 
   /** A4: the consistency diff (/root/reference/results.go:72-98). A cell fails

@@ -16,10 +16,31 @@ case class ColumnMeta(name: String, dataType: String, isPrimaryKey: Boolean)
 case class TableSpec(table: String, pks: Seq[String],
                      includeColumns: Seq[String] = Nil, excludeColumns: Seq[String] = Nil,
                      jsonColumns: Set[String] = Set.empty) {
-  /** include list wins over exclude — /root/reference/verify.go:138-144 (P6). */
+  /** include list wins over exclude — /root/reference/verify.go:138-144 (P6).
+    * Matched case-insensitively: with per-target discovery the same logical
+    * column arrives as `O_COMMENT` from Derby and `o_comment` from PG, and an
+    * exact-case filter would silently exclude it on only one side — a
+    * guaranteed spurious mismatch.
+    */
   def validColumn(name: String): Boolean =
-    if (includeColumns.nonEmpty) includeColumns.contains(name)
-    else !excludeColumns.contains(name)
+    if (includeColumns.nonEmpty) includeColumns.exists(_.equalsIgnoreCase(name))
+    else !excludeColumns.exists(_.equalsIgnoreCase(name))
+}
+
+/** Schema include/exclude filter applied at catalog discovery — the analogue
+  * of the reference baking `--include-schemas`/`--exclude-schemas` into its
+  * `information_schema.tables` WHERE clause (/root/reference/query.go:25-50).
+  * Include wins over exclude, same as tables/columns; names match
+  * case-insensitively (Derby reports `APP`, PG would report `app`).
+  */
+case class SchemaFilter(include: Seq[String] = Nil, exclude: Seq[String] = Nil) {
+  def accepts(schema: String): Boolean =
+    if (include.nonEmpty) include.exists(_.equalsIgnoreCase(schema))
+    else !exclude.exists(_.equalsIgnoreCase(schema))
+}
+
+object SchemaFilter {
+  val All: SchemaFilter = SchemaFilter()
 }
 
 /** One verification target — the analogue of one `*pgx.ConnConfig` database
@@ -28,7 +49,8 @@ case class TableSpec(table: String, pks: Seq[String],
   */
 sealed trait Target {
   def name: String
-  def tables(spark: SparkSession): Seq[String]
+  def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String]
+  final def tables(spark: SparkSession): Seq[String] = tables(spark, SchemaFilter.All)
   def read(spark: SparkSession, table: String): DataFrame
 }
 
@@ -43,7 +65,11 @@ sealed trait Target {
   */
 case class ParquetTarget(name: String, dir: String,
                          tweaks: Map[String, DataFrame => DataFrame] = Map.empty) extends Target {
-  override def tables(spark: SparkSession): Seq[String] = {
+  /** Parquet directories carry a single implicit schema, `main`; the schema
+    * filter either keeps or drops the whole target's catalog.
+    */
+  override def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String] = {
+    if (!schemas.accepts(VerifyRun.SchemaName)) return Nil
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     files.iterator.map(_.getName).filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet")).toSeq.sorted
@@ -104,12 +130,23 @@ case class JdbcTarget(name: String, url: String,
       .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props).asScala.toMap)
       .load()
 
-  /** S1: user tables, views excluded (/root/reference/query.go:23). */
-  override def tables(spark: SparkSession): Seq[String] = {
+  /** S1: user tables, views excluded (/root/reference/query.go:23), with the
+    * schema include/exclude filter applied in the catalog scan itself
+    * (/root/reference/query.go:25-50) so excluded schemas are never even
+    * listed, let alone read.
+    */
+  override def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String] = {
     import spark.implicits._
-    readTable(spark, "information_schema.tables")
+    val base = readTable(spark, "information_schema.tables")
       .filter(col("table_type") =!= "VIEW")
       .filter(!col("table_schema").isin("pg_catalog", "information_schema"))
+    val filtered =
+      if (schemas.include.nonEmpty)
+        base.filter(lower(col("table_schema")).isin(schemas.include.map(_.toLowerCase): _*))
+      else if (schemas.exclude.nonEmpty)
+        base.filter(!lower(col("table_schema")).isin(schemas.exclude.map(_.toLowerCase): _*))
+      else base
+    filtered
       .select(concat_ws(".", col("table_schema"), col("table_name")).as[String])
       .collect().toSeq.sorted
   }
@@ -138,8 +175,15 @@ case class JdbcTarget(name: String, url: String,
       .toSeq
   }
 
+  /** Data reads quote each identifier part: discovery returns PHYSICAL
+    * catalog case (`APP.VERIFYME` from Derby, `public.verifyme` from PG), and
+    * only a quoted reference reads back a table whose physical name is not
+    * the engine's unquoted-identifier fold (e.g. a lowercase quoted table in
+    * Derby). Catalog reads stay unquoted — `information_schema` is itself an
+    * unquoted name.
+    */
   override def read(spark: SparkSession, table: String): DataFrame =
-    readTable(spark, table)
+    readTable(spark, table.split("\\.").map(p => "\"" + p + "\"").mkString("."))
 }
 
 /** Static catalog for the driver's fixture tables (TESTDATA.md): primary keys

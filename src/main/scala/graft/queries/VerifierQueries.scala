@@ -93,6 +93,12 @@ object VerifierQueries {
   private val reportModes = TestModes.All
   private val reportCfg = cfg.copy(bookendLimit = 100)
 
+  /** The PG-singular fixed-width `--tz-precision` units added in round 4
+    * (micro/milli/seconds are already exercised by every other pv_* query),
+    * sorted for a deterministic result frame.
+    */
+  private val TzUnits = Seq("day", "hour", "minute", "second", "week")
+
   val entries: Map[String, QueryEntry] = Map(
 
     // A3 merged report: two identical targets agree on every cell
@@ -212,6 +218,25 @@ object VerifierQueries {
       fn = (spark, sfDir) =>
         digestDf(spark, sfDir, Seq("orders", "lineitem", "events"), TestModes.Bookend, cfg.copy(bookendLimit = 100)),
       oracle = Some(digestSql(Seq("orders", "lineitem", "events"), TestModes.Bookend, cfg.copy(bookendLimit = 100)))),
+
+    // full --tz-precision surface (reference passes the unit straight into
+    // date_trunc, /root/reference/column.go:28): every fixed-width PG unit
+    // digested over the timestamp-bearing events table, one cheap bookend
+    // fingerprint per unit — a per-unit cross-engine parity check, including
+    // week's Monday (non-epoch) anchor
+    "pv_tz_units" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import spark.implicits._
+        val target = ParquetTarget("t", sfDir)
+        TzUnits.map { u =>
+          (u, Fingerprints.runMode(TestModes.Bookend, target.read(spark, "events"),
+            spec("events"), reportCfg.copy(tsPrecision = u)))
+        }.toDF("unit", "fingerprint")
+      },
+      oracle = Some(TzUnits.map { u =>
+        s"SELECT '$u' AS unit, " +
+          s"${OracleSql.bookend("events", spec("events"), reportCfg.copy(tsPrecision = u))} AS fingerprint"
+      }.mkString("", " UNION ALL ", " ORDER BY unit"))),
 
     // P7+J2 sparse mode (signed 64-bit MD5 sample)
     "pv_sparse" -> QueryEntry(

@@ -48,6 +48,44 @@ class CanonSpec extends SparkSpec {
     assert(canonAt("seconds").endsWith("000000"))
   }
 
+  test("coarse precision units: minute/hour/day fold onto epoch-aligned grids") {
+    // 2020-01-01T01:02:03.456789Z = 1577840523456789 us
+    val df = Seq(Timestamp.valueOf("2020-01-01 01:02:03.456789")).toDF("t")
+    def canonAt(p: String) =
+      df.select(Canon.canonCol(col("t"), TimestampType, p)).as[String].head()
+    assert(canonAt("second") == "1577840523000000") // PG-singular synonym
+    assert(canonAt("minute") == "1577840520000000") // 01:02:00
+    assert(canonAt("hour")   == "1577840400000000") // 01:00:00
+    assert(canonAt("day")    == "1577836800000000") // 2020-01-01T00:00Z
+  }
+
+  test("week truncation anchors at Monday, not the (Thursday) epoch") {
+    // 2020-01-01 was a Wednesday; its PG date_trunc('week') is Monday
+    // 2019-12-30T00:00Z = 1577664000000000 us
+    val df = Seq(Timestamp.valueOf("2020-01-01 01:02:03.456789")).toDF("t")
+    val canon = df.select(Canon.canonCol(col("t"), TimestampType, "week")).as[String].head()
+    assert(canon == "1577664000000000", canon)
+    // epoch itself folds BACK to Monday 1969-12-29, proving the anchor offset
+    val epoch = Seq(new Timestamp(0L)).toDF("t")
+      .select(Canon.canonCol(col("t"), TimestampType, "week")).as[String].head()
+    assert(epoch == "-259200000000", epoch)
+  }
+
+  test("unknown precision unit fails fast with the supported list") {
+    val e = intercept[IllegalArgumentException] {
+      Seq(new Timestamp(0L)).toDF("t")
+        .select(Canon.canonCol(col("t"), TimestampType, "fortnight"))
+    }
+    assert(e.getMessage.contains("fortnight") && e.getMessage.contains("week"))
+  }
+
+  test("hash column order is case-insensitive (heterogeneous-casing parity)") {
+    // exact-case ASCII sort would order AB_C/ABD differently from ab_c/abd
+    // ('_' = 0x5f sits between the uppercase and lowercase ranges)
+    assert(Canon.hashColumnOrder(Seq("ABD", "AB_C")) == Seq("AB_C", "ABD"))
+    assert(Canon.hashColumnOrder(Seq("abd", "ab_c")) == Seq("ab_c", "abd"))
+  }
+
   test("pre-1970 timestamps truncate by floor, matching the oracle's floor-mod") {
     // 1969-12-31 23:59:59.9995 = -500us; ms-floor -> -1000us (not -0 or -500)
     val df = Seq(new Timestamp(-1L)).toDF("t") // -1 ms = -1000 us

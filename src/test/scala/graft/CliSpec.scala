@@ -96,7 +96,57 @@ class CliSpec extends SparkSpec {
     val sw = new StringWriter()
     val code = Cli.run(spark, cfg, sw)
     assert(code == 0, sw.toString)
-    assert(sw.toString.contains("APP.VERIFYME") && !sw.toString.contains("(err)"))
+    val out = sw.toString
+    // real schema names in the report, split from the catalog key (not "main")
+    assert(out.contains("| APP") && out.contains("VERIFYME"), out)
+    assert(out.contains("| OTHER") && out.contains("EXTRA"), out)
+    assert(!out.contains("APP.VERIFYME") && !out.contains("(err)"), out)
+  }
+
+  test("heterogeneous identifier casing: Derby-uppercase vs quoted-lowercase targets agree") {
+    val jdbc = new JdbcSpec {}
+    jdbc.ensureDb(); jdbc.ensureLowercaseDb()
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    // per-target discovery binds each side's own physical casing (PK `ID` on
+    // one target, `id` on the other); the comparison keys line up
+    // case-insensitively, so identical data verifies clean
+    val cfg = Cli.parse(Seq("--tests", "full,rowcount", "--include-tables", "verifyme",
+      "--aliases", "upper,lower", url, jdbc.lcUrl)).toOption.get
+    val sw = new StringWriter()
+    val code = Cli.run(spark, cfg, sw)
+    assert(code == 0, sw.toString)
+    val out = sw.toString
+    assert(out.contains("VERIFYME") && out.contains("verifyme"), out)
+    assert(!out.contains("(err)"), out)
+  }
+
+  test("--include-schemas/--exclude-schemas are applied at discovery") {
+    // parquet targets carry the implicit schema `main`: including it is a
+    // no-op, excluding it empties the catalog (fail-fast, S6)
+    val okCfg = Cli.parse(Seq("--tests", "rowcount", "--include-schemas", "main",
+      "--include-tables", "region", sfDir, sfDir)).toOption.get
+    val sw = new StringWriter()
+    assert(Cli.run(spark, okCfg, sw) == 0, sw.toString)
+    val badCfg = Cli.parse(Seq("--tests", "rowcount", "--exclude-schemas", "main",
+      sfDir, sfDir)).toOption.get
+    val e = intercept[IllegalStateException](Cli.run(spark, badCfg, new StringWriter()))
+    assert(e.getMessage.contains("no tables"))
+  }
+
+  test("flag parsing robustness: --flag=value, unknown flags, malformed ints, bad tz unit") {
+    // --flag=value splits like the reference's cobra parser
+    val eq = Cli.parse(Seq("--tests=rowcount", "--bookend-limit=7", "/d")).toOption.get
+    assert(eq.tests == Seq(TestModes.RowCount) && eq.bookendLimit == 7)
+    // unknown single-dash tokens are flags-gone-wrong, not targets
+    assert(Cli.parse(Seq("-x", "/d")).swap.exists(_.contains("unknown flag: -x")))
+    // malformed numerics are usage errors, not NumberFormatException traces
+    assert(Cli.parse(Seq("--bookend-limit", "abc", "/d")).swap.exists(_.contains("invalid argument")))
+    assert(Cli.parse(Seq("--sparse-mod", "ten", "/d")).swap.exists(_.contains("invalid argument")))
+    // unknown tz-precision units rejected at parse time with the options list
+    assert(Cli.parse(Seq("--tz-precision", "fortnight", "/d"))
+      .swap.exists(m => m.contains("invalid --tz-precision") && m.contains("week")))
+    // the new PG-singular units parse
+    assert(Cli.parse(Seq("--tz-precision", "day", "/d")).isRight)
   }
 
   test("CLI exits 1 when targets disagree (different scale factors)") {

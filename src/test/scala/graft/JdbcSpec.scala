@@ -5,7 +5,7 @@ import java.sql.DriverManager
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-import graft.core.{Fingerprints, JdbcTarget, TableSpec, TestModes, VerifyConfig}
+import graft.core.{Fingerprints, JdbcTarget, SchemaFilter, TableSpec, TestModes, VerifyConfig}
 
 /** Live-JDBC exercise of [[JdbcTarget]] against an embedded Derby database
   * (Spark ships the Derby jars for its Hive metastore, so no extra
@@ -38,11 +38,16 @@ class JdbcSpec extends SparkSpec {
     def exec(sql: String): Unit = st.execute(sql)
     exec("CREATE TABLE verifyme (id INT NOT NULL PRIMARY KEY, name VARCHAR(64), amount DOUBLE)")
     exec("INSERT INTO verifyme VALUES (2, 'beta', 12.5), (1, 'alpha', 3.25), (3, NULL, 100.0)")
+    // a second user schema, for the --include/--exclude-schemas surface
+    exec("CREATE SCHEMA other")
+    exec("CREATE TABLE other.extra (xid INT NOT NULL PRIMARY KEY, note VARCHAR(64))")
+    exec("INSERT INTO other.extra VALUES (1, 'aux')")
     exec("CREATE SCHEMA information_schema")
     exec("CREATE TABLE information_schema.tables " +
       "(table_schema VARCHAR(128), table_name VARCHAR(128), table_type VARCHAR(32))")
     exec("INSERT INTO information_schema.tables VALUES " +
       "('APP', 'VERIFYME', 'BASE TABLE'), " +
+      "('OTHER', 'EXTRA', 'BASE TABLE'), " +
       "('APP', 'SOMEVIEW', 'VIEW'), " + // excluded: views (P4)
       "('pg_catalog', 'pg_class', 'BASE TABLE')") // excluded: system schema
     exec("CREATE TABLE information_schema.columns (column_name VARCHAR(128), " +
@@ -52,15 +57,19 @@ class JdbcSpec extends SparkSpec {
       "('id', 'integer', 'APP', 'VERIFYME', 'NEVER'), " +
       "('name', 'character varying', 'APP', 'VERIFYME', 'NEVER'), " +
       "('amount', 'double precision', 'APP', 'VERIFYME', 'NEVER'), " +
-      "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS')") // excluded: P5
+      "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS'), " + // excluded: P5
+      "('xid', 'integer', 'OTHER', 'EXTRA', 'NEVER'), " +
+      "('note', 'character varying', 'OTHER', 'EXTRA', 'NEVER')")
     exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
       "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
     exec("INSERT INTO information_schema.key_column_usage VALUES " +
-      "('id', 'APP', 'VERIFYME', 'verifyme_pkey')")
+      "('id', 'APP', 'VERIFYME', 'verifyme_pkey'), " +
+      "('xid', 'OTHER', 'EXTRA', 'extra_pkey')")
     exec("CREATE TABLE information_schema.table_constraints " +
       "(constraint_name VARCHAR(128), constraint_type VARCHAR(32))")
     exec("INSERT INTO information_schema.table_constraints VALUES " +
-      "('verifyme_pkey', 'PRIMARY KEY')")
+      "('verifyme_pkey', 'PRIMARY KEY'), " +
+      "('extra_pkey', 'PRIMARY KEY')")
     st.close()
   }
 
@@ -69,8 +78,59 @@ class JdbcSpec extends SparkSpec {
   /** Idempotent database setup, shared with CliSpec's live-JDBC CLI test. */
   def ensureDb(): Unit = db
 
+  /** A second Derby database holding the SAME logical data under
+    * quoted-LOWERCASE identifiers — the heterogeneous-casing counterpart
+    * (PG lowercases unquoted identifiers where Derby uppercases them; a
+    * Derby+PG pair is exactly this shape). Its catalog mirror reports the
+    * physical lowercase names, like PG's information_schema would.
+    */
+  val lcUrl = "jdbc:derby:memory:graftdb_lc;create=true"
+
+  private lazy val lcDb: Unit = {
+    val conn = DriverManager.getConnection(lcUrl)
+    if (!conn.getMetaData.getTables(null, "APP", "verifyme", null).next()) {
+      val st = conn.createStatement()
+      def exec(sql: String): Unit = st.execute(sql)
+      exec("""CREATE TABLE "verifyme" ("id" INT NOT NULL PRIMARY KEY, """ +
+        """"name" VARCHAR(64), "amount" DOUBLE)""")
+      exec("""INSERT INTO "verifyme" VALUES (2, 'beta', 12.5), (1, 'alpha', 3.25), (3, NULL, 100.0)""")
+      exec("CREATE SCHEMA information_schema")
+      exec("CREATE TABLE information_schema.tables " +
+        "(table_schema VARCHAR(128), table_name VARCHAR(128), table_type VARCHAR(32))")
+      exec("INSERT INTO information_schema.tables VALUES ('APP', 'verifyme', 'BASE TABLE')")
+      exec("CREATE TABLE information_schema.columns (column_name VARCHAR(128), " +
+        "data_type VARCHAR(64), table_schema VARCHAR(128), table_name VARCHAR(128), " +
+        "is_generated VARCHAR(16))")
+      exec("INSERT INTO information_schema.columns VALUES " +
+        "('id', 'integer', 'APP', 'verifyme', 'NEVER'), " +
+        "('name', 'character varying', 'APP', 'verifyme', 'NEVER'), " +
+        "('amount', 'double precision', 'APP', 'verifyme', 'NEVER')")
+      exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
+        "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
+      exec("INSERT INTO information_schema.key_column_usage VALUES " +
+        "('id', 'APP', 'verifyme', 'verifyme_pkey')")
+      exec("CREATE TABLE information_schema.table_constraints " +
+        "(constraint_name VARCHAR(128), constraint_type VARCHAR(32))")
+      exec("INSERT INTO information_schema.table_constraints VALUES ('verifyme_pkey', 'PRIMARY KEY')")
+      st.close()
+    }
+    conn.close()
+  }
+
+  /** Idempotent setup of the quoted-lowercase twin database. */
+  def ensureLowercaseDb(): Unit = lcDb
+
   test("S1: JDBC catalog scan lists base tables, excluding views and system schemas") {
-    assert(target.tables(spark) == Seq("APP.VERIFYME"))
+    assert(target.tables(spark) == Seq("APP.VERIFYME", "OTHER.EXTRA"))
+  }
+
+  test("schema filters apply in the catalog scan itself (query.go:25-50)") {
+    // include wins, case-insensitive (user types lowercase, Derby says OTHER)
+    assert(target.tables(spark, SchemaFilter(include = Seq("other"))) == Seq("OTHER.EXTRA"))
+    assert(target.tables(spark, SchemaFilter(exclude = Seq("other"))) == Seq("APP.VERIFYME"))
+    // include wins over exclude, same as tables/columns
+    assert(target.tables(spark,
+      SchemaFilter(include = Seq("APP"), exclude = Seq("APP"))) == Seq("APP.VERIFYME"))
   }
 
   test("S2+J1+P5: live column discovery joins catalog tables and drops generated columns") {
