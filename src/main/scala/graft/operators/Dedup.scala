@@ -69,29 +69,63 @@ object MinHashLSH {
     s"list_transform(generate_series(0, ${numBands - 1}), " +
       s"b -> md5(array_to_string(list_slice($sigSql, b*$rowsPerBand + 1, b*$rowsPerBand + $rowsPerBand), '|')))"
 
-  /** Candidate pairs (a < b) with estimated Jaccard = matching signature
-    * positions / numPerm. `df` must have an id column and a text column.
+  // The signature frames persist(): the expensive shingle+signature
+  // expressions must compute exactly once per row — without the barrier
+  // Catalyst inlines them into downstream join predicates and re-evaluates
+  // per comparison (measured: minutes instead of seconds at sf0.1). The
+  // repartition in shingleFrame spreads per-row CPU across cores: a single
+  // parquet file otherwise plans as one partition.
+
+  /** Persisted `(id, sh)` stage for pipelines where shingles feed BOTH
+    * candidate generation and exact verification — one tokenize+shingle pass
+    * over the corpus instead of two (the r3 `dedup_ngram_jaccard` cost).
+    * Always persisted: an UNPERSISTED attribute-explode over this frame
+    * triggers the InferFiltersFromGenerate recompute hazard documented on
+    * [[signatures]].
     */
-  /** Materialized (id, sig) signatures: the expensive shingle+signature
-    * expressions are computed exactly once per row behind a persist() barrier
-    * — without it Catalyst inlines them into downstream join predicates and
-    * re-evaluates per comparison (measured: minutes instead of seconds at
-    * sf0.1). The repartition spreads per-row CPU across cores: a single
-    * parquet file otherwise plans as one partition.
-    */
-  def signatures(df: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int, numPerm: Int): DataFrame = {
-    // explode + codegen'd hash-aggregate instead of the per-row HOF
-    // [[signature]]: HOFs evaluate interpreted (closure per element); the
-    // exploded form runs inside whole-stage codegen with map-side partial
-    // min — measured ~4x faster at sf0.1. The numPerm/4 MD5 hex strings are
-    // staged as named columns so each digest is computed exactly once per
-    // shingle (not relying on codegen CSE across the 4 lanes that read it).
-    val nMd5 = laneCount(numPerm)
-    val exploded = graft.core.Readers.spread(
+  def shingled(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    graft.core.Readers.spread(
       df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
       .withColumn("tk", tokens(col("text")))
-      .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("s"))
+      .select(col("id"), shinglesFromTokens(col("tk"), shingleN).as("sh"))
+      .persist()
+
+  /** Text-input signatures keep the shingle expression INLINE in the
+    * generator (NOT routed through [[shingleFrame]] + an attribute explode):
+    * exploding an attribute triggers Catalyst's InferFiltersFromGenerate,
+    * which synthesizes `size(sh) > 0 AND isnotnull(sh)` and pushes it below
+    * the repartition with the full tokenize+shingle expression substituted
+    * back in — every input row then computes the shingle pipeline 2-3x
+    * (measured r4: corpus_curated 4 s → ≥15 s). With the inline generator no
+    * filter is inferred and shingles compute exactly once per row.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, numPerm: Int): DataFrame =
+    signatureAgg(
+      graft.core.Readers.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
+        .withColumn("tk", tokens(col("text")))
+        .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("s")),
+      numPerm)
+
+  /** Signatures from a PERSISTED `(id, sh)` frame (see [[shingled]]). Here
+    * the attribute explode's inferred filter is harmless — it reads the
+    * materialized array from the cache, not the recomputed pipeline.
+    */
+  def signaturesFromShingles(shingled: DataFrame, numPerm: Int): DataFrame =
+    signatureAgg(shingled.select(col("id"), explode(col("sh")).as("s")), numPerm)
+
+  /** Explode + codegen'd hash-aggregate over `(id, s)` shingle rows instead
+    * of the per-row HOF [[signature]]: HOFs evaluate interpreted (closure per
+    * element); the exploded form runs inside whole-stage codegen with
+    * map-side partial min — measured ~4x faster at sf0.1. The numPerm/4 MD5
+    * hex strings are staged as named columns so each digest is computed
+    * exactly once per shingle (not relying on codegen CSE across the 4 lanes
+    * that read it).
+    */
+  private def signatureAgg(exploded0: DataFrame, numPerm: Int): DataFrame = {
+    val nMd5 = laneCount(numPerm)
+    val exploded = exploded0
       .select(col("id") +: (0 until nMd5).map(q =>
         md5(concat(lit(q.toString), lit(":"), col("s"))).as(s"h$q")): _*)
     val mins = (0 until numPerm).map(p =>
@@ -104,11 +138,19 @@ object MinHashLSH {
   }
 
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int, numPerm: Int, numBands: Int): DataFrame = {
+                     shingleN: Int, numPerm: Int, numBands: Int): DataFrame =
+    candidatePairsFromSigs(
+      signatures(df, idCol, textCol, shingleN, numPerm), numPerm, numBands)
+
+  /** Candidate pairs from a pre-staged `(id, sh)` frame (see [[shingled]]). */
+  def candidatePairsFromShingles(shingled: DataFrame, numPerm: Int, numBands: Int): DataFrame =
+    candidatePairsFromSigs(signaturesFromShingles(shingled, numPerm), numPerm, numBands)
+
+  private def candidatePairsFromSigs(sigsIn: DataFrame, numPerm: Int, numBands: Int): DataFrame = {
     require(numPerm % numBands == 0,
       s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
     val rowsPerBand = numPerm / numBands
-    val sigs = signatures(df, idCol, textCol, shingleN, numPerm)
+    val sigs = sigsIn
       .withColumn("bands", bandHashes(col("sig"), numBands, rowsPerBand))
       .persist()
     // narrow band relation: only (id, band_idx, band_hash) shuffles
@@ -255,6 +297,8 @@ object SimHash {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         bit_count(expr("x.sh ^ y.sh")).cast("long").as("hamming")).distinct()
       .filter(col("hamming") <= MaxHamming)
-      .orderBy("doc_a", "doc_b")
+    // no output sort here (same policy as candidatePairs): a global sort of
+    // the pair set is pure waste for downstream consumers like clustering —
+    // the registered query adds its own deterministic orderBy
   }
 }

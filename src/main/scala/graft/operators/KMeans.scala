@@ -37,6 +37,15 @@ object KMeans {
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
+  /** Row count above which the ordered-fold mean auto-degrades to native
+    * `avg` (mirrors `VerifyConfig.fullModeRowLimit`): the ordered fold's
+    * `collect_list` buffers every member value of a (centroid, pos) cell in
+    * one aggregation buffer — memory ∝ cluster size, and the worst-case
+    * cluster size is the input row count. 10M doubles ≈ 80 MB per buffer,
+    * the same bound [[DedupClusters]] uses for its driver-side union-find.
+    */
+  val OrderedFoldRowLimit: Long = 10000000L
+
   /** Per-centroid element-wise mean with a deterministic fold order: member
     * values sorted by vec_id, summed sequentially in double. Centroids whose
     * cluster empties drop out (both engines agree by construction).
@@ -56,11 +65,44 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
         .as("cv"))
 
-  /** `iters` Lloyd iterations; returns (cent_id, cv). */
-  def train(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+  /** Scale-path mean: native codegen `avg` per (centroid, pos) — constant
+    * aggregation memory, partition-order summation (ulp drift vs the ordered
+    * fold, irrelevant when no cross-engine oracle must agree). The final
+    * reassembly `collect_list` holds only `dims` elements per centroid.
+    */
+  def meanCentroidsAvg(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
+        .as("cv"))
+
+  /** Guarded mean: ordered fold (oracle parity) under the row limit, native
+    * `avg` above it. `nRows` is the input vector count — the worst-case
+    * cluster size — so no extra pass over the (expensive) assignment is
+    * needed to probe actual cluster sizes.
+    */
+  def meanCentroidsGuarded(assigned: DataFrame, nRows: Long,
+                           limit: Long = OrderedFoldRowLimit): DataFrame =
+    if (nRows > limit) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"k-means: $nRows vectors > orderedFoldRowLimit=$limit; " +
+          "switching ordered-fold means to native avg (no bit-parity)")
+      meanCentroidsAvg(assigned)
+    } else meanCentroids(assigned)
+
+  /** `iters` Lloyd iterations; returns (cent_id, cv). One input count probes
+    * the guard; the switch applies to every iteration identically.
+    */
+  def train(vectors: DataFrame, k: Int, iters: Int,
+            orderedFoldLimit: Long = OrderedFoldRowLimit): DataFrame = {
+    val n = vectors.count()
     (1 to iters).foldLeft(initCentroids(vectors, k)) { (cent, _) =>
-      meanCentroids(assign(vectors, cent))
+      meanCentroidsGuarded(assign(vectors, cent), n, orderedFoldLimit)
     }
+  }
 
   /** Training summary for the registered query: final cluster sizes and
     * floor-scaled centroid norms, one row per surviving centroid.

@@ -43,18 +43,15 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", ShingleN, NumPerm, NumBands)
+        // ONE persisted tokenize+shingle pass feeds both the LSH signature
+        // pipeline and the exact-Jaccard verification joins (r3 ran the
+        // shingle pass twice — once inside candidatePairs, once here)
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
           .select("doc_a", "doc_b")
-        // shingle sets materialized once (persist barrier) — both pair sides
-        // join against this, and inlining would re-shingle per comparison
-        val sh = Readers.spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
-          .withColumn("tk", graft.operators.TextAnalysis.tokens(col("text")))
-          .select(col("doc_id"),
-            graft.operators.TextAnalysis.shinglesFromTokens(col("tk"), ShingleN).as("sh"))
-          .persist()
         pairs
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -74,7 +71,7 @@ object DedupQueries {
            ORDER BY doc_a, doc_b"""
       )),
 
-    // per-document 32-bit SimHash signatures
+    // per-document 64-bit SimHash signatures
     "dedup_simhash" -> QueryEntry(
       fn = (spark, sfDir) => {
         SimHash.simhashDf(Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
@@ -90,7 +87,9 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         val withSh = SimHash.simhashDf(
           Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
-        SimHash.nearPairs(withSh, "id", "simhash")
+        // deterministic output order lives HERE, not in the operator — a
+        // global sort of the pair set would be waste for other consumers
+        SimHash.nearPairs(withSh, "id", "simhash").orderBy("doc_a", "doc_b")
       },
       oracle = Some(
         s"""WITH sh AS (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents)

@@ -45,4 +45,18 @@ class PlanSpec extends SparkSpec {
   test("similarity top-k broadcasts the query side") {
     assert(physicalPlan("sim_topk").contains("Broadcast"))
   }
+
+  test("pair-generating operators carry no global sort (ordering is the query's job)") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    import graft.operators.{MinHashLSH, SimHash}
+    val docs = Readers.fixture(spark, sfDir, "documents").limit(200)
+    val lshPlan = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!lshPlan.contains("Sort "), lshPlan.linesIterator.take(10).mkString("\n"))
+    val simPlan = SimHash.nearPairs(
+      SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
+      .queryExecution.optimizedPlan.toString
+    assert(!simPlan.contains("Sort "), simPlan.linesIterator.take(10).mkString("\n"))
+  }
 }

@@ -77,5 +77,30 @@ class ScaleSpec extends SparkSpec {
     assert(degraded == Fingerprints.merkleDigest(orders, spec, small, buckets = 16))
     assert(exact == Fingerprints.fullDigest(orders, spec, big))
     assert(degraded != exact)
+    // the single-mode path degrades IDENTICALLY to the multi-mode path: the
+    // same VerifyConfig must never yield different "full" outputs depending
+    // on call path (fullDigest is what runMode and the pv_report_* single-mode
+    // dispatch hit)
+    assert(Fingerprints.fullDigest(orders, spec, small) == degraded)
+    assert(Fingerprints.runMode(TestModes.Full, orders, spec, small) == degraded)
+  }
+
+  test("k-means ordered-fold mean auto-degrades to native avg above the row limit") {
+    import graft.operators.KMeans
+    val emb = Readers.fixture(spark, sfDir, "embeddings")
+    val assigned = KMeans.assign(emb, KMeans.initCentroids(emb, 4)).persist()
+    try {
+      def collectCv(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val guarded = collectCv(KMeans.meanCentroidsGuarded(assigned, nRows = emb.count(), limit = 1L))
+      val viaAvg = collectCv(KMeans.meanCentroidsAvg(assigned))
+      val fold = collectCv(KMeans.meanCentroids(assigned))
+      // past the limit the output IS the native-avg variant...
+      assert(guarded == viaAvg)
+      // ...and numerically equivalent to the parity fold (ulp-level drift only)
+      assert(guarded.keySet == fold.keySet)
+      for ((k, vs) <- guarded; (v, f) <- vs.zip(fold(k)))
+        assert(math.abs(v - f) <= 1e-9 * math.max(1.0, math.abs(f)), s"cent $k: $v vs $f")
+    } finally assigned.unpersist(blocking = false)
   }
 }
