@@ -58,6 +58,45 @@ object CorpusQueries {
            WHERE ${Corpus.duckStratifiedKeep("doc_id", "lang", SampleRates, DefaultRate)}
            ORDER BY doc_id""")),
 
+    // eval-set decontamination: drop training documents sharing ANY word
+    // trigram with a held-out "benchmark" slice (doc_id % 100 == 7 stands in
+    // for the eval suite). The eval shingle set is tiny relative to the
+    // corpus, so it BROADCASTS — at 100 TB the train side stays a scan +
+    // broadcast semi-join, no big shuffle. Generators stay inline (see
+    // MinHashLSH.signatures)
+    "corpus_decontaminate" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val isEval = col("doc_id") % 100 === 7
+        val evalShingles = docs.filter(isEval)
+          .withColumn("tk", tokens(col("text")))
+          .select(explode(shinglesFromTokens(col("tk"), 3)).as("shingle"))
+          .distinct()
+        val trainShingles = Readers.spread(docs.filter(!isEval), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+          .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), 3)).as("shingle"))
+        val contaminated = trainShingles
+          .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+          .select("doc_id").distinct()
+        docs.filter(!isEval)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckShinglesExpr, duckTokens}
+        s"""WITH toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM documents),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
+           train_sh AS (SELECT id, unnest(sh) AS shingle FROM shs WHERE id % 100 <> 7),
+           contaminated AS (SELECT DISTINCT id FROM train_sh
+                            WHERE shingle IN (SELECT shingle FROM eval_sh))
+           SELECT doc_id, lang FROM documents
+           WHERE doc_id % 100 <> 7 AND doc_id NOT IN (SELECT id FROM contaminated)
+           ORDER BY doc_id"""
+      }),
+
     // regex cleaning: redact emails and long digit runs; hash the cleaned
     // text (not the text itself) to keep the compared output narrow
     "text_redact" -> QueryEntry(

@@ -97,6 +97,63 @@ object TextQueries {
              CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_pieces
            FROM documents ORDER BY doc_id""")),
 
+    // repetition signals (the Gopher-style quality filters): duplicate
+    // shingle fraction + most-frequent-token mass per document. Pure per-row
+    // expressions; the token array is staged as a column so the HOF lambdas
+    // reference an attribute, not a re-evaluated split()
+    "text_repetition" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val tk = col("tk")
+        // total 3-gram count mirrors shinglesFromTokens' short-doc fallback
+        val totalGrams = when(size(tk) >= 3, size(tk) - 2).otherwise(lit(1))
+        val distinctGrams = size(shinglesFromTokens(tk, 3))
+        val topTokenCount = array_max(
+          transform(array_distinct(tk), t => size(filter(tk, x => x === t))))
+        docs.select(
+          col("doc_id"),
+          totalGrams.cast("long").as("n_grams"),
+          distinctGrams.cast("long").as("n_distinct_grams"),
+          (lit(1.0) - distinctGrams.cast("double") / totalGrams).as("dup_gram_ratio"),
+          (topTokenCount.cast("double") / size(tk)).as("top_token_ratio")
+        ).orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents)
+           SELECT doc_id,
+             CAST(CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS BIGINT) AS n_grams,
+             CAST(len(${duckShinglesExpr("tk", 3)}) AS BIGINT) AS n_distinct_grams,
+             1.0 - CAST(len(${duckShinglesExpr("tk", 3)}) AS DOUBLE)
+               / CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS dup_gram_ratio,
+             CAST(list_max(list_transform(list_distinct(tk),
+               t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / len(tk) AS top_token_ratio
+           FROM toks ORDER BY doc_id"""
+      }),
+
+    // corpus-wide top-20 trigrams by document frequency (contamination /
+    // boilerplate analysis): explode per-doc DISTINCT shingles (generator
+    // kept inline — see MinHashLSH.signatures), map-side partial count,
+    // TakeOrdered top-k — one narrow shuffle at any corpus size
+    "text_topngrams" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+          .select(explode(shinglesFromTokens(col("tk"), 3)).as("shingle"))
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("shingle").asc)
+          .limit(20)
+      },
+      oracle = Some(
+        s"""WITH toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM documents),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           ex AS (SELECT unnest(sh) AS shingle FROM shs)
+           SELECT shingle, count(*) AS df FROM ex
+           GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 20""")),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {

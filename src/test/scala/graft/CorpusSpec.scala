@@ -34,6 +34,37 @@ class CorpusSpec extends SparkSpec {
     assert(enKept > 0 && math.abs(enKept.toDouble / en - 0.5) < 0.25)
   }
 
+  test("decontamination output excludes the eval slice and contaminated train docs") {
+    import scala.jdk.CollectionConverters._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val out = SparkEntry.queries("corpus_decontaminate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalIds = docs.filter(col("doc_id") % 100 === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.intersect(evalIds).isEmpty, "eval docs must never appear in the clean corpus")
+    assert(out.subsetOf(allIds -- evalIds))
+    // an exact duplicate of an eval doc is by definition contaminated: plant
+    // one by checking any eval text that also appears under a train id
+    val evalTexts = docs.filter(col("doc_id") % 100 === 7).select("text")
+      .collect().map(_.getString(0)).toSet
+    val dupTrainIds = docs.filter(col("doc_id") % 100 =!= 7)
+      .filter(col("text").isin(evalTexts.toSeq: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupTrainIds.intersect(out).isEmpty, "exact duplicates of eval docs must be dropped")
+  }
+
+  test("repetition signals stay in their mathematical ranges") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_gram_ratio")
+      val top = r.getAs[Double]("top_token_ratio")
+      assert(dup >= 0.0 && dup < 1.0, s"dup_gram_ratio $dup")
+      assert(top > 0.0 && top <= 1.0, s"top_token_ratio $top")
+    }
+  }
+
   test("k-means: every vector lands in a surviving cluster; centroids refine") {
     val vecs = Readers.fixture(spark, sfDir, "embeddings")
     val n = vecs.count()

@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("sim_topk").contains("Broadcast"))
   }
 
+  test("decontamination broadcasts the eval shingle set (no big-side shuffle)") {
+    assert(physicalPlan("corpus_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("top-ngrams plans the top-20 as TakeOrderedAndProject, not a global sort") {
+    assert(physicalPlan("text_topngrams").contains("TakeOrderedAndProject"))
+  }
+
   test("pair-generating operators carry no global sort (ordering is the query's job)") {
     import org.apache.spark.sql.functions.col
     import graft.core.Readers
