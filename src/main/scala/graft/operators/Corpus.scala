@@ -63,4 +63,27 @@ object Corpus {
     val h = OracleSql.signedMd564(s"CAST($idSql AS VARCHAR)")
     s"(($h % ($rate) + ($rate)) % ($rate)) = 0"
   }
+
+  /** Eval-set decontamination: ids of `train` documents sharing ANY word
+    * n-gram shingle with the (small) `eval` corpus. The eval shingle set is
+    * broadcast — at corpus scale (100 TB train, MB-scale benchmark suites)
+    * the train side stays a scan + broadcast left-semi join with no large
+    * shuffle; the output is the (tiny) contaminated-id set for an anti-join.
+    * Generators stay inline per the InferFiltersFromGenerate note on
+    * [[MinHashLSH.signatures]].
+    */
+  def contaminatedIds(train: org.apache.spark.sql.DataFrame,
+                      eval: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String, shingleN: Int): org.apache.spark.sql.DataFrame = {
+    import TextAnalysis.{shinglesFromTokens, tokens}
+    val evalShingles = eval
+      .withColumn("tk", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+      .distinct()
+    graft.core.Readers.spread(train, col(idCol))
+      .withColumn("tk", tokens(col(textCol)))
+      .select(col(idCol), explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

@@ -119,6 +119,12 @@ object AnalyticsQueries {
     "q_quantiles" -> QueryEntry(
       fn = (spark, sfDir) => {
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        // exact `percentile` buffers each group's values (memory ∝ group
+        // size) — parity-bound choice: DuckDB's quantile_cont is also exact,
+        // so the oracle can compare values bit-for-bit. The 100 TB swap is
+        // `approx_percentile` (t-digest sketch, constant memory, mergeable
+        // map-side) — not used here ONLY because sketches aren't
+        // cross-engine comparable; same degrade pattern as fullModeRowLimit.
         li.groupBy(col("l_returnflag"))
           .agg(
             expr("percentile(l_extendedprice, 0.5)").as("p50_price"),

@@ -66,19 +66,10 @@ object CorpusQueries {
     // MinHashLSH.signatures)
     "corpus_decontaminate" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
         val docs = Readers.fixture(spark, sfDir, "documents")
         val isEval = col("doc_id") % 100 === 7
-        val evalShingles = docs.filter(isEval)
-          .withColumn("tk", tokens(col("text")))
-          .select(explode(shinglesFromTokens(col("tk"), 3)).as("shingle"))
-          .distinct()
-        val trainShingles = Readers.spread(docs.filter(!isEval), col("doc_id"))
-          .withColumn("tk", tokens(col("text")))
-          .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), 3)).as("shingle"))
-        val contaminated = trainShingles
-          .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
-          .select("doc_id").distinct()
+        val contaminated = Corpus.contaminatedIds(
+          docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
         docs.filter(!isEval)
           .join(contaminated, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"))

@@ -49,6 +49,12 @@ object ScaleProbe {
       SimHash.nearPairs(sh, "id", "simhash").count()
     }
     println(s"[probe]   simhash pairs: $nSimPairs")
+    val nContaminated = timed("decontaminate vs eval slice") {
+      graft.operators.Corpus.contaminatedIds(
+        docs.filter(col("doc_id") % 100 =!= 7), docs.filter(col("doc_id") % 100 === 7),
+        "doc_id", "text", shingleN = 3).count()
+    }
+    println(s"[probe]   contaminated train docs: $nContaminated")
     timed("merkle fingerprint") {
       Fingerprints.merkleDigest(docs, TableSpec("documents", Seq("doc_id")),
         VerifyConfig(), buckets = 256)
