@@ -110,6 +110,10 @@ object TextQueries {
         // total 3-gram count mirrors shinglesFromTokens' short-doc fallback
         val totalGrams = when(size(tk) >= 3, size(tk) - 2).otherwise(lit(1))
         val distinctGrams = size(shinglesFromTokens(tk, 3))
+        // per-row O(distinct × n) token scan — fine under pipeline-standard
+        // document-length caps (tokens are bounded per row, not per corpus);
+        // an unbounded-document corpus would swap this for explode +
+        // count + max (linear, one narrow shuffle) at the cost of parity
         val topTokenCount = array_max(
           transform(array_distinct(tk), t => size(filter(tk, x => x === t))))
         docs.select(
