@@ -86,4 +86,36 @@ class PropertySpec extends SparkSpec {
     assert(Fingerprints.runModes(Seq(core.TestModes.Sparse), df, cspec, cfg)(core.TestModes.Sparse)
       == expected)
   }
+
+  test("full digest is invariant under column-name case (heterogeneous-target property)") {
+    // the core per-target-discovery guarantee: the SAME data published under
+    // an uppercase-folding and a lowercase-folding catalog must fingerprint
+    // identically — requires the case-insensitive hash column order AND
+    // case-aligned PK specs
+    for (rows <- samples(8)) {
+      val lower = rows.toDF("id", "s_col", "d_col")
+      val upper = rows.toDF("ID", "S_COL", "D_COL")
+      val a = Fingerprints.fullDigest(lower, TableSpec("t", Seq("id")), cfg)
+      val b = Fingerprints.fullDigest(upper, TableSpec("t", Seq("ID")), cfg)
+      assert(a == b, s"rows=$rows")
+    }
+  }
+
+  test("week truncation lands on a Monday boundary for random timestamps") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    val tsGen = Gen.choose(-4.0e15.toLong, 4.0e15.toLong) // ±~1970±127y in micros
+    val micros = (0 until 40).flatMap(i => tsGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = micros.map(us => Tuple1(new Timestamp(us / 1000))).toDF("t")
+    val canon = df.select(graft.canon.Canon.canonCol(col("t"), TimestampType, "week"))
+      .as[String].collect().map(_.toLong)
+    val week = 7L * 86400 * 1000000
+    val anchor = -259200000000L // Monday 1969-12-29T00:00Z
+    canon.zip(micros).foreach { case (tr, orig) =>
+      assert(Math.floorMod(tr - anchor, week) == 0, s"$tr not Monday-aligned")
+      val inputMs = (orig / 1000) * 1000 // Timestamp ctor keeps ms precision
+      assert(tr <= inputMs && inputMs - tr < week, s"$tr not the floor week of $inputMs")
+    }
+  }
 }
