@@ -116,6 +116,33 @@ object AnalyticsQueries {
     // approximate sketch variants — approx_percentile/approx_count_distinct —
     // use engine-specific sketches and are covered by accuracy-bound tests
     // in SketchSpec instead of an equality oracle.)
+    // ROLLUP hierarchy totals: per (flag, status), per flag, grand total in
+    // ONE pass — Spark expands grouping sets map-side (partial agg per set),
+    // so the plan is a single scan + one shuffle regardless of set count.
+    // grouping_id disambiguates rolled-up NULLs from (absent here) real NULLs
+    "q_rollup_pricing" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().cast("long").as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n"), col("gid"))
+          .orderBy("gid", "rf", "ls")
+      },
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls""")),
+
     "q_quantiles" -> QueryEntry(
       fn = (spark, sfDir) => {
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")

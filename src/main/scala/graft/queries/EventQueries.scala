@@ -17,6 +17,7 @@ import graft.core.Readers
 object EventQueries {
 
   private val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
+  private val HopUs: Long = 30L * 60 * 1000000 // sliding-window hop, 30 min
 
   /** Ordered single-file stream fixture for `ev_dedup_first_stream`,
     * materialized ONCE per (JVM, sfDir): the sort+rewrite is harness setup
@@ -122,6 +123,50 @@ object EventQueries {
                 row_number() OVER (PARTITION BY user_id, event_type
                   ORDER BY epoch_us(ts), event_id) AS rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // sliding (hopping) window: 1 h windows every 30 min — each event lands
+    // in exactly size/hop = 2 windows; one scan, one narrow shuffle on
+    // (window, type). The oracle expands the same two epoch-aligned buckets
+    // per event explicitly
+    "ev_window_sliding" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("window.start")).as("win_us"),
+            col("event_type"), col("n_events"))
+          .orderBy("win_us", "event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        wins AS (SELECT unnest([us - ((us % $HopUs + $HopUs) % $HopUs),
+                                us - ((us % $HopUs + $HopUs) % $HopUs) - $HopUs]) AS win_us,
+                        event_type FROM ev)
+        SELECT win_us, event_type, count(*) AS n_events
+        FROM wins GROUP BY win_us, event_type ORDER BY win_us, event_type""")),
+
+    // the hopping window through Structured Streaming, replayed to completion
+    "ev_window_sliding_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Files.createTempDirectory("graft-evslide")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val stream = graft.streaming.EventStreams.slidingWindow(
+          graft.streaming.EventStreams.readEvents(spark, dir.toString))
+        val result = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_slide_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        result.select(unix_micros(col("window.start")).as("win_us"),
+            col("event_type"), col("n_events"))
+          .orderBy("win_us", "event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        wins AS (SELECT unnest([us - ((us % $HopUs + $HopUs) % $HopUs),
+                                us - ((us % $HopUs + $HopUs) % $HopUs) - $HopUs]) AS win_us,
+                        event_type FROM ev)
+        SELECT win_us, event_type, count(*) AS n_events
+        FROM wins GROUP BY win_us, event_type ORDER BY win_us, event_type""")),
 
     // the same hourly window through Structured Streaming: readStream over
     // the fixture, watermark + tumbling window, replayed to completion — the

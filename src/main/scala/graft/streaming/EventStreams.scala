@@ -36,6 +36,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming twin of ev_window_sliding: hopping window (1 h size, 30 min
+    * hop) — each event contributes to size/hop = 2 overlapping windows; the
+    * state store keys on (window, event_type) exactly like the tumbling case,
+    * just 2x the groups.
+    */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Streaming twin of ev_dedup_first: stateful first-ARRIVING-event dedup.
     * `dropDuplicatesWithinWatermark` so the (user, type) state is pruned once
     * the watermark passes (plain dropDuplicates without an event-time key

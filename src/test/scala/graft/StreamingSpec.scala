@@ -35,6 +35,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("streaming sliding window equals the batch hopping aggregation") {
+    val stream = EventStreams.slidingWindow(EventStreams.readEvents(spark, streamDir))
+    val got = EventStreams.runToBatch(stream, "sliding", OutputMode.Complete)
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("n_events"))
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("n_events"))
+    assert(got.count() > 0)
+    // each event must land in exactly size/hop = 2 windows
+    assert(got.agg(sum(col("n_events"))).head().getLong(0) == 2 * batchEvents.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("streaming dedup keeps one event per (user, type)") {
     val stream = EventStreams.dedupFirst(EventStreams.readEvents(spark, streamDir))
     val got = EventStreams.runToBatch(stream, "dedup", OutputMode.Append)
