@@ -124,6 +124,14 @@ class JdbcSpec extends SparkSpec {
     assert(target.tables(spark) == Seq("APP.VERIFYME", "OTHER.EXTRA"))
   }
 
+  test("S6 fail-fast: an unreachable JDBC target aborts before any work") {
+    val dead = JdbcTarget("dead", "jdbc:derby:memory:no_such_db_exists")
+    val e = intercept[IllegalStateException] {
+      graft.core.VerifyRun.discoverTables(spark, dead, graft.core.SchemaFilter.All)
+    }
+    assert(e.getMessage.contains("unreachable") && e.getMessage.contains("dead"))
+  }
+
   test("schema filters apply in the catalog scan itself (query.go:25-50)") {
     // include wins, case-insensitive (user types lowercase, Derby says OTHER)
     assert(target.tables(spark, SchemaFilter(include = Seq("other"))) == Seq("OTHER.EXTRA"))

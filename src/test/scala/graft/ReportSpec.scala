@@ -24,6 +24,23 @@ class ReportSpec extends SparkSpec {
     assert(report.columns.toSeq == Seq("schema", "table", "target", "bookend", "full", "rowcount"))
   }
 
+  test("fan-out generalizes past pairs: 3 targets, one perturbed, only it disagrees") {
+    val targets = Seq(
+      ParquetTarget("alpha", sfDir), ParquetTarget("beta", sfDir),
+      ParquetTarget("gamma", sfDir,
+        tweaks = Map("region" -> (df => df.filter(col("r_regionkey") =!= 0)))))
+    val results = VerifyRun.run(spark, targets, Fixtures.specs, cfg, includeTables = tables)
+    assert(results.count() == tables.size * cfg.modes.size * targets.size)
+    val bad = VerifyRun.inconsistencies(results, targets.size)
+    // only region disagrees; the diff logic keys on n_outputs, not pair-ness
+    assert(bad.select("table").distinct().collect().map(_.getString(0)).toSeq == Seq("region"))
+    // the merged view shows alpha+beta on one output, gamma alone on another
+    val merged = VerifyRun.merged(results)
+      .filter(col("table") === "region" && col("mode") === TestModes.RowCount)
+    assert(merged.count() == 2)
+    assert(merged.filter(array_join(col("targets"), ",") === "alpha,beta").count() == 1)
+  }
+
   test("a perturbed target is flagged by every affected mode") {
     val perturbed = ParquetTarget("beta", sfDir,
       tweaks = Map("customer" -> (df => df.filter(col("c_custkey") =!= 1))))
