@@ -64,6 +64,58 @@ object Corpus {
     s"(($h % ($rate) + ($rate)) % ($rate)) = 0"
   }
 
+  /** Concat-and-chunk sequence packing: documents are concatenated in id
+    * order within a (stratum, shard) and chunked into fixed `seqLen`-token
+    * training sequences — the GPT-style packing step that turns a document
+    * corpus into equal-length samples. A document's sequence id is the number
+    * of whole budgets consumed before it: `floor(cumulative_tokens_before /
+    * seqLen)` (documents may straddle a boundary; the trailing partial
+    * sequence is kept, as in practice).
+    *
+    * Output: one row per (stratum, shard, seq_id) with document/token counts
+    * and the first/last packed doc id.
+    *
+    * Scale shape: the running sum is a window partitioned by (stratum,
+    * shard) — state is one counter per partition, and shards bound partition
+    * width, so packing parallelizes to `strata × shards` independent streams
+    * (exactly how production packers shard; a global single-order pack would
+    * serialize the corpus through one window partition).
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, stratumCol: String,
+                    seqLen: Int, nShards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col(stratumCol).as("stratum"),
+      (col(idCol) % nShards).as("shard"),
+      col(idCol).as("id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("stratum"), col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $seqLen"))
+      .groupBy(col("stratum"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+      .orderBy("stratum", "shard", "seq_id")
+  }
+
+  /** DuckDB twin of [[packSequences]] over the `documents` fixture. */
+  def duckPackSequences(seqLen: Int, nShards: Int): String =
+    s"""WITH base AS (SELECT lang AS stratum, doc_id % $nShards AS shard, doc_id AS id,
+                             CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tok
+                      FROM documents),
+       c AS (SELECT stratum, shard, id, n_tok,
+                    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY stratum, shard ORDER BY id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             FROM base)
+       SELECT stratum, shard, cum_before // $seqLen AS seq_id,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              min(id) AS first_doc, max(id) AS last_doc
+       FROM c GROUP BY stratum, shard, cum_before // $seqLen
+       ORDER BY stratum, shard, seq_id"""
+
   /** Eval-set decontamination: ids of `train` documents sharing ANY word
     * n-gram shingle with the (small) `eval` corpus. The eval shingle set is
     * broadcast — at corpus scale (100 TB train, MB-scale benchmark suites)

@@ -186,6 +186,30 @@ object AnalyticsQueries {
           FROM part) t
         WHERE price_rank <= 3 ORDER BY p_brand, price_rank""")),
 
+    // skew remedy as a first-class query: the fact⋈dim join routed through
+    // the salted-join operator (large side salted, small side replicated per
+    // salt — hot keys spread over `salt` reducers). The result is
+    // salt-invariant, so the oracle is the PLAIN join: the query proves the
+    // remedy preserves semantics exactly
+    "q_salted_join" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+        val sup = graft.core.Readers.fixture(spark, sfDir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", salt = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("s_nationkey")
+      },
+      oracle = Some("""
+        SELECT s_nationkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // set operations: segments present in one nation's customers but not
     // another's (EXCEPT), plus their intersection counts
     "q_setops_segments" -> QueryEntry(

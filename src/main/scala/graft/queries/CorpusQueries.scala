@@ -88,6 +88,16 @@ object CorpusQueries {
            ORDER BY doc_id"""
       }),
 
+    // GPT-style sequence packing: concat documents in id order within each
+    // (lang, shard) and chunk into 512-token training sequences — the window
+    // cumsum parallelizes across lang × shard partitions (see
+    // Corpus.packSequences for the scale shape)
+    "corpus_pack_sequences" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.packSequences(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", "lang", seqLen = 512, nShards = 4),
+      oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
+
     // regex cleaning: redact emails and long digit runs; hash the cleaned
     // text (not the text itself) to keep the compared output narrow
     "text_redact" -> QueryEntry(

@@ -18,6 +18,7 @@ object EventQueries {
 
   private val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
   private val HopUs: Long = 30L * 60 * 1000000 // sliding-window hop, 30 min
+  private val AttributionUs: Long = 3600L * 1000000 // click→purchase window, 1 h
 
   /** Ordered single-file stream fixture for `ev_dedup_first_stream`,
     * materialized ONCE per (JVM, sfDir): the sort+rewrite is harness setup
@@ -248,6 +249,59 @@ object EventQueries {
         SELECT user_id, count(*) AS n_sessions,
                CAST(sum(session_events) AS BIGINT) AS n_events
         FROM sessions GROUP BY user_id ORDER BY user_id""")),
+
+    // click→purchase attribution: purchases matched to same-user clicks in
+    // the preceding hour — equi-join on user, range predicate on time (per
+    // user the candidate set is bounded, so the post-filter join is the right
+    // batch plan; the streaming twin below is the stateful version)
+    "ev_attribution" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_us"))
+        c.join(p, Seq("user_id"))
+          .filter(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= AttributionUs)
+          .select(col("click_id"), col("purchase_id"), (col("p_us") - col("c_us")).as("gap_us"))
+          .orderBy("click_id", "purchase_id")
+      },
+      oracle = Some(s"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
+        ORDER BY click_id, purchase_id""")),
+
+    // the same attribution as a STREAM-STREAM interval join (the one major
+    // Structured Streaming operator class the other ev_*_stream queries don't
+    // cover): watermarks on both sides + the time-bound join condition give
+    // the state store an eviction rule; replayed to completion it must agree
+    // with the batch oracle
+    "ev_attribution_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Files.createTempDirectory("graft-evattr")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val joined = graft.streaming.EventStreams.attributionJoin(
+          graft.streaming.EventStreams.readEvents(spark, dir.toString),
+          graft.streaming.EventStreams.readEvents(spark, dir.toString),
+          AttributionUs)
+        graft.streaming.EventStreams.runToBatch(joined,
+          s"ev_attr_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy("click_id", "purchase_id")
+      },
+      oracle = Some(s"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
+        ORDER BY click_id, purchase_id""")),
 
     // as-of join: each event matched to the user's latest order at-or-before
     // the event time (union+window composition, graft.operators.AsOfJoin);

@@ -55,6 +55,17 @@ object SimilarityQueries {
         Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
       oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
 
+    // int8-quantized exact top-k: the memory-bandwidth scale path — 8-bit
+    // codes (4× less scan traffic than float32) scored in pure integer
+    // arithmetic, so cross-engine parity is exact by construction
+    "sim_topk_int8" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.quantizedTopK(e.filter(col("vec_id") < 8), e, K)
+          .select("query_id", "neighbor_id", "qdot", "rank")
+      },
+      oracle = Some(Similarity.duckQuantizedTopK(K, "q.vec_id < 8"))),
+
     // ANN: candidates restricted to the query's LSH bucket (deterministic
     // MD5-derived hyperplanes embedded as literals on both engines)
     "sim_ann_lsh" -> QueryEntry(

@@ -158,6 +158,23 @@ object TextQueries {
            SELECT shingle, count(*) AS df FROM ex
            GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 20""")),
 
+    // top-3 terms per document by integer TF-IDF (reciprocal-df weighting in
+    // pure 64-bit integer arithmetic — see graft.operators.Vocab for the
+    // parity rationale): explode → two hash-aggs → term join → window rank
+    "text_tfidf" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.tfIdfTopK(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", k = 3),
+      oracle = Some(graft.operators.Vocab.duckTfIdfTopK(k = 3))),
+
+    // inverted index: term → document frequency + MD5 digest of the sorted
+    // posting list — the retrieval-side complement of the dedup operators
+    "text_inverted_index" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.invertedIndex(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text"),
+      oracle = Some(graft.operators.Vocab.duckInvertedIndex)),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {

@@ -59,6 +59,33 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * clicks in the preceding `windowUs` — last-touch-style attribution, the
+    * canonical streaming join. Both sides carry watermarks and the join
+    * condition bounds purchase time to [click, click + window], so the state
+    * store can evict a buffered click once the watermark passes click +
+    * window (unbounded state otherwise — Spark rejects the join without the
+    * time constraint).
+    *
+    * Scale shape: state is keyed by user_id and bounded by watermark ×
+    * per-user event rate; the join shuffles both streams on user_id only.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame, windowUs: Long): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p,
+      expr(s"""c_user = p_user AND p_ts >= c_ts
+               AND p_ts <= c_ts + make_interval(0, 0, 0, 0, 0, 0, ${windowUs / 1000000})"""))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Stateful gap sessionization via flatMapGroupsWithState: per-user state

@@ -76,6 +76,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val windowUs = 3600L * 1000000
+    val joined = EventStreams.attributionJoin(
+      EventStreams.readEvents(spark, streamDir),
+      EventStreams.readEvents(spark, streamDir), windowUs)
+    val got = EventStreams.runToBatch(joined, "attr", OutputMode.Append)
+    val ev = batchEvents
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_us"))
+    val want = c.join(p, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= windowUs)
+      .select(col("click_id"), col("purchase_id"), (col("p_us") - col("c_us")).as("gap_us"))
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stateful sessionization equals the batch session counts") {
     val gapUs = 30L * 60 * 1000000
     val stream = EventStreams.sessionize(EventStreams.readEvents(spark, streamDir), gapUs)
