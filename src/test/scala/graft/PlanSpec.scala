@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("text_topngrams").contains("TakeOrderedAndProject"))
   }
 
+  test("tf-idf aggregates map-side before both shuffles (tf and df)") {
+    val plan = physicalPlan("text_tfidf")
+    assert(plan.contains("partial_count"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("sequence-packing window is partitioned (no single-partition global cumsum)") {
+    val plan = physicalPlan("corpus_pack_sequences")
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, plan)
+    assert(windows.forall(_.contains("stratum")),
+      s"cumsum window must partition by (stratum, shard):\n${windows.mkString("\n")}")
+  }
+
+  test("quantized top-k broadcasts the query side") {
+    assert(physicalPlan("sim_topk_int8").contains("Broadcast"))
+  }
+
+  test("salted join keeps the replicated small side broadcastable") {
+    // salt×|supplier| is still dimension-sized — a sort-merge join here would
+    // mean salting defeated the broadcast and added a fact-side shuffle
+    assert(physicalPlan("q_salted_join").contains("BroadcastHashJoin"))
+  }
+
   test("pair-generating operators carry no global sort (ordering is the query's job)") {
     import org.apache.spark.sql.functions.col
     import graft.core.Readers
