@@ -180,6 +180,44 @@ object Similarity {
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar vectors carrying a DIFFERENT label — the high-score
+    * wrong-class examples a retrieval trainer wants in its batch. Same
+    * broadcast + windowed-rank shape as [[topK]] with the label inequality
+    * fused into the scoring filter (evaluated before the dot product, so
+    * same-label pairs never pay the O(dims) work).
+    */
+  def hardNegatives(queries: DataFrame, neighbors: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"), col("label").as("q_label"))
+    val n = graft.core.Readers.spread(
+      neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("label").as("n_label")),
+      col("neighbor_id"))
+      .withColumn("nn", norm(col("nv")))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[hardNegatives]]. */
+  def duckHardNegatives(k: Int, queryPred: String): String =
+    s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                           n.vec_id ASC) AS BIGINT) AS rank
+         FROM embeddings q JOIN embeddings n ON q.label <> n.label
+         WHERE $queryPred) AS t
+       WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Symmetric per-vector int8 quantization: `q_i = floor(v_i · 127 / max|v|)`
     * (zero vectors quantize to zeros). `floor`, not `round`, so both engines
     * agree bit-for-bit; the float→double widening and the multiply/divide are

@@ -98,6 +98,41 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // per-source curation dashboard: volume, token mass, language spread,
+    // and exact-duplicate incidence by origin — the report a pipeline
+    // operator reads before deciding which sources to keep. All-integer
+    // aggregates (no double sums → order-insensitive, engine-exact); the
+    // only wide exchange is the content-hash window (same shuffle shape as
+    // exact dedup) plus the source group-agg
+    "corpus_source_stats" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.TextAnalysis.tokens
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val copies = Window.partitionBy(md5(col("text")))
+        docs
+          .withColumn("n_copies", count(lit(1)).over(copies))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.duckTokens
+        s"""WITH d AS (SELECT source, lang, text, n_chars,
+                              count(*) OVER (PARTITION BY md5(text)) AS n_copies
+                       FROM documents)
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                  CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS n_tokens,
+                  count(DISTINCT lang) AS n_langs,
+                  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+           FROM d GROUP BY source ORDER BY source"""
+      }),
+
     // regex cleaning: redact emails and long digit runs; hash the cleaned
     // text (not the text itself) to keep the compared output narrow
     "text_redact" -> QueryEntry(

@@ -71,6 +71,39 @@ object DedupQueries {
            ORDER BY doc_a, doc_b"""
       )),
 
+    // asymmetric containment (quote/subset detection, the Lee et al. '22
+    // substring-dedup signal LSH can't see symmetrically): |A∩B|/|A| per
+    // direction in integer micro-units, over the SAME persisted shingle
+    // stage and LSH candidates as the Jaccard verify — no extra corpus pass
+    "dedup_containment" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+          .select("doc_a", "doc_b")
+        pairs
+          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_a)")
+              .as("contain_a_micro"),
+            expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_b)")
+              .as("contain_b_micro"))
+          .filter(greatest(col("contain_a_micro"), col("contain_b_micro")) >= 800000L)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS c),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)}
+           SELECT doc_a, doc_b,
+                  (1000000 * len(list_intersect(a.sh, b.sh))) // len(a.sh) AS contain_a_micro,
+                  (1000000 * len(list_intersect(a.sh, b.sh))) // len(b.sh) AS contain_b_micro
+           FROM cand JOIN shs a ON a.id = cand.doc_a JOIN shs b ON b.id = cand.doc_b
+           WHERE greatest((1000000 * len(list_intersect(a.sh, b.sh))) // len(a.sh),
+                          (1000000 * len(list_intersect(a.sh, b.sh))) // len(b.sh)) >= 800000
+           ORDER BY doc_a, doc_b""")),
+
     // per-document 64-bit SimHash signatures
     "dedup_simhash" -> QueryEntry(
       fn = (spark, sfDir) => {

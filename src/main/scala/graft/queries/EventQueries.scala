@@ -348,6 +348,68 @@ object EventQueries {
          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
         ORDER BY id_a, id_b""")),
 
+    // ordered funnel: signup → later click → later purchase per user, stage
+    // reach counts. Three conditional min-aggregations chained by user-keyed
+    // joins — each stage's frame is |users|-sized, so at scale every join is
+    // user-partitioned (or broadcast once stages filter users down)
+    "ev_funnel" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val s = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+        val c = ev.filter(col("event_type") === "click").join(s, "user_id")
+          .filter(col("ts_us") > col("s_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+        s.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_signup"))
+          .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+          .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+          .select(col("stage"), col("n_users"))
+          .orderBy("stage")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts_us) AS c_us FROM ev e JOIN s USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us > s.s_us GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts_us) AS p_us FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id)
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+        ORDER BY stage""")),
+
+    // cohort retention: users grouped by first-activity day, counted per
+    // day-offset of later activity — the classic triangle matrix. Distinct
+    // (user, day) first (one narrow shuffle), then the cohort min and the
+    // cell counts are |users|- and |cells|-sized aggregations
+    "ev_retention" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val act = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"),
+            unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+          .distinct()
+        val coh = act.groupBy(col("user_id")).agg(min(col("day_us")).as("cohort_us"))
+        act.join(coh, "user_id")
+          .groupBy(col("cohort_us"),
+            expr(s"(day_us - cohort_us) div $DayUs").as("offset_days"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_us", "offset_days")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+                     FROM events),
+        coh AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)
+        SELECT cohort_us, (day_us - cohort_us) // 86400000000 AS offset_days,
+               count(*) AS n_users
+        FROM act JOIN coh USING (user_id)
+        GROUP BY cohort_us, offset_days ORDER BY cohort_us, offset_days""")),
+
     // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {

@@ -55,6 +55,16 @@ object SimilarityQueries {
         Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
       oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
 
+    // hard-negative mining: per query, the most-similar DIFFERENT-label
+    // vectors — the wrong-class examples a contrastive trainer batches
+    "sim_hard_negatives" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.hardNegatives(e.filter(col("vec_id") < 8), e, K)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some(Similarity.duckHardNegatives(K, "q.vec_id < 8"))),
+
     // int8-quantized exact top-k: the memory-bandwidth scale path — 8-bit
     // codes (4× less scan traffic than float32) scored in pure integer
     // arithmetic, so cross-engine parity is exact by construction
