@@ -116,6 +116,26 @@ object Corpus {
        FROM c GROUP BY stratum, shard, cum_before // $seqLen
        ORDER BY stratum, shard, seq_id"""
 
+  /** Partitioned corpus sink: hive-layout parquet partitioned by the given
+    * columns (e.g. split/lang), with file count per output partition bounded
+    * by `shardsPerPartition`. The pre-write shuffle keys on (partition cols,
+    * id-hash shard): all rows of one (partition, shard) land in one task, so
+    * each output directory holds ≤ `shardsPerPartition` files regardless of
+    * how many tasks the shuffle ran — the standard remedy for both the
+    * small-files problem (too many tasks × partitions) and the one-giant-file
+    * problem (coalesce(1)). Deterministic id-hash sharding keeps reruns
+    * byte-stable modulo parquet metadata.
+    */
+  def writeSharded(docs: org.apache.spark.sql.DataFrame, outDir: String,
+                   idCol: String, partitionCols: Seq[String],
+                   shardsPerPartition: Int): Unit = {
+    val shard = pmod(GraftFunctions.md5Signed64(col(idCol).cast("string")),
+      lit(shardsPerPartition.toLong))
+    docs
+      .repartition((partitionCols.map(col) :+ shard): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+  }
+
   /** Eval-set decontamination: ids of `train` documents sharing ANY word
     * n-gram shingle with the (small) `eval` corpus. The eval shingle set is
     * broadcast — at corpus scale (100 TB train, MB-scale benchmark suites)

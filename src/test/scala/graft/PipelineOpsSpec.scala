@@ -114,6 +114,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel stage counts are monotonically non-increasing") {
+    val stages = SparkEntry.queries("ev_funnel")(spark, sfDir)
+      .select("stage", "n_users").as[(String, Long)].collect().sortBy(_._1)
+    assert(stages.map(_._1).toSeq == Seq("1_signup", "2_click", "3_purchase"))
+    assert(stages.sliding(2).forall {
+      case Array(a, b) => a._2 >= b._2
+      case _ => true
+    }, stages.mkString(", "))
+  }
+
+  test("retention offset-0 cells equal each cohort's size") {
+    val cells = SparkEntry.queries("ev_retention")(spark, sfDir)
+      .select("cohort_us", "offset_days", "n_users").as[(Long, Long, Long)].collect()
+    val day0 = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    val cohortSizes = Readers.fixture(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .groupBy("user_id").agg(min("day_us").as("cohort_us"))
+      .groupBy("cohort_us").count().as[(Long, Long)].collect().toMap
+    // every user is active on their own cohort day by definition
+    assert(day0 == cohortSizes)
+  }
+
+  test("sharded corpus sink bounds files per partition and round-trips rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val shards = 3
+    val tagged = docs.withColumn("split",
+      Corpus.splitAssign(col("doc_id"), 90, 5))
+    Corpus.writeSharded(tagged, out, "doc_id", Seq("split", "lang"), shards)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("split=")))
+    val leafFileCounts = dirs.flatMap(_.listFiles().filter(_.isDirectory)).map { langDir =>
+      langDir.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(leafFileCounts.forall(n => n >= 1 && n <= shards), leafFileCounts.toSeq)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("salted join equals the plain join") {
     val li = Readers.fixture(spark, sfDir, "lineitem")
       .select(col("l_suppkey").as("suppkey"), col("l_orderkey"))
