@@ -303,6 +303,35 @@ object EventQueries {
          AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
         ORDER BY click_id, purchase_id""")),
 
+    // stream-static enrichment: the event stream joined per-batch against a
+    // static per-user dimension (order counts), then aggregated — the third
+    // streaming join class (after stream-stream and the windowed aggs); the
+    // dimension is broadcast into each micro-batch, no stream-side state
+    "ev_enrich_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Files.createTempDirectory("graft-evenrich")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val dim = Readers.fixture(spark, sfDir, "orders")
+          .groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("n_orders"))
+        val stream = graft.streaming.EventStreams.readEvents(spark, dir.toString)
+          .join(dim, Seq("user_id"), "left_outer")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(coalesce(col("n_orders"), lit(0L))).as("orders_touched"))
+        graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_enrich_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                     FROM orders GROUP BY 1)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS orders_touched
+        FROM events LEFT JOIN dim USING (user_id)
+        GROUP BY event_type ORDER BY event_type""")),
+
     // as-of join: each event matched to the user's latest order at-or-before
     // the event time (union+window composition, graft.operators.AsOfJoin);
     // oracle uses DuckDB's native ASOF LEFT JOIN

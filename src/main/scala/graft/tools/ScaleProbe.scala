@@ -62,6 +62,30 @@ object ScaleProbe {
     timed("exact full fingerprint") {
       Fingerprints.fullDigest(docs, TableSpec("documents", Seq("doc_id")), VerifyConfig())
     }
+    // round-5 operators: vocabulary-wide aggregations, packing, containment
+    val nTfIdf = timed("tf-idf top-3") {
+      graft.operators.Vocab.tfIdfTopK(docs, "doc_id", "text", 3).count()
+    }
+    println(s"[probe]   tfidf rows: $nTfIdf")
+    val nTerms = timed("inverted index") {
+      graft.operators.Vocab.invertedIndex(docs, "doc_id", "text").count()
+    }
+    println(s"[probe]   index terms: $nTerms")
+    val nSeqs = timed("sequence packing") {
+      graft.operators.Corpus.packSequences(docs, "doc_id", "text", "lang", 512, 4).count()
+    }
+    println(s"[probe]   sequences: $nSeqs")
+    spark.catalog.clearCache()
+    val nContain = timed("containment verify") {
+      val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3)
+      val pairs = MinHashLSH.candidatePairsFromShingles(sh, 16, 4).select("doc_a", "doc_b")
+      pairs
+        .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_a)") >= 800000L)
+        .count()
+    }
+    println(s"[probe]   containment pairs: $nContain")
     spark.catalog.clearCache()
     spark.stop()
   }
