@@ -175,6 +175,43 @@ object TextQueries {
           Readers.fixture(spark, sfDir, "documents"), "doc_id", "text"),
       oracle = Some(graft.operators.Vocab.duckInvertedIndex)),
 
+    // bigram language-model counts: top-20 bigrams with integer conditional
+    // probability P(w2|w1) in micro-units — the count statistics classic LM
+    // smoothing starts from. One corpus explode; context counts roll up from
+    // the pair table (vocabulary-sized) instead of a second corpus pass
+    "text_bigram_lm" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val tk = tokens(col("text"))
+        val bigrams = transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+        val pair = docs.filter(size(tk) >= 2)
+          .select(explode(bigrams).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+        pair.join(uni, "w1")
+          .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+            expr("(1000000 * n_pair) div n_w1").as("p_cond_micro"))
+          .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           ex AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+                  FROM toks WHERE len(tk) >= 2),
+           pair AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_pair
+                    FROM ex GROUP BY 1, 2),
+           uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+                   FROM pair GROUP BY w1)
+           SELECT w1, w2, n_pair, n_w1, (1000000 * n_pair) // n_w1 AS p_cond_micro
+           FROM pair JOIN uni USING (w1)
+           ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20"""
+      }),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {

@@ -101,6 +101,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves docs/tokens and numbers densely for random configs") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val docs = graft.core.Readers.fixture(spark, sfDir, "documents").limit(150).cache()
+    val totalDocs = docs.count()
+    val totalTokens = docs
+      .select(asize(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    val cfgGen = for {
+      seqLen <- Gen.choose(32, 2048)
+      shards <- Gen.choose(1, 16)
+    } yield (seqLen, shards)
+    val cfgs = (0 until 5).flatMap(i => cfgGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    for ((seqLen, shards) <- cfgs) {
+      val packed = graft.operators.Corpus
+        .packSequences(docs, "doc_id", "text", "lang", seqLen, shards)
+        .select("stratum", "shard", "seq_id", "n_docs", "n_tokens")
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(packed.map(_._4).sum == totalDocs, s"docs conserved at ($seqLen, $shards)")
+      assert(packed.map(_._5).sum == totalTokens, s"tokens conserved at ($seqLen, $shards)")
+      packed.groupBy(p => (p._1, p._2)).foreach { case (part, seqs) =>
+        val ids = seqs.map(_._3).sorted.toSeq
+        assert(ids == (0L until ids.size), s"dense seq ids at $part ($seqLen, $shards)")
+      }
+    }
+  }
+
+  test("int8 quantization bounds random vectors; zero vectors quantize to zeros") {
+    import org.apache.spark.sql.functions.{col, exists}
+    val vecGen = for {
+      n <- Gen.choose(1, 16)
+      v <- Gen.listOfN(n, Gen.choose(-1e6.toInt, 1e6.toInt).map(_ / 1e3f))
+    } yield v
+    val vecs = (0 until 30).flatMap(i => vecGen.apply(Gen.Parameters.default, Seed(3L + i)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) } :+ (999L, List(0f, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.withQuantized(df, "embedding", "qv")
+    assert(q.filter(exists(col("qv"), x => x > 127 || x < -128)).count() == 0)
+    val zeroRow = q.filter(col("vec_id") === 999L)
+      .select("qv").as[Seq[Long]].head()
+    assert(zeroRow.forall(_ == 0L), s"zero vector → zero codes: $zeroRow")
+  }
+
   test("week truncation lands on a Monday boundary for random timestamps") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions.col
