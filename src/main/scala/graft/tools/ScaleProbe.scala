@@ -75,6 +75,25 @@ object ScaleProbe {
       graft.operators.Corpus.packSequences(docs, "doc_id", "text", "lang", 512, 4).count()
     }
     println(s"[probe]   sequences: $nSeqs")
+    // optional second arg: replicated embeddings parquet → vector-op stages
+    args.drop(1).headOption.foreach { embPath =>
+      val emb = spark.read.parquet(embPath)
+      println(s"[probe] $embPath rows=${emb.count()}")
+      val q = emb.filter(col("vec_id") < 8)
+      timed("exact topk (f32)") {
+        graft.operators.Similarity.topK(q, emb, 10).count()
+      }
+      timed("quantized topk (int8)") {
+        graft.operators.Similarity.quantizedTopK(q, emb, 10).count()
+      }
+      timed("hard negatives") {
+        graft.operators.Similarity.hardNegatives(q, emb, 10).count()
+      }
+      timed("ivf topk (probe-1)") {
+        graft.operators.Similarity.ivfTopK(emb, col("vec_id") < 8, 10, 20).count()
+      }
+      spark.catalog.clearCache()
+    }
     spark.catalog.clearCache()
     val nContain = timed("containment verify") {
       val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3)
