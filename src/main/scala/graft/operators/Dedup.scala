@@ -146,6 +146,27 @@ object MinHashLSH {
   def candidatePairsFromShingles(shingled: DataFrame, numPerm: Int, numBands: Int): DataFrame =
     candidatePairsFromSigs(signaturesFromShingles(shingled, numPerm), numPerm, numBands)
 
+  /** Asymmetric containment over the LSH candidates: |A∩B|/|A| and |A∩B|/|B|
+    * in integer micro-units, keeping pairs where EITHER direction clears the
+    * threshold (quote/subset detection — the signal symmetric Jaccard
+    * misses). Joins the candidate ids back to the persisted shingle stage;
+    * UNSORTED output per the operator-sort policy (order at the query).
+    */
+  def containmentPairs(shingled: DataFrame, numPerm: Int, numBands: Int,
+                       thresholdMicro: Long): DataFrame = {
+    val pairs = candidatePairsFromShingles(shingled, numPerm, numBands)
+      .select("doc_a", "doc_b")
+    pairs
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_a)")
+          .as("contain_a_micro"),
+        expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_b)")
+          .as("contain_b_micro"))
+      .filter(greatest(col("contain_a_micro"), col("contain_b_micro")) >= thresholdMicro)
+  }
+
   private def candidatePairsFromSigs(sigsIn: DataFrame, numPerm: Int, numBands: Int): DataFrame = {
     require(numPerm % numBands == 0,
       s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")

@@ -55,6 +55,19 @@ object Similarity {
   def cosineScaledWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     floor(dot(a, b) / (na * nb) * 1e6).cast("long")
 
+  /** The shared top-k tail: windowed rank per query over a scored pair frame
+    * with the deterministic (score desc, neighbor id asc) tiebreak — every
+    * top-k variant in this file ends in exactly this shape, so a tie-break or
+    * rank-type change lands in one place.
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact top-k neighbors for each query vector (brute force): broadcast the
     * query set, score every (query, neighbor) pair, keep k per query by
     * windowed rank with deterministic (score desc, id asc) tiebreak.
@@ -72,11 +85,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cos_micro", k)
   }
 
   /** Deterministic ±1 random hyperplanes: component (p, d) from one MD5 bit.
@@ -151,11 +160,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cos_micro", k)
   }
 
   /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
@@ -199,11 +204,7 @@ object Similarity {
       .filter(col("q_label") =!= col("n_label"))
       .select(col("query_id"), col("neighbor_id"),
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cos_micro", k)
   }
 
   /** DuckDB twin of [[hardNegatives]]. */
@@ -257,11 +258,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         intDot(col("qqv"), col("nqv")).as("qdot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "qdot", k)
   }
 
   /** DuckDB twin of [[quantizedTopK]]. `queryPred` references the `qz` CTE. */
@@ -304,10 +301,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cos_micro", k)
   }
 }

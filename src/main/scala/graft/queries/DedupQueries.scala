@@ -79,17 +79,7 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
         val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
-          .select("doc_a", "doc_b")
-        pairs
-          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_a)")
-              .as("contain_a_micro"),
-            expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_b)")
-              .as("contain_b_micro"))
-          .filter(greatest(col("contain_a_micro"), col("contain_b_micro")) >= 800000L)
+        MinHashLSH.containmentPairs(sh, NumPerm, NumBands, thresholdMicro = 800000L)
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(

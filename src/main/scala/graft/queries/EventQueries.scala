@@ -28,6 +28,32 @@ object EventQueries {
     */
   private val orderedEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Raw (unsorted) single-table stream fixture dir, staged ONCE per (JVM,
+    * sfDir) and shared by every file-source streaming query — a per-query
+    * copy would re-pay the fixture I/O and leak a temp dir per invocation.
+    */
+  private val rawEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def rawEventsDir(sfDir: String): String =
+    rawEventsCache.computeIfAbsent(sfDir, { _ =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory("graft-evraw")
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
+  /** Shared batch-and-stream oracle for the attribution twins — one string so
+    * the two queries can never be checked against diverging SQL.
+    */
+  private lazy val AttributionOracle = s"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
+        ORDER BY click_id, purchase_id"""
+
   private[graft] def orderedEventsDir(spark: org.apache.spark.sql.SparkSession,
                                       sfDir: String): String =
     orderedEventsCache.computeIfAbsent(sfDir, { _ =>
@@ -149,12 +175,8 @@ object EventQueries {
     // the hopping window through Structured Streaming, replayed to completion
     "ev_window_sliding_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Files.createTempDirectory("graft-evslide")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
         val stream = graft.streaming.EventStreams.slidingWindow(
-          graft.streaming.EventStreams.readEvents(spark, dir.toString))
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
         val result = graft.streaming.EventStreams.runToBatch(stream,
           s"ev_slide_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
         result.select(unix_micros(col("window.start")).as("win_us"),
@@ -174,12 +196,8 @@ object EventQueries {
     // streaming engine must agree with the DuckDB batch oracle
     "ev_window_hourly_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Files.createTempDirectory("graft-evstream")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
         val stream = graft.streaming.EventStreams.hourlyWindow(
-          graft.streaming.EventStreams.readEvents(spark, dir.toString))
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
         val result = graft.streaming.EventStreams.runToBatch(stream,
           s"ev_hourly_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
         result.select(
@@ -223,11 +241,7 @@ object EventQueries {
     // max per user == the final state == the batch windowed oracle
     "ev_sessionize_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Files.createTempDirectory("graft-evsess")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        val stream = graft.streaming.EventStreams.readEvents(spark, dir.toString)
+        val stream = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
         val result = graft.streaming.EventStreams.runToBatch(
           graft.streaming.EventStreams.sessionize(stream, SessionGapUs).toDF(),
           s"ev_sess_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Update)
@@ -268,13 +282,7 @@ object EventQueries {
           .select(col("click_id"), col("purchase_id"), (col("p_us") - col("c_us")).as("gap_us"))
           .orderBy("click_id", "purchase_id")
       },
-      oracle = Some(s"""
-        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        FROM events c JOIN events p
-          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
-         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
-        ORDER BY click_id, purchase_id""")),
+      oracle = Some(AttributionOracle)),
 
     // the same attribution as a STREAM-STREAM interval join (the one major
     // Structured Streaming operator class the other ev_*_stream queries don't
@@ -283,27 +291,17 @@ object EventQueries {
     // with the batch oracle
     "ev_attribution_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Files.createTempDirectory("graft-evattr")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
         // ONE source stream self-joined (attributionJoin filters each side);
         // measured equivalent to two separate readStream instances (~7-9 s
         // isolated either way — the cost is join-state machinery, not the
         // source scan), kept as the cleaner single-subscription contract
-        val ev = graft.streaming.EventStreams.readEvents(spark, dir.toString)
+        val ev = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
         val joined = graft.streaming.EventStreams.attributionJoin(ev, ev, AttributionUs)
         graft.streaming.EventStreams.runToBatch(joined,
           s"ev_attr_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Append)
           .orderBy("click_id", "purchase_id")
       },
-      oracle = Some(s"""
-        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        FROM events c JOIN events p
-          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
-         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs
-        ORDER BY click_id, purchase_id""")),
+      oracle = Some(AttributionOracle)),
 
     // stream-static enrichment: the event stream joined per-batch against a
     // static per-user dimension (order counts), then aggregated — the third
@@ -311,13 +309,9 @@ object EventQueries {
     // dimension is broadcast into each micro-batch, no stream-side state
     "ev_enrich_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Files.createTempDirectory("graft-evenrich")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
         val dim = Readers.fixture(spark, sfDir, "orders")
           .groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("n_orders"))
-        val stream = graft.streaming.EventStreams.readEvents(spark, dir.toString)
+        val stream = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
           .join(dim, Seq("user_id"), "left_outer")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),

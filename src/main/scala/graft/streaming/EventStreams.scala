@@ -71,6 +71,11 @@ object EventStreams {
     * per-user event rate; the join shuffles both streams on user_id only.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame, windowUs: Long): DataFrame = {
+    // the interval bound is expressed in whole seconds; a silent `/ 1000000`
+    // truncation on e.g. 1.5 s would make the stream join drop pairs its
+    // batch twin keeps
+    require(windowUs % 1000000L == 0,
+      s"windowUs must be a whole number of seconds, got $windowUs")
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))

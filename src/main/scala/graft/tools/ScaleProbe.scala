@@ -96,13 +96,9 @@ object ScaleProbe {
     }
     spark.catalog.clearCache()
     val nContain = timed("containment verify") {
-      val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3)
-      val pairs = MinHashLSH.candidatePairsFromShingles(sh, 16, 4).select("doc_a", "doc_b")
-      pairs
-        .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .filter(expr("(1000000 * cast(size(array_intersect(sh_a, sh_b)) as bigint)) div size(sh_a)") >= 800000L)
-        .count()
+      // the registered dedup_containment pipeline exactly (shared operator)
+      MinHashLSH.containmentPairs(
+        MinHashLSH.shingled(docs, "doc_id", "text", 3), 16, 4, 800000L).count()
     }
     println(s"[probe]   containment pairs: $nContain")
     spark.catalog.clearCache()

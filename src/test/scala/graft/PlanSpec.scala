@@ -56,7 +56,11 @@ class PlanSpec extends SparkSpec {
 
   test("tf-idf aggregates map-side before both shuffles (tf and df)") {
     val plan = physicalPlan("text_tfidf")
-    assert(plan.contains("partial_count"), plan.linesIterator.take(20).mkString("\n"))
+    // two aggregation chains (per-doc tf, per-term df) → two partial stages;
+    // a single match would pass with the df combine regressed
+    val partials = "partial_count".r.findAllIn(plan).size
+    assert(partials >= 2, s"$partials partial_count stages in:\n" +
+      plan.linesIterator.filter(_.contains("HashAggregate")).mkString("\n"))
   }
 
   test("sequence-packing window is partitioned (no single-partition global cumsum)") {
