@@ -210,6 +210,31 @@ object AnalyticsQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // semi/anti join surfaces as an explicit query: customer segments split
+    // by order existence — the left_semi side never materializes order
+    // columns, the left_anti is the NOT-IN scale shape (both shuffle only
+    // the distinct key projection)
+    "q_orders_semi_anti" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cust = graft.core.Readers.fixture(spark, sfDir, "customer")
+        val okeys = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_custkey").as("c_custkey")).distinct()
+        val withO = cust.join(okeys, Seq("c_custkey"), "left_semi")
+          .select(col("c_mktsegment")).withColumn("has_orders", lit(true))
+        val noO = cust.join(okeys, Seq("c_custkey"), "left_anti")
+          .select(col("c_mktsegment")).withColumn("has_orders", lit(false))
+        withO.unionByName(noO)
+          .groupBy(col("c_mktsegment"), col("has_orders"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment", "has_orders")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, has_orders, count(*) AS n_customers FROM (
+          SELECT c_mktsegment,
+                 c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+          FROM customer) t
+        GROUP BY c_mktsegment, has_orders ORDER BY c_mktsegment, has_orders""")),
+
     // set operations: segments present in one nation's customers but not
     // another's (EXCEPT), plus their intersection counts
     "q_setops_segments" -> QueryEntry(

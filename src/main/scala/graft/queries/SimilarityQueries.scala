@@ -55,6 +55,41 @@ object SimilarityQueries {
         Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
       oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
 
+    // cross-modal dedup cross-check: embedding cosine for every TEXT-LSH
+    // candidate pair (documents and embeddings share ids) — the agreement
+    // signal curation uses to decide whether text near-dups are also
+    // semantic near-dups. Candidates come from the text pipeline; only the
+    // (tiny) pair set joins the vector table, keyed by id
+    "sim_text_crosscheck" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.MinHashLSH
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+          .select("doc_a", "doc_b")
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Similarity.norm(col("embedding")).as("nrm"))
+        pairs
+          .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("va"),
+            col("nrm").as("na")), "doc_a")
+          .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("vb"),
+            col("nrm").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            Similarity.cosineScaledWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+              .as("cos_micro"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        import graft.operators.MinHashLSH
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", 3, 16, 4)}) AS c)
+           SELECT doc_a, doc_b,
+                  ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} AS cos_micro
+           FROM cand JOIN embeddings a ON a.vec_id = cand.doc_a
+                     JOIN embeddings b ON b.vec_id = cand.doc_b
+           ORDER BY doc_a, doc_b"""
+      }),
+
     // hard-negative mining: per query, the most-similar DIFFERENT-label
     // vectors — the wrong-class examples a contrastive trainer batches
     "sim_hard_negatives" -> QueryEntry(
