@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct}
+
+/** SparkSessionExtensions entry point: registers graft's custom codegen
+  * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
+  * (and any SQL-first consumer) can reach them without the Column API.
+  *
+  * Wire up with either
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
+  * injection route for engine extensions (no Spark fork, no reflection).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // (className, db, name) — the current non-deprecated short constructor;
+  // usage text lives in the scaladoc above each injection instead
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  private def binary(name: String, make: (Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    make(args(0), args(1))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      info("graft_dot"),
+      binary("graft_dot", DotProduct.apply) _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot"),
+      binary("graft_int_dot", IntDotProduct.apply) _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hex_signed64"),
+      info("graft_hex_signed64"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"graft_hex_signed64 expects 1 argument, got ${args.length}")
+        HexToSignedLong(args.head)
+      }))
+  }
+}

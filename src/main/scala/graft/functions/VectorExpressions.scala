@@ -80,8 +80,60 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
 }
 
+/** Integer dot product over two `array<long>` columns (the int8-quantized
+  * similarity hot path): exact 64-bit accumulation in a tight codegen loop —
+  * the integer sibling of [[DotProduct]], replacing the interpreted
+  * `aggregate(zip_with(...))` HOF pair in `Similarity.intDot`'s original
+  * form. Quantized codes are |q| ≤ 127, so overflow needs ~2⁴⁸ dims.
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_int_dot: mismatched vector lengths ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += a.getLong(i) * b.getLong(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         if ($a.numElements() != $b.numElements()) {
+           throw new IllegalArgumentException(
+             "graft_int_dot: mismatched vector lengths " + $a.numElements() + " vs " + $b.numElements());
+         }
+         int $n = $a.numElements();
+         long $sum = 0L;
+         for (int $i = 0; $i < $n; $i++) {
+           $sum += $a.getLong($i) * $b.getLong($i);
+         }
+         ${ev.value} = $sum;
+       """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_int_dot"
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[IntDotProduct]]. */
+  def intDotProduct(a: Column, b: Column): Column =
+    Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -237,10 +237,13 @@ object Similarity {
       .drop("__mx")
 
   /** Integer dot product of two quantized vectors — exact (|q| ≤ 127, so a
-    * 64-dim dot is ≤ 127²·64 ≈ 2²⁰, nowhere near overflow).
+    * 64-dim dot is ≤ 127²·64 ≈ 2²⁰, nowhere near overflow). Native codegen
+    * expression ([[graft.functions.IntDotProduct]]) like the float path —
+    * the `aggregate(zip_with(...))` HOF form it replaces evaluates
+    * interpreted, one closure + boxing per element.
     */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.intDotProduct(a, b)
 
   /** Exact top-k under int8 quantization: the memory-bandwidth scale path —
     * the scan side moves 8-bit codes (4× less traffic than float32, 8× less

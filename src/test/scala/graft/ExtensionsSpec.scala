@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions end-to-end: a session built with the extensions resolves
+  * the custom codegen expressions by SQL name; IntDotProduct agrees with the
+  * interpreted HOF reference it replaced.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extensions session resolves graft_* SQL functions") {
+    // getOrCreate returns the existing default session without applying
+    // extensions, so clear (and afterwards restore) the singletons; the new
+    // session shares the SparkContext — do NOT stop it
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s2.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  graft_int_dot(array(2L, -3L), array(5L, 7L)) AS i,
+                  graft_hex_signed64('ffffffffffffffff') AS h""").head()
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getLong(1) == -11L)
+      assert(row.getLong(2) == -1L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
+  test("IntDotProduct equals the interpreted HOF reference") {
+    val vecs = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-127L, 127L), Seq(127L, 127L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.intDotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (native, hof) => assert(native == hof) }
+  }
+
+  test("IntDotProduct rejects ragged inputs instead of truncating") {
+    val df = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.intDotProduct(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage != null)
+  }
+}
