@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, DedupClusters, MinHashLSH, TextAnalysis}
+
+/** `graft-curate` — the training-data product surface: one command running
+  * the full curation pipeline the registered queries verify piecewise
+  * (exact dedup → near-dup cluster drop → optional decontamination →
+  * quality filter → deterministic split → sharded partitioned write).
+  * Every stage is the SAME operator the oracle gate checks, so the CLI's
+  * behavior is pinned by the query-level correctness runs.
+  */
+object Curate {
+
+  val helpText: String =
+    """Curate a document corpus into sharded train/val/test parquet.
+      |
+      |Usage:
+      |  graft-curate [flags] <documentsDir> <outDir>
+      |
+      |<documentsDir> must hold documents.parquet. Output is hive-partitioned
+      |parquet (split=<train|val|test>/lang=<lang>/) with file counts bounded
+      |by deterministic id-hash sharding.
+      |
+      |Flags:
+      |      --decontaminate-against dir  drop documents sharing a word trigram
+      |                                   with this corpus's documents.parquet
+      |      --min-quality num            quality-score threshold (default 0.45)
+      |      --train-pct int              train percentage (default 90)
+      |      --val-pct int                validation percentage (default 5)
+      |      --shards int                 max files per output partition (default 4)
+      |  -h, --help                       help for graft-curate
+      |""".stripMargin
+
+  case class Config(
+      docsDir: String = "", outDir: String = "",
+      decontaminateAgainst: Option[String] = None,
+      minQuality: Double = 0.45, trainPct: Int = 90, valPct: Int = 5, shards: Int = 4)
+
+  def parse(args: Seq[String]): Either[String, Config] = {
+    val split = args.toList.flatMap { a =>
+      if (a.startsWith("--") && a.contains("=")) { val Array(f, v) = a.split("=", 2); List(f, v) }
+      else List(a)
+    }
+    def num[A](flag: String, value: String, conv: String => Option[A])(set: A => Config): Either[String, Config] =
+      conv(value).toRight(s"""invalid argument "$value" for $flag\n\n$helpText""").map(set)
+    def loop(rest: List[String], acc: Config, positional: List[String]): Either[String, Config] =
+      rest match {
+        case Nil => positional match {
+          case docs :: out :: Nil => Right(acc.copy(docsDir = docs, outDir = out))
+          case _ => Left(s"expected <documentsDir> <outDir>, got ${positional.size} positional args\n\n$helpText")
+        }
+        case ("-h" | "--help") :: _ => Left(helpText)
+        case flag :: value :: tail if flag.startsWith("--") =>
+          flag match {
+            case "--decontaminate-against" =>
+              loop(tail, acc.copy(decontaminateAgainst = Some(value)), positional)
+            case "--min-quality" =>
+              num(flag, value, (_: String).toDoubleOption)(d => acc.copy(minQuality = d))
+                .flatMap(loop(tail, _, positional))
+            case "--train-pct" =>
+              num(flag, value, (_: String).toIntOption)(n => acc.copy(trainPct = n))
+                .flatMap(loop(tail, _, positional))
+            case "--val-pct" =>
+              num(flag, value, (_: String).toIntOption)(n => acc.copy(valPct = n))
+                .flatMap(loop(tail, _, positional))
+            case "--shards" =>
+              num(flag, value, (_: String).toIntOption)(n => acc.copy(shards = n))
+                .flatMap(loop(tail, _, positional))
+            case other => Left(s"unknown flag: $other\n\n$helpText")
+          }
+        case flag :: Nil if flag.startsWith("--") =>
+          Left(s"flag needs an argument: $flag\n\n$helpText")
+        case flag :: _ if flag.startsWith("-") && flag != "-" =>
+          Left(s"unknown flag: $flag\n\n$helpText")
+        case p :: tail => loop(tail, acc, positional :+ p)
+      }
+    loop(split, Config(), Nil).flatMap { c =>
+      if (c.trainPct + c.valPct > 100)
+        Left(s"train-pct + val-pct must be <= 100, got ${c.trainPct}+${c.valPct}")
+      else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
+      else Right(c)
+    }
+  }
+
+  /** Runs the pipeline; returns per-stage surviving document counts (a
+    * funnel, printed as the run summary and asserted by CurateSpec).
+    */
+  def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
+    val docs = spark.read.parquet(s"${cfg.docsDir}/documents.parquet")
+    val input = docs.count()
+
+    // exact dedup: keep the smallest id per distinct text
+    val keepIds = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").persist()
+
+    // near-dup dedup: LSH candidates → connected components → keep the
+    // representative (minimum id) of each cluster
+    val pairs = MinHashLSH.candidatePairs(exact, "doc_id", "text", 3, 16, 4)
+      .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+    val dropNear = DedupClusters.components(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti").persist()
+
+    // optional eval-set decontamination (broadcast trigram semi-join)
+    val decontaminated = cfg.decontaminateAgainst.fold(nearDeduped) { dir =>
+      val eval = spark.read.parquet(s"$dir/documents.parquet")
+      nearDeduped.join(
+        Corpus.contaminatedIds(nearDeduped, eval, "doc_id", "text", shingleN = 3),
+        Seq("doc_id"), "left_anti").persist()
+    }
+
+    // quality filter (shared scorer — same expression the oracle checks)
+    val quality = decontaminated
+      .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality)
+      .persist()
+
+    // deterministic split + sharded hive-partitioned write
+    val qualityKept = quality.count()
+    val tagged = quality.withColumn("split",
+      Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
+    Corpus.writeSharded(tagged, cfg.outDir, "doc_id", Seq("split", "lang"), cfg.shards)
+    // an all-filtered corpus writes only _SUCCESS — nothing to read back
+    val written = if (qualityKept == 0) 0L else spark.read.parquet(cfg.outDir).count()
+
+    val funnel = Seq(
+      "input" -> input,
+      "exact_deduped" -> exact.count(),
+      "near_deduped" -> nearDeduped.count(),
+      "decontaminated" -> decontaminated.count(),
+      "quality_kept" -> qualityKept,
+      "written" -> written)
+    Seq(exact, nearDeduped, decontaminated, quality).foreach(_.unpersist())
+    funnel
+  }
+
+  def main(args: Array[String]): Unit = {
+    parse(args.toSeq) match {
+      case Left(msg) =>
+        println(msg)
+        if (msg != helpText) sys.exit(2)
+      case Right(cfg) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.adaptive.enabled", "true")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val funnel = run(spark, cfg)
+        println(funnel.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", s""","out":"${cfg.outDir}"}"""))
+        spark.stop()
+    }
+  }
+}

@@ -99,6 +99,21 @@ object TextAnalysis {
     s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
   }
 
+  /** Composite quality score over a token-array column: length saturation
+    * (40%), lexical diversity (30%), English-stopword plausibility (30%) —
+    * the blend `text_stats`, `corpus_curated`, and the curate CLI all share
+    * (one definition so the thresholded pipelines can't drift).
+    */
+  def qualityScore(tk: Column): Column =
+    least(size(tk).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (size(array_distinct(tk)).cast("double") / size(tk)) * 0.3 +
+      least(langScore(tk, "en") * 5.0, lit(1.0)) * 0.3
+
+  def duckQualityScore(tkSql: String): String =
+    s"least(len($tkSql) / 100.0, 1.0) * 0.4 + " +
+      s"(CAST(len(list_distinct($tkSql)) AS DOUBLE) / len($tkSql)) * 0.3 + " +
+      s"least(${duckLangScore(tkSql, "en")} * 5.0, 1.0) * 0.3"
+
   /** BPE-ish piece pattern: letter runs, digit runs, single other non-space.
     * Identical regex semantics in Java (Spark) and RE2 (DuckDB).
     */

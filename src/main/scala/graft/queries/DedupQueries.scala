@@ -149,10 +149,7 @@ object DedupQueries {
         val drop = graft.operators.DedupClusters.components(pairs)
           .filter(col("doc_id") =!= col("cluster_id")) // keep the representative
         val tk = tokens(col("text"))
-        val stopRatio = langScore(tk, "en")
-        val quality = least(size(tk).cast("double") / 100.0, lit(1.0)) * 0.4 +
-          (size(array_distinct(tk)).cast("double") / size(tk)) * 0.3 +
-          least(stopRatio * 5.0, lit(1.0)) * 0.3
+        val quality = qualityScore(tk)
         docs.join(drop, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"),
             size(tk).cast("long").as("n_tokens"), quality.as("quality_score"))
@@ -162,10 +159,7 @@ object DedupQueries {
       oracle = Some {
         import graft.operators.TextAnalysis._
         val tk = duckTokens("text")
-        val stop = duckLangScore(tk, "en")
-        val quality = s"least(len($tk) / 100.0, 1.0) * 0.4 + " +
-          s"(CAST(len(list_distinct($tk)) AS DOUBLE) / len($tk)) * 0.3 + " +
-          s"least($stop * 5.0, 1.0) * 0.3"
+        val quality = duckQualityScore(tk)
         s"""WITH comp AS (${graft.operators.DedupClusters.duckComponents(
             s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
                 "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc

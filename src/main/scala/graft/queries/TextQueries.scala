@@ -26,7 +26,6 @@ object TextQueries {
         val nTok = size(tk)
         val nDistinct = size(array_distinct(tk))
         val stopRatio = langScore(tk, "en")
-        val distinctRatio = nDistinct.cast("double") / nTok
         docs.select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_calc"),
@@ -35,8 +34,7 @@ object TextQueries {
           nDistinct.cast("long").as("n_distinct_tokens"),
           ((length(col("text")) - (nTok - lit(1))).cast("double") / nTok).as("avg_token_len"),
           stopRatio.as("stopword_ratio"),
-          (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4
-            + distinctRatio * 0.3 + least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality_score")
+          qualityScore(tk).as("quality_score")
         ).orderBy("doc_id")
       },
       oracle = Some {
@@ -49,9 +47,7 @@ object TextQueries {
              CAST(len(list_distinct($tk)) AS BIGINT) AS n_distinct_tokens,
              CAST(length(text) - (len($tk) - 1) AS DOUBLE) / len($tk) AS avg_token_len,
              $stop AS stopword_ratio,
-             least(len($tk) / 100.0, 1.0) * 0.4
-               + (CAST(len(list_distinct($tk)) AS DOUBLE) / len($tk)) * 0.3
-               + least($stop * 5.0, 1.0) * 0.3 AS quality_score
+             ${duckQualityScore(tk)} AS quality_score
            FROM documents ORDER BY doc_id"""
       }),
 
