@@ -78,7 +78,9 @@ object Curate {
         case p :: tail => loop(tail, acc, positional :+ p)
       }
     loop(split, Config(), Nil).flatMap { c =>
-      if (c.trainPct + c.valPct > 100)
+      if (c.trainPct < 0 || c.valPct < 0)
+        Left(s"train-pct and val-pct must be >= 0, got ${c.trainPct}/${c.valPct}")
+      else if (c.trainPct + c.valPct > 100)
         Left(s"train-pct + val-pct must be <= 100, got ${c.trainPct}+${c.valPct}")
       else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
       else Right(c)
@@ -140,8 +142,10 @@ object Curate {
   def main(args: Array[String]): Unit = {
     parse(args.toSeq) match {
       case Left(msg) =>
-        println(msg)
-        if (msg != helpText) sys.exit(2)
+        // stdout carries only the JSON funnel summary; help goes to stdout
+        // (it was asked for), errors to stderr.
+        if (msg == helpText) println(msg)
+        else { Console.err.println(msg); sys.exit(2) }
       case Right(cfg) =>
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

@@ -23,6 +23,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // a NULL element makes x*y NULL and NULL poisons the HOF fold, so the
+  // whole result is NULL — this expression must match, and is therefore
+  // nullable even over non-null array columns when elements may be null
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left) || elemNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -37,13 +46,25 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var i = 0
     (elemType(left), elemType(right)) match {
       case (FloatType, FloatType) =>
-        while (i < n) { sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+        }
       case (DoubleType, DoubleType) =>
-        while (i < n) { sum += a.getDouble(i) * b.getDouble(i); i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          sum += a.getDouble(i) * b.getDouble(i); i += 1
+        }
       case (FloatType, DoubleType) =>
-        while (i < n) { sum += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          sum += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+        }
       case (DoubleType, FloatType) =>
-        while (i < n) { sum += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          sum += a.getDouble(i) * b.getFloat(i).toDouble; i += 1
+        }
       case other => throw new IllegalArgumentException(s"DotProduct on $other")
     }
     sum
@@ -59,6 +80,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      // the per-element null branch is only emitted when the array type can
+      // actually hold nulls — the parquet embedding hot path stays a tight
+      // two-load multiply-add loop
+      val checks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (checks.isEmpty) ""
+        else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
          if ($a.numElements() != $b.numElements()) {
            throw new IllegalArgumentException(
@@ -67,9 +97,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          int $n = $a.numElements();
          double $sum = 0.0;
          for (int $i = 0; $i < $n; $i++) {
+           $nullGuard
            $sum += ${get(left, a, i)} * ${get(right, b, i)};
          }
-         ${ev.value} = $sum;
+         if (!${ev.isNull}) { ${ev.value} = $sum; }
        """
     })
   }
@@ -90,6 +121,15 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // NULL-element semantics match the aggregate(zip_with(...)) HOF this
+  // replaces: any NULL element → NULL result (SQL-reachable via
+  // graft_int_dot, so arbitrary arrays can arrive here)
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left) || elemNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -99,7 +139,10 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
     val n = a.numElements()
     var sum = 0L
     var i = 0
-    while (i < n) { sum += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getLong(i) * b.getLong(i); i += 1
+    }
     sum
   }
 
@@ -108,6 +151,12 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val checks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (checks.isEmpty) ""
+        else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
          if ($a.numElements() != $b.numElements()) {
            throw new IllegalArgumentException(
@@ -116,9 +165,10 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
          int $n = $a.numElements();
          long $sum = 0L;
          for (int $i = 0; $i < $n; $i++) {
+           $nullGuard
            $sum += $a.getLong($i) * $b.getLong($i);
          }
-         ${ev.value} = $sum;
+         if (!${ev.isNull}) { ${ev.value} = $sum; }
        """
     })
 

@@ -32,6 +32,14 @@ object Vocab {
     * attribute): InferFiltersFromGenerate would re-substitute the defining
     * expression into a pushed filter and recompute it per row — the round-4
     * regression documented on [[MinHashLSH.signatures]].
+    *
+    * Numeric bound: `tfidf_micro = (1e6 * tf * n_docs) div (df * len)` is
+    * int64 throughout, so the numerator must stay under 2^63 ≈ 9.2e18 —
+    * i.e. `tf * n_docs < 9.2e12`. A 1e9-document corpus is safe while
+    * `tf < 9200` (per-doc term frequency); beyond that, stage the division
+    * as `(1e6 * tf div len) * something` or widen to decimal(38,0) on BOTH
+    * engines — the DuckDB twin shares the same int64 formula, so a silent
+    * Spark wrap would be an overflow DuckDB raises on instead.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val ex = graft.core.Readers.spread(docs, col(idCol))

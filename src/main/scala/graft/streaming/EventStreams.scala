@@ -76,14 +76,19 @@ object EventStreams {
     // batch twin keeps
     require(windowUs % 1000000L == 0,
       s"windowUs must be a whole number of seconds, got $windowUs")
+    // the watermark delay must cover the join window: a 2h watermark with a
+    // caller-chosen windowUs > 2h would evict buffered clicks (and drop
+    // late-but-in-window events) that the batch twin keeps — so the delay is
+    // derived, never smaller than the window
+    val wmSeconds = math.max(2L * 3600, windowUs / 1000000L)
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
+      .withWatermark("c_ts", s"$wmSeconds seconds")
     val p = purchases.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
+      .withWatermark("p_ts", s"$wmSeconds seconds")
     c.join(p,
       expr(s"""c_user = p_user AND p_ts >= c_ts
                AND p_ts <= c_ts + make_interval(0, 0, 0, 0, 0, 0, ${windowUs / 1000000})"""))

@@ -45,6 +45,9 @@ class CurateSpec extends SparkSpec {
     assert(Curate.parse(Seq("--min-quality", "high", "a", "b")).isLeft)
     assert(Curate.parse(Seq("--bogus", "1", "a", "b")).isLeft)
     assert(Curate.parse(Seq("--train-pct", "80", "--val-pct", "30", "a", "b")).isLeft)
+    // negative pcts would silently route everything to the 'test' split
+    assert(Curate.parse(Seq("--train-pct", "-10", "a", "b")).isLeft)
+    assert(Curate.parse(Seq("--val-pct", "-1", "a", "b")).isLeft)
     val ok = Curate.parse(Seq("--min-quality=0.5", "--shards", "2", "in", "out"))
     assert(ok == Right(Curate.Config("in", "out", None, 0.5, 90, 5, 2)))
   }

@@ -51,6 +51,32 @@ class ExtensionsSpec extends SparkSpec {
     got.foreach { case (native, hof) => assert(native == hof) }
   }
 
+  test("dot products propagate NULL elements like the HOF reference") {
+    // aggregate(zip_with(...)) folds NULL through the sum → NULL result;
+    // the codegen expressions must match, not read garbage
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.intDotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).getLong(0) == 11L && got(1).getLong(1) == 11L)
+
+    val dbl = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+    val gotD = dbl.select(
+      graft.functions.VectorFunctions.dotProduct(col("a"), col("b")).as("native"))
+      .collect()
+    assert(gotD(0).isNullAt(0))
+    assert(gotD(1).getDouble(0) == 8.0)
+  }
+
   test("IntDotProduct rejects ragged inputs instead of truncating") {
     val df = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
     val e = intercept[Exception] {
