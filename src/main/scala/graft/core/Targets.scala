@@ -116,14 +116,42 @@ object Readers {
 }
 
 /** JDBC target — the faithful analogue of the reference's PostgreSQL targets.
-  * Not exercised by the parquet test harness (no live database in the
-  * container) but kept API-complete: discovery reads the same three
-  * information_schema tables the reference queries and reproduces its two
-  * LEFT OUTER catalog joins (J1, /root/reference/query.go:102-118) as Spark
-  * joins — tiny dimension tables, so Catalyst plans them as broadcast joins.
+  * Exercised live against embedded Derby in JdbcSpec/CliSpec: discovery reads
+  * the same three information_schema tables the reference queries and
+  * reproduces its two LEFT OUTER catalog joins (J1,
+  * /root/reference/query.go:102-118) as Spark joins — tiny dimension tables,
+  * so Catalyst plans them as broadcast joins.
+  *
+  * Data reads are PARTITIONED: the reference never pulls a table through the
+  * wire (all compute pushes down, one scalar row returns per query,
+  * /root/reference/verify.go:239-255), but this engine reads whole tables
+  * into Spark — and a single-connection JDBC scan is the one-task bottleneck
+  * at scale. [[read]] therefore probes the discovered PK and splits the scan:
+  *
+  *  - numeric PK → `partitionColumn` + MIN/MAX bounds (one tiny pushdown
+  *    probe); each of the N tasks is a server-side index RANGE scan, so the
+  *    source does ONE total pass. Truncating fractional bounds to long is
+  *    safe: Spark leaves the first/last ranges open-ended, so coverage is
+  *    exhaustive regardless of bound tightness.
+  *  - non-numeric PK → N mutually exclusive hash-mod predicates over the
+  *    first PK column — the reference's own P7 bucket trick
+  *    (/root/reference/query.go:193) turned into a partitioner. The
+  *    expression is dialect SQL, so the generator is pluggable
+  *    (`stringPkPredicates`); PostgreSQL URLs get the md5 formulation by
+  *    default, any other engine stays single-partition unless a generator
+  *    is supplied (never ship one dialect's SQL to another's parser).
+  *  - no PK / empty table / readPartitions == 1 → the plain single-partition
+  *    read this replaces.
+  *
+  * `readPartitions` == 0 means "one per local core" (defaultParallelism); a
+  * cluster deployment sets it from table stats. Catalog reads are never
+  * partitioned — information_schema tables are tiny.
   */
 case class JdbcTarget(name: String, url: String,
-                      props: java.util.Properties = new java.util.Properties) extends Target {
+                      props: java.util.Properties = new java.util.Properties,
+                      readPartitions: Int = 0,
+                      stringPkPredicates: Option[(String, Int) => Seq[String]] = None)
+    extends Target {
 
   private def readTable(spark: SparkSession, dbtable: String): DataFrame =
     spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
@@ -175,6 +203,60 @@ case class JdbcTarget(name: String, url: String,
       .toSeq
   }
 
+  private def quote(table: String): String =
+    table.split("\\.").map(p => "\"" + p + "\"").mkString(".")
+
+  /** How to split one table's scan, resolved once per table per target. */
+  private sealed trait ScanSplit
+  private case class RangeSplit(column: String, lo: Long, hi: Long) extends ScanSplit
+  private case class HashSplit(column: String) extends ScanSplit
+  private case object NoSplit extends ScanSplit
+
+  private val splitCache = scala.collection.concurrent.TrieMap.empty[String, ScanSplit]
+
+  /** Integer-family catalog types a `partitionColumn` range split handles.
+    * Floating/decimal PKs also work (bounds are truncated, end ranges are
+    * open) but are vanishingly rare as keys; anything else hash-splits.
+    */
+  private val RangeTypes = Set(
+    "smallint", "integer", "bigint", "int", "int2", "int4", "int8",
+    "serial", "bigserial", "numeric", "decimal", "double precision", "real")
+
+  /** The hash-split generator in effect: an explicit one wins; PostgreSQL
+    * URLs default to the reference's P7 md5 expression; other engines get
+    * none (their string-PK tables read single-partition).
+    */
+  private def hashGenerator: Option[(String, Int) => Seq[String]] =
+    stringPkPredicates.orElse(
+      if (url.startsWith("jdbc:postgresql")) Some(JdbcTarget.pgMd5ModPredicates _)
+      else None)
+
+  private def resolveSplit(spark: SparkSession, table: String): ScanSplit = {
+    val (schema, bare) = VerifyRun.splitName(table)
+    val pks = discoverColumns(spark, schema, bare).filter(_.isPrimaryKey)
+      .sortBy(_.name)
+    if (pks.isEmpty) return NoSplit
+    // catalog case may differ from the result-set's physical case (the
+    // JdbcSpec Derby mirror reports PG-style lowercase for an uppercase
+    // physical column); align via one WHERE-1=0 metadata fetch
+    val physical = readTable(spark, quote(table)).schema.fieldNames
+    def phys(name: String): String =
+      physical.find(_.equalsIgnoreCase(name)).getOrElse(name)
+    pks.find(c => RangeTypes.contains(c.dataType.toLowerCase)) match {
+      case Some(c) =>
+        // one pushdown MIN/MAX probe; `query` (not dbtable) so Spark wraps
+        // and aliases the subquery itself
+        val q = s"""SELECT MIN("${phys(c.name)}") AS lo, MAX("${phys(c.name)}") AS hi FROM ${quote(table)}"""
+        val bounds = spark.read.format("jdbc").option("url", url).option("query", q)
+          .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props).asScala.toMap)
+          .load().select(col("lo").cast("long"), col("hi").cast("long")).head()
+        if (bounds.isNullAt(0) || bounds.isNullAt(1)) NoSplit // empty table
+        else RangeSplit(phys(c.name), bounds.getLong(0), bounds.getLong(1))
+      case None =>
+        if (hashGenerator.isDefined) HashSplit(phys(pks.head.name)) else NoSplit
+    }
+  }
+
   /** Data reads quote each identifier part: discovery returns PHYSICAL
     * catalog case (`APP.VERIFYME` from Derby, `public.verifyme` from PG), and
     * only a quoted reference reads back a table whose physical name is not
@@ -182,8 +264,45 @@ case class JdbcTarget(name: String, url: String,
     * Derby). Catalog reads stay unquoted — `information_schema` is itself an
     * unquoted name.
     */
-  override def read(spark: SparkSession, table: String): DataFrame =
-    readTable(spark, table.split("\\.").map(p => "\"" + p + "\"").mkString("."))
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val n = if (readPartitions > 0) readPartitions
+            else spark.sparkContext.defaultParallelism
+    val split = if (n <= 1) NoSplit
+                else splitCache.getOrElseUpdate(table, resolveSplit(spark, table))
+    split match {
+      case RangeSplit(column, lo, hi) =>
+        spark.read.format("jdbc").option("url", url).option("dbtable", quote(table))
+          .option("partitionColumn", column)
+          .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+          .option("numPartitions", n.toString)
+          .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props).asScala.toMap)
+          .load()
+      case HashSplit(column) =>
+        // the generator receives the BARE physical column name and owns its
+        // quoting (identifier rules are dialect property like the hash SQL)
+        val preds = hashGenerator.get(column, n)
+        require(preds.length == n, s"predicate generator returned ${preds.length} for $n")
+        spark.read.jdbc(url, quote(table), preds.toArray, props)
+      case NoSplit => readTable(spark, quote(table))
+    }
+  }
+}
+
+object JdbcTarget {
+  /** Default hash-split predicates (PostgreSQL dialect): the reference's P7
+    * signed-64 md5 bucket expression (/root/reference/query.go:193) as N
+    * mutually exclusive, exhaustive WHERE clauses. SQL `MOD` over a signed
+    * value ranges in (-(n-1), n-1), so each bucket i pairs with its negative
+    * twin i-n; bucket 0 is its own twin. PKs are non-null by definition, so
+    * no NULL catch-all partition is needed.
+    */
+  def pgMd5ModPredicates(column: String, n: Int): Seq[String] = {
+    val h = s"""('x' || substr(md5(CAST("$column" AS text)), 1, 16))::bit(64)::bigint"""
+    (0 until n).map { i =>
+      if (i == 0) s"MOD($h, $n) = 0"
+      else s"MOD($h, $n) = $i OR MOD($h, $n) = ${i - n}"
+    }
+  }
 }
 
 /** Static catalog for the driver's fixture tables (TESTDATA.md): primary keys

@@ -38,6 +38,11 @@ class JdbcSpec extends SparkSpec {
     def exec(sql: String): Unit = st.execute(sql)
     exec("CREATE TABLE verifyme (id INT NOT NULL PRIMARY KEY, name VARCHAR(64), amount DOUBLE)")
     exec("INSERT INTO verifyme VALUES (2, 'beta', 12.5), (1, 'alpha', 3.25), (3, NULL, 100.0)")
+    // a string-PK table (hash-split path) and an empty table (probe → NULL
+    // bounds → single partition), both also flowing through the CLI e2e run
+    exec("CREATE TABLE strkeys (k VARCHAR(16) NOT NULL PRIMARY KEY, v INT)")
+    exec("INSERT INTO strkeys VALUES ('a',1),('bb',2),('ccc',3),('dddd',4),('eeeee',5),('f',6)")
+    exec("CREATE TABLE emptyt (eid INT NOT NULL PRIMARY KEY, payload VARCHAR(16))")
     // a second user schema, for the --include/--exclude-schemas surface
     exec("CREATE SCHEMA other")
     exec("CREATE TABLE other.extra (xid INT NOT NULL PRIMARY KEY, note VARCHAR(64))")
@@ -47,6 +52,8 @@ class JdbcSpec extends SparkSpec {
       "(table_schema VARCHAR(128), table_name VARCHAR(128), table_type VARCHAR(32))")
     exec("INSERT INTO information_schema.tables VALUES " +
       "('APP', 'VERIFYME', 'BASE TABLE'), " +
+      "('APP', 'STRKEYS', 'BASE TABLE'), " +
+      "('APP', 'EMPTYT', 'BASE TABLE'), " +
       "('OTHER', 'EXTRA', 'BASE TABLE'), " +
       "('APP', 'SOMEVIEW', 'VIEW'), " + // excluded: views (P4)
       "('pg_catalog', 'pg_class', 'BASE TABLE')") // excluded: system schema
@@ -58,17 +65,25 @@ class JdbcSpec extends SparkSpec {
       "('name', 'character varying', 'APP', 'VERIFYME', 'NEVER'), " +
       "('amount', 'double precision', 'APP', 'VERIFYME', 'NEVER'), " +
       "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS'), " + // excluded: P5
+      "('k', 'character varying', 'APP', 'STRKEYS', 'NEVER'), " +
+      "('v', 'integer', 'APP', 'STRKEYS', 'NEVER'), " +
+      "('eid', 'integer', 'APP', 'EMPTYT', 'NEVER'), " +
+      "('payload', 'character varying', 'APP', 'EMPTYT', 'NEVER'), " +
       "('xid', 'integer', 'OTHER', 'EXTRA', 'NEVER'), " +
       "('note', 'character varying', 'OTHER', 'EXTRA', 'NEVER')")
     exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
       "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
     exec("INSERT INTO information_schema.key_column_usage VALUES " +
       "('id', 'APP', 'VERIFYME', 'verifyme_pkey'), " +
+      "('k', 'APP', 'STRKEYS', 'strkeys_pkey'), " +
+      "('eid', 'APP', 'EMPTYT', 'emptyt_pkey'), " +
       "('xid', 'OTHER', 'EXTRA', 'extra_pkey')")
     exec("CREATE TABLE information_schema.table_constraints " +
       "(constraint_name VARCHAR(128), constraint_type VARCHAR(32))")
     exec("INSERT INTO information_schema.table_constraints VALUES " +
       "('verifyme_pkey', 'PRIMARY KEY'), " +
+      "('strkeys_pkey', 'PRIMARY KEY'), " +
+      "('emptyt_pkey', 'PRIMARY KEY'), " +
       "('extra_pkey', 'PRIMARY KEY')")
     st.close()
   }
@@ -121,7 +136,8 @@ class JdbcSpec extends SparkSpec {
   def ensureLowercaseDb(): Unit = lcDb
 
   test("S1: JDBC catalog scan lists base tables, excluding views and system schemas") {
-    assert(target.tables(spark) == Seq("APP.VERIFYME", "OTHER.EXTRA"))
+    assert(target.tables(spark) ==
+      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME", "OTHER.EXTRA"))
   }
 
   test("S6 fail-fast: an unreachable JDBC target aborts before any work") {
@@ -135,10 +151,12 @@ class JdbcSpec extends SparkSpec {
   test("schema filters apply in the catalog scan itself (query.go:25-50)") {
     // include wins, case-insensitive (user types lowercase, Derby says OTHER)
     assert(target.tables(spark, SchemaFilter(include = Seq("other"))) == Seq("OTHER.EXTRA"))
-    assert(target.tables(spark, SchemaFilter(exclude = Seq("other"))) == Seq("APP.VERIFYME"))
+    assert(target.tables(spark, SchemaFilter(exclude = Seq("other"))) ==
+      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
     // include wins over exclude, same as tables/columns
     assert(target.tables(spark,
-      SchemaFilter(include = Seq("APP"), exclude = Seq("APP"))) == Seq("APP.VERIFYME"))
+      SchemaFilter(include = Seq("APP"), exclude = Seq("APP"))) ==
+      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
   }
 
   test("S2+J1+P5: live column discovery joins catalog tables and drops generated columns") {
@@ -162,5 +180,46 @@ class JdbcSpec extends SparkSpec {
     assert(jdbcModes == localModes)
     assert(jdbcModes(TestModes.RowCount) == "3")
     assert(jdbcModes.values.forall(_ != Fingerprints.Err))
+  }
+
+  test("partitioned read: numeric PK range-splits and fingerprints match single-partition") {
+    val multi = target.read(spark, "APP.VERIFYME")
+    // ids 1..3 → Spark clamps numPartitions to (hi - lo) = 2, still parallel
+    assert(multi.rdd.getNumPartitions > 1)
+    val single = JdbcTarget("derby1", url, readPartitions = 1).read(spark, "APP.VERIFYME")
+    assert(single.rdd.getNumPartitions == 1)
+    val spec = TableSpec("verifyme", Seq("ID"))
+    val cfg = VerifyConfig()
+    assert(Fingerprints.runModes(TestModes.All, multi, spec, cfg) ==
+      Fingerprints.runModes(TestModes.All, single, spec, cfg))
+  }
+
+  test("partitioned read: string PK hash-splits via dialect predicates, each row exactly once") {
+    // Derby-dialect generator (the PG default's md5 SQL doesn't parse here):
+    // LENGTH(k) mod n — mutually exclusive and exhaustive like the P7 trick
+    val t = JdbcTarget("derbyhash", url, readPartitions = 3,
+      stringPkPredicates = Some((c, n) => (0 until n).map(i => s"MOD(LENGTH($c), $n) = $i")))
+    val df = t.read(spark, "APP.STRKEYS")
+    assert(df.rdd.getNumPartitions == 3)
+    val keys = df.select("K").collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("a", "bb", "ccc", "dddd", "eeeee", "f"))
+  }
+
+  test("partitioned read fallbacks: no generator on a non-PG engine, empty table") {
+    // string PK + no dialect generator → single partition, never foreign SQL
+    assert(target.read(spark, "APP.STRKEYS").rdd.getNumPartitions == 1)
+    // empty table → NULL min/max probe → single partition, zero rows
+    val empty = target.read(spark, "APP.EMPTYT")
+    assert(empty.rdd.getNumPartitions == 1 && empty.count() == 0)
+  }
+
+  test("pgMd5ModPredicates: N buckets, signed-mod twins paired (P7, query.go:193)") {
+    val preds = JdbcTarget.pgMd5ModPredicates("k", 4)
+    assert(preds.length == 4)
+    assert(preds.head.endsWith("= 0") && !preds.head.contains("OR"))
+    // bucket i pairs with its negative twin i-n: MOD over signed bigint
+    assert(preds(1).contains("= 1") && preds(1).contains("= -3"))
+    assert(preds(3).contains("= 3") && preds(3).contains("= -1"))
+    assert(preds.forall(_.contains("md5(CAST(\"k\" AS text))")))
   }
 }
