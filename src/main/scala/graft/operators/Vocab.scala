@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,4 +109,111 @@ object Vocab {
        SELECT term, count(*) AS df,
               md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
        FROM ex GROUP BY term ORDER BY term"""
+
+  // ---------------------------------------------------------------------
+  // BPE tokenizer training: k iterations of highest-count adjacent-pair
+  // merge over the word-frequency dictionary — the piece between
+  // text_bigram_lm's pair counts and real LLM preprocessing.
+  // ---------------------------------------------------------------------
+
+  /** One BPE merge applied to a space-joined symbol string: every adjacent
+    * (l, r) pair becomes the symbol `l||r`, greedy left-to-right, via a fold
+    * whose accumulator is the merged prefix with its last symbol still
+    * eligible ("a a a a" under (a,a) → "aa aa", never "aa a a"). The same
+    * fold runs in the DuckDB twin (`list_reduce`), so the two engines
+    * implement literally one algorithm.
+    */
+  private def applyMerge(seg: Column, l: Column, r: Column): Column = {
+    val syms = split(seg, " ")
+    def last(acc: Column): Column = regexp_extract(acc, "[^ ]+$", 0)
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(last(acc) === l && x === r,
+          concat(acc.substr(lit(1), length(acc) - length(last(acc))), l, r))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Train `iters` BPE merges over the corpus; returns one row per merge:
+    * (it, left_sym, right_sym, n_pair), the merge table a tokenizer ships.
+    *
+    * Scale shape (100 TB): ONE corpus pass builds the (word, count)
+    * dictionary; every iteration after that runs over the VOCABULARY
+    * (Heaps'-law sized, millions of rows at web scale — not the corpus).
+    * Per iteration: one explode → hash-agg for pair counts (map-side
+    * partial), one TakeOrderedAndProject for the argmax (a single tiny row
+    * to the driver, like the reference's scalar fetches), one projection
+    * applying the merge. The vocab is persisted per step and the previous
+    * step unpersisted, so the k plans stay shallow and each stage reads a
+    * cached parent instead of recomputing the chain.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-frequency dict, words pre-segmented to space-joined characters
+    // (bijective: words are whitespace tokens, so they contain no spaces)
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"), col("n"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (it <- 1 to iters) {
+      val syms = split(col("seg"), " ")
+      val best = vocab.filter(size(syms) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("w1"), element_at(syms, i + 1).as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(sum(col("n")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"corpus exhausted at merge $it/$iters: every word is a single symbol")
+      val (l, r, np) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+      merges += ((it.toLong, l, r, np))
+      val next = vocab
+        .select(applyMerge(col("seg"), lit(l), lit(r)).as("seg"), col("n")).persist()
+      next.count() // materialize before dropping the parent from cache
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("it", "left_sym", "right_sym", "n_pair").orderBy("it")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the iteration unrolled as CTE stages
+    * (same segmentation, pair counts, argmax tiebreak, and `list_reduce`
+    * merge fold), same pattern as [[KMeans.duckSummary]].
+    */
+  def duckBpeMerges(iters: Int): String = {
+    val tk = duckTokens("text")
+    val init =
+      s"""vocab0 AS (
+           SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, count(*) AS n
+           FROM (SELECT unnest($tk) AS word FROM documents) w GROUP BY 1)"""
+    def stage(i: Int): String = {
+      val prev = s"vocab${i - 1}"
+      val lastTok = "regexp_extract(acc, '[^ ]+$')"
+      s"""pairs$i AS (
+           SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(sum(n) AS BIGINT) AS n_pair
+           FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                   i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg, n
+                 FROM (SELECT string_split(seg, ' ') AS tk, n FROM $prev) t
+                 WHERE len(tk) >= 2) ex
+           GROUP BY 1, 2),
+         best$i AS (SELECT w1, w2, n_pair FROM pairs$i
+                    ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 1),
+         vocab$i AS (
+           SELECT list_reduce(string_split(v.seg, ' '), (acc, x) -> CASE
+                    WHEN $lastTok = b.w1 AND x = b.w2
+                    THEN substr(acc, 1, length(acc) - length($lastTok)) || b.w1 || b.w2
+                    ELSE acc || ' ' || x END) AS seg, v.n AS n
+           FROM $prev v CROSS JOIN best$i b)"""
+    }
+    val rows = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS it, w1 AS left_sym, w2 AS right_sym, n_pair FROM best$i")
+    s"""WITH $init, ${(1 to iters).map(stage).mkString(",\n")}
+       SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY it"""
+  }
 }

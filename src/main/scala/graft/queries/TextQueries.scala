@@ -208,6 +208,13 @@ object TextQueries {
            ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20"""
       }),
 
+    // BPE tokenizer training: 8 highest-count-bigram merges over the corpus
+    "text_bpe_merges" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.bpeMerges(
+          Readers.fixture(spark, sfDir, "documents"), "text", iters = 8),
+      oracle = Some(graft.operators.Vocab.duckBpeMerges(iters = 8))),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {

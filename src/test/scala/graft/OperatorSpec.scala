@@ -72,6 +72,27 @@ class OperatorSpec extends SparkSpec {
     assert(ann.forall { case (q, n, c) => exactScores.get((q, n)).forall(_ == c) })
   }
 
+  test("BPE merges: greedy leftmost non-overlapping fold, argmax tiebreaks") {
+    // "aa aa ab": words aa(2), ab(1); merge 1 must be (a,a) count 2,
+    // then (a,b) count 1 from the surviving un-merged word
+    val m1 = Vocab.bpeMerges(Seq("aa aa ab").toDF("text"), "text", iters = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m1 == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)))
+
+    // greedy non-overlap: "aaaa" merges to [aa, aa] (3 adjacent (a,a) pairs
+    // counted, but the fold never re-merges across a consumed symbol), then
+    // to [aaaa]
+    val m2 = Vocab.bpeMerges(Seq("aaaa").toDF("text"), "text", iters = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+
+    // exhausted corpus fails loudly instead of fabricating merges
+    val e = intercept[IllegalArgumentException] {
+      Vocab.bpeMerges(Seq("x y").toDF("text"), "text", iters = 1)
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
+
   test("multimodal stub decode agrees with the hex-expression path") {
     val withImg = docs.limit(50).select(col("doc_id"), unhex(md5(col("text"))).as("img"))
     val viaStub = Multimodal.extractMeta(withImg, "doc_id", "img")
