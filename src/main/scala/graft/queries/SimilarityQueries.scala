@@ -16,6 +16,53 @@ object SimilarityQueries {
   private val Dims = 64
   private lazy val planeMatrix = Similarity.planes(NumPlanes, Dims)
 
+  /** Shared oracle for sim_topk AND the ground-truth side of sim_ann_recall —
+    * one string so recall is measured against exactly the gated baseline.
+    */
+  private lazy val TopkOracle =
+    s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                           n.vec_id ASC) AS BIGINT) AS rank
+         FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         WHERE q.vec_id < 8) AS t
+       WHERE rank <= $K ORDER BY query_id, rank"""
+
+  /** Shared oracle for sim_ann_lsh and sim_ann_recall's LSH side. */
+  private lazy val AnnLshOracle = {
+    val bucket = Similarity.duckLshBucket("embedding", planeMatrix)
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                           n.vec_id ASC) AS BIGINT) AS rank
+         FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+         WHERE q.vec_id < 8) AS t
+       WHERE rank <= $K ORDER BY query_id, rank"""
+  }
+
+  /** recall@k of one approximate result against the exact top-k: hits =
+    * |approx ∩ exact| per query (left-semi join on the pair), queries with
+    * zero hits kept via the exact query list. Integer micro-units.
+    */
+  private def recallOf(exact: org.apache.spark.sql.DataFrame,
+                       approx: org.apache.spark.sql.DataFrame,
+                       method: String): org.apache.spark.sql.DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), lit(method).as("method"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0)) div $K").as("recall_micro"))
+  }
+
   val entries: Map[String, QueryEntry] = Map(
 
     // exact top-k: broadcast queries × full scan, windowed rank per query
@@ -25,16 +72,7 @@ object SimilarityQueries {
         Similarity.topK(e.filter(col("vec_id") < 8), e, K)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
       },
-      oracle = Some(
-        s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
-             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
-                    CAST(row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
-                               n.vec_id ASC) AS BIGINT) AS rank
-             FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
-             WHERE q.vec_id < 8) AS t
-           WHERE rank <= $K ORDER BY query_id, rank""")),
+      oracle = Some(TopkOracle)),
 
     // IVF coarse quantization: fixed-k deterministic centroid sample (size
     // independent of n), nearest-cell assignment, probe-1 search — the
@@ -119,18 +157,41 @@ object SimilarityQueries {
         Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
       },
-      oracle = Some {
-        val bucket = Similarity.duckLshBucket("embedding", planeMatrix)
-        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
-           SELECT query_id, neighbor_id, cos_micro, rank FROM (
-             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
-                    CAST(row_number() OVER (PARTITION BY q.vec_id
-                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
-                               n.vec_id ASC) AS BIGINT) AS rank
-             FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
-             WHERE q.vec_id < 8) AS t
-           WHERE rank <= $K ORDER BY query_id, rank"""
-      })
+      oracle = Some(AnnLshOracle)),
+
+    // recall@k of the two approximate paths against the exact top-k — the
+    // regression tripwire for any ANN change: a bucketing/centroid tweak
+    // that silently drops recall shows up as a changed recall_micro here.
+    // Cost shape: reuses the three gated formulations; the recall join is
+    // keyed on (query_id, neighbor_id) — |queries|·k rows, broadcast-sized
+    "sim_ann_recall" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+        val lsh = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
+        val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, numCentroids = 20)
+        recallOf(exact, lsh, "lsh").unionByName(recallOf(exact, ivf, "ivf"))
+          .orderBy("method", "query_id")
+      },
+      oracle = Some(
+        s"""WITH exact AS ($TopkOracle),
+             lsh AS ($AnnLshOracle),
+             ivf AS (${Similarity.duckIvfTopK(K, 20, "q.vec_id < 8")}),
+             eq AS (SELECT DISTINCT query_id FROM exact),
+             lh AS (SELECT e.query_id, count(*) AS n_hits
+                    FROM exact e JOIN lsh a USING (query_id, neighbor_id) GROUP BY 1),
+             ih AS (SELECT e.query_id, count(*) AS n_hits
+                    FROM exact e JOIN ivf a USING (query_id, neighbor_id) GROUP BY 1)
+           SELECT * FROM (
+             SELECT eq.query_id, 'lsh' AS method,
+                    CAST(coalesce(lh.n_hits, 0) AS BIGINT) AS n_hits,
+                    (1000000 * coalesce(lh.n_hits, 0)) // $K AS recall_micro
+             FROM eq LEFT JOIN lh ON lh.query_id = eq.query_id
+             UNION ALL
+             SELECT eq.query_id, 'ivf' AS method,
+                    CAST(coalesce(ih.n_hits, 0) AS BIGINT) AS n_hits,
+                    (1000000 * coalesce(ih.n_hits, 0)) // $K AS recall_micro
+             FROM eq LEFT JOIN ih ON ih.query_id = eq.query_id)
+           ORDER BY method, query_id"""))
   )
 }
