@@ -18,11 +18,18 @@ case class VerifyConfig(
     bookendLimit: Int = 1000,
     sparseMod: Int = 10,
     // row count above which full mode auto-degrades to the Merkle digest in
-    // [[Fingerprints.runModes]]: the exact digest collects 32 B/row onto the
-    // driver (100M rows ~ 3.2 GB), so beyond this the scale-safe variant is
-    // the default rather than a caller opt-in. Both sides of a comparison
-    // share the config, so both degrade identically.
+    // [[Fingerprints.runModes]]: the exact digest serializes 32 B/row through
+    // the driver's sequential MD5 chain, so beyond this the scale-safe
+    // variant is the default rather than a caller opt-in. Both sides of a
+    // comparison share the config, so both degrade identically.
     fullModeRowLimit: Long = 100000000L,
+    // row count above which the exact digest stops collect()-ing the sorted
+    // hashes into one driver array (32 B/row — 10M rows ≈ 320 MB) and
+    // streams them via toLocalIterator instead (driver holds one partition
+    // at a time), extending exact parity to fullModeRowLimit without a
+    // driver-heap cliff. Below it, collect() wins: one job, where
+    // toLocalIterator schedules a job per partition (~2× at bench scale).
+    streamingCollectRowLimit: Long = 10000000L,
     merkleBuckets: Int = 1024)
 
 object TestModes {
@@ -79,20 +86,31 @@ object Fingerprints {
 
   /** Digest an already-(k,h)-projected frame in exact global (k,h) order:
     * parallel range-partitioned sort, then a driver-side MD5 chain over the
-    * collected hashes (32 bytes/row — 600k rows is ~19 MB). Equal to SQL
+    * hashes (32 bytes/row — 600k rows is ~19 MB). Equal to SQL
     * `md5(string_agg(h, '' ORDER BY k, h))`.
     *
     * The MD5 chain is inherently sequential, so the exact-parity fingerprint
     * is driver-bound by construction (like the reference's single-node
-    * `string_agg`, README.md:69); at real scale use [[merkleDigest]], whose
-    * combine is parallel. collect() over toLocalIterator: one job instead of
-    * one per partition (~2x at sf0.1); a 100 TB exact run would switch back
-    * to streaming, but at that point the Merkle mode is the right tool.
+    * `string_agg`, README.md:69); at real scale [[merkleDigest]]'s combine is
+    * parallel. Below `streamLimit` rows the sorted hashes are collect()-ed
+    * (one job — fastest at bench scale); when the caller KNOWS the count
+    * exceeds it, the sorted column streams through toLocalIterator so driver
+    * memory is one partition, not the table — exact parity holds another
+    * order of magnitude before the Merkle degrade. Callers without a cheap
+    * count (the single-mode sparse paths) pass None and keep collect().
     */
-  private def digestOrdered(kh: DataFrame): Option[String] = {
-    val rows = kh.orderBy(col("k"), col("h")).select(col("h")).collect()
-    if (rows.isEmpty) None
-    else Some(Digests.md5OfConcat(rows.iterator.map(_.getString(0))))
+  private def digestOrdered(kh: DataFrame, nRows: Option[Long] = None,
+                            streamLimit: Long = Long.MaxValue): Option[String] = {
+    val sorted = kh.orderBy(col("k"), col("h")).select(col("h"))
+    if (nRows.exists(_ > streamLimit)) {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      val it = sorted.toLocalIterator().asScala.map(_.getString(0))
+      if (it.hasNext) Some(Digests.md5OfConcat(it)) else None
+    } else {
+      val rows = sorted.collect()
+      if (rows.isEmpty) None
+      else Some(Digests.md5OfConcat(rows.iterator.map(_.getString(0))))
+    }
   }
 
   /** full mode — /root/reference/query.go:122-158. Carries the same
@@ -105,8 +123,9 @@ object Fingerprints {
   def fullDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
     val kh = hashedRows(df, spec, cfg).persist()
     try {
-      if (kh.count() > cfg.fullModeRowLimit) degradeToMerkle(kh, cfg)
-      else digestOrdered(kh).getOrElse(NoRows)
+      val n = kh.count()
+      if (n > cfg.fullModeRowLimit) degradeToMerkle(kh, cfg)
+      else digestOrdered(kh, Some(n), cfg.streamingCollectRowLimit).getOrElse(NoRows)
     } finally kh.unpersist(blocking = false)
   }
 
@@ -259,7 +278,8 @@ object Fingerprints {
             // collect is the 100TB killer — degrade to the Merkle digest
             // (same sensitivity, parallel combine, different literal value)
             if (n > cfg.fullModeRowLimit) degradeToMerkle(kh, cfg)
-            else digestOrdered(kh.select(col("k"), col("h"))).getOrElse(NoRows)
+            else digestOrdered(kh.select(col("k"), col("h")), Some(n),
+              cfg.streamingCollectRowLimit).getOrElse(NoRows)
           case TestModes.Sparse =>
             val kh = khOpt.get._1
             val sampled = kh.filter(col("sk") % cfg.sparseMod === 0)
@@ -268,7 +288,12 @@ object Fingerprints {
               else spec.pks.indices.foldLeft(kh) { (acc, i) =>
                 acc.join(sampled.select(col(s"__pk$i")), Seq(s"__pk$i"), "left_semi")
               }
-            digestOrdered(selected.select(col("k"), col("h"))).getOrElse(NoRows)
+            // the sampled set is ~1/sparseMod of the table — still collect-
+            // hazardous at scale; kh is persisted, so the guarding count is
+            // a cached-frame scan (the single-mode sparse paths have no
+            // persisted parent and keep plain collect)
+            digestOrdered(selected.select(col("k"), col("h")), Some(selected.count()),
+              cfg.streamingCollectRowLimit).getOrElse(NoRows)
           case TestModes.Bookend => bookendFromKh(khOpt.get._1.select(col("k"), col("h")), cfg)
           case other => throw new IllegalArgumentException(s"unknown test mode $other")
         }

@@ -85,6 +85,26 @@ class ScaleSpec extends SparkSpec {
     assert(Fingerprints.runMode(TestModes.Full, orders, spec, small) == degraded)
   }
 
+  test("exact digest streams past streamingCollectRowLimit with an unchanged hash") {
+    import graft.core.{Fingerprints, TableSpec, TestModes, VerifyConfig}
+    val spec = TableSpec("orders", Seq("o_orderkey"))
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    // force the toLocalIterator path (limit below the row count) on every
+    // digest call site that can know its count: the digest is defined as the
+    // ordered MD5 chain, so streaming must be byte-identical to collect
+    val streaming = VerifyConfig(streamingCollectRowLimit = 10L)
+    val collecting = VerifyConfig(streamingCollectRowLimit = Long.MaxValue)
+    assert(orders.count() > 10)
+    assert(Fingerprints.fullDigest(orders, spec, streaming) ==
+      Fingerprints.fullDigest(orders, spec, collecting))
+    val viaStream = Fingerprints.runModes(
+      Seq(TestModes.Full, TestModes.Sparse), orders, spec, streaming)
+    val viaCollect = Fingerprints.runModes(
+      Seq(TestModes.Full, TestModes.Sparse), orders, spec, collecting)
+    assert(viaStream == viaCollect)
+    assert(viaStream.values.forall(v => v != Fingerprints.Err))
+  }
+
   test("k-means ordered-fold mean auto-degrades to native avg above the row limit") {
     import graft.operators.KMeans
     val emb = Readers.fixture(spark, sfDir, "embeddings")
