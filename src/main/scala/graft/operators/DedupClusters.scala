@@ -146,7 +146,8 @@ object DedupClusters {
       throw new IllegalStateException(
         s"label propagation did not converge in $maxIters iterations; raise maxIters")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    // unsorted by design: the consumers (cluster-drop anti-joins, the
+    // registered query's own ORDER BY) never need operator-level order
   }
 
   /** DuckDB twin: transitive closure via recursive CTE, then min over the

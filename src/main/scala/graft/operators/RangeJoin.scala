@@ -31,6 +31,8 @@ object RangeJoin {
       .filter(abs(col("t_b") - col("t_a")) <= tolerance)
       .select(col("id_a"), col("id_b"), abs(col("t_b") - col("t_a")).as("gap"))
       .distinct() // a pair can qualify via two bucket alignments
-      .orderBy("id_a", "id_b")
+    // no output sort: presentation order belongs to the registered query —
+    // an operator-level global sort is pure waste when the consumer
+    // aggregates or reshuffles anyway (c74635b sort policy)
   }
 }

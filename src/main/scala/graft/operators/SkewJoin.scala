@@ -16,9 +16,15 @@ object SkewJoin {
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
-    // deterministic-per-seed uniform salt; any per-row value works — the
-    // join result is salt-invariant
-    val saltedLarge = large.withColumn("__salt", (rand(42) * salt).cast("int"))
+    // the salt is a hash of the whole row, not rand(): any per-row value
+    // yields a salt-invariant join result, but a random value is fresh on
+    // every task RETRY — one retried task would emit byte-different
+    // intermediate partitions in an otherwise fully deterministic engine.
+    // Exact-duplicate rows share a salt (co-located), which only matters if
+    // a hot key is dominated by identical rows
+    val rowHash = graft.functions.GraftFunctions.md5Signed64(
+      concat_ws("", large.columns.map(c => col(c).cast("string")): _*))
+    val saltedLarge = large.withColumn("__salt", pmod(rowHash, lit(salt)).cast("int"))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

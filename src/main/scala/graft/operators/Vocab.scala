@@ -58,7 +58,7 @@ object Vocab {
       .orderBy(col("tfidf_micro").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .orderBy("doc_id", "rank")
+    // presentation sort lives at the registered query (c74635b sort policy)
   }
 
   /** DuckDB twin of [[tfIdfTopK]] over the `documents` fixture. */
@@ -98,7 +98,7 @@ object Vocab {
         md5(array_join(
           transform(array_sort(collect_list(col("id"))), x => x.cast("string")),
           ",")).as("postings_md5"))
-      .orderBy("term")
+    // presentation sort lives at the registered query (c74635b sort policy)
   }
 
   /** DuckDB twin of [[invertedIndex]] over the `documents` fixture. */

@@ -131,7 +131,7 @@ object DedupQueries {
           ShingleN, NumPerm, NumBands)
           .filter(col("est_jaccard") >= 0.5)
           .select("doc_a", "doc_b")
-        graft.operators.DedupClusters.components(pairs)
+        graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
       },
       oracle = Some(graft.operators.DedupClusters.duckComponents(
         s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(

@@ -364,6 +364,7 @@ object EventQueries {
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
         graft.operators.RangeJoin.withinIntervalPairs(
           ev, "event_id", "user_id", "ts_us", tolerance = 300000000L)
+          .orderBy("id_a", "id_b")
       },
       oracle = Some("""
         SELECT a.event_id AS id_a, b.event_id AS id_b,

@@ -160,7 +160,8 @@ object TextQueries {
     "text_tfidf" -> QueryEntry(
       fn = (spark, sfDir) =>
         graft.operators.Vocab.tfIdfTopK(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", k = 3),
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank"),
       oracle = Some(graft.operators.Vocab.duckTfIdfTopK(k = 3))),
 
     // inverted index: term → document frequency + MD5 digest of the sorted
@@ -168,7 +169,8 @@ object TextQueries {
     "text_inverted_index" -> QueryEntry(
       fn = (spark, sfDir) =>
         graft.operators.Vocab.invertedIndex(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text"),
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
+          .orderBy("term"),
       oracle = Some(graft.operators.Vocab.duckInvertedIndex)),
 
     // bigram language-model counts: top-20 bigrams with integer conditional

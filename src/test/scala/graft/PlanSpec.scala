@@ -81,17 +81,32 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("q_salted_join").contains("BroadcastHashJoin"))
   }
 
-  test("pair-generating operators carry no global sort (ordering is the query's job)") {
-    import org.apache.spark.sql.functions.col
+  test("operators carry no global sort (ordering is the registered query's job)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
-    import graft.operators.{MinHashLSH, SimHash}
+    import graft.operators.{MinHashLSH, RangeJoin, SimHash, Vocab}
+    // global=true Sort nodes only: window ranks legitimately plan
+    // partition-LOCAL sorts (global=false), which shuffle nothing extra
+    def assertNoGlobalSort(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+      assert(sorts.isEmpty, s"$what plans a global Sort: ${sorts.mkString("; ")}")
+    }
     val docs = Readers.fixture(spark, sfDir, "documents").limit(200)
-    val lshPlan = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
-      .queryExecution.optimizedPlan.toString
-    assert(!lshPlan.contains("Sort "), lshPlan.linesIterator.take(10).mkString("\n"))
-    val simPlan = SimHash.nearPairs(
-      SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
-      .queryExecution.optimizedPlan.toString
-    assert(!simPlan.contains("Sort "), simPlan.linesIterator.take(10).mkString("\n"))
+    assertNoGlobalSort(MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4),
+      "LSH candidates")
+    assertNoGlobalSort(SimHash.nearPairs(
+      SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash"), "SimHash pairs")
+    val ev = Readers.fixture(spark, sfDir, "events").limit(500)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    assertNoGlobalSort(
+      RangeJoin.withinIntervalPairs(ev, "event_id", "user_id", "ts_us", 300000000L),
+      "range-join pairs")
+    assertNoGlobalSort(Vocab.tfIdfTopK(docs, "doc_id", "text", 3), "tf-idf top-k")
+    assertNoGlobalSort(Vocab.invertedIndex(docs, "doc_id", "text"), "inverted index")
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+    assertNoGlobalSort(graft.operators.DedupClusters.propagate(pairs), "label propagation")
   }
 }
