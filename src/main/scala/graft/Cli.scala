@@ -21,6 +21,7 @@ case class CliConfig(
     includeSchemas: Seq[String] = Nil,
     includeTables: Seq[String] = Nil,
     level: String = "info",
+    parquetSchema: String = VerifyRun.SchemaName,
     sparseMod: Int = 10,
     tests: Seq[String] = Seq(TestModes.Full),
     tzPrecision: String = "milliseconds",
@@ -57,6 +58,7 @@ object Cli {
       |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
       |      --include-tables strings    tables to verify (comma separated, defaults to all)
       |      --level string              logging level (default "info")
+      |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
@@ -92,6 +94,7 @@ object Cli {
           case "--include-schemas" => loop(tail, acc.copy(includeSchemas = csv(value)))
           case "--include-tables"  => loop(tail, acc.copy(includeTables = csv(value)))
           case "--level"           => loop(tail, acc.copy(level = value))
+          case "--parquet-schema"  => loop(tail, acc.copy(parquetSchema = value))
           case "--sparse-mod"      => int(flag, value)(n => acc.copy(sparseMod = n)).flatMap(loop(tail, _))
           case "--tests" | "-t"    => loop(tail, acc.copy(tests = csv(value)))
           case "--tz-precision"    => loop(tail, acc.copy(tzPrecision = value))
@@ -126,7 +129,7 @@ object Cli {
   private def buildTargets(cfg: CliConfig): Seq[Target] =
     cfg.targets.zip(targetNames(cfg.targets, cfg.aliases)).map {
       case (uri, name) if uri.startsWith("jdbc:") => JdbcTarget(name, uri)
-      case (dir, name) => ParquetTarget(name, dir)
+      case (dir, name) => ParquetTarget(name, dir, schemaName = cfg.parquetSchema)
     }
 
   /** Table include/exclude (P4) on the bare table name, schema-qualified or

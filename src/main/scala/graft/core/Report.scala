@@ -90,11 +90,13 @@ object VerifyRun {
           implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
     val plans = targets.map { t =>
       t -> discoverTables(spark, t, SchemaFilter.All)
-        .filter(tb => includeTables.isEmpty || includeTables.contains(tb))
-        .filter(specs.contains)
-        .map { tb =>
+        .map(tb => (tb, splitName(tb)._2)) // filters match the BARE name, so
+        .filter { case (_, bare) =>        // a schema-qualified catalog works
+          (includeTables.isEmpty || includeTables.contains(bare)) && specs.contains(bare)
+        }
+        .map { case (tb, bare) =>
           val (schema, table) = splitName(tb)
-          TableWork(schema, table, tb, specs(tb))
+          TableWork(schema, table, tb, specs(bare))
         }
     }
     runPerTarget(spark, plans, cfg)

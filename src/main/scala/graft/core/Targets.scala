@@ -62,22 +62,32 @@ sealed trait Target {
   * `tweaks` lets a test build a deliberately-perturbed target (extra/missing/
   * changed rows) from the same files — the analogue of the reference's
   * negative integration test (/root/reference/integration_test.go:370-375).
+  *
+  * `schemaName` is the implicit schema the directory presents as (default
+  * `main`). The comparison keys results on (schema, table), so a parquet dir
+  * verified AGAINST a live engine must present as that engine's schema —
+  * parquet-vs-Derby pairs `APP`, parquet-vs-PG pairs `public` (matched
+  * case-insensitively by the A3 merge). With the default name tables list
+  * bare, exactly as before; a custom name lists them schema-qualified.
   */
 case class ParquetTarget(name: String, dir: String,
-                         tweaks: Map[String, DataFrame => DataFrame] = Map.empty) extends Target {
-  /** Parquet directories carry a single implicit schema, `main`; the schema
-    * filter either keeps or drops the whole target's catalog.
+                         tweaks: Map[String, DataFrame => DataFrame] = Map.empty,
+                         schemaName: String = VerifyRun.SchemaName) extends Target {
+  /** Parquet directories carry a single implicit schema; the schema filter
+    * either keeps or drops the whole target's catalog.
     */
   override def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String] = {
-    if (!schemas.accepts(VerifyRun.SchemaName)) return Nil
+    if (!schemas.accepts(schemaName)) return Nil
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.iterator.map(_.getName).filter(_.endsWith(".parquet"))
+    val bare = files.iterator.map(_.getName).filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet")).toSeq.sorted
+    if (schemaName == VerifyRun.SchemaName) bare else bare.map(t => s"$schemaName.$t")
   }
 
   override def read(spark: SparkSession, table: String): DataFrame = {
-    val df = Readers.fixture(spark, dir, table)
-    tweaks.get(table).map(_(df)).getOrElse(df)
+    val bare = table.stripPrefix(s"$schemaName.")
+    val df = Readers.fixture(spark, dir, bare)
+    tweaks.get(bare).map(_(df)).getOrElse(df)
   }
 }
 

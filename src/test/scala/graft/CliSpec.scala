@@ -31,6 +31,7 @@ class CliSpec extends SparkSpec {
       |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
       |      --include-tables strings    tables to verify (comma separated, defaults to all)
       |      --level string              logging level (default "info")
+      |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")

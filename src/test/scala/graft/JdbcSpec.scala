@@ -213,6 +213,72 @@ class JdbcSpec extends SparkSpec {
     assert(empty.rdd.getNumPartitions == 1 && empty.count() == 0)
   }
 
+  test("cross-engine: parquet vs Derby agree on all four modes; a missing row fails every mode") {
+    db
+    // stage the region fixture into Derby (idempotent), catalog mirror included
+    val conn = DriverManager.getConnection(url)
+    if (!conn.getMetaData.getTables(null, "APP", "REGION", null).next()) {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE region (r_regionkey INT NOT NULL PRIMARY KEY, " +
+        "r_name VARCHAR(64))")
+      val ps = conn.prepareStatement("INSERT INTO region VALUES (?, ?)")
+      graft.core.Readers.fixture(spark, sfDir, "region").collect().foreach { r =>
+        ps.setInt(1, r.getAs[Number]("r_regionkey").intValue())
+        ps.setString(2, r.getAs[String]("r_name"))
+        ps.executeUpdate()
+      }
+      ps.close()
+      st.execute("INSERT INTO information_schema.tables VALUES ('APP', 'REGION', 'BASE TABLE')")
+      st.execute("INSERT INTO information_schema.columns VALUES " +
+        "('r_regionkey', 'integer', 'APP', 'REGION', 'NEVER'), " +
+        "('r_name', 'character varying', 'APP', 'REGION', 'NEVER')")
+      st.execute("INSERT INTO information_schema.key_column_usage VALUES " +
+        "('r_regionkey', 'APP', 'REGION', 'region_pkey')")
+      st.execute("INSERT INTO information_schema.table_constraints VALUES " +
+        "('region_pkey', 'PRIMARY KEY')")
+      st.close()
+    }
+    conn.close()
+
+    // end-to-end CLI: per-target discovery (directory listing vs live
+    // information_schema), per-target PK casing, fan-out, pivot, exit code —
+    // sparse-mod 1 and a small bookend window so every mode sees every row
+    // (the reference's negative-test knobs, integration_test.go:294-398)
+    def runCli(dir: String): (Int, String) = {
+      // --parquet-schema app: the comparison keys on (schema, table), so the
+      // parquet side must present as Derby's schema (case-folded by A3)
+      val cfg = Cli.parse(Seq("--tests", "full,sparse,bookend,rowcount",
+        "--sparse-mod", "1", "--bookend-limit", "4", "--parquet-schema", "app",
+        "--include-tables", "region", "--aliases", "pq,derby", dir, url)).toOption.get
+      val sw = new java.io.StringWriter()
+      (Cli.run(spark, cfg, sw), sw.toString)
+    }
+    val (okCode, okOut) = runCli(sfDir)
+    assert(okCode == 0, okOut)
+    assert(okOut.contains("region") && !okOut.contains("(err)"), okOut)
+
+    // a parquet twin missing one row must be flagged — by EVERY mode
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hetero").toString
+    val full = graft.core.Readers.fixture(spark, sfDir, "region")
+    full.filter(org.apache.spark.sql.functions.col("r_regionkey") =!= 0)
+      .write.parquet(s"$tmp/region.parquet")
+    val (badCode, badOut) = runCli(tmp)
+    assert(badCode == 1, badOut)
+    val cfgV = VerifyConfig(bookendLimit = 4, sparseMod = 1)
+    val viaJdbc = Fingerprints.runModes(TestModes.All,
+      target.read(spark, "APP.REGION"), TableSpec("region", Seq("R_REGIONKEY")), cfgV)
+    val perturbed = Fingerprints.runModes(TestModes.All,
+      spark.read.parquet(s"$tmp/region.parquet"),
+      TableSpec("region", Seq("r_regionkey")), cfgV)
+    TestModes.All.foreach { m =>
+      assert(viaJdbc(m) != perturbed(m), s"mode $m failed to catch the dropped row")
+    }
+    // and the untouched parquet fixture agrees with Derby mode-for-mode
+    val pristine = Fingerprints.runModes(TestModes.All, full,
+      TableSpec("region", Seq("r_regionkey")), cfgV)
+    assert(pristine == viaJdbc)
+  }
+
   test("pgMd5ModPredicates: N buckets, signed-mod twins paired (P7, query.go:193)") {
     val preds = JdbcTarget.pgMd5ModPredicates("k", 4)
     assert(preds.length == 4)
