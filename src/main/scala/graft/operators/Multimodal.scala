@@ -26,7 +26,23 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                        channels: Long, feat: Array[Long])
 
-  /** STUB decoder — deterministic fake standing in for a real codec
+  /** Pluggable decoder boundary: a codec-backed implementation (libjpeg /
+    * ffmpeg bindings, etc.) is a drop-in — [[extractMeta]]'s schema, batch
+    * shape, and partitioning don't change. Must be Serializable: instances
+    * ship to executors inside the mapPartitions closure.
+    */
+  trait MediaDecoder extends Serializable {
+    /** (width, height, channels, feature vector) from raw media bytes. */
+    def decode(bytes: Array[Byte]): (Long, Long, Long, Array[Long])
+  }
+
+  /** The env-forced deterministic fake (no codec libs in this container). */
+  object StubDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): (Long, Long, Long, Array[Long]) =
+      decodeStub(bytes)
+  }
+
+  /** STUB decode — deterministic fake standing in for a real codec
     * (libs unavailable in this container). Header fields derive from the
     * first bytes; the "feature vector" is the low-nibble histogram.
     */
@@ -42,10 +58,11 @@ object Multimodal {
     (width, height, channels, hist)
   }
 
-  /** Batch decode: (id, binary) rows through the stub decoder, one partition
+  /** Batch decode: (id, binary) rows through the decoder, one partition
     * at a time — the mapInPandas-equivalent batch shape in Scala.
     */
-  def extractMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def extractMeta(df: DataFrame, idCol: String, binCol: String,
+                  decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = df.sparkSession
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     implicit val outEnc = Encoders.product[MediaMeta]
@@ -53,12 +70,55 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, c, feat) = decodeStub(bytes)
+          val (w, h, c, feat) = decoder.decode(bytes)
           MediaMeta(id, bytes.length.toLong, w, h, c, feat)
         }
       }
       .toDF()
   }
+
+  /** 64-bit perceptual hash over the decoder's 16-entry feature vector: bit b
+    * compares feat[i] vs feat[j] for a fixed enumeration of (i, j) pairs
+    * (i = b/4, j the next 1..4 entries cyclically) — the rank-based analogue
+    * of pHash's DCT-median thresholding, invariant to global feature scaling.
+    * Near-dup media → similar features → small hamming distance; banded pair
+    * generation reuses the [[SimHash]] chunk-join machinery unchanged.
+    */
+  def phash(feat: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 64).map { b =>
+      val i = b / 4
+      val j = (i + 1 + b % 4) % 16
+      when(element_at(feat, i + 1) > element_at(feat, j + 1), lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** DuckDB twin of stub-decode → [[phash]] → hamming pairs over media bytes
+    * synthesized as the first 32 text characters (ASCII fixture, so chars ==
+    * bytes and the stub's low-nibble histogram is `ascii(char) % 16`). The
+    * oracle pairs brute-force (n² is fine oracle-side); the Spark side's
+    * chunk-banded join must produce exactly this set — the pigeonhole bound
+    * makes banding exact for hamming <= 3.
+    */
+  def duckPhashPairs(table: String, idCol: String, textCol: String,
+                     maxHamming: Int): String =
+    s"""WITH f AS (SELECT $idCol AS id, list_transform(generate_series(0,15), n ->
+             CAST(len(list_filter(generate_series(1, least(32, len($textCol))), i ->
+               ascii(substr($textCol, i, 1)) % 16 = n)) AS BIGINT)) AS hist
+           FROM $table),
+       p0 AS (SELECT id, list_sum(list_transform(generate_series(0,63), b ->
+                CASE WHEN hist[(b//4)+1] > hist[((b//4 + 1 + b%4) % 16)+1]
+                     THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS u
+              FROM f),
+       p AS (SELECT id,
+               CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN CAST('18446744073709551616' AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ph
+             FROM p0)
+       SELECT a.id AS doc_a, b.id AS doc_b,
+              CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE bit_count(xor(a.ph, b.ph)) <= $maxHamming
+       ORDER BY doc_a, doc_b"""
 
   /** DuckDB twin of [[extractMeta]] over bytes produced as `unhex(md5(text))`:
     * byte i (1-based) is hex pair (2i-1, 2i) of the md5, so every stub field

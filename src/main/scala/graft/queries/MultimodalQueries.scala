@@ -28,6 +28,23 @@ object MultimodalQueries {
       },
       oracle = Some(Multimodal.duckMetaSql("documents", "doc_id"))),
 
+    // pHash-style near-dup over decoder features: stub-decode → 64-bit
+    // rank-hash → SimHash chunk-banded hamming pairs (exact for <= 3 by
+    // pigeonhole). Media bytes are the 32-char text prefix so the planted
+    // near-dup documents produce genuinely near features (md5-derived bytes
+    // would be pseudorandom and pair nothing)
+    "mm_phash_pairs" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).cast("binary").as("img"))
+        val ph = Multimodal.extractMeta(docs, "doc_id", "img")
+          .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+        graft.operators.SimHash.nearPairs(ph, "id", "ph")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
+        maxHamming = graft.operators.SimHash.MaxHamming))),
+
     // resize + frame-sample, expression path (hex-pair parsing via conv):
     // aspect-preserving resize to max dim 64, every-4th-byte "frame" sample
     "mm_transform" -> QueryEntry(

@@ -105,6 +105,23 @@ class OperatorSpec extends SparkSpec {
     assert(viaStub == viaExpr)
   }
 
+  test("MediaDecoder is a drop-in boundary: a custom decoder replaces the stub") {
+    // a codec-backed decoder must slot in with no plumbing changes; prove the
+    // seam exists by swapping a trivially-distinguishable implementation
+    object FixedDecoder extends Multimodal.MediaDecoder {
+      override def decode(bytes: Array[Byte]): (Long, Long, Long, Array[Long]) =
+        (1920L, 1080L, 3L, Array.fill(16)(bytes.length.toLong))
+    }
+    val df = docs.limit(5).select(col("doc_id"), unhex(md5(col("text"))).as("img"))
+    val got = Multimodal.extractMeta(df, "doc_id", "img", FixedDecoder).collect()
+    assert(got.forall(r => r.getAs[Long]("width") == 1920L &&
+      r.getAs[Long]("height") == 1080L &&
+      r.getAs[Seq[Long]]("feat") == Seq.fill(16)(16L)))
+    // default remains the stub
+    val stub = Multimodal.extractMeta(df, "doc_id", "img").collect()
+    assert(stub.exists(_.getAs[Long]("width") != 1920L))
+  }
+
   test("driver union-find equals distributed label propagation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")
