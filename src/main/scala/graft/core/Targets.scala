@@ -191,12 +191,16 @@ case class JdbcTarget(name: String, url: String,
 
   /** S2+J1: columns ⟕ key_column_usage ⟕ table_constraints, excluding
     * always-generated columns (/root/reference/query.go:102-118, P5).
+    * Returned in catalog `ordinal_position` order (SQL-standard column), not
+    * alphabetically: DDL order is load-bearing downstream — the leading PK
+    * column of a composite key is conventionally the high-cardinality one,
+    * which [[resolveSplit]] prefers when it has no span statistics.
     */
   def discoverColumns(spark: SparkSession, schema: String, table: String): Seq[ColumnMeta] = {
     val cols = readTable(spark, "information_schema.columns")
       .filter(col("table_schema") === schema && col("table_name") === table)
       .filter(coalesce(col("is_generated"), lit("")) =!= "ALWAYS")
-      .select("column_name", "data_type", "table_schema", "table_name")
+      .select("column_name", "data_type", "ordinal_position", "table_schema", "table_name")
     val kcu = readTable(spark, "information_schema.key_column_usage")
       .select("column_name", "table_schema", "table_name", "constraint_name")
     val tc = readTable(spark, "information_schema.table_constraints")
@@ -207,8 +211,10 @@ case class JdbcTarget(name: String, url: String,
       .groupBy("column_name", "data_type")
       // coalesce: a column with no constraints has all-NULL constraint_type,
       // and max() over it is NULL — getBoolean would NPE
-      .agg(coalesce(max(col("constraint_type") === "PRIMARY KEY"), lit(false)).as("is_pk"))
+      .agg(coalesce(max(col("constraint_type") === "PRIMARY KEY"), lit(false)).as("is_pk"),
+           min(col("ordinal_position").cast("long")).as("ord"))
       .collect()
+      .sortBy(_.getLong(3))
       .map(r => ColumnMeta(r.getString(0), r.getString(1), r.getBoolean(2)))
       .toSeq
   }
@@ -216,13 +222,7 @@ case class JdbcTarget(name: String, url: String,
   private def quote(table: String): String =
     table.split("\\.").map(p => "\"" + p + "\"").mkString(".")
 
-  /** How to split one table's scan, resolved once per table per target. */
-  private sealed trait ScanSplit
-  private case class RangeSplit(column: String, lo: Long, hi: Long) extends ScanSplit
-  private case class HashSplit(column: String) extends ScanSplit
-  private case object NoSplit extends ScanSplit
-
-  private val splitCache = scala.collection.concurrent.TrieMap.empty[String, ScanSplit]
+  private val splitCache = scala.collection.concurrent.TrieMap.empty[String, JdbcTarget.ScanSplit]
 
   /** Integer-family catalog types a `partitionColumn` range split handles.
     * Floating/decimal PKs also work (bounds are truncated, end ranges are
@@ -241,10 +241,19 @@ case class JdbcTarget(name: String, url: String,
       if (url.startsWith("jdbc:postgresql")) Some(JdbcTarget.pgMd5ModPredicates _)
       else None)
 
-  private def resolveSplit(spark: SparkSession, table: String): ScanSplit = {
+  /** Pick the split for an `n`-partition read. A composite PK can mix a wide
+    * surrogate key with a narrow discriminator (lineitem's `(l_orderkey,
+    * l_linenumber)`): Spark clamps `numPartitions` to `upperBound −
+    * lowerBound`, so splitting on the narrow column silently collapses the
+    * read to a handful of skewed connections. So: probe MIN/MAX of EVERY
+    * range-typed PK candidate in ONE pushdown query, split on the widest
+    * span, and when even that span cannot feed `n` partitions prefer the
+    * hash-split (uniform buckets regardless of value distribution).
+    */
+  private[graft] def resolveSplit(spark: SparkSession, table: String, n: Int): JdbcTarget.ScanSplit = {
+    import JdbcTarget.{ScanSplit, RangeSplit, HashSplit, NoSplit}
     val (schema, bare) = VerifyRun.splitName(table)
     val pks = discoverColumns(spark, schema, bare).filter(_.isPrimaryKey)
-      .sortBy(_.name)
     if (pks.isEmpty) return NoSplit
     // catalog case may differ from the result-set's physical case (the
     // JdbcSpec Derby mirror reports PG-style lowercase for an uppercase
@@ -252,18 +261,36 @@ case class JdbcTarget(name: String, url: String,
     val physical = readTable(spark, quote(table)).schema.fieldNames
     def phys(name: String): String =
       physical.find(_.equalsIgnoreCase(name)).getOrElse(name)
-    pks.find(c => RangeTypes.contains(c.dataType.toLowerCase)) match {
-      case Some(c) =>
-        // one pushdown MIN/MAX probe; `query` (not dbtable) so Spark wraps
-        // and aliases the subquery itself
-        val q = s"""SELECT MIN("${phys(c.name)}") AS lo, MAX("${phys(c.name)}") AS hi FROM ${quote(table)}"""
-        val bounds = spark.read.format("jdbc").option("url", url).option("query", q)
+    val candidates = pks.filter(c => RangeTypes.contains(c.dataType.toLowerCase))
+    val widest: Option[RangeSplit] =
+      if (candidates.isEmpty) None
+      else {
+        // one round-trip regardless of PK arity; `query` (not dbtable) so
+        // Spark wraps and aliases the subquery itself
+        val sel = candidates.zipWithIndex.map { case (c, i) =>
+          s"""MIN("${phys(c.name)}") AS lo$i, MAX("${phys(c.name)}") AS hi$i"""
+        }.mkString(", ")
+        val row = spark.read.format("jdbc").option("url", url)
+          .option("query", s"SELECT $sel FROM ${quote(table)}")
           .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props).asScala.toMap)
-          .load().select(col("lo").cast("long"), col("hi").cast("long")).head()
-        if (bounds.isNullAt(0) || bounds.isNullAt(1)) NoSplit // empty table
-        else RangeSplit(phys(c.name), bounds.getLong(0), bounds.getLong(1))
-      case None =>
-        if (hashGenerator.isDefined) HashSplit(phys(pks.head.name)) else NoSplit
+          .load()
+          .select(candidates.indices.flatMap(i =>
+            Seq(col(s"lo$i").cast("long"), col(s"hi$i").cast("long"))): _*)
+          .head()
+        if (row.isNullAt(0)) return NoSplit // empty table: every MIN is NULL
+        val spans = candidates.zipWithIndex.map { case (c, i) =>
+          RangeSplit(phys(c.name), row.getLong(2 * i), row.getLong(2 * i + 1))
+        }
+        Some(spans.maxBy(s => s.hi - s.lo))
+      }
+    widest match {
+      case Some(best) if best.hi - best.lo + 1 >= n.toLong => best
+      // even the widest span clamps below n → hash-split beats a skewed
+      // handful of range connections (and PK order puts the conventional
+      // high-cardinality leading column first for the bucket key)
+      case _ if hashGenerator.isDefined => HashSplit(phys(pks.head.name))
+      case Some(best) => best // narrow but parallel still beats 1 connection
+      case None => NoSplit
     }
   }
 
@@ -275,10 +302,11 @@ case class JdbcTarget(name: String, url: String,
     * unquoted name.
     */
   override def read(spark: SparkSession, table: String): DataFrame = {
+    import JdbcTarget.{RangeSplit, HashSplit, NoSplit}
     val n = if (readPartitions > 0) readPartitions
             else spark.sparkContext.defaultParallelism
     val split = if (n <= 1) NoSplit
-                else splitCache.getOrElseUpdate(table, resolveSplit(spark, table))
+                else splitCache.getOrElseUpdate(table, resolveSplit(spark, table, n))
     split match {
       case RangeSplit(column, lo, hi) =>
         spark.read.format("jdbc").option("url", url).option("dbtable", quote(table))
@@ -299,6 +327,14 @@ case class JdbcTarget(name: String, url: String,
 }
 
 object JdbcTarget {
+  /** How to split one table's scan, resolved once per table per target.
+    * Package-visible so specs can assert the chosen split column directly.
+    */
+  private[graft] sealed trait ScanSplit
+  private[graft] case class RangeSplit(column: String, lo: Long, hi: Long) extends ScanSplit
+  private[graft] case class HashSplit(column: String) extends ScanSplit
+  private[graft] case object NoSplit extends ScanSplit
+
   /** Default hash-split predicates (PostgreSQL dialect): the reference's P7
     * signed-64 md5 bucket expression (/root/reference/query.go:193) as N
     * mutually exclusive, exhaustive WHERE clauses. SQL `MOD` over a signed

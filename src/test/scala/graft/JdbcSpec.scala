@@ -43,6 +43,13 @@ class JdbcSpec extends SparkSpec {
     exec("CREATE TABLE strkeys (k VARCHAR(16) NOT NULL PRIMARY KEY, v INT)")
     exec("INSERT INTO strkeys VALUES ('a',1),('bb',2),('ccc',3),('dddd',4),('eeeee',5),('f',6)")
     exec("CREATE TABLE emptyt (eid INT NOT NULL PRIMARY KEY, payload VARCHAR(16))")
+    // composite PK mixing a wide surrogate key with a narrow discriminator
+    // (the lineitem shape): the split chooser must pick korder by span even
+    // though knum sorts first alphabetically
+    exec("CREATE TABLE compkeys (korder BIGINT NOT NULL, knum INT NOT NULL, " +
+      "pay VARCHAR(16), PRIMARY KEY (korder, knum))")
+    exec("INSERT INTO compkeys VALUES " +
+      (1 to 14).map(i => s"(${i.toLong * 71429 + 100}, ${(i - 1) % 7 + 1}, 'p$i')").mkString(", "))
     // a second user schema, for the --include/--exclude-schemas surface
     exec("CREATE SCHEMA other")
     exec("CREATE TABLE other.extra (xid INT NOT NULL PRIMARY KEY, note VARCHAR(64))")
@@ -54,29 +61,35 @@ class JdbcSpec extends SparkSpec {
       "('APP', 'VERIFYME', 'BASE TABLE'), " +
       "('APP', 'STRKEYS', 'BASE TABLE'), " +
       "('APP', 'EMPTYT', 'BASE TABLE'), " +
+      "('APP', 'COMPKEYS', 'BASE TABLE'), " +
       "('OTHER', 'EXTRA', 'BASE TABLE'), " +
       "('APP', 'SOMEVIEW', 'VIEW'), " + // excluded: views (P4)
       "('pg_catalog', 'pg_class', 'BASE TABLE')") // excluded: system schema
     exec("CREATE TABLE information_schema.columns (column_name VARCHAR(128), " +
       "data_type VARCHAR(64), table_schema VARCHAR(128), table_name VARCHAR(128), " +
-      "is_generated VARCHAR(16))")
+      "is_generated VARCHAR(16), ordinal_position INT)")
     exec("INSERT INTO information_schema.columns VALUES " +
-      "('id', 'integer', 'APP', 'VERIFYME', 'NEVER'), " +
-      "('name', 'character varying', 'APP', 'VERIFYME', 'NEVER'), " +
-      "('amount', 'double precision', 'APP', 'VERIFYME', 'NEVER'), " +
-      "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS'), " + // excluded: P5
-      "('k', 'character varying', 'APP', 'STRKEYS', 'NEVER'), " +
-      "('v', 'integer', 'APP', 'STRKEYS', 'NEVER'), " +
-      "('eid', 'integer', 'APP', 'EMPTYT', 'NEVER'), " +
-      "('payload', 'character varying', 'APP', 'EMPTYT', 'NEVER'), " +
-      "('xid', 'integer', 'OTHER', 'EXTRA', 'NEVER'), " +
-      "('note', 'character varying', 'OTHER', 'EXTRA', 'NEVER')")
+      "('id', 'integer', 'APP', 'VERIFYME', 'NEVER', 1), " +
+      "('name', 'character varying', 'APP', 'VERIFYME', 'NEVER', 2), " +
+      "('amount', 'double precision', 'APP', 'VERIFYME', 'NEVER', 3), " +
+      "('ghost', 'integer', 'APP', 'VERIFYME', 'ALWAYS', 4), " + // excluded: P5
+      "('k', 'character varying', 'APP', 'STRKEYS', 'NEVER', 1), " +
+      "('v', 'integer', 'APP', 'STRKEYS', 'NEVER', 2), " +
+      "('eid', 'integer', 'APP', 'EMPTYT', 'NEVER', 1), " +
+      "('payload', 'character varying', 'APP', 'EMPTYT', 'NEVER', 2), " +
+      "('korder', 'bigint', 'APP', 'COMPKEYS', 'NEVER', 1), " +
+      "('knum', 'integer', 'APP', 'COMPKEYS', 'NEVER', 2), " +
+      "('pay', 'character varying', 'APP', 'COMPKEYS', 'NEVER', 3), " +
+      "('xid', 'integer', 'OTHER', 'EXTRA', 'NEVER', 1), " +
+      "('note', 'character varying', 'OTHER', 'EXTRA', 'NEVER', 2)")
     exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
       "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
     exec("INSERT INTO information_schema.key_column_usage VALUES " +
       "('id', 'APP', 'VERIFYME', 'verifyme_pkey'), " +
       "('k', 'APP', 'STRKEYS', 'strkeys_pkey'), " +
       "('eid', 'APP', 'EMPTYT', 'emptyt_pkey'), " +
+      "('korder', 'APP', 'COMPKEYS', 'compkeys_pkey'), " +
+      "('knum', 'APP', 'COMPKEYS', 'compkeys_pkey'), " +
       "('xid', 'OTHER', 'EXTRA', 'extra_pkey')")
     exec("CREATE TABLE information_schema.table_constraints " +
       "(constraint_name VARCHAR(128), constraint_type VARCHAR(32))")
@@ -84,6 +97,7 @@ class JdbcSpec extends SparkSpec {
       "('verifyme_pkey', 'PRIMARY KEY'), " +
       "('strkeys_pkey', 'PRIMARY KEY'), " +
       "('emptyt_pkey', 'PRIMARY KEY'), " +
+      "('compkeys_pkey', 'PRIMARY KEY'), " +
       "('extra_pkey', 'PRIMARY KEY')")
     st.close()
   }
@@ -115,11 +129,11 @@ class JdbcSpec extends SparkSpec {
       exec("INSERT INTO information_schema.tables VALUES ('APP', 'verifyme', 'BASE TABLE')")
       exec("CREATE TABLE information_schema.columns (column_name VARCHAR(128), " +
         "data_type VARCHAR(64), table_schema VARCHAR(128), table_name VARCHAR(128), " +
-        "is_generated VARCHAR(16))")
+        "is_generated VARCHAR(16), ordinal_position INT)")
       exec("INSERT INTO information_schema.columns VALUES " +
-        "('id', 'integer', 'APP', 'verifyme', 'NEVER'), " +
-        "('name', 'character varying', 'APP', 'verifyme', 'NEVER'), " +
-        "('amount', 'double precision', 'APP', 'verifyme', 'NEVER')")
+        "('id', 'integer', 'APP', 'verifyme', 'NEVER', 1), " +
+        "('name', 'character varying', 'APP', 'verifyme', 'NEVER', 2), " +
+        "('amount', 'double precision', 'APP', 'verifyme', 'NEVER', 3)")
       exec("CREATE TABLE information_schema.key_column_usage (column_name VARCHAR(128), " +
         "table_schema VARCHAR(128), table_name VARCHAR(128), constraint_name VARCHAR(128))")
       exec("INSERT INTO information_schema.key_column_usage VALUES " +
@@ -137,7 +151,7 @@ class JdbcSpec extends SparkSpec {
 
   test("S1: JDBC catalog scan lists base tables, excluding views and system schemas") {
     assert(target.tables(spark) ==
-      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME", "OTHER.EXTRA"))
+      Seq("APP.COMPKEYS", "APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME", "OTHER.EXTRA"))
   }
 
   test("S6 fail-fast: an unreachable JDBC target aborts before any work") {
@@ -152,11 +166,11 @@ class JdbcSpec extends SparkSpec {
     // include wins, case-insensitive (user types lowercase, Derby says OTHER)
     assert(target.tables(spark, SchemaFilter(include = Seq("other"))) == Seq("OTHER.EXTRA"))
     assert(target.tables(spark, SchemaFilter(exclude = Seq("other"))) ==
-      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
+      Seq("APP.COMPKEYS", "APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
     // include wins over exclude, same as tables/columns
     assert(target.tables(spark,
       SchemaFilter(include = Seq("APP"), exclude = Seq("APP"))) ==
-      Seq("APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
+      Seq("APP.COMPKEYS", "APP.EMPTYT", "APP.STRKEYS", "APP.VERIFYME"))
   }
 
   test("S2+J1+P5: live column discovery joins catalog tables and drops generated columns") {
@@ -205,6 +219,32 @@ class JdbcSpec extends SparkSpec {
     assert(keys == Seq("a", "bb", "ccc", "dddd", "eeeee", "f"))
   }
 
+  test("partitioned read: composite PK splits on the widest-span column, not the alphabetical pick") {
+    // knum sorts alphabetically before korder but spans only 1..7; an
+    // alphabetical pick would clamp this 8-partition read to <=6 skewed
+    // range connections (Spark clamps numPartitions to upper-lower)
+    val t = JdbcTarget("derbycomp", url, readPartitions = 8)
+    assert(t.resolveSplit(spark, "APP.COMPKEYS", 8) ==
+      JdbcTarget.RangeSplit("KORDER", 71529L, 14 * 71429L + 100))
+    val df = t.read(spark, "APP.COMPKEYS")
+    assert(df.rdd.getNumPartitions == 8)
+    // every row exactly once across the range partitions
+    assert(df.select("KORDER").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 14).map(_.toLong * 71429 + 100))
+  }
+
+  test("narrow numeric span with a dialect generator falls back to the hash-split") {
+    // VERIFYME ids span 1..3 — can't feed 8 range partitions; with a hash
+    // generator available the chooser must prefer uniform hash buckets, keyed
+    // on the LEADING PK column (catalog ordinal order, not alphabetical)
+    val t = JdbcTarget("derbynarrow", url, readPartitions = 8,
+      stringPkPredicates = Some((c, n) => (0 until n).map(i => s"""MOD("$c", $n) = $i""")))
+    assert(t.resolveSplit(spark, "APP.VERIFYME", 8) == JdbcTarget.HashSplit("ID"))
+    val df = t.read(spark, "APP.VERIFYME")
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.select("ID").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("partitioned read fallbacks: no generator on a non-PG engine, empty table") {
     // string PK + no dialect generator → single partition, never foreign SQL
     assert(target.read(spark, "APP.STRKEYS").rdd.getNumPartitions == 1)
@@ -230,8 +270,8 @@ class JdbcSpec extends SparkSpec {
       ps.close()
       st.execute("INSERT INTO information_schema.tables VALUES ('APP', 'REGION', 'BASE TABLE')")
       st.execute("INSERT INTO information_schema.columns VALUES " +
-        "('r_regionkey', 'integer', 'APP', 'REGION', 'NEVER'), " +
-        "('r_name', 'character varying', 'APP', 'REGION', 'NEVER')")
+        "('r_regionkey', 'integer', 'APP', 'REGION', 'NEVER', 1), " +
+        "('r_name', 'character varying', 'APP', 'REGION', 'NEVER', 2)")
       st.execute("INSERT INTO information_schema.key_column_usage VALUES " +
         "('r_regionkey', 'APP', 'REGION', 'region_pkey')")
       st.execute("INSERT INTO information_schema.table_constraints VALUES " +
