@@ -281,19 +281,26 @@ object Fingerprints {
             else digestOrdered(kh.select(col("k"), col("h")), Some(n),
               cfg.streamingCollectRowLimit).getOrElse(NoRows)
           case TestModes.Sparse =>
+            // the sampled set is ~1/sparseMod of the table — still collect-
+            // hazardous at scale, so both paths count before digesting
             val kh = khOpt.get._1
             val sampled = kh.filter(col("sk") % cfg.sparseMod === 0)
-            val selected =
-              if (spec.pks.lengthCompare(1) <= 0) sampled
-              else spec.pks.indices.foldLeft(kh) { (acc, i) =>
+            if (spec.pks.lengthCompare(1) <= 0)
+              // a filter over the persisted kh: the guarding count and the
+              // digest are both cached-frame scans
+              digestOrdered(sampled.select(col("k"), col("h")), Some(sampled.count()),
+                cfg.streamingCollectRowLimit).getOrElse(NoRows)
+            else {
+              // the chained semi-joins are NOT covered by kh's persist —
+              // materialize them once so the guarding count doesn't run the
+              // whole join tree a second time when the digest evaluates
+              val selected = spec.pks.indices.foldLeft(kh) { (acc, i) =>
                 acc.join(sampled.select(col(s"__pk$i")), Seq(s"__pk$i"), "left_semi")
-              }
-            // the sampled set is ~1/sparseMod of the table — still collect-
-            // hazardous at scale; kh is persisted, so the guarding count is
-            // a cached-frame scan (the single-mode sparse paths have no
-            // persisted parent and keep plain collect)
-            digestOrdered(selected.select(col("k"), col("h")), Some(selected.count()),
-              cfg.streamingCollectRowLimit).getOrElse(NoRows)
+              }.select(col("k"), col("h")).persist()
+              try digestOrdered(selected, Some(selected.count()),
+                cfg.streamingCollectRowLimit).getOrElse(NoRows)
+              finally selected.unpersist(blocking = false)
+            }
           case TestModes.Bookend => bookendFromKh(khOpt.get._1.select(col("k"), col("h")), cfg)
           case other => throw new IllegalArgumentException(s"unknown test mode $other")
         }

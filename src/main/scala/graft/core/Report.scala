@@ -88,15 +88,19 @@ object VerifyRun {
   def run(spark: SparkSession, targets: Seq[Target], specs: Map[String, TableSpec],
           cfg: VerifyConfig, includeTables: Seq[String] = Nil)(
           implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
+    // match bare names case-insensitively, consistent with the A3 merge: an
+    // uppercase catalog (Derby reports REGION) must hit a lowercase spec key
+    val includeLc = includeTables.map(_.toLowerCase)
+    val specsLc = specs.map { case (k, v) => k.toLowerCase -> v }
     val plans = targets.map { t =>
       t -> discoverTables(spark, t, SchemaFilter.All)
-        .map(tb => (tb, splitName(tb)._2)) // filters match the BARE name, so
-        .filter { case (_, bare) =>        // a schema-qualified catalog works
-          (includeTables.isEmpty || includeTables.contains(bare)) && specs.contains(bare)
+        .map(tb => (tb, splitName(tb)._2.toLowerCase)) // filters match the BARE
+        .filter { case (_, bare) =>      // name, so a schema-qualified catalog works
+          (includeLc.isEmpty || includeLc.contains(bare)) && specsLc.contains(bare)
         }
         .map { case (tb, bare) =>
           val (schema, table) = splitName(tb)
-          TableWork(schema, table, tb, specs(bare))
+          TableWork(schema, table, tb, specsLc(bare))
         }
     }
     runPerTarget(spark, plans, cfg)

@@ -44,18 +44,76 @@ object Multimodal {
 
   /** STUB decode — deterministic fake standing in for a real codec
     * (libs unavailable in this container). Header fields derive from the
-    * first bytes; the "feature vector" is the low-nibble histogram.
+    * first bytes; the "feature vector" is the low-nibble histogram. Bytes
+    * past the end read as 0, so a short/empty payload degrades to the
+    * minimum header + zero histogram — exactly what the DuckDB twin computes
+    * for empty text — instead of crashing the whole query.
     */
   def decodeStub(bytes: Array[Byte]): (Long, Long, Long, Array[Long]) = {
-    val b0 = bytes(0) & 0xff
-    val b1 = bytes(1) & 0xff
-    val b2 = bytes(2) & 0xff
-    val width = 32L + b0 % 224
-    val height = 32L + b1 % 224
-    val channels = 1L + b2 % 3
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    val width = 32L + at(0) % 224
+    val height = 32L + at(1) % 224
+    val channels = 1L + at(2) % 3
     val hist = new Array[Long](16)
     bytes.foreach(b => hist(b & 0x0f) += 1)
     (width, height, channels, hist)
+  }
+
+  /** Real image decoder backed by the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * — ships with the JRE, no external codec libs). Width/height/channels come
+    * from the decoded raster; the 16-entry feature vector is the classic
+    * pHash front half: grayscale → area-averaged 32×32 downsample → 2D
+    * DCT-II → the 4×4 low-frequency coefficient block. [[phash]]'s pairwise
+    * rank thresholding over those coefficients then yields a 64-bit
+    * perceptual hash: per-pixel noise perturbs low-frequency DCT magnitudes
+    * only slightly, so near-identical images land within a small hamming
+    * distance while unrelated images scatter.
+    *
+    * Fixture parquet carries synthetic (non-image) bytes, so oracle-gated
+    * queries stay on [[StubDecoder]]; this decoder is the production drop-in
+    * the `MediaDecoder` trait exists for, exercised on real PNGs in
+    * MultimodalSpec.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    private val N = 32 // pHash downsample grid
+
+    override def decode(bytes: Array[Byte]): (Long, Long, Long, Array[Long]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable media payload (${bytes.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      // area-averaged luminance on the N×N grid (deterministic, unlike the
+      // platform-dependent AWT scaling filters)
+      val gray = Array.ofDim[Double](N, N)
+      for (gy <- 0 until N; gx <- 0 until N) {
+        val x0 = gx * w / N; val x1 = math.max((gx + 1) * w / N, x0 + 1)
+        val y0 = gy * h / N; val y1 = math.max((gy + 1) * h / N, y0 + 1)
+        var sum = 0.0
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        }
+        gray(gy)(gx) = sum / ((x1 - x0) * (y1 - y0))
+      }
+      // 2D DCT-II, low-frequency 4×4 block only (16 of N² coefficients —
+      // O(16·N²), no full transform needed). Coefficients quantize by Q
+      // before the rank hash: per-pixel noise moves a coefficient by
+      // O(N·noise) ≈ tens, so noise-scale differences collapse to TIES
+      // (stable rank bits) while genuine structure — hundreds to thousands —
+      // keeps its ordering. Without this, comparisons between the near-zero
+      // cross terms of smooth scenes flip randomly under noise.
+      val Q = 512.0
+      val feat = new Array[Long](16)
+      for (v <- 0 until 4; u <- 0 until 4) {
+        var c = 0.0
+        for (y <- 0 until N; x <- 0 until N) {
+          c += gray(y)(x) *
+            math.cos((2 * x + 1) * u * math.Pi / (2 * N)) *
+            math.cos((2 * y + 1) * v * math.Pi / (2 * N))
+        }
+        feat(v * 4 + u) = math.round(c / Q)
+      }
+      (w.toLong, h.toLong, img.getColorModel.getNumComponents.toLong, feat)
+    }
   }
 
   /** Batch decode: (id, binary) rows through the decoder, one partition

@@ -167,7 +167,12 @@ object SimilarityQueries {
     "sim_ann_recall" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+        // persist-barrier (the SimHash.nearPairs pattern): the exact ranking
+        // appears FOUR times in the final plan (hits + query list, × two
+        // methods) — without the barrier the broadcast-scan/window ranking
+        // recomputes per reference; lsh/ivf appear once each, so a barrier
+        // there would only add write traffic
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
         val lsh = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
         val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, numCentroids = 20)
         recallOf(exact, lsh, "lsh").unionByName(recallOf(exact, ivf, "ivf"))

@@ -253,6 +253,19 @@ class JdbcSpec extends SparkSpec {
     assert(empty.rdd.getNumPartitions == 1 && empty.count() == 0)
   }
 
+  test("library entry VerifyRun.run matches spec/include keys case-insensitively") {
+    // Derby's catalog reports VERIFYME; a PG-style lowercase spec key must
+    // still select it through the library entry point (the CLI path already
+    // case-folds; the A3 merge lowercases — this must agree with both)
+    val rows = graft.core.VerifyRun.run(spark, Seq(target),
+      Map("verifyme" -> TableSpec("verifyme", Seq("ID"))),
+      VerifyConfig(modes = Seq(TestModes.RowCount)), includeTables = Seq("VerifyMe"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("table") == "VERIFYME" &&
+      rows.head.getAs[String]("output") == "3")
+  }
+
   test("cross-engine: parquet vs Derby agree on all four modes; a missing row fails every mode") {
     db
     // stage the region fixture into Derby (idempotent), catalog mirror included

@@ -122,6 +122,53 @@ class OperatorSpec extends SparkSpec {
     assert(stub.exists(_.getAs[Long]("width") != 1920L))
   }
 
+  test("ImageIoDecoder: real PNG decode — noisy copies pair within hamming<=3, unrelated don't") {
+    import java.awt.image.BufferedImage
+
+    def png(w: Int, h: Int, noise: Int, seed: Long)(f: (Int, Int) => Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (f(x, y) + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0))
+          .max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // structured low-frequency scenes (what real photos look like to a DCT)
+    def sceneA(x: Int, y: Int): Int = 40 + (x * 3) / 2 + (if (y > 24) 60 else 0)
+    def sceneB(x: Int, y: Int): Int =
+      200 - 2 * y + (if ((x / 16) % 2 == 0) 40 else -20)
+    val rows = Seq(
+      (1L, png(96, 64, 0, 0)(sceneA)),       // base
+      (2L, png(96, 64, 4, 7)(sceneA)),       // same scene, per-pixel noise
+      (3L, png(96, 64, 0, 0)(sceneB)),       // unrelated scene
+      (4L, png(96, 64, 4, 11)(sceneB)))      // its noisy copy
+    val df = rows.toDF("doc_id", "img")
+
+    val meta = Multimodal.extractMeta(df, "doc_id", "img", Multimodal.ImageIoDecoder)
+    val m = meta.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // header fields come from the real decoded raster, not the stub formula
+    assert(m.values.forall(r => r.getAs[Long]("width") == 96 &&
+      r.getAs[Long]("height") == 64 && r.getAs[Long]("channels") == 3))
+
+    // pHash over the DCT features through the same banded pair machinery the
+    // registered query uses: noisy copies pair, cross-scene pairs don't
+    val ph = meta.select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+    val pairs = graft.operators.SimHash.nearPairs(ph, "id", "ph")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+  }
+
+  test("decodeStub survives short and empty payloads (zero-filled header bytes)") {
+    val (w, h, c, hist) = Multimodal.decodeStub(Array.empty[Byte])
+    assert((w, h, c) == (32L, 32L, 1L) && hist.forall(_ == 0L))
+    val (w2, _, c2, hist2) = Multimodal.decodeStub(Array[Byte](0x21))
+    assert(w2 == 32L + 0x21 % 224 && c2 == 1L && hist2.sum == 1L)
+  }
+
   test("driver union-find equals distributed label propagation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")
