@@ -233,6 +233,40 @@ object Fingerprints {
   def merkleDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String =
     merkleFromKh(hashedRows(df, spec, cfg), buckets)
 
+  /** Incremental re-verification (our extension): persist the per-bucket
+    * digest vector a [[merkleDigest]] computes and then discards, so the next
+    * run diffs bucket vectors instead of re-verifying the whole table — the
+    * "verify 100 TB nightly" shape. A changed row flips exactly its bucket;
+    * [[merkleChangedBuckets]] names the flipped buckets and [[RowDiff]] can
+    * then drill into ~1/buckets of the data. The reference re-reads
+    * everything every run (its only mitigation is sparse mode,
+    * /root/reference/query.go:186-205).
+    */
+  def writeMerkleSnapshot(df: DataFrame, spec: TableSpec, cfg: VerifyConfig,
+                          buckets: Int, path: String): Unit =
+    merkleBucketDigests(df, spec, cfg, buckets)
+      .write.mode("overwrite").parquet(path)
+
+  def readMerkleSnapshot(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Buckets whose digest differs between two snapshot vectors: `changed`
+    * (both sides, different digest), `appeared` (bucket gained its first
+    * rows), `vanished` (bucket lost all rows). Output is buckets-sized
+    * (≤ `merkleBuckets` rows), never data-sized.
+    */
+  def merkleChangedBuckets(prev: DataFrame, curr: DataFrame): DataFrame =
+    prev.select(col("bucket"), col("bucket_hash").as("prev_hash"))
+      .join(curr.select(col("bucket"), col("bucket_hash").as("curr_hash")),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("prev_hash") <=> col("curr_hash")))
+      .select(col("bucket"),
+        coalesce(col("prev_hash"), lit("")).as("prev_hash"),
+        coalesce(col("curr_hash"), lit("")).as("curr_hash"),
+        when(col("prev_hash").isNull, "appeared")
+          .when(col("curr_hash").isNull, "vanished")
+          .otherwise("changed").as("status"))
+
   /** Mode dispatch — /root/reference/verify.go:205-232. */
   def runMode(mode: String, df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = mode match {
     case TestModes.Full     => fullDigest(df, spec, cfg)

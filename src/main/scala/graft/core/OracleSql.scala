@@ -124,16 +124,42 @@ object OracleSql {
   def rowCount(table: String, where: String = "", source: Option[String] = None): String =
     s"(SELECT CAST(count(*) AS VARCHAR) FROM ${source.getOrElse(table)} AS src$where)"
 
-  /** Twin of [[Fingerprints.merkleDigest]]. */
-  def merkle(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
-    val kh = khSub(table, spec, cfg)
+  /** Per-bucket digest vector subquery — twin of
+    * [[Fingerprints.merkleBucketDigests]]; shared by the one-shot digest and
+    * the incremental bucket diff.
+    */
+  def merkleBucketsSub(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int,
+                       source: Option[String] = None): String = {
+    val kh = khSub(table, spec, cfg, "", source)
     val bucketed = s"(SELECT CAST('0x' || substr(md5(k), 1, 4) AS UBIGINT) % $buckets AS bucket, " +
       s"k, h FROM $kh AS kh)"
-    val perBucket = s"(SELECT bucket, md5(string_agg(h, '' ORDER BY k, h)) AS bh " +
+    s"(SELECT bucket, md5(string_agg(h, '' ORDER BY k, h)) AS bh " +
       s"FROM $bucketed AS b GROUP BY bucket)"
+  }
+
+  /** Twin of [[Fingerprints.merkleDigest]]. */
+  def merkle(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int): String = {
+    val perBucket = merkleBucketsSub(table, spec, cfg, buckets)
     s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' " +
       s"ELSE md5(string_agg(bh, '' ORDER BY bucket)) END FROM $perBucket AS m)"
   }
+
+  /** Twin of [[Fingerprints.merkleChangedBuckets]] over two sources of the
+    * same table shape.
+    */
+  def merkleChanged(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int,
+                    prevSource: Option[String], currSource: Option[String]): String =
+    s"""WITH prev AS (SELECT * FROM ${merkleBucketsSub(table, spec, cfg, buckets, prevSource)} AS p),
+         curr AS (SELECT * FROM ${merkleBucketsSub(table, spec, cfg, buckets, currSource)} AS c)
+       SELECT CAST(coalesce(prev.bucket, curr.bucket) AS BIGINT) AS bucket,
+              coalesce(prev.bh, '') AS prev_hash,
+              coalesce(curr.bh, '') AS curr_hash,
+              CASE WHEN prev.bh IS NULL THEN 'appeared'
+                   WHEN curr.bh IS NULL THEN 'vanished'
+                   ELSE 'changed' END AS status
+       FROM prev FULL OUTER JOIN curr ON prev.bucket = curr.bucket
+       WHERE prev.bh IS DISTINCT FROM curr.bh
+       ORDER BY bucket"""
 
   /** Mode dispatch, twin of [[Fingerprints.runMode]]. */
   def forMode(mode: String, table: String, spec: TableSpec, cfg: VerifyConfig,

@@ -339,7 +339,22 @@ object VerifierQueries {
       oracle = Some(Seq("lineitem", "orders").sorted.map { t =>
         s"SELECT '$t' AS table_name, ${OracleSql.merkle(t, spec(t), cfg, 64)} AS fingerprint"
       }.mkString("", " UNION ALL ", " ORDER BY table_name"))
-    )
+    ),
+
+    // incremental re-verification: diff the persisted bucket-digest vectors
+    // of two runs and report only the flipped buckets — the nightly-verify
+    // shape where unchanged data costs a buckets-sized compare, and RowDiff
+    // drills into ~1/buckets of the table. The perturbed target localizes
+    // its deleted/changed key-bands to a handful of buckets
+    "pv_merkle_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val orders = Readers.fixture(spark, sfDir, "orders")
+        val prev = Fingerprints.merkleBucketDigests(orders, spec("orders"), cfg, buckets = 64)
+        val curr = Fingerprints.merkleBucketDigests(perturbOrders(orders), spec("orders"), cfg, buckets = 64)
+        Fingerprints.merkleChangedBuckets(prev, curr).orderBy("bucket")
+      },
+      oracle = Some(OracleSql.merkleChanged("orders", spec("orders"), cfg, buckets = 64,
+        prevSource = None, currSource = Some(perturbOrdersSql))))
   )
 }
 

@@ -49,6 +49,29 @@ class FingerprintSpec extends SparkSpec {
     assert(Fingerprints.rowCountDigest(base) != Fingerprints.rowCountDigest(extra))
   }
 
+  test("incremental Merkle: one perturbed row flips exactly one bucket; snapshot round-trips") {
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    val ospec = Fixtures.specs("orders")
+    val buckets = 64
+    val prev = Fingerprints.merkleBucketDigests(orders, ospec, cfg, buckets)
+    // identical data → empty diff
+    assert(Fingerprints.merkleChangedBuckets(prev,
+      Fingerprints.merkleBucketDigests(orders, ospec, cfg, buckets)).isEmpty)
+    // perturb exactly one row's value
+    val key = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val tweaked = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === key, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    val curr = Fingerprints.merkleBucketDigests(tweaked, ospec, cfg, buckets)
+    val changed = Fingerprints.merkleChangedBuckets(prev, curr).collect()
+    assert(changed.length == 1 && changed.head.getAs[String]("status") == "changed")
+    // a persisted snapshot diffs identically to the in-memory vector
+    val dir = java.nio.file.Files.createTempDirectory("graft-merkle").toString
+    Fingerprints.writeMerkleSnapshot(orders, ospec, cfg, buckets, dir)
+    val snap = Fingerprints.readMerkleSnapshot(spark, dir)
+    assert(Fingerprints.merkleChangedBuckets(snap, prev).isEmpty)
+    assert(Fingerprints.merkleChangedBuckets(snap, curr).collect().toSeq == changed.toSeq)
+  }
+
   test("empty table digests to the no-rows sentinel") {
     val empty = base.filter(col("id") < 0)
     assert(Fingerprints.fullDigest(empty, spec, cfg) == Fingerprints.NoRows)
