@@ -38,6 +38,65 @@ object RowDiff {
       .orderBy(spec.pks.map(col): _*)
   }
 
+  /** Column-level attribution for the rows [[diff]] flags as `differs`: one
+    * row per (pk, column) whose CANONICAL text disagrees between the two
+    * versions — the drill-down after "which rows" is "which columns".
+    * Canonical (not raw) comparison keeps attribution consistent with the
+    * row hash: a change the hash cannot see (e.g. a timestamp moving within
+    * the truncation window) is correctly not attributed. Rows present on
+    * only one side carry no column story and stay with [[diff]]'s
+    * `only_a`/`only_b`.
+    *
+    * Scale: same single PK-keyed shuffle join as [[diff]], but carrying one
+    * canonical string per column instead of one row hash — the wire cost is
+    * the drill-down's price, which is why this runs on flagged tables (or
+    * flagged Merkle buckets), not everywhere.
+    */
+  def diffColumns(a: DataFrame, b: DataFrame, spec: TableSpec,
+                  cfg: VerifyConfig = VerifyConfig()): DataFrame = {
+    val cols = Canon.hashColumnOrder(Fingerprints.hashableColumns(a, spec)
+      .filterNot(c => spec.pks.exists(_.equalsIgnoreCase(c))))
+    def keyed(df: DataFrame, suffix: String) = {
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(spec.pks.map(col) ++ cols.map { c =>
+        val canon =
+          if (spec.jsonColumns.exists(_.equalsIgnoreCase(c))) coalesce(Canon.canonJson(col(c)), lit(""))
+          else Canon.canonCol(col(c), byName(c), cfg.tsPrecision)
+        canon.as(s"${c}__$suffix")
+      }: _*)
+    }
+    keyed(a, "a").join(keyed(b, "b"), spec.pks, "inner")
+      .select(spec.pks.map(col) :+
+        explode(array_compact(array(cols.map(c =>
+          when(col(s"${c}__a") =!= col(s"${c}__b"), lit(c))): _*))).as("column_name"): _*)
+      .orderBy(spec.pks.map(col) :+ col("column_name"): _*)
+  }
+
+  /** DuckDB twin of [[diffColumns]]: an unpivot-style per-column compare,
+    * one UNION ALL branch per hashable non-PK column.
+    */
+  def duckColumnsSql(table: String, spec: TableSpec, aSql: String, bSql: String,
+                     cfg: VerifyConfig = VerifyConfig()): String = {
+    val schema = OracleSql.schemas(table)
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = Canon.hashColumnOrder(schema.fieldNames.filter(spec.validColumn).toSeq
+      .filterNot(c => spec.pks.exists(_.equalsIgnoreCase(c))))
+    val pkList = spec.pks.map(p => s""""$p"""").mkString(", ")
+    val joinOn = spec.pks.map(p => s"""a."$p" = b."$p"""").mkString(" AND ")
+    val pkOut = spec.pks.map(p => s"""a."$p" AS "$p"""").mkString(", ")
+    val branches = cols.map { c =>
+      val v =
+        if (spec.jsonColumns.exists(_.equalsIgnoreCase(c))) Canon.duckJsonSql(c)
+        else Canon.duckSql(c, byName(c), cfg.tsPrecision)
+      s"""SELECT $pkOut, '$c' AS column_name
+         FROM (SELECT $pkList, $v AS v FROM $aSql AS src) a
+         JOIN (SELECT $pkList, $v AS v FROM $bSql AS src) b ON $joinOn
+         WHERE a.v <> b.v"""
+    }
+    s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) AS u " +
+      s"ORDER BY ${spec.pks.map(p => s""""$p"""").mkString(", ")}, column_name"
+  }
+
   /** DuckDB twin of [[diff]] over `table` with per-side WHERE/perturbation
     * subqueries (full table when empty).
     */

@@ -146,7 +146,19 @@ object VerifierQueries {
         val orders = Readers.fixture(spark, sfDir, "orders")
         RowDiff.diff(orders, perturbOrders(orders), spec("orders"))
       },
-      oracle = Some(RowDiff.duckSql("orders", spec("orders"), "orders", perturbOrdersSql)))
+      oracle = Some(RowDiff.duckSql("orders", spec("orders"), "orders", perturbOrdersSql))),
+
+    // column-level attribution: for each PK pv_diff_rows flags as `differs`,
+    // WHICH canonical column texts disagree — the drill-down a real operator
+    // reaches for next (the reference stops at table level,
+    // /root/reference/results.go:72-98). The perturbation touches only
+    // o_totalprice, so that must be the only attributed column
+    "pv_diff_columns" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val orders = Readers.fixture(spark, sfDir, "orders")
+        RowDiff.diffColumns(orders, perturbOrders(orders), spec("orders"))
+      },
+      oracle = Some(RowDiff.duckColumnsSql("orders", spec("orders"), "orders", perturbOrdersSql)))
   ) ++ Map(
 
     // S1: catalog discovery — directory listing as the information_schema scan

@@ -203,6 +203,16 @@ class OperatorSpec extends SparkSpec {
     assert(d == Map(1 -> "only_a", 3 -> "differs", 4 -> "only_b"))
   }
 
+  test("column diff names exactly the tweaked columns of differing rows") {
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "v", "x")
+    val other = Seq((1, "a", 10.0), (2, "B", 20.0), (3, "CHANGED", 31.5), (4, "d", 40.0))
+      .toDF("id", "v", "x")
+    val got = RowDiff.diffColumns(base, other, TableSpec("t", Seq("id")))
+      .as[(Int, String)].collect().toSeq
+    // id 2: only v tweaked; id 3: both; id 1 identical and id 4 only_b — no rows
+    assert(got == Seq((2, "v"), (3, "v"), (3, "x")))
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
