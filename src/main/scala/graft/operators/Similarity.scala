@@ -132,7 +132,14 @@ object Similarity {
     * O(n²/stride)); search joins on cell id — O(n/k) candidates per query.
     * All scores floor-scaled; ties broken by id.
     */
-  def ivfAssign(vectors: DataFrame, numCentroids: Int): DataFrame = {
+  /** Every (vector, centroid) assignment ranked by similarity — `rn = 1` is
+    * the vector's home cell (where it is indexed); `rn <= nprobe` are the
+    * cells a QUERY probes. Splitting index-assignment from query-probing is
+    * the standard IVF recall lever: probing a handful of nearest cells costs
+    * nprobe× the candidate scan and recovers most neighbors that fell just
+    * across a cell boundary.
+    */
+  def ivfAssignRanked(vectors: DataFrame, numCentroids: Int): DataFrame = {
     val cent = vectors
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string"))).limit(numCentroids)
@@ -144,16 +151,25 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosineScaledWithNorms(col("embedding"), col("cv"), col("vn"), col("cn")).as("c"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
   }
 
-  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, numCentroids: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, numCentroids).persist()
-    val q = assigned.filter(queryFilter)
+  def ivfAssign(vectors: DataFrame, numCentroids: Int): DataFrame =
+    ivfAssignRanked(vectors, numCentroids).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+
+  /** IVF search: neighbors come from their home cell; each query probes its
+    * `nprobe` nearest cells. Every neighbor lives in exactly one cell and the
+    * probed cells are distinct, so no pair can match twice — no dedup stage.
+    */
+  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, numCentroids: Int,
+              nprobe: Int = 1): DataFrame = {
+    val ranked = ivfAssignRanked(vectors, numCentroids).persist()
+    val q = ranked.filter(queryFilter && col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("cent_id"))
-    val n = assigned
+    val n = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
         norm(col("embedding")).as("nn"), col("cent_id"))
     val scored = n.join(broadcast(q), "cent_id")
@@ -164,15 +180,15 @@ object Similarity {
   }
 
   /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
-  def duckIvfTopK(k: Int, numCentroids: Int, queryPred: String): String = {
+  def duckIvfTopK(k: Int, numCentroids: Int, queryPred: String, nprobe: Int = 1): String = {
     val cos = duckCosineScaled("v.embedding", "c.embedding")
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
                       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $numCentroids),
-       assign AS (SELECT vec_id, embedding, cent_id FROM (
+       assign AS (SELECT vec_id, embedding, cent_id, rn FROM (
          SELECT v.vec_id, v.embedding, c.cent_id,
                 row_number() OVER (PARTITION BY v.vec_id
                   ORDER BY $cos DESC, c.cent_id ASC) AS rn
-         FROM embeddings v CROSS JOIN cent c) AS a WHERE rn = 1)
+         FROM embeddings v CROSS JOIN cent c) AS a WHERE rn <= $nprobe)
        SELECT query_id, neighbor_id, cos_micro, rank FROM (
          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                 ${duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
@@ -180,7 +196,7 @@ object Similarity {
                   ORDER BY ${duckCosineScaled("q.embedding", "n.embedding")} DESC,
                            n.vec_id ASC) AS BIGINT) AS rank
          FROM assign q JOIN assign n
-           ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id
+           ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id AND n.rn = 1
          WHERE $queryPred) AS t
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
@@ -287,14 +303,39 @@ object Similarity {
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** XOR masks enumerating every bucket within hamming `radius` of a query's
+    * own bucket (radius ≤ 2 supported — beyond that the probed fraction stops
+    * being "exponentially below the full scan"). Shared by the Spark plan and
+    * the DuckDB oracle so the probe set can never drift.
+    */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius $radius not in [0, 2]")
+    val singles = (0 until numPlanes).map(p => 1L << p)
+    val pairs = for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
+      yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (radius >= 1) singles else Nil) ++ (if (radius >= 2) pairs else Nil)
+  }
+
   /** ANN top-k: like [[topK]] but candidates restricted to the query's LSH
     * bucket — the O(n/2^planes) scale path; recall < 1 by design.
+    *
+    * `probeRadius` is the standard multi-probe recall lever: the query also
+    * probes every bucket within that hamming distance (the buckets a true
+    * neighbor most likely fell into). Radius 2 over 8 planes probes 37 of
+    * 256 buckets — ~14% of candidates instead of 0.4%, for a several-fold
+    * recall gain (measured by sim_ann_recall and gated in SimilaritySpec).
+    * Neighbors live in exactly one bucket and the probed set is distinct, so
+    * no pair matches twice.
     */
   def annTopK(queries: DataFrame, neighbors: DataFrame, k: Int,
-              planeMatrix: Seq[Seq[Int]]): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              planeMatrix: Seq[Seq[Int]], probeRadius: Int = 2): DataFrame = {
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"),
-      lshBucket(col("embedding"), planeMatrix).as("bucket"))
+      lshBucket(col("embedding"), planeMatrix).as("b0"))
+    val probes = array(probeMasks(planeMatrix.length, probeRadius).map(m =>
+      col("b0").bitwiseXOR(lit(m))): _*)
+    val q = q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(probes).as("bucket"))
     val n = graft.core.Readers.spread(
       neighbors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
       col("neighbor_id"))

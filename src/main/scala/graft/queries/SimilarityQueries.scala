@@ -14,6 +14,10 @@ object SimilarityQueries {
   private val K = 10
   private val NumPlanes = 8
   private val Dims = 64
+  private val NumCentroids = 20
+  // IVF queries probe their 4 nearest cells (of 20): 4× the single-cell
+  // candidate scan for the recall measured by sim_ann_recall's floor gate
+  private val Nprobe = 4
   private lazy val planeMatrix = Similarity.planes(NumPlanes, Dims)
 
   /** Shared oracle for sim_topk AND the ground-truth side of sim_ann_recall —
@@ -30,18 +34,24 @@ object SimilarityQueries {
          WHERE q.vec_id < 8) AS t
        WHERE rank <= $K ORDER BY query_id, rank"""
 
-  /** Shared oracle for sim_ann_lsh and sim_ann_recall's LSH side. */
+  /** Shared oracle for sim_ann_lsh and sim_ann_recall's LSH side — the
+    * multi-probe formulation: each query probes every bucket within the same
+    * hamming radius as [[Similarity.annTopK]], from the same mask list.
+    */
   private lazy val AnnLshOracle = {
     val bucket = Similarity.duckLshBucket("embedding", planeMatrix)
-    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+    val probeList = Similarity.probeMasks(NumPlanes, radius = 2)
+      .map(m => s"xor(bucket, CAST($m AS BIGINT))").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         qp AS (SELECT vec_id, embedding, unnest([$probeList]) AS bucket
+                FROM b WHERE vec_id < 8)
        SELECT query_id, neighbor_id, cos_micro, rank FROM (
          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                 ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
                 CAST(row_number() OVER (PARTITION BY q.vec_id
                   ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
                            n.vec_id ASC) AS BIGINT) AS rank
-         FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
-         WHERE q.vec_id < 8) AS t
+         FROM qp q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id) AS t
        WHERE rank <= $K ORDER BY query_id, rank"""
   }
 
@@ -75,15 +85,15 @@ object SimilarityQueries {
       oracle = Some(TopkOracle)),
 
     // IVF coarse quantization: fixed-k deterministic centroid sample (size
-    // independent of n), nearest-cell assignment, probe-1 search — the
+    // independent of n), nearest-cell assignment, nprobe-cell search — the
     // clustered ANN scale path
     "sim_ivf" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.ivfTopK(e, col("vec_id") < 8, K, numCentroids = 20)
+        Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, Nprobe)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
       },
-      oracle = Some(Similarity.duckIvfTopK(K, 20, "q.vec_id < 8"))),
+      oracle = Some(Similarity.duckIvfTopK(K, NumCentroids, "q.vec_id < 8", Nprobe))),
 
     // in-engine k-means training (2 unrolled Lloyd iterations): the trainer
     // for IVF centroids — deterministic hash init, floor-scaled cosine
@@ -174,14 +184,14 @@ object SimilarityQueries {
         // there would only add write traffic
         val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
         val lsh = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
-        val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, numCentroids = 20)
+        val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, Nprobe)
         recallOf(exact, lsh, "lsh").unionByName(recallOf(exact, ivf, "ivf"))
           .orderBy("method", "query_id")
       },
       oracle = Some(
         s"""WITH exact AS ($TopkOracle),
              lsh AS ($AnnLshOracle),
-             ivf AS (${Similarity.duckIvfTopK(K, 20, "q.vec_id < 8")}),
+             ivf AS (${Similarity.duckIvfTopK(K, NumCentroids, "q.vec_id < 8", Nprobe)}),
              eq AS (SELECT DISTINCT query_id FROM exact),
              lh AS (SELECT e.query_id, count(*) AS n_hits
                     FROM exact e JOIN lsh a USING (query_id, neighbor_id) GROUP BY 1),

@@ -72,6 +72,27 @@ class OperatorSpec extends SparkSpec {
     assert(ann.forall { case (q, n, c) => exactScores.get((q, n)).forall(_ == c) })
   }
 
+  test("ANN recall floor: LSH and IVF recall@k never regress below the gated floor") {
+    // the tripwire query reports recall; this gate ENFORCES it — a bucketing,
+    // probe-radius, or centroid change that tanks recall fails here rather
+    // than just changing an oracle hash. Measured at sf0.001 with probe
+    // radius 2 / nprobe 4: lsh (min 0, mean 325000), ivf (min 200000, mean
+    // 412500) — 500 vectors over 256 LSH buckets is sparse enough that one
+    // query can land empty, so the lsh gate is mean-only; floors sit below
+    // the measurement by a margin that still catches a tuning regression
+    // (single-bucket probing measured lsh mean 25000, ivf 175000)
+    val recall = SparkEntry.queries("sim_ann_recall")(spark, sfDir)
+      .select("method", "recall_micro").as[(String, Long)].collect()
+    val byMethod = recall.groupBy(_._1).map { case (m, rs) =>
+      m -> (rs.map(_._2).min, rs.map(_._2).sum / rs.length)
+    }
+    info(s"recall (min, mean) per method: $byMethod")
+    val (_, lshMean) = byMethod("lsh")
+    val (ivfMin, ivfMean) = byMethod("ivf")
+    assert(lshMean >= 250000L, s"lsh recall regressed: $byMethod")
+    assert(ivfMin >= 100000L && ivfMean >= 300000L, s"ivf recall regressed: $byMethod")
+  }
+
   test("BPE merges: greedy leftmost non-overlapping fold, argmax tiebreaks") {
     // "aa aa ab": words aa(2), ab(1); merge 1 must be (a,a) count 2,
     // then (a,b) count 1 from the surviving un-merged word

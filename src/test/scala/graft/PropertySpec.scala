@@ -87,6 +87,51 @@ class PropertySpec extends SparkSpec {
       == expected)
   }
 
+  test("BPE merge trajectory equals an independent Scala reference, corpus-order-invariant") {
+    // plain-Scala retraining: character-segmented word dict, position-counted
+    // adjacent pairs weighted by word frequency, (count desc, l asc, r asc)
+    // argmax, greedy leftmost non-overlapping merge fold — the semantics the
+    // Column-expression fold and the DuckDB list_reduce twin both implement.
+    // Applying the merge list step-by-step to the original dict reproduces
+    // the whole trajectory, locking the fold against either engine drifting.
+    def mergeSeg(seg: Vector[String], l: String, r: String): Vector[String] =
+      seg.tail.foldLeft(Vector(seg.head)) { (acc, x) =>
+        if (acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+      }
+    def reference(words: Seq[String], maxIters: Int): Seq[(Long, String, String, Long)] = {
+      var dict = words.groupBy(identity).toSeq.map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (it <- 1 to maxIters) {
+        val pc = dict.flatMap { case (seg, n) =>
+          seg.iterator.zip(seg.iterator.drop(1)).map(p => p -> n).toSeq
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+        if (pc.nonEmpty) {
+          val ((l, r), n) = pc.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((it.toLong, l, r, n))
+          dict = dict.map { case (seg, cnt) => mergeSeg(seg, l, r) -> cnt }
+            .groupBy(_._1).toSeq.map { case (s, xs) => s -> xs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val corpusGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpora = (0 until 6).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(99L + i)))
+    for ((words, i) <- corpora.zipWithIndex) {
+      val expect = reference(words, 3)
+      if (expect.nonEmpty) {
+        // shuffled + regrouped docs: the dict is order-invariant by construction
+        val docs = new scala.util.Random(i).shuffle(words)
+          .grouped(3).map(_.mkString(" ")).toSeq
+        val got = graft.operators.Vocab.bpeMerges(docs.toDF("text"), "text", expect.length)
+          .as[(Long, String, String, Long)].collect().toSeq
+        assert(got == expect, s"words=$words")
+      }
+    }
+  }
+
   test("full digest is invariant under column-name case (heterogeneous-target property)") {
     // the core per-target-discovery guarantee: the SAME data published under
     // an uppercase-folding and a lowercase-folding catalog must fingerprint
