@@ -49,6 +49,21 @@ class FingerprintSpec extends SparkSpec {
     assert(Fingerprints.rowCountDigest(base) != Fingerprints.rowCountDigest(extra))
   }
 
+  test("streamed exact digest equals collect() digest across the threshold") {
+    // the toLocalIterator path must be byte-identical to the collect() path
+    // it replaces past streamingCollectRowLimit; force the threshold to both
+    // sides of a 200k-row frame (DigestProbe measures the same equivalence
+    // plus driver peak heap at 12M rows — numbers in IMPLEMENTATION.md)
+    val big = spark.range(200000).select(col("id"),
+      concat(lit("payload-"), col("id")).as("s"))
+    val base = VerifyConfig(fullModeRowLimit = Long.MaxValue)
+    val viaCollect = Fingerprints.fullDigest(big, TableSpec("t", Seq("id")),
+      base.copy(streamingCollectRowLimit = Long.MaxValue))
+    val viaStream = Fingerprints.fullDigest(big, TableSpec("t", Seq("id")),
+      base.copy(streamingCollectRowLimit = 1L))
+    assert(viaCollect == viaStream)
+  }
+
   test("incremental Merkle: one perturbed row flips exactly one bucket; snapshot round-trips") {
     val orders = Readers.fixture(spark, sfDir, "orders")
     val ospec = Fixtures.specs("orders")
