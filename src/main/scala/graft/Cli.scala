@@ -21,6 +21,8 @@ case class CliConfig(
     includeSchemas: Seq[String] = Nil,
     includeTables: Seq[String] = Nil,
     level: String = "info",
+    merkleBuckets: Int = 1024,
+    merkleSnapshots: String = "",
     parquetSchema: String = VerifyRun.SchemaName,
     sparseMod: Int = 10,
     tests: Seq[String] = Seq(TestModes.Full),
@@ -29,7 +31,7 @@ case class CliConfig(
 
   def verifyConfig: VerifyConfig = VerifyConfig(
     modes = tests, tsPrecision = tzPrecision, hashPrimaryKeys = hashPrimaryKeys,
-    bookendLimit = bookendLimit, sparseMod = sparseMod)
+    bookendLimit = bookendLimit, sparseMod = sparseMod, merkleBuckets = merkleBuckets)
 }
 
 /** Flag parser + help text, the analogue of the reference's cobra command
@@ -58,6 +60,8 @@ object Cli {
       |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
       |      --include-tables strings    tables to verify (comma separated, defaults to all)
       |      --level string              logging level (default "info")
+      |      --merkle-buckets int        bucket count for --merkle-snapshots vectors; must stay constant across runs of one snapshot dir (default 1024)
+      |      --merkle-snapshots string   incremental re-verification: diff each table's Merkle bucket vector against the previous run's snapshot under this directory, report drifted buckets, then refresh the snapshot
       |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
@@ -94,6 +98,8 @@ object Cli {
           case "--include-schemas" => loop(tail, acc.copy(includeSchemas = csv(value)))
           case "--include-tables"  => loop(tail, acc.copy(includeTables = csv(value)))
           case "--level"           => loop(tail, acc.copy(level = value))
+          case "--merkle-buckets"  => int(flag, value)(n => acc.copy(merkleBuckets = n)).flatMap(loop(tail, _))
+          case "--merkle-snapshots" => loop(tail, acc.copy(merkleSnapshots = value))
           case "--parquet-schema"  => loop(tail, acc.copy(parquetSchema = value))
           case "--sparse-mod"      => int(flag, value)(n => acc.copy(sparseMod = n)).flatMap(loop(tail, _))
           case "--tests" | "-t"    => loop(tail, acc.copy(tests = csv(value)))
@@ -115,6 +121,8 @@ object Cli {
       else if (!graft.canon.Canon.precisionMicros.contains(c.tzPrecision))
         Left(s"invalid --tz-precision: ${c.tzPrecision} " +
           s"(options: ${graft.canon.Canon.precisionMicros.keys.toSeq.sorted.mkString(",")})")
+      else if (c.merkleBuckets <= 0)
+        Left(s"invalid --merkle-buckets: ${c.merkleBuckets} (must be positive)")
       else Right(c)
     }
   }
@@ -174,6 +182,7 @@ object Cli {
     * (/root/reference/query.go:25-50).
     */
   def run(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
+    if (cfg.merkleSnapshots.nonEmpty) return runIncremental(spark, cfg, out)
     val targets = buildTargets(cfg)
     val schemas = SchemaFilter(cfg.includeSchemas, cfg.excludeSchemas)
     val vcfg = cfg.verifyConfig
@@ -186,6 +195,48 @@ object Cli {
     val results = VerifyRun.runPerTarget(spark, plans, vcfg)
     VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
     if (VerifyRun.inconsistencies(results, targets.size).isEmpty) 0 else 1
+  }
+
+  /** Incremental re-verification (`--merkle-snapshots`): per target × table,
+    * diff the current Merkle bucket vector against the previous run's
+    * persisted snapshot, report drifted buckets, refresh the snapshot. The
+    * nightly-verify shape — unchanged tables cost one bucket-vector compare
+    * (`--merkle-buckets` rows), and only drifted buckets need the RowDiff
+    * drill-down. First sight of a table writes its baseline. Exit 1 when any
+    * table drifted.
+    */
+  def runIncremental(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
+    val targets = buildTargets(cfg)
+    val schemas = SchemaFilter(cfg.includeSchemas, cfg.excludeSchemas)
+    val vcfg = cfg.verifyConfig
+    val rows = targets.flatMap { t =>
+      VerifyRun.discoverTables(spark, t, schemas)
+        .filter(tableWanted(cfg, _))
+        .flatMap(buildWork(spark, t, _, cfg))
+        .map { w =>
+          val snapDir = s"${cfg.merkleSnapshots}/${t.name}/${w.schema}.${w.table}"
+          val curr = Fingerprints.merkleBucketDigests(
+            t.read(spark, w.readName), w.spec, vcfg, cfg.merkleBuckets).persist()
+          val (status, changed) =
+            if (!new java.io.File(snapDir).exists()) ("baselined", 0L)
+            else {
+              val n = Fingerprints.merkleChangedBuckets(
+                Fingerprints.readMerkleSnapshot(spark, snapDir), curr).count()
+              (if (n == 0L) "verified" else "drifted", n)
+            }
+          // the diff count above is eager, so refreshing the snapshot the
+          // diff just read from is safe
+          curr.write.mode("overwrite").parquet(snapDir)
+          curr.unpersist(blocking = false)
+          (t.name, w.schema, w.table, changed, status)
+        }
+    }
+    import spark.implicits._
+    val report = rows.toDF("target", "schema", "table", "buckets_changed", "status")
+      .orderBy("schema", "table", "target")
+    VerifyRun.renderTable(report,
+      Seq("schema", "table", "buckets_changed", "status", "target"), out)
+    if (rows.exists(_._5 == "drifted")) 1 else 0
   }
 }
 

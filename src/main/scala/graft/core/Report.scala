@@ -155,9 +155,14 @@ object VerifyRun {
     * (schema, table, target) — always tiny — so the driver-side collect is
     * the right shape.
     */
-  def renderAsciiTable(pivot: DataFrame, modes: Seq[String], out: java.io.Writer): Unit = {
-    val header = Seq("schema", "table") ++ modes.sorted ++ Seq("target")
-    val rows = pivot.select(header.map(col): _*).collect()
+  def renderAsciiTable(pivot: DataFrame, modes: Seq[String], out: java.io.Writer): Unit =
+    renderTable(pivot, Seq("schema", "table") ++ modes.sorted ++ Seq("target"), out)
+
+  /** Generic box-table renderer over an explicit header — the report sink
+    * shared by the mode pivot above and the incremental-Merkle drift report.
+    */
+  def renderTable(df: DataFrame, header: Seq[String], out: java.io.Writer): Unit = {
+    val rows = df.select(header.map(col): _*).collect()
       .map(r => header.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
       .sortWith { (a, b) => // column-wise lexicographic, results.go:148-156
         a.indices.find(i => a(i) != b(i)).exists(i => a(i) < b(i))

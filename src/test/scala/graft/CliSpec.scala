@@ -31,6 +31,8 @@ class CliSpec extends SparkSpec {
       |      --include-schemas strings   schemas to verify (comma separated, defaults to all)
       |      --include-tables strings    tables to verify (comma separated, defaults to all)
       |      --level string              logging level (default "info")
+      |      --merkle-buckets int        bucket count for --merkle-snapshots vectors; must stay constant across runs of one snapshot dir (default 1024)
+      |      --merkle-snapshots string   incremental re-verification: diff each table's Merkle bucket vector against the previous run's snapshot under this directory, report drifted buckets, then refresh the snapshot
       |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
@@ -59,6 +61,32 @@ class CliSpec extends SparkSpec {
       dflt.sparseMod == 10 && dflt.tzPrecision == "milliseconds" && !dflt.hashPrimaryKeys)
     assert(Cli.parse(Nil).isLeft) // no targets
     assert(Cli.parse(Seq("--tests", "bogus", "/d")).isLeft) // mode whitelist
+  }
+
+  test("incremental re-verification: baseline, verified, drifted across three runs") {
+    val snaps = java.nio.file.Files.createTempDirectory("graft-snaps").toString
+    def run(dir: String): (Int, String) = {
+      val cfg = Cli.parse(Seq("--merkle-snapshots", snaps, "--merkle-buckets", "64",
+        "--include-tables", "region", "--aliases", "prod", dir)).toOption.get
+      val sw = new StringWriter()
+      (Cli.run(spark, cfg, sw), sw.toString)
+    }
+    // first sight writes the baseline and exits clean
+    val (c1, o1) = run(sfDir)
+    assert(c1 == 0 && o1.contains("baselined"), o1)
+    // unchanged data verifies with zero drifted buckets
+    val (c2, o2) = run(sfDir)
+    assert(c2 == 0 && o2.contains("verified"), o2)
+    // a missing row drifts exactly its bucket and fails the run
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snapdrift").toString
+    graft.core.Readers.fixture(spark, sfDir, "region")
+      .filter(org.apache.spark.sql.functions.col("r_regionkey") =!= 2)
+      .write.parquet(s"$tmp/region.parquet")
+    val (c3, o3) = run(tmp)
+    assert(c3 == 1 && o3.contains("drifted"), o3)
+    // the drift refreshed the snapshot: re-running the same dir now verifies
+    val (c4, o4) = run(tmp)
+    assert(c4 == 0 && o4.contains("verified"), o4)
   }
 
   test("alias resolution: aliases used only when the count matches (X5)") {
