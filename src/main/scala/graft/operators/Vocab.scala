@@ -182,38 +182,98 @@ object Vocab {
     merges.toSeq.toDF("it", "left_sym", "right_sym", "n_pair").orderBy("it")
   }
 
+  /** Shared CTE pieces for the BPE twins: initial char segmentation and the
+    * per-iteration (pair counts, argmax, merge-applied vocab) stages.
+    */
+  private def duckBpeInit: String =
+    s"""vocab0 AS (
+         SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, count(*) AS n
+         FROM (SELECT unnest(${duckTokens("text")}) AS word FROM documents) w GROUP BY 1)"""
+
+  /** The greedy leftmost-merge fold as a DuckDB lambda body over a
+    * space-joined segmentation expression, merging `(w1Ref, w2Ref)`.
+    */
+  private def duckMergeFold(segSql: String, w1Ref: String, w2Ref: String): String = {
+    val lastTok = "regexp_extract(acc, '[^ ]+$')"
+    s"""list_reduce(string_split($segSql, ' '), (acc, x) -> CASE
+          WHEN $lastTok = $w1Ref AND x = $w2Ref
+          THEN substr(acc, 1, length(acc) - length($lastTok)) || $w1Ref || $w2Ref
+          ELSE acc || ' ' || x END)"""
+  }
+
+  private def duckBpeStage(i: Int): String = {
+    val prev = s"vocab${i - 1}"
+    s"""pairs$i AS (
+         SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(sum(n) AS BIGINT) AS n_pair
+         FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg, n
+               FROM (SELECT string_split(seg, ' ') AS tk, n FROM $prev) t
+               WHERE len(tk) >= 2) ex
+         GROUP BY 1, 2),
+       best$i AS (SELECT w1, w2, n_pair FROM pairs$i
+                  ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 1),
+       vocab$i AS (
+         SELECT ${duckMergeFold("v.seg", "b.w1", "b.w2")} AS seg, v.n AS n
+         FROM $prev v CROSS JOIN best$i b)"""
+  }
+
   /** DuckDB twin of [[bpeMerges]]: the iteration unrolled as CTE stages
     * (same segmentation, pair counts, argmax tiebreak, and `list_reduce`
     * merge fold), same pattern as [[KMeans.duckSummary]].
     */
   def duckBpeMerges(iters: Int): String = {
-    val tk = duckTokens("text")
-    val init =
-      s"""vocab0 AS (
-           SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, count(*) AS n
-           FROM (SELECT unnest($tk) AS word FROM documents) w GROUP BY 1)"""
-    def stage(i: Int): String = {
-      val prev = s"vocab${i - 1}"
-      val lastTok = "regexp_extract(acc, '[^ ]+$')"
-      s"""pairs$i AS (
-           SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(sum(n) AS BIGINT) AS n_pair
-           FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
-                   i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg, n
-                 FROM (SELECT string_split(seg, ' ') AS tk, n FROM $prev) t
-                 WHERE len(tk) >= 2) ex
-           GROUP BY 1, 2),
-         best$i AS (SELECT w1, w2, n_pair FROM pairs$i
-                    ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 1),
-         vocab$i AS (
-           SELECT list_reduce(string_split(v.seg, ' '), (acc, x) -> CASE
-                    WHEN $lastTok = b.w1 AND x = b.w2
-                    THEN substr(acc, 1, length(acc) - length($lastTok)) || b.w1 || b.w2
-                    ELSE acc || ' ' || x END) AS seg, v.n AS n
-           FROM $prev v CROSS JOIN best$i b)"""
-    }
     val rows = (1 to iters).map(i =>
       s"SELECT CAST($i AS BIGINT) AS it, w1 AS left_sym, w2 AS right_sym, n_pair FROM best$i")
-    s"""WITH $init, ${(1 to iters).map(stage).mkString(",\n")}
+    s"""WITH $duckBpeInit, ${(1 to iters).map(duckBpeStage).mkString(",\n")}
        SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY it"""
+  }
+
+  /** Tokenize the corpus with a freshly-trained merge table: train `iters`
+    * merges ([[bpeMerges]]), then segment every document's words by applying
+    * the merges in rank order — the apply half of the tokenizer the train
+    * half ships. Output per doc: piece count + space-joined pieces.
+    *
+    * Scale shape: application is a pure per-row expression chain (k nested
+    * folds over each word — fine for the demonstration k here; a production
+    * 50k-merge tokenizer applies merges via a rank-lookup loop in a
+    * mapPartitions codec, the same boundary as [[Multimodal.MediaDecoder]]).
+    * Training cost is [[bpeMerges]]'s vocabulary-sized iteration.
+    */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(docs, textCol, iters)
+      .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    def segment(word: Column): Column = {
+      val init = rtrim(regexp_replace(word, "(.)", "$1 "))
+      merges.foldLeft(init) { case (c, (l, r)) => applyMerge(c, lit(l), lit(r)) }
+    }
+    docs.select(col(idCol).as("doc_id"),
+      flatten(transform(tokens(col(textCol)), w => split(segment(w), " "))).as("pieces"))
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+  }
+
+  /** DuckDB twin of [[bpeSegment]]: the training CTEs of [[duckBpeMerges]]
+    * followed by per-document application stages (each document's word list
+    * folded with stage i's best pair). Joining the per-word segmentations
+    * with ' ' flattens to exactly the piece string.
+    */
+  def duckBpeSegment(iters: Int): String = {
+    val docInit =
+      s"""doc0 AS (SELECT doc_id, list_transform(${duckTokens("text")},
+             w -> rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))) AS segs
+           FROM documents)"""
+    def docStage(i: Int): String =
+      s"""doc$i AS (SELECT doc_id,
+             list_transform(segs, s -> ${duckMergeFold("s", "b.w1", "b.w2")}) AS segs
+           FROM doc${i - 1} CROSS JOIN best$i b)"""
+    s"""WITH $duckBpeInit, ${(1 to iters).map(duckBpeStage).mkString(",\n")},
+         $docInit, ${(1 to iters).map(docStage).mkString(",\n")}
+       SELECT doc_id,
+              CAST(len(string_split(joined, ' ')) AS BIGINT) AS n_pieces,
+              joined AS pieces_str
+       FROM (SELECT doc_id, array_to_string(segs, ' ') AS joined FROM doc$iters) f
+       ORDER BY doc_id"""
   }
 }

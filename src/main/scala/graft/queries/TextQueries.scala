@@ -217,6 +217,15 @@ object TextQueries {
           Readers.fixture(spark, sfDir, "documents"), "text", iters = 8),
       oracle = Some(graft.operators.Vocab.duckBpeMerges(iters = 8))),
 
+    // the apply half of the tokenizer: segment every document with a
+    // freshly-trained 4-merge table (train + tokenize, end to end)
+    "text_bpe_segment" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.bpeSegment(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", iters = 4)
+          .orderBy("doc_id"),
+      oracle = Some(graft.operators.Vocab.duckBpeSegment(iters = 4))),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {

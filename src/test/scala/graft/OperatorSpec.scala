@@ -114,6 +114,14 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("BPE segment tokenizes the corpus with the trained merges") {
+    // merge 1 is (a,a) (count 3); "aa" collapses to one piece, "ab" stays split
+    val df = Seq((1L, "aa aa ab"), (2L, "b aa")).toDF("doc_id", "text")
+    val got = Vocab.bpeSegment(df, "doc_id", "text", iters = 1)
+      .as[(Long, Long, String)].collect().toMap2
+    assert(got(1L) == ((4L, "aa aa a b")) && got(2L) == ((2L, "b aa")))
+  }
+
   test("multimodal stub decode agrees with the hex-expression path") {
     val withImg = docs.limit(50).select(col("doc_id"), unhex(md5(col("text"))).as("img"))
     val viaStub = Multimodal.extractMeta(withImg, "doc_id", "img")
