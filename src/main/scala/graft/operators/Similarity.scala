@@ -179,16 +179,23 @@ object Similarity {
     rankTopK(scored, "cos_micro", k)
   }
 
-  /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
-  def duckIvfTopK(k: Int, numCentroids: Int, queryPred: String, nprobe: Int = 1): String = {
+  /** The centroid-sample + ranked-assignment CTE pair (`cent`, `assign`)
+    * shared by the IVF search twin and the semantic-dedup twin.
+    */
+  def duckIvfAssignCtes(numCentroids: Int, nprobe: Int): String = {
     val cos = duckCosineScaled("v.embedding", "c.embedding")
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-                      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $numCentroids),
+    s"""cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $numCentroids),
        assign AS (SELECT vec_id, embedding, cent_id, rn FROM (
          SELECT v.vec_id, v.embedding, c.cent_id,
                 row_number() OVER (PARTITION BY v.vec_id
                   ORDER BY $cos DESC, c.cent_id ASC) AS rn
-         FROM embeddings v CROSS JOIN cent c) AS a WHERE rn <= $nprobe)
+         FROM embeddings v CROSS JOIN cent c) AS a WHERE rn <= $nprobe)"""
+  }
+
+  /** DuckDB twin of [[ivfTopK]]. `queryPred` references the `assign` CTE. */
+  def duckIvfTopK(k: Int, numCentroids: Int, queryPred: String, nprobe: Int = 1): String = {
+    s"""WITH ${duckIvfAssignCtes(numCentroids, nprobe)}
        SELECT query_id, neighbor_id, cos_micro, rank FROM (
          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                 ${duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
@@ -346,5 +353,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
     rankTopK(scored, "cos_micro", k)
+  }
+
+  /** SemDeDup-style semantic dedup drop list: coarse-cluster the embeddings
+    * (the deterministic IVF assignment), then within each cluster drop every
+    * vector that has a LOWER-id neighbor above the cosine threshold, keeping
+    * the lowest id of each near-dup group as its representative. Emits one
+    * row per dropped vector with its earliest witness and that witness's
+    * similarity.
+    *
+    * Scale shape: the pair join is CLUSTER-BOUNDED (same `cent_id` on both
+    * sides) — candidate volume is Σ|cluster|², never the global n²; cluster
+    * count scales with n to bound |cluster|. The id-ordering drop rule is
+    * deterministic and single-pass — no iterative connected components; a
+    * chain a~b~c (where a~c is below threshold) drops BOTH b and c toward a,
+    * the standard aggressive-dedup behavior for training corpora.
+    */
+  def semanticDropList(vectors: DataFrame, numCentroids: Int,
+                       thresholdMicro: Long): DataFrame = {
+    val assigned = ivfAssign(vectors, numCentroids)
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        norm(col("embedding")).as("nm"))
+      .persist()
+    val a = assigned.select(col("cent_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("av"), col("nm").as("an"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("drop_id"),
+      col("embedding").as("bv"), col("nm").as("bn"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("drop_id"), col("keep_id"),
+        cosineScaledWithNorms(col("av"), col("bv"), col("an"), col("bn")).as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+      .groupBy(col("drop_id"))
+      .agg(min(col("keep_id")).as("witness_id"),
+        expr("min_by(cos_micro, keep_id)").as("witness_cos_micro"))
+  }
+
+  /** DuckDB twin of [[semanticDropList]]. */
+  def duckSemanticDropList(numCentroids: Int, thresholdMicro: Long): String = {
+    val cos = duckCosineScaled("a.embedding", "b.embedding")
+    s"""WITH ${duckIvfAssignCtes(numCentroids, nprobe = 1)},
+         pairs AS (
+           SELECT b.vec_id AS drop_id, a.vec_id AS keep_id, $cos AS cos_micro
+           FROM assign a JOIN assign b
+             ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+           WHERE $cos >= $thresholdMicro)
+       SELECT drop_id, min(keep_id) AS witness_id,
+              arg_min(cos_micro, keep_id) AS witness_cos_micro
+       FROM pairs GROUP BY drop_id ORDER BY drop_id"""
   }
 }

@@ -197,6 +197,17 @@ object DedupQueries {
               ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} AS cos_micro
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            WHERE ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} >= 450000
-           ORDER BY vec_a, vec_b"""))
+           ORDER BY vec_a, vec_b""")),
+
+    // SemDeDup-style semantic dedup: cluster-bounded near-dup drop list over
+    // the embeddings (the scale path dedup_embcos's brute-force pairs lack —
+    // candidates never leave their coarse cluster)
+    "dedup_semantic" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.semanticDropList(e, numCentroids = 20, thresholdMicro = 450000L)
+          .orderBy("drop_id")
+      },
+      oracle = Some(Similarity.duckSemanticDropList(numCentroids = 20, thresholdMicro = 450000L)))
   )
 }
