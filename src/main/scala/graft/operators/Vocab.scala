@@ -233,25 +233,43 @@ object Vocab {
     * the merges in rank order — the apply half of the tokenizer the train
     * half ships. Output per doc: piece count + space-joined pieces.
     *
-    * Scale shape: application is a pure per-row expression chain (k nested
-    * folds over each word — fine for the demonstration k here; a production
-    * 50k-merge tokenizer applies merges via a rank-lookup loop in a
-    * mapPartitions codec, the same boundary as [[Multimodal.MediaDecoder]]).
-    * Training cost is [[bpeMerges]]'s vocabulary-sized iteration.
+    * Scale shape: words explode to rows and EACH merge stage materializes
+    * behind a persist barrier before the next applies — k linear passes.
+    * Chaining the k folds in one projection instead lets Catalyst collapse
+    * them into a single expression where every level re-evaluates its input
+    * ~6×, i.e. 6^k inner evaluations (measured: 89 s vs ~3 s at sf0.1 for
+    * k=4). A production 50k-merge tokenizer leaves expressions entirely and
+    * applies merges via a rank-lookup loop in a mapPartitions codec, the
+    * same boundary as [[Multimodal.MediaDecoder]]. Training cost is
+    * [[bpeMerges]]'s vocabulary-sized iteration.
     */
   def bpeSegment(docs: DataFrame, idCol: String, textCol: String, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val merges = bpeMerges(docs, textCol, iters)
       .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
-    def segment(word: Column): Column = {
-      val init = rtrim(regexp_replace(word, "(.)", "$1 "))
-      merges.foldLeft(init) { case (c, (l, r)) => applyMerge(c, lit(l), lit(r)) }
+    var words = graft.core.Readers.spread(
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "seg"))), col("doc_id"))
+      .withColumn("seg", rtrim(regexp_replace(col("seg"), "(.)", "$1 ")))
+      .persist()
+    words.count()
+    for ((l, r) <- merges) {
+      val next = words.select(col("doc_id"), col("pos"),
+        applyMerge(col("seg"), lit(l), lit(r)).as("seg")).persist()
+      next.count() // materialize before dropping the parent from cache
+      words.unpersist()
+      words = next
     }
-    docs.select(col(idCol).as("doc_id"),
-      flatten(transform(tokens(col(textCol)), w => split(segment(w), " "))).as("pieces"))
-      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"),
-        array_join(col("pieces"), " ").as("pieces_str"))
+    // reassemble in word order; joining per-word segs with ' ' flattens to
+    // exactly the piece string (pieces themselves are space-free)
+    words.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        w => w.getField("seg")), " ").as("pieces_str"))
+      .select(col("doc_id"),
+        size(split(col("pieces_str"), " ")).cast("long").as("n_pieces"),
+        col("pieces_str"))
   }
 
   /** DuckDB twin of [[bpeSegment]]: the training CTEs of [[duckBpeMerges]]

@@ -81,6 +81,20 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("q_salted_join").contains("BroadcastHashJoin"))
   }
 
+  test("semantic dedup pair join is cluster-bounded (hash join on cent_id, no cartesian)") {
+    val plan = physicalPlan("dedup_semantic")
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+    // the centroid list is tiny → assignment broadcasts; the within-cluster
+    // self-join keys on cent_id (equi-join, never an all-pairs product)
+    assert(plan.contains("Broadcast"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("column diff is one PK-keyed join carrying canonical strings, no cartesian") {
+    val plan = physicalPlan("pv_diff_columns")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("o_orderkey"), plan)
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
