@@ -13,6 +13,7 @@ import graft.core._
 case class CliConfig(
     aliases: Seq[String] = Nil,
     bookendLimit: Int = 1000,
+    drillDown: Boolean = false,
     excludeColumns: Seq[String] = Nil,
     excludeSchemas: Seq[String] = Nil,
     excludeTables: Seq[String] = Nil,
@@ -51,6 +52,7 @@ object Cli {
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
       |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
+      |      --drill-down                on mismatch with exactly two targets, also report which rows differ and which columns within them (first 20 rows per table)
       |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
       |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
       |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
@@ -87,6 +89,7 @@ object Cli {
       case Nil => Right(acc)
       case ("-h" | "--help") :: _ => Left(helpText)
       case "--hash-primary-keys" :: tail => loop(tail, acc.copy(hashPrimaryKeys = true))
+      case "--drill-down" :: tail => loop(tail, acc.copy(drillDown = true))
       case flag :: value :: tail if flag.startsWith("--") || flag == "-t" =>
         flag match {
           case "--aliases"         => loop(tail, acc.copy(aliases = csv(value)))
@@ -194,7 +197,45 @@ object Cli {
     }
     val results = VerifyRun.runPerTarget(spark, plans, vcfg)
     VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
-    if (VerifyRun.inconsistencies(results, targets.size).isEmpty) 0 else 1
+    val bad = VerifyRun.inconsistencies(results, targets.size)
+    if (cfg.drillDown) drillDown(spark, cfg, plans, bad, out)
+    if (bad.isEmpty) 0 else 1
+  }
+
+  /** `--drill-down`: for each inconsistent table of a TWO-target run, report
+    * which rows differ ([[RowDiff.diff]]) and which columns within the rows
+    * present on both sides ([[RowDiff.diffColumns]]), capped at 20 rendered
+    * rows per table. Spark's default case-insensitive resolution lines the
+    * join up across heterogeneous identifier casing (Derby `ID` vs parquet
+    * `id`). More than two targets would need a reference choice — skipped
+    * with a note rather than guessing one.
+    */
+  private def drillDown(spark: SparkSession, cfg: CliConfig,
+                        plans: Seq[(Target, Seq[VerifyRun.TableWork])],
+                        bad: org.apache.spark.sql.DataFrame, out: Writer): Unit = {
+    val badTables = bad.select("schema", "table").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet // lowercased by A3
+    if (badTables.isEmpty) return
+    if (plans.length != 2) {
+      out.write(s"drill-down: skipped (${plans.length} targets; needs exactly 2)\n")
+      out.flush(); return
+    }
+    val Seq((ta, worksA), (tb, worksB)) = plans
+    for {
+      wa <- worksA.sortBy(_.table)
+      if badTables.contains((wa.schema.toLowerCase, wa.table.toLowerCase))
+      wb <- worksB.find(_.table.equalsIgnoreCase(wa.table))
+    } {
+      val a = ta.read(spark, wa.readName)
+      val b = tb.read(spark, wb.readName)
+      val rows = RowDiff.diff(a, b, wa.spec, cfg.verifyConfig).limit(20)
+      out.write(s"\ndrill-down rows: ${wa.schema}.${wa.table} " +
+        s"(a=${ta.name}, b=${tb.name}, first 20)\n")
+      VerifyRun.renderTable(rows, rows.columns.toSeq, out)
+      val cols = RowDiff.diffColumns(a, b, wa.spec, cfg.verifyConfig).limit(20)
+      out.write(s"drill-down columns: ${wa.schema}.${wa.table} (first 20)\n")
+      VerifyRun.renderTable(cols, cols.columns.toSeq, out)
+    }
   }
 
   /** Incremental re-verification (`--merkle-snapshots`): per target × table,

@@ -22,6 +22,7 @@ class CliSpec extends SparkSpec {
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
       |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
+      |      --drill-down                on mismatch with exactly two targets, also report which rows differ and which columns within them (first 20 rows per table)
       |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
       |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
       |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
@@ -61,6 +62,27 @@ class CliSpec extends SparkSpec {
       dflt.sparseMod == 10 && dflt.tzPrecision == "milliseconds" && !dflt.hashPrimaryKeys)
     assert(Cli.parse(Nil).isLeft) // no targets
     assert(Cli.parse(Seq("--tests", "bogus", "/d")).isLeft) // mode whitelist
+  }
+
+  test("--drill-down names the differing rows and columns on a two-target mismatch") {
+    // second target: region missing key 2, nation with one perturbed name
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drill").toString
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    graft.core.Readers.fixture(spark, sfDir, "region")
+      .filter(col("r_regionkey") =!= 2).write.parquet(s"$tmp/region.parquet")
+    graft.core.Readers.fixture(spark, sfDir, "nation")
+      .withColumn("n_name", when(col("n_nationkey") === 3,
+        concat(col("n_name"), lit("X"))).otherwise(col("n_name")))
+      .write.parquet(s"$tmp/nation.parquet")
+    val cfg = Cli.parse(Seq("--tests", "full", "--drill-down",
+      "--include-tables", "region,nation", "--aliases", "a,b", sfDir, tmp)).toOption.get
+    val sw = new StringWriter()
+    assert(Cli.run(spark, cfg, sw) == 1)
+    val o = sw.toString
+    assert(o.contains("drill-down rows: main.region") && o.contains("only_a"), o)
+    assert(o.contains("drill-down columns: main.nation") && o.contains("n_name"), o)
+    // the value-changed nation row is `differs`, attributed to exactly n_name
+    assert(!o.contains("n_regionkey X") && o.contains("differs"), o)
   }
 
   test("incremental re-verification: baseline, verified, drifted across three runs") {
