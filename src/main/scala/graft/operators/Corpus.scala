@@ -64,6 +64,68 @@ object Corpus {
     s"(($h % ($rate) + ($rate)) % ($rate)) = 0"
   }
 
+  /** Source-weighted corpus mixing (the domain-mix step of an LLM data
+    * pipeline): deterministically hash-sample each source so the kept token
+    * mass approximates `budgetTokens` split across `weights` (sources with
+    * no weight drop entirely). Per-source keep fractions derive from one
+    * tiny aggregation — `min(1, budget·w·10⁶ / Σw / sourceTokens)` in pure
+    * integer arithmetic (documented bound: budget·w·10⁶ < 2⁶³) collected to
+    * the driver (one row per source, the same scalar-fetch shape as the
+    * reference's fingerprint queries) and re-embedded as plan literals; the
+    * per-row predicate is the standard portable md5 hash-bucket, so
+    * membership is id-stable as the corpus grows and identical on any
+    * engine. Row-level hash sampling approximates the token target in
+    * expectation; a quota-exact mix would need the packing window's
+    * cumulative-sum machinery.
+    *
+    * Scale shape: one aggregation pass for totals (output rows = |sources|),
+    * one predicate scan. The corpus itself never shuffles.
+    */
+  def weightedMix(docs: org.apache.spark.sql.DataFrame, idCol: String, sourceCol: String,
+                  textCol: String, weights: Map[String, Int], budgetTokens: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = size(graft.operators.TextAnalysis.tokens(col(textCol))).cast("long")
+    val weightSum = weights.values.sum.toLong
+    require(weightSum > 0, "weights must be non-empty and positive")
+    val totals = docs.groupBy(col(sourceCol)).agg(sum(toks).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepMicro = weights.map { case (s, w) =>
+      val total = totals.getOrElse(s, 0L)
+      s -> (if (total == 0L) 0L
+            else math.min(1000000L, budgetTokens * w * 1000000L / weightSum / total))
+    }
+    val thresh = keepMicro.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (s, m)) => when(col(sourceCol) === s, lit(m)).otherwise(acc)
+    }
+    docs.filter(pmod(GraftFunctions.md5Signed64(col(idCol).cast("string")),
+        lit(1000000L)) < thresh)
+      .select(col(idCol), col(sourceCol), toks.as("n_tokens"))
+  }
+
+  /** DuckDB twin of [[weightedMix]]: totals, fractions, and predicate all in
+    * SQL — `//` floor division matches the Scala `Long` division on the
+    * non-negative operands involved.
+    */
+  def duckWeightedMix(idCol: String, sourceCol: String, textCol: String,
+                      weights: Map[String, Int], budgetTokens: Long): String = {
+    val weightSum = weights.values.sum
+    val wCase = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString(s"CASE $sourceCol ", " ", " ELSE 0 END")
+    val toks = s"CAST(len(${graft.operators.TextAnalysis.duckTokens(textCol)}) AS BIGINT)"
+    val h = OracleSql.signedMd564(s"CAST($idCol AS VARCHAR)")
+    s"""WITH tot AS (SELECT $sourceCol AS src, CAST(sum($toks) AS BIGINT) AS t
+                     FROM documents GROUP BY 1),
+         frac AS (SELECT src,
+                    least(1000000, CAST($budgetTokens AS BIGINT) * ($wCase)
+                      * CAST(1000000 AS BIGINT) // $weightSum // t) AS keep_micro
+                  FROM (SELECT t, src, src AS $sourceCol FROM tot) x)
+       SELECT d.$idCol, d.$sourceCol, $toks AS n_tokens
+       FROM documents d JOIN frac f ON d.$sourceCol = f.src
+       WHERE (($h % 1000000 + 1000000) % 1000000) < f.keep_micro
+       ORDER BY d.$idCol"""
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in id
     * order within a (stratum, shard) and chunked into fixed `seqLen`-token
     * training sequences — the GPT-style packing step that turns a document

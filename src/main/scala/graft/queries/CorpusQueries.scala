@@ -26,7 +26,20 @@ object CorpusQueries {
   private val EmailPat = "[a-z0-9.]+@[a-z0-9.]+"
   private val NumPat = "[0-9][0-9][0-9][0-9]+"
 
+  /** Domain-mix weights + token budget for `corpus_mix`. */
+  private val MixWeights = Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1)
+  private val MixBudget = 2000L
+
   val entries: Map[String, QueryEntry] = Map(
+
+    // source-weighted domain mixing: hash-sample each weighted source toward
+    // its share of the token budget; unweighted sources drop
+    "corpus_mix" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.weightedMix(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "source", "text", MixWeights, MixBudget)
+          .orderBy("doc_id"),
+      oracle = Some(Corpus.duckWeightedMix("doc_id", "source", "text", MixWeights, MixBudget))),
 
     // deterministic id-hash train/val/test split with per-split stats: a
     // document's split never changes as the corpus grows

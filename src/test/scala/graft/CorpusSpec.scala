@@ -34,6 +34,28 @@ class CorpusSpec extends SparkSpec {
     assert(enKept > 0 && math.abs(enKept.toDouble / en - 0.5) < 0.25)
   }
 
+  test("weighted mix: budget >= source total keeps all of it, half-budget samples, weight-0 drops") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val src0Docs = docs.filter(col("source") === "src0")
+    val src0Tokens = src0Docs
+      .select(sum(size(graft.operators.TextAnalysis.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    // budget above the source's own mass → fraction caps at 1: every src0
+    // doc kept, every unweighted source dropped
+    val all = Corpus.weightedMix(docs, "doc_id", "source", "text",
+      Map("src0" -> 1), budgetTokens = src0Tokens * 2).persist()
+    assert(all.count() == src0Docs.count())
+    assert(all.filter(col("source") =!= "src0").count() == 0)
+    // half the budget → a strict, deterministic, nonempty subset
+    val half = Corpus.weightedMix(docs, "doc_id", "source", "text",
+      Map("src0" -> 1), budgetTokens = src0Tokens / 2).persist()
+    val n = half.count()
+    assert(n > 0 && n < src0Docs.count())
+    val again = Corpus.weightedMix(docs, "doc_id", "source", "text",
+      Map("src0" -> 1), budgetTokens = src0Tokens / 2)
+    assert(half.exceptAll(again).isEmpty)
+  }
+
   test("decontamination output excludes the eval slice and contaminated train docs") {
     import scala.jdk.CollectionConverters._
     val docs = Readers.fixture(spark, sfDir, "documents")
