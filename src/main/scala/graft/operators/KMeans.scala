@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine k-means (Lloyd) over the embedding column — the trainer that
@@ -24,18 +23,13 @@ object KMeans {
       .orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
 
-  /** Nearest-centroid assignment by floor-scaled cosine, tiebreak cent_id. */
-  def assign(vectors: DataFrame, cent: DataFrame): DataFrame = {
-    val c = cent.select(col("cent_id"), col("cv"), Similarity.norm(col("cv")).as("cn"))
-    val scored = vectors
-      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("vn"))
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        Similarity.cosineScaledWithNorms(col("embedding"), col("cv"), col("vn"), col("cn")).as("s"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  /** Nearest-centroid assignment by floor-scaled cosine, tiebreak cent_id —
+    * the `rn = 1` slice of the shared ranked assignment
+    * ([[Similarity.assignRanked]], also the IVF index/probe machinery).
+    */
+  def assign(vectors: DataFrame, cent: DataFrame): DataFrame =
+    Similarity.assignRanked(vectors, cent).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-  }
 
   /** Row count above which the ordered-fold mean auto-degrades to native
     * `avg` (mirrors `VerifyConfig.fullModeRowLimit`): the ordered fold's
@@ -140,15 +134,22 @@ object KMeans {
           FROM $assignCte, generate_series(1, $dims) AS g(pos)
           GROUP BY cent_id, pos) AS s GROUP BY cent_id)"""
 
-  def duckSummary(k: Int, iters: Int, dims: Int): String = {
+  /** The unrolled training CTE chain and the final centroid CTE's name —
+    * shared by [[duckSummary]] and the trained-IVF search twin.
+    */
+  def duckTrainCtes(k: Int, iters: Int, dims: Int): (String, String) = {
     val init = s"""cent0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)"""
     val stages = (1 to iters).flatMap { i =>
       Seq(s"assign$i AS ${duckAssign(s"cent${i - 1}")}",
         s"cent$i AS ${duckMean(s"assign$i", dims)}")
     }
-    val last = s"cent$iters"
-    s"""WITH $init, ${stages.mkString(",\n")},
+    (s"$init, ${stages.mkString(",\n")}", s"cent$iters")
+  }
+
+  def duckSummary(k: Int, iters: Int, dims: Int): String = {
+    val (ctes, last) = duckTrainCtes(k, iters, dims)
+    s"""WITH $ctes,
        final_assign AS ${duckAssign(last)}
        SELECT c.cent_id AS cent_id, count(*) AS n_members,
               CAST(floor(${Similarity.duckNorm("c.cv")} * 1e6) AS BIGINT) AS norm_micro

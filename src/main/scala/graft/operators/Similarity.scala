@@ -132,22 +132,21 @@ object Similarity {
     * O(n²/stride)); search joins on cell id — O(n/k) candidates per query.
     * All scores floor-scaled; ties broken by id.
     */
-  /** Every (vector, centroid) assignment ranked by similarity — `rn = 1` is
-    * the vector's home cell (where it is indexed); `rn <= nprobe` are the
-    * cells a QUERY probes. Splitting index-assignment from query-probing is
-    * the standard IVF recall lever: probing a handful of nearest cells costs
-    * nprobe× the candidate scan and recovers most neighbors that fell just
-    * across a cell boundary.
+  /** Every (vector, centroid) assignment ranked by similarity against an
+    * ARBITRARY centroid frame `(cent_id, cv)` — shared by the
+    * sampled-centroid IVF index, the k-means-trained variant, and the
+    * k-means trainer's own assignment step. `rn = 1` is the vector's home
+    * cell (where it is indexed); `rn <= nprobe` are the cells a QUERY
+    * probes. Splitting index-assignment from query-probing is the standard
+    * IVF recall lever: probing a handful of nearest cells costs nprobe× the
+    * candidate scan and recovers most neighbors that fell just across a
+    * cell boundary.
     */
-  def ivfAssignRanked(vectors: DataFrame, numCentroids: Int): DataFrame = {
-    val cent = vectors
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(md5(col("vec_id").cast("string"))).limit(numCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        norm(col("embedding")).as("cn"))
+  def assignRanked(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val c = cent.select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
     val scored = vectors
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(c))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosineScaledWithNorms(col("embedding"), col("cv"), col("vn"), col("cn")).as("c"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cent_id").asc)
@@ -155,17 +154,28 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
   }
 
+  /** The fixed-k deterministic centroid sample (a stand-in for trained
+    * centroids; [[graft.operators.KMeans.train]] is the real trainer).
+    */
+  def sampleCentroids(vectors: DataFrame, numCentroids: Int): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+  def ivfAssignRanked(vectors: DataFrame, numCentroids: Int): DataFrame =
+    assignRanked(vectors, sampleCentroids(vectors, numCentroids))
+
   def ivfAssign(vectors: DataFrame, numCentroids: Int): DataFrame =
     ivfAssignRanked(vectors, numCentroids).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
 
-  /** IVF search: neighbors come from their home cell; each query probes its
-    * `nprobe` nearest cells. Every neighbor lives in exactly one cell and the
-    * probed cells are distinct, so no pair can match twice — no dedup stage.
+  /** IVF search over a ranked assignment: neighbors come from their home
+    * cell; each query probes its `nprobe` nearest cells. Every neighbor
+    * lives in exactly one cell and the probed cells are distinct, so no pair
+    * can match twice — no dedup stage.
     */
-  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, numCentroids: Int,
-              nprobe: Int = 1): DataFrame = {
-    val ranked = ivfAssignRanked(vectors, numCentroids).persist()
+  private def searchAssigned(ranked: DataFrame, queryFilter: Column, k: Int,
+                             nprobe: Int): DataFrame = {
     val q = ranked.filter(queryFilter && col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("cent_id"))
@@ -178,6 +188,19 @@ object Similarity {
         cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
     rankTopK(scored, "cos_micro", k)
   }
+
+  def ivfTopK(vectors: DataFrame, queryFilter: Column, k: Int, numCentroids: Int,
+              nprobe: Int = 1): DataFrame =
+    searchAssigned(ivfAssignRanked(vectors, numCentroids).persist(),
+      queryFilter, k, nprobe)
+
+  /** IVF search over TRAINED centroids — the train → assign → probe story
+    * end to end inside the engine ([[graft.operators.KMeans.train]] produces
+    * `cent`).
+    */
+  def ivfTopKWithCentroids(vectors: DataFrame, cent: DataFrame, queryFilter: Column,
+                           k: Int, nprobe: Int = 1): DataFrame =
+    searchAssigned(assignRanked(vectors, cent).persist(), queryFilter, k, nprobe)
 
   /** The centroid-sample + ranked-assignment CTE pair (`cent`, `assign`)
     * shared by the IVF search twin and the semantic-dedup twin.

@@ -103,6 +103,37 @@ object SimilarityQueries {
         Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
       oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
 
+    // train → assign → probe, end to end: IVF search over the k-means-trained
+    // centroids instead of the deterministic sample — the full clustered-index
+    // story inside the engine
+    "sim_ivf_kmeans" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        Similarity.ivfTopKWithCentroids(e, cent, col("vec_id") < 8, K, nprobe = 2)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some {
+        val (ctes, last) = graft.operators.KMeans.duckTrainCtes(8, 2, Dims)
+        val cos = Similarity.duckCosineScaled("v.embedding", "c.cv")
+        s"""WITH $ctes,
+           ranked AS (SELECT vec_id, embedding, cent_id, rn FROM (
+             SELECT v.vec_id, v.embedding, c.cent_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY $cos DESC, c.cent_id ASC) AS rn
+             FROM embeddings v CROSS JOIN $last c) AS t WHERE rn <= 2)
+           SELECT query_id, neighbor_id, cos_micro, rank FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                               n.vec_id ASC) AS BIGINT) AS rank
+             FROM ranked q JOIN ranked n
+               ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id AND n.rn = 1
+             WHERE q.vec_id < 8) AS t
+           WHERE rank <= $K ORDER BY query_id, rank"""
+      }),
+
     // cross-modal dedup cross-check: embedding cosine for every TEXT-LSH
     // candidate pair (documents and embeddings share ids) — the agreement
     // signal curation uses to decide whether text near-dups are also
