@@ -166,6 +166,37 @@ object AnalyticsQueries {
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // KMV distinct sketch vs exact, per key column: the mergeable
+    // approx-distinct whose integer estimator IS cross-engine comparable
+    // (unlike HLL's floats) — the 100 TB countDistinct stand-in, oracle-gated
+    // on the estimate itself
+    "q_distinct_kmv" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val spark2 = spark; import spark2.implicits._
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+        Seq(
+          ("l_partkey", li.agg(countDistinct(col("l_partkey"))).head().getLong(0),
+            Sketches.kmvDistinct(li, col("l_partkey"), 256)),
+          ("o_custkey", orders.agg(countDistinct(col("o_custkey"))).head().getLong(0),
+            Sketches.kmvDistinct(orders, col("o_custkey"), 256)))
+          .toDF("key_col", "exact_distinct", "kmv_estimate")
+          .orderBy("key_col")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""SELECT * FROM (
+             SELECT 'l_partkey' AS key_col,
+                    CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS exact_distinct,
+                    CAST(${Sketches.duckKmvDistinct("lineitem", "l_partkey", 256)} AS BIGINT) AS kmv_estimate
+             UNION ALL
+             SELECT 'o_custkey',
+                    CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+                    CAST(${Sketches.duckKmvDistinct("orders", "o_custkey", 256)} AS BIGINT)
+           ) AS t ORDER BY key_col"""
+      }),
+
     // window-function ranking: top-3 parts by price within each brand
     "q_window_brand_rank" -> QueryEntry(
       fn = (spark, sfDir) => {

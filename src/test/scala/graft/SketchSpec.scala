@@ -26,4 +26,18 @@ class SketchSpec extends SparkSpec {
     val (exact, approx) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
   }
+
+  test("KMV distinct sketch: within ~2/sqrt(k) of exact, exhaustive below k, stable") {
+    import graft.operators.Sketches
+    val li = Readers.fixture(spark, sfDir, "lineitem")
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = Sketches.kmvDistinct(li, col("l_partkey"), 256)
+    // KMV relative standard error ≈ 1/sqrt(k-2) ≈ 6.3% at k=256; 3σ bound
+    assert(math.abs(est - exact).toDouble / exact < 0.19, s"exact=$exact est=$est")
+    // deterministic: same sketch every run, any partitioning
+    assert(Sketches.kmvDistinct(li.repartition(7), col("l_partkey"), 256) == est)
+    // fewer distinct hashes than k → the sketch is exhaustive and exact
+    val region = Readers.fixture(spark, sfDir, "region")
+    assert(Sketches.kmvDistinct(region, col("r_regionkey"), 256) == 5L)
+  }
 }
