@@ -3,6 +3,7 @@ package graft
 import java.io.Writer
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 
 import graft.core._
 
@@ -262,12 +263,14 @@ object Cli {
             if (!new java.io.File(snapDir).exists()) ("baselined", 0L)
             else {
               val n = Fingerprints.merkleChangedBuckets(
-                Fingerprints.readMerkleSnapshot(spark, snapDir), curr).count()
+                Fingerprints.readMerkleSnapshot(spark, snapDir,
+                  expectBuckets = Some(cfg.merkleBuckets)), curr).count()
               (if (n == 0L) "verified" else "drifted", n)
             }
           // the diff count above is eager, so refreshing the snapshot the
           // diff just read from is safe
-          curr.write.mode("overwrite").parquet(snapDir)
+          curr.withColumn("n_buckets", lit(cfg.merkleBuckets))
+            .write.mode("overwrite").parquet(snapDir)
           curr.unpersist(blocking = false)
           (t.name, w.schema, w.table, changed, status)
         }

@@ -109,6 +109,12 @@ class CliSpec extends SparkSpec {
     // the drift refreshed the snapshot: re-running the same dir now verifies
     val (c4, o4) = run(tmp)
     assert(c4 == 0 && o4.contains("verified"), o4)
+    // a different --merkle-buckets against the same snapshot dir fails
+    // loudly instead of reporting meaningless mass drift
+    val cfg128 = Cli.parse(Seq("--merkle-snapshots", snaps, "--merkle-buckets", "128",
+      "--include-tables", "region", "--aliases", "prod", tmp)).toOption.get
+    val e = intercept[IllegalArgumentException](Cli.run(spark, cfg128, new StringWriter()))
+    assert(e.getMessage.contains("64 buckets") && e.getMessage.contains("128"), e.getMessage)
   }
 
   test("alias resolution: aliases used only when the count matches (X5)") {
