@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DecimalType, StringType, StructType}
 
 import graft.canon.Canon
 import graft.functions.{Digests, GraftFunctions}
@@ -206,6 +206,28 @@ object Fingerprints {
 
   /** rowcount mode — `SELECT count(*)::TEXT` (/root/reference/query.go:279-283). */
   def rowCountDigest(df: DataFrame): String = df.count().toString
+
+  /** Order-insensitive fingerprint (our extension): the SUM of each row
+    * hash's signed-64 reinterpretation, accumulated exactly in
+    * DECIMAL(38,0) (no overflow before ~10¹⁹ rows). The sum is commutative
+    * and associative, so the aggregate combines map-side, is independent of
+    * partitioning, and — unlike the ordered digest, which must re-sort all
+    * history — is INCREMENTALLY MAINTAINABLE: the streaming variant
+    * ([[graft.streaming.EventStreams.runningFingerprint]]) folds each
+    * micro-batch into one decimal per group. The price: it cannot
+    * distinguish reorderings of the same row multiset — exactly the
+    * property that makes it incremental; value-sum cancellation collisions
+    * are ~2⁻⁶⁴.
+    */
+  def unorderedDigestCol(schema: StructType, spec: TableSpec, cfg: VerifyConfig): Column =
+    sum(graft.functions.GraftFunctions.md5Signed64(
+      Canon.rowHash(schema, schema.fieldNames.filter(spec.validColumn).toSeq,
+        cfg.tsPrecision, spec.jsonColumns)).cast(DecimalType(38, 0)))
+
+  def unorderedDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    val r = df.agg(unorderedDigestCol(df.schema, spec, cfg).as("d")).head()
+    if (r.isNullAt(0)) NoRows else r.getDecimal(0).toBigInteger.toString
+  }
 
   /** Scalable Merkle fingerprint (our extension; SURVEY.md §4). Deterministic
     * across partitioning and cluster size: bucket ids derive from the row's PK

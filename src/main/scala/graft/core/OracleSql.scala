@@ -124,6 +124,16 @@ object OracleSql {
   def rowCount(table: String, where: String = "", source: Option[String] = None): String =
     s"(SELECT CAST(count(*) AS VARCHAR) FROM ${source.getOrElse(table)} AS src$where)"
 
+  /** Twin of [[Fingerprints.unorderedDigest]]: exact HUGEINT sum of the
+    * signed-64 of each row hash.
+    */
+  def unordered(table: String, spec: TableSpec, cfg: VerifyConfig,
+                source: Option[String] = None): String = {
+    val kh = khSub(table, spec, cfg, "", source)
+    s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' " +
+      s"ELSE CAST(sum(${signedMd564("h")}) AS VARCHAR) END FROM $kh AS kh)"
+  }
+
   /** Per-bucket digest vector subquery — twin of
     * [[Fingerprints.merkleBucketDigests]]; shared by the one-shot digest and
     * the incremental bucket diff.

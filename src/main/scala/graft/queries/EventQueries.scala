@@ -74,7 +74,51 @@ object EventQueries {
       dir
     })
 
+  /** Shared oracle for the continuous-verification fingerprint twins. */
+  private lazy val FingerprintOracle = {
+    import graft.core.{Fixtures, OracleSql, VerifyConfig}
+    val schema = OracleSql.schemas("events")
+    val spec = Fixtures.specs("events")
+    val cfg = VerifyConfig()
+    val h = graft.canon.Canon.duckRowHash(schema,
+      schema.fieldNames.filter(spec.validColumn).toSeq, cfg.tsPrecision, spec.jsonColumns)
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(${OracleSql.signedMd564("h")}) AS VARCHAR) AS digest
+       FROM (SELECT event_type, $h AS h FROM events) AS t
+       GROUP BY event_type ORDER BY event_type"""
+  }
+
   val entries: Map[String, QueryEntry] = Map(
+
+    // continuous verification, batch side: per-type order-insensitive
+    // fingerprint (sum of row-hash signed-64s — commutative, so the stream
+    // twin maintains it incrementally)
+    "ev_fingerprint" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.core.{Fingerprints, Fixtures, OracleSql, VerifyConfig}
+        Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Fingerprints.unorderedDigestCol(OracleSql.schemas("events"),
+              Fixtures.specs("events"), VerifyConfig()).cast("string").as("digest"))
+          .orderBy("event_type")
+      },
+      oracle = Some(FingerprintOracle)),
+
+    // the same fingerprint through Structured Streaming: state is one
+    // decimal + count per event type, folded per micro-batch — a growing
+    // table verifies continuously without re-reading consumed data
+    "ev_fingerprint_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.runningFingerprint(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_fp_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+          .select(col("event_type"), col("n_events"),
+            col("digest_sum").cast("string").as("digest"))
+          .orderBy("event_type")
+      },
+      oracle = Some(FingerprintOracle)),
 
     // tumbling hourly window per event type
     "ev_window_hourly" -> QueryEntry(

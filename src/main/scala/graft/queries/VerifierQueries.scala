@@ -353,6 +353,21 @@ object VerifierQueries {
       }.mkString("", " UNION ALL ", " ORDER BY table_name"))
     ),
 
+    // order-insensitive fingerprint: commutative row-hash sum — the
+    // incremental/streaming-friendly fifth mode (map-side combine, no sort,
+    // partitioning-independent); blind to reorderings of the same multiset
+    "pv_unordered" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import spark.implicits._
+        val target = ParquetTarget("t", sfDir)
+        Seq("lineitem", "orders").sorted.map { t =>
+          (t, Fingerprints.unorderedDigest(target.read(spark, t), spec(t), cfg))
+        }.toDF("table_name", "fingerprint")
+      },
+      oracle = Some(Seq("lineitem", "orders").sorted.map { t =>
+        s"SELECT '$t' AS table_name, ${OracleSql.unordered(t, spec(t), cfg)} AS fingerprint"
+      }.mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
     // incremental re-verification: diff the persisted bucket-digest vectors
     // of two runs and report only the flipped buckets — the nightly-verify
     // shape where unchanged data costs a buckets-sized compare, and RowDiff

@@ -129,6 +129,23 @@ object EventStreams {
         })
   }
 
+  /** Continuous verification: per-event-type running fingerprint of the
+    * append-only stream. The order-insensitive digest
+    * ([[graft.core.Fingerprints.unorderedDigestCol]]) is a commutative
+    * aggregate, so streaming state is ONE decimal + count per event type,
+    * folded per micro-batch — an ordered fingerprint would re-sort the whole
+    * history every batch. At any point the emitted digests equal the batch
+    * digest over the rows so far: a growing table verifies continuously
+    * against a peer engine without ever re-reading consumed data.
+    */
+  def runningFingerprint(events: DataFrame): DataFrame = {
+    import graft.core.{Fingerprints, Fixtures, OracleSql, VerifyConfig}
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Fingerprints.unorderedDigestCol(OracleSql.schemas("events"),
+          Fixtures.specs("events"), VerifyConfig()).as("digest_sum"))
+  }
+
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
     */

@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("running fingerprint equals the batch digest after each arriving file") {
+    val inDir = Files.createTempDirectory("graft-fp-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutUs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0) / 1000
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-fp-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    def digests(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+      import graft.core.{Fingerprints, Fixtures, OracleSql, VerifyConfig}
+      df.groupBy(col("event_type"))
+        .agg(Fingerprints.unorderedDigestCol(OracleSql.schemas("events"),
+          Fixtures.specs("events"), VerifyConfig()).cast("string").as("d"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    def emitted(): Map[String, String] = spark.table("fp_run")
+      .select(col("event_type"), col("digest_sum").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    stage(raw.filter(expr("ts div 1000") <= cutUs), "half0.parquet")
+    val q = EventStreams.runningFingerprint(EventStreams.readEvents(spark, inDir.toString))
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName("fp_run").start()
+    try {
+      // the continuous-verification claim: at EVERY point, the running
+      // digests equal the batch digest over the rows that have arrived
+      q.processAllAvailable()
+      val gotHalf = emitted()
+      assert(gotHalf == digests(batchEvents.filter(unix_micros(col("ts")) <= cutUs)))
+      stage(raw.filter(expr("ts div 1000") > cutUs), "half1.parquet")
+      q.processAllAvailable()
+      val gotAll = emitted()
+      assert(gotAll == digests(batchEvents))
+      assert(gotAll != gotHalf)
+    } finally q.stop()
+  }
+
   test("stateful sessionization equals the batch session counts") {
     val gapUs = 30L * 60 * 1000000
     val stream = EventStreams.sessionize(EventStreams.readEvents(spark, streamDir), gapUs)
