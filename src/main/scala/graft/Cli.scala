@@ -3,7 +3,6 @@ package graft
 import java.io.Writer
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
 
 import graft.core._
 
@@ -225,7 +224,10 @@ object Cli {
     for {
       wa <- worksA.sortBy(_.table)
       if badTables.contains((wa.schema.toLowerCase, wa.table.toLowerCase))
-      wb <- worksB.find(_.table.equalsIgnoreCase(wa.table))
+      // match on (schema, table): a bare-name match could pair APP.EXTRA
+      // with an unrelated OTHER.EXTRA when both schemas carry the name
+      wb <- worksB.find(w => w.table.equalsIgnoreCase(wa.table) &&
+        w.schema.equalsIgnoreCase(wa.schema))
     } {
       val a = ta.read(spark, wa.readName)
       val b = tb.read(spark, wb.readName)
@@ -248,33 +250,46 @@ object Cli {
     * table drifted.
     */
   def runIncremental(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val targets = buildTargets(cfg)
     val schemas = SchemaFilter(cfg.includeSchemas, cfg.excludeSchemas)
     val vcfg = cfg.verifyConfig
-    val rows = targets.flatMap { t =>
-      VerifyRun.discoverTables(spark, t, schemas)
-        .filter(tableWanted(cfg, _))
-        .flatMap(buildWork(spark, t, _, cfg))
-        .map { w =>
-          val snapDir = s"${cfg.merkleSnapshots}/${t.name}/${w.schema}.${w.table}"
-          val curr = Fingerprints.merkleBucketDigests(
-            t.read(spark, w.readName), w.spec, vcfg, cfg.merkleBuckets).persist()
-          val (status, changed) =
-            if (!new java.io.File(snapDir).exists()) ("baselined", 0L)
-            else {
-              val n = Fingerprints.merkleChangedBuckets(
-                Fingerprints.readMerkleSnapshot(spark, snapDir,
-                  expectBuckets = Some(cfg.merkleBuckets)), curr).count()
-              (if (n == 0L) "verified" else "drifted", n)
-            }
-          // the diff count above is eager, so refreshing the snapshot the
-          // diff just read from is safe
-          curr.withColumn("n_buckets", lit(cfg.merkleBuckets))
-            .write.mode("overwrite").parquet(snapDir)
-          curr.unpersist(blocking = false)
-          (t.name, w.schema, w.table, changed, status)
-        }
+    // snapshots may live on any Hadoop-visible filesystem (hdfs://, s3a://)
+    // — java.io.File would report them absent and re-baseline forever
+    def snapshotExists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // one Future per target, like runPerTarget: each target's table scans
+    // submit concurrently and Spark's scheduler interleaves the jobs
+    val perTarget = targets.map { t =>
+      Future {
+        VerifyRun.discoverTables(spark, t, schemas)
+          .filter(tableWanted(cfg, _))
+          .flatMap(buildWork(spark, t, _, cfg))
+          .map { w =>
+            val snapDir = s"${cfg.merkleSnapshots}/${t.name}/${w.schema}.${w.table}"
+            val curr = Fingerprints.merkleBucketDigests(
+              t.read(spark, w.readName), w.spec, vcfg, cfg.merkleBuckets).persist()
+            val (status, changed) =
+              if (!snapshotExists(snapDir)) ("baselined", 0L)
+              else {
+                val n = Fingerprints.merkleChangedBuckets(
+                  Fingerprints.readMerkleSnapshot(spark, snapDir,
+                    expectBuckets = Some(cfg.merkleBuckets)), curr).count()
+                (if (n == 0L) "verified" else "drifted", n)
+              }
+            // the diff count above is eager, so refreshing the snapshot the
+            // diff just read from is safe
+            Fingerprints.writeMerkleSnapshotVector(curr, cfg.merkleBuckets, snapDir)
+            curr.unpersist(blocking = false)
+            (t.name, w.schema, w.table, changed, status)
+          }
+      }
+    }
+    val rows = Await.result(Future.sequence(perTarget), Duration.Inf).flatten
     import spark.implicits._
     val report = rows.toDF("target", "schema", "table", "buckets_changed", "status")
       .orderBy("schema", "table", "target")

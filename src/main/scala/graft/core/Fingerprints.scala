@@ -266,21 +266,28 @@ object Fingerprints {
     */
   def writeMerkleSnapshot(df: DataFrame, spec: TableSpec, cfg: VerifyConfig,
                           buckets: Int, path: String): Unit =
-    // n_buckets rides along as metadata: a diff between vectors built with
-    // different bucket counts is meaningless mass drift, and the read side
-    // must be able to refuse it loudly instead of reporting it
-    merkleBucketDigests(df, spec, cfg, buckets)
-      .withColumn("n_buckets", lit(buckets))
+    writeMerkleSnapshotVector(merkleBucketDigests(df, spec, cfg, buckets), buckets, path)
+
+  /** Persist an already-computed bucket vector — the one authority on the
+    * snapshot format: `n_buckets` rides along as metadata because a diff
+    * between vectors built with different bucket counts is meaningless mass
+    * drift, and the read side must be able to refuse it loudly.
+    */
+  def writeMerkleSnapshotVector(vector: DataFrame, buckets: Int, path: String): Unit =
+    vector.withColumn("n_buckets", lit(buckets))
       .write.mode("overwrite").parquet(path)
 
   /** Read a snapshot, failing loudly when it was built with a different
-    * bucket count than `expectBuckets` (pass None to skip the check).
+    * bucket count than `expectBuckets` (pass None to skip the check). An
+    * EMPTY snapshot (zero-row table at write time) carries no metadata rows
+    * and compares against anything.
     */
   def readMerkleSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
                          expectBuckets: Option[Int] = None): DataFrame = {
     val snap = spark.read.parquet(path)
-    for (expected <- expectBuckets if snap.columns.contains("n_buckets")) {
-      val actual = snap.select("n_buckets").head().getInt(0)
+    for (expected <- expectBuckets if snap.columns.contains("n_buckets");
+         actualRow <- snap.select("n_buckets").head(1).headOption) {
+      val actual = actualRow.getInt(0)
       require(actual == expected,
         s"Merkle snapshot at $path was built with $actual buckets, run expects " +
           s"$expected — bucket vectors with different widths cannot be compared " +

@@ -57,11 +57,18 @@ object RowDiff {
     val cols = Canon.hashColumnOrder(Fingerprints.hashableColumns(a, spec)
       .filterNot(c => spec.pks.exists(_.equalsIgnoreCase(c))))
     def keyed(df: DataFrame, suffix: String) = {
-      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.select(spec.pks.map(col) ++ cols.map { c =>
+      // resolve names against THIS side's physical case: heterogeneous
+      // targets render the same column as N_NAME (Derby) and n_name
+      // (parquet/PG), and an exact-case lookup would throw on one side
+      def phys(name: String) =
+        df.schema.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"column $name missing from ${df.schema.fieldNames.mkString(",")}"))
+      df.select(spec.pks.map(p => col(phys(p).name).as(p)) ++ cols.map { c =>
+        val f = phys(c)
         val canon =
-          if (spec.jsonColumns.exists(_.equalsIgnoreCase(c))) coalesce(Canon.canonJson(col(c)), lit(""))
-          else Canon.canonCol(col(c), byName(c), cfg.tsPrecision)
+          if (spec.jsonColumns.exists(_.equalsIgnoreCase(c))) coalesce(Canon.canonJson(col(f.name)), lit(""))
+          else Canon.canonCol(col(f.name), f.dataType, cfg.tsPrecision)
         canon.as(s"${c}__$suffix")
       }: _*)
     }

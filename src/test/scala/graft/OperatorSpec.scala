@@ -242,6 +242,17 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((2, "v"), (3, "v"), (3, "x")))
   }
 
+  test("column diff resolves heterogeneous identifier casing per side") {
+    // Derby-style uppercase vs PG-style lowercase physical columns — the
+    // drill-down's advertised cross-engine case; names must resolve against
+    // each side's own schema
+    val a = Seq((1, "x", 1.0), (2, "y", 2.0)).toDF("ID", "V", "X")
+    val b = Seq((1, "x", 1.0), (2, "Y", 2.0)).toDF("id", "v", "x")
+    val got = RowDiff.diffColumns(a, b, TableSpec("t", Seq("id")))
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((2, "V")))
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
