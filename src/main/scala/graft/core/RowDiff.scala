@@ -79,6 +79,41 @@ object RowDiff {
       .orderBy(spec.pks.map(col) :+ col("column_name"): _*)
   }
 
+  /** Bucket-scoped row diff — the drill-down behind incremental Merkle
+    * re-verification: restrict both sides to the buckets
+    * [[Fingerprints.merkleChangedBuckets]] flagged (same MD5-derived bucket
+    * id as the snapshot vectors) before the PK join. Every differing row
+    * lives in a flipped bucket BY CONSTRUCTION (its (k, h) feeds that
+    * bucket's digest), so the scoped diff equals the full diff while the
+    * join shuffles only |changed|/buckets of each side — the whole point of
+    * persisting bucket vectors between nightly runs.
+    */
+  def diffInBuckets(a: DataFrame, b: DataFrame, spec: TableSpec,
+                    changedBuckets: Seq[Long], buckets: Int,
+                    cfg: VerifyConfig = VerifyConfig()): DataFrame = {
+    def scoped(df: DataFrame) = {
+      val k = Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
+      df.filter(graft.functions.GraftFunctions.md5Bucket(k, buckets)
+        .isin(changedBuckets: _*))
+    }
+    diff(scoped(a), scoped(b), spec, cfg)
+  }
+
+  /** DuckDB twin of [[diffInBuckets]]: the same bucket predicate wrapped
+    * around each side's source.
+    */
+  def duckBucketsSql(table: String, spec: TableSpec, aSql: String, bSql: String,
+                     changedBucketsSql: String, buckets: Int,
+                     cfg: VerifyConfig = VerifyConfig()): String = {
+    val schema = OracleSql.schemas(table)
+    val k = Canon.duckPkSortKey(schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
+    def scoped(src: String) =
+      s"""(SELECT * FROM $src AS s
+          WHERE CAST('0x' || substr(md5($k), 1, 4) AS UBIGINT) % $buckets
+                IN ($changedBucketsSql))"""
+    duckSql(table, spec, scoped(aSql), scoped(bSql), cfg)
+  }
+
   /** DuckDB twin of [[diffColumns]]: an unpivot-style per-column compare,
     * one UNION ALL branch per hashable non-PK column.
     */

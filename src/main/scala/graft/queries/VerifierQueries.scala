@@ -148,6 +148,27 @@ object VerifierQueries {
       },
       oracle = Some(RowDiff.duckSql("orders", spec("orders"), "orders", perturbOrdersSql))),
 
+    // the incremental drill-down, end to end: flipped Merkle buckets scope
+    // the row diff, shuffling only |changed|/buckets of each side; equals
+    // the full diff because every differing row flips its own bucket
+    "pv_diff_buckets" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val orders = Readers.fixture(spark, sfDir, "orders")
+        val pert = perturbOrders(orders)
+        val changed = Fingerprints.merkleChangedBuckets(
+            Fingerprints.merkleBucketDigests(orders, spec("orders"), cfg, buckets = 64),
+            Fingerprints.merkleBucketDigests(pert, spec("orders"), cfg, buckets = 64))
+          .select("bucket").collect().map(_.getLong(0)).toSeq.sorted
+        RowDiff.diffInBuckets(orders, pert, spec("orders"), changed, buckets = 64)
+      },
+      oracle = Some {
+        val changedSub = "SELECT bucket FROM (" +
+          OracleSql.merkleChanged("orders", spec("orders"), cfg, buckets = 64,
+            prevSource = None, currSource = Some(perturbOrdersSql)) + ") AS mc"
+        RowDiff.duckBucketsSql("orders", spec("orders"), "orders", perturbOrdersSql,
+          changedSub, buckets = 64)
+      }),
+
     // column-level attribution: for each PK pv_diff_rows flags as `differs`,
     // WHICH canonical column texts disagree — the drill-down a real operator
     // reaches for next (the reference stops at table level,

@@ -87,6 +87,23 @@ class FingerprintSpec extends SparkSpec {
     assert(Fingerprints.merkleChangedBuckets(snap, curr).collect().toSeq == changed.toSeq)
   }
 
+  test("bucket-scoped diff equals the full diff: differing rows always flip their bucket") {
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    val ospec = Fixtures.specs("orders")
+    val pert = orders.filter(col("o_orderkey") % 500 =!= 3)
+      .withColumn("o_totalprice", when(col("o_orderkey") % 500 === 7,
+        col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    val buckets = 64
+    val changed = Fingerprints.merkleChangedBuckets(
+        Fingerprints.merkleBucketDigests(orders, ospec, cfg, buckets),
+        Fingerprints.merkleBucketDigests(pert, ospec, cfg, buckets))
+      .select("bucket").collect().map(_.getLong(0)).toSeq
+    assert(changed.nonEmpty && changed.length < buckets)
+    val full = RowDiff.diff(orders, pert, ospec).collect().toSeq
+    val scoped = RowDiff.diffInBuckets(orders, pert, ospec, changed, buckets).collect().toSeq
+    assert(scoped == full)
+  }
+
   test("empty table digests to the no-rows sentinel") {
     val empty = base.filter(col("id") < 0)
     assert(Fingerprints.fullDigest(empty, spec, cfg) == Fingerprints.NoRows)
