@@ -250,10 +250,13 @@ object Cli {
     * table drifted.
     */
   def runIncremental(spark: SparkSession, cfg: CliConfig, out: Writer): Int = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
     val targets = buildTargets(cfg)
+    // snapshot paths are keyed by target name: two targets sharing a name
+    // would race read-vs-overwrite on the same parquet directory
+    require(targets.map(_.name).distinct.length == targets.length,
+      s"targets must have distinct names for --merkle-snapshots " +
+        s"(got ${targets.map(_.name).mkString(", ")}); disambiguate with --aliases")
     val schemas = SchemaFilter(cfg.includeSchemas, cfg.excludeSchemas)
     val vcfg = cfg.verifyConfig
     // snapshots may live on any Hadoop-visible filesystem (hdfs://, s3a://)
@@ -262,40 +265,40 @@ object Cli {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    // one Future per target, like runPerTarget: each target's table scans
-    // submit concurrently and Spark's scheduler interleaves the jobs
-    val perTarget = targets.map { t =>
-      Future {
-        VerifyRun.discoverTables(spark, t, schemas)
-          .filter(tableWanted(cfg, _))
-          .flatMap(buildWork(spark, t, _, cfg))
-          .map { w =>
-            val snapDir = s"${cfg.merkleSnapshots}/${t.name}/${w.schema}.${w.table}"
-            val curr = Fingerprints.merkleBucketDigests(
-              t.read(spark, w.readName), w.spec, vcfg, cfg.merkleBuckets).persist()
-            val (status, changed) =
-              if (!snapshotExists(snapDir)) ("baselined", 0L)
-              else {
-                val n = Fingerprints.merkleChangedBuckets(
-                  Fingerprints.readMerkleSnapshot(spark, snapDir,
-                    expectBuckets = Some(cfg.merkleBuckets)), curr).count()
-                (if (n == 0L) "verified" else "drifted", n)
-              }
-            // the diff count above is eager, so refreshing the snapshot the
-            // diff just read from is safe
-            Fingerprints.writeMerkleSnapshotVector(curr, cfg.merkleBuckets, snapDir)
-            curr.unpersist(blocking = false)
-            (t.name, w.schema, w.table, changed, status)
-          }
-      }
+    // discovery precedes all fingerprint work (S6 fail-fast), then the
+    // shared per-target fan-out with per-table (err) containment — a failed
+    // table reports instead of aborting siblings mid-snapshot-refresh
+    val plans = targets.map { t =>
+      t -> VerifyRun.discoverTables(spark, t, schemas)
+        .filter(tableWanted(cfg, _))
+        .flatMap(buildWork(spark, t, _, cfg))
     }
-    val rows = Await.result(Future.sequence(perTarget), Duration.Inf).flatten
+    val rows = VerifyRun.fanOutPerTarget(plans) { (t, w) =>
+      val snapDir = s"${cfg.merkleSnapshots}/${t.name}/${w.schema}.${w.table}"
+      val curr = Fingerprints.merkleBucketDigests(
+        t.read(spark, w.readName), w.spec, vcfg, cfg.merkleBuckets).persist()
+      val (status, changed) =
+        if (!snapshotExists(snapDir)) ("baselined", 0L)
+        else {
+          val n = Fingerprints.merkleChangedBuckets(
+            Fingerprints.readMerkleSnapshot(spark, snapDir,
+              expectBuckets = Some(cfg.merkleBuckets)), curr).count()
+          (if (n == 0L) "verified" else "drifted", n)
+        }
+      // the diff count above is eager, so refreshing the snapshot the
+      // diff just read from is safe; a table that failed above never
+      // reaches this write, so its baseline cannot advance past
+      // unreported drift
+      Fingerprints.writeMerkleSnapshotVector(curr, cfg.merkleBuckets, snapDir)
+      curr.unpersist(blocking = false)
+      (t.name, w.schema, w.table, changed, status)
+    } { (t, w) => (t.name, w.schema, w.table, 0L, Fingerprints.Err) }
     import spark.implicits._
     val report = rows.toDF("target", "schema", "table", "buckets_changed", "status")
       .orderBy("schema", "table", "target")
     VerifyRun.renderTable(report,
       Seq("schema", "table", "buckets_changed", "status", "target"), out)
-    if (rows.exists(_._5 == "drifted")) 1 else 0
+    if (rows.forall(r => r._5 == "baselined" || r._5 == "verified")) 0 else 1
   }
 }
 

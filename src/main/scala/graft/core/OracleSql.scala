@@ -134,6 +134,13 @@ object OracleSql {
       s"ELSE CAST(sum(${signedMd564("h")}) AS VARCHAR) END FROM $kh AS kh)"
   }
 
+  /** Twin of [[graft.functions.GraftFunctions.md5Bucket]] — THE bucket-id
+    * formula; every oracle that buckets rows must use this one string so it
+    * cannot drift from the Spark expression.
+    */
+  def duckMd5Bucket(kSql: String, buckets: Int): String =
+    s"CAST('0x' || substr(md5($kSql), 1, 4) AS UBIGINT) % $buckets"
+
   /** Per-bucket digest vector subquery — twin of
     * [[Fingerprints.merkleBucketDigests]]; shared by the one-shot digest and
     * the incremental bucket diff.
@@ -141,7 +148,7 @@ object OracleSql {
   def merkleBucketsSub(table: String, spec: TableSpec, cfg: VerifyConfig, buckets: Int,
                        source: Option[String] = None): String = {
     val kh = khSub(table, spec, cfg, "", source)
-    val bucketed = s"(SELECT CAST('0x' || substr(md5(k), 1, 4) AS UBIGINT) % $buckets AS bucket, " +
+    val bucketed = s"(SELECT ${duckMd5Bucket("k", buckets)} AS bucket, " +
       s"k, h FROM $kh AS kh)"
     s"(SELECT bucket, md5(string_agg(h, '' ORDER BY k, h)) AS bh " +
       s"FROM $bucketed AS b GROUP BY bucket)"

@@ -50,32 +50,46 @@ object VerifyRun {
         throw new IllegalStateException(s"target ${target.name} unreachable: ${e.getMessage}", e)
     }
 
-  /** Run every (target × table × mode) fingerprint over per-target plans. One
-    * `Future` per target replaces the reference's goroutine-per-target
-    * (/root/reference/verify.go:66-77); Spark's scheduler interleaves the
-    * submitted jobs, so each target's scans run concurrently. Failures log
-    * and leave the `(err)` sentinel, the run continues
+  /** Generic per-target fan-out with per-table error containment — one
+    * `Future` per target (the reference's goroutine-per-target,
+    * /root/reference/verify.go:66-77); Spark's scheduler interleaves the
+    * submitted jobs so each target's scans run concurrently. A failed table
+    * logs and degrades to `onError`'s row, the run continues (X3) — shared
+    * by the fingerprint run and the incremental-Merkle run so the fan-out
+    * and containment policy has one authority.
+    */
+  def fanOutPerTarget[A](plans: Seq[(Target, Seq[TableWork])])(
+      work: (Target, TableWork) => A)(onError: (Target, TableWork) => A)(
+      implicit ec: ExecutionContext): Seq[A] = {
+    val perTarget = plans.map { case (t, works) =>
+      Future {
+        works.map { w =>
+          Try(work(t, w)) match {
+            case Success(a) => a
+            case Failure(e) =>
+              System.err.println(s"[graft] ${t.name}/${w.readName} failed: ${e.getMessage}")
+              onError(t, w)
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(perTarget), Duration.Inf).flatten
+  }
+
+  /** Run every (target × table × mode) fingerprint over per-target plans;
+    * failures leave the `(err)` sentinel
     * (/root/reference/verify.go:131,153-157).
     */
   def runPerTarget(spark: SparkSession, plans: Seq[(Target, Seq[TableWork])],
                    cfg: VerifyConfig)(
                    implicit ec: ExecutionContext = ExecutionContext.global): DataFrame = {
-    val perTarget = plans.map { case (t, works) =>
-      Future {
-        works.flatMap { w =>
-          // all modes share one canonicalize+hash pass per table
-          val outputs =
-            Try(Fingerprints.runModes(cfg.modes, t.read(spark, w.readName), w.spec, cfg)) match {
-              case Success(m) => m
-              case Failure(e) =>
-                System.err.println(s"[graft] ${t.name}/${w.readName} failed: ${e.getMessage}")
-                cfg.modes.map(_ -> Fingerprints.Err).toMap
-            }
-          cfg.modes.map(mode => ResultRow(t.name, w.schema, w.table, mode, outputs(mode)))
-        }
-      }
-    }
-    val rows = Await.result(Future.sequence(perTarget), Duration.Inf).flatten
+    val rows = fanOutPerTarget(plans) { (t, w) =>
+      // all modes share one canonicalize+hash pass per table
+      val outputs = Fingerprints.runModes(cfg.modes, t.read(spark, w.readName), w.spec, cfg)
+      cfg.modes.map(mode => ResultRow(t.name, w.schema, w.table, mode, outputs(mode)))
+    } { (t, w) =>
+      cfg.modes.map(mode => ResultRow(t.name, w.schema, w.table, mode, Fingerprints.Err))
+    }.flatten
     import spark.implicits._
     spark.createDataset(rows).toDF()
   }

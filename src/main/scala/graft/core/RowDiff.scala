@@ -92,15 +92,19 @@ object RowDiff {
                     changedBuckets: Seq[Long], buckets: Int,
                     cfg: VerifyConfig = VerifyConfig()): DataFrame = {
     def scoped(df: DataFrame) = {
-      val k = Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
+      // resolve PK names against THIS side's physical case (same rule as
+      // [[diffColumns]]): Canon's column map is exact-case
+      val pks = spec.pks.map(p =>
+        df.schema.fieldNames.find(_.equalsIgnoreCase(p)).getOrElse(p))
+      val k = Canon.pkSortKey(df.schema, pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
       df.filter(graft.functions.GraftFunctions.md5Bucket(k, buckets)
         .isin(changedBuckets: _*))
     }
     diff(scoped(a), scoped(b), spec, cfg)
   }
 
-  /** DuckDB twin of [[diffInBuckets]]: the same bucket predicate wrapped
-    * around each side's source.
+  /** DuckDB twin of [[diffInBuckets]]: the changed-bucket set computes ONCE
+    * as a CTE and scopes both sides with the shared bucket-id formula.
     */
   def duckBucketsSql(table: String, spec: TableSpec, aSql: String, bSql: String,
                      changedBucketsSql: String, buckets: Int,
@@ -109,9 +113,8 @@ object RowDiff {
     val k = Canon.duckPkSortKey(schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision)
     def scoped(src: String) =
       s"""(SELECT * FROM $src AS s
-          WHERE CAST('0x' || substr(md5($k), 1, 4) AS UBIGINT) % $buckets
-                IN ($changedBucketsSql))"""
-    duckSql(table, spec, scoped(aSql), scoped(bSql), cfg)
+          WHERE ${OracleSql.duckMd5Bucket(k, buckets)} IN (SELECT bucket FROM chg))"""
+    s"WITH chg AS ($changedBucketsSql) ${duckSql(table, spec, scoped(aSql), scoped(bSql), cfg)}"
   }
 
   /** DuckDB twin of [[diffColumns]]: an unpivot-style per-column compare,

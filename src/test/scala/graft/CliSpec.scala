@@ -109,12 +109,18 @@ class CliSpec extends SparkSpec {
     // the drift refreshed the snapshot: re-running the same dir now verifies
     val (c4, o4) = run(tmp)
     assert(c4 == 0 && o4.contains("verified"), o4)
-    // a different --merkle-buckets against the same snapshot dir fails
-    // loudly instead of reporting meaningless mass drift
+    // a different --merkle-buckets against the same snapshot dir is refused
+    // per table ((err) + exit 1, reason on stderr) instead of reporting
+    // meaningless mass drift — and the mismatch must NOT refresh the snapshot
     val cfg128 = Cli.parse(Seq("--merkle-snapshots", snaps, "--merkle-buckets", "128",
       "--include-tables", "region", "--aliases", "prod", tmp)).toOption.get
-    val e = intercept[IllegalArgumentException](Cli.run(spark, cfg128, new StringWriter()))
-    assert(e.getMessage.contains("64 buckets") && e.getMessage.contains("128"), e.getMessage)
+    val sw5 = new StringWriter()
+    assert(Cli.run(spark, cfg128, sw5) == 1)
+    assert(sw5.toString.contains("(err)"), sw5.toString)
+    // the failed run left the 64-bucket snapshot intact: the original config
+    // still verifies clean
+    val (c6, o6) = run(tmp)
+    assert(c6 == 0 && o6.contains("verified"), o6)
   }
 
   test("alias resolution: aliases used only when the count matches (X5)") {
