@@ -229,16 +229,24 @@ object Cli {
       wb <- worksB.find(w => w.table.equalsIgnoreCase(wa.table) &&
         w.schema.equalsIgnoreCase(wa.schema))
     } {
-      val a = ta.read(spark, wa.readName)
-      val b = tb.read(spark, wb.readName)
-      val rows = RowDiff.diff(a, b, wa.spec, cfg.verifyConfig).limit(20)
-      out.write(s"\ndrill-down rows: ${wa.schema}.${wa.table} " +
-        s"(a=${ta.name}, b=${tb.name}, first 20)\n")
-      VerifyRun.renderTable(rows, rows.columns.toSeq, out)
-      val cols = RowDiff.diffColumns(a, b, wa.spec, cfg.verifyConfig).limit(20)
-      out.write(s"drill-down columns: ${wa.schema}.${wa.table} (first 20)\n")
-      VerifyRun.renderTable(cols, cols.columns.toSeq, out)
+      // contained per table like the fingerprint run (X3): a drill-down that
+      // cannot be built (e.g. PK column absent on one side) notes the reason
+      // instead of aborting the run after the report already printed
+      scala.util.Try {
+        val a = ta.read(spark, wa.readName)
+        val b = tb.read(spark, wb.readName)
+        val rows = RowDiff.diff(a, b, wa.spec, cfg.verifyConfig).limit(20)
+        out.write(s"\ndrill-down rows: ${wa.schema}.${wa.table} " +
+          s"(a=${ta.name}, b=${tb.name}, first 20)\n")
+        VerifyRun.renderTable(rows, rows.columns.toSeq, out)
+        val cols = RowDiff.diffColumns(a, b, wa.spec, cfg.verifyConfig).limit(20)
+        out.write(s"drill-down columns: ${wa.schema}.${wa.table} (first 20)\n")
+        VerifyRun.renderTable(cols, cols.columns.toSeq, out)
+      }.recover { case e =>
+        out.write(s"\ndrill-down: ${wa.schema}.${wa.table} failed: ${e.getMessage}\n")
+      }
     }
+    out.flush()
   }
 
   /** Incremental re-verification (`--merkle-snapshots`): per target × table,
