@@ -109,7 +109,8 @@ object Canon {
     * Our JSON columns are plain strings, so the proxy is `length(c)::TEXT`.
     */
   def canonJson(c: Column): Column = length(c).cast(StringType)
-  def duckJsonSql(name: String): String = s"""coalesce(CAST(length("$name") AS VARCHAR), '')"""
+  def duckJsonSqlRaw(name: String): String = s"""CAST(length("$name") AS VARCHAR)"""
+  def duckJsonSql(name: String): String = s"coalesce(${duckJsonSqlRaw(name)}, '')"
 
   /** Column-name ordering for hashing: lexicographic on the LOWERCASED name
     * (exact name as tie-break). Case-insensitive because heterogeneous targets
@@ -167,7 +168,13 @@ object Canon {
   // ---------------------------------------------------------------------------
 
   /** DuckDB SQL text computing the same canonical string as [[canonCol]]. */
-  def duckSql(name: String, dt: DataType, tsPrecision: String = "milliseconds"): String = {
+  def duckSql(name: String, dt: DataType, tsPrecision: String = "milliseconds"): String =
+    s"coalesce(${duckSqlRaw(name, dt, tsPrecision)}, '')"
+
+  /** Twin of [[canonText]] (NULL propagates — no coalesce), for contexts like
+    * MIN/MAX aggregates where NULLs must stay ignorable rather than become ''.
+    */
+  def duckSqlRaw(name: String, dt: DataType, tsPrecision: String = "milliseconds"): String = {
     val c = s""""$name""""
     val inner = dt match {
       case BooleanType => s"CAST($c AS VARCHAR)"
@@ -193,7 +200,7 @@ object Canon {
       case StringType => c
       case other => throw new IllegalArgumentException(s"no oracle canonical form for $other")
     }
-    s"coalesce($inner, '')"
+    inner
   }
 
   /** Element-level twin of [[duckSql]] for array lambdas (bare identifier,

@@ -37,7 +37,8 @@ object TestModes {
   val Bookend = "bookend"
   val Sparse = "sparse"
   val RowCount = "rowcount"
-  val All: Seq[String] = Seq(Bookend, Full, RowCount, Sparse) // alphabetical, O5
+  val Stats = "stats"
+  val All: Seq[String] = Seq(Bookend, Full, RowCount, Sparse, Stats) // alphabetical, O5
 }
 
 /** The four test modes, each reducing a table to one scalar fingerprint
@@ -207,6 +208,44 @@ object Fingerprints {
   /** rowcount mode — `SELECT count(*)::TEXT` (/root/reference/query.go:279-283). */
   def rowCountDigest(df: DataFrame): String = df.count().toString
 
+  /** stats mode (our extension beyond the reference's four): a per-column
+    * statistics fingerprint — row count plus, for every compared column,
+    * (non-null count, min, max) over the CANONICAL text form, concatenated
+    * with '|' separators in [[Canon.hashColumnOrder]] and MD5'd.
+    *
+    * Min/max compare the canonical STRINGS (binary UTF-8 order on both
+    * engines), not native values — the digest needs only that both engines
+    * pick the same element of an identical string set, never per-type
+    * min/max semantics, so one rule covers the full type matrix. Column
+    * names are lowercased in the digest for heterogeneous-catalog parity
+    * (Derby's `R_REGIONKEY` and PG's `r_regionkey` must fingerprint alike).
+    *
+    * Scale shape: this is the CHEAP first-pass check for a nightly 100 TB
+    * verify — one scan, map-side partial aggregation, a single scalar to the
+    * driver. No per-row MD5, no sort, no join, and (unlike every hash mode)
+    * no PK requirement, so it also covers P8-skipped tables. Sensitivity is
+    * deliberately weaker than the hash modes: a drift that preserves every
+    * column's count/min/max (e.g. swapping two mid-range values) passes —
+    * run it as the screen, the Merkle/full digest as the confirm.
+    */
+  def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = Canon.hashColumnOrder(hashableColumns(df, spec))
+    val pieces: Seq[Column] = cols.flatMap { name =>
+      val canon =
+        if (spec.jsonColumns.exists(_.equalsIgnoreCase(name))) Canon.canonJson(col(name))
+        else Canon.canonText(col(name), byName(name), cfg.tsPrecision)
+      Seq(lit("|" + name.toLowerCase + "|"),
+        count(col(name)).cast(StringType),
+        lit("|"), coalesce(min(canon), lit("")),
+        lit("|"), coalesce(max(canon), lit("")))
+    }
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      md5(concat(count(lit(1)).cast(StringType) +: pieces: _*)).as("fp")).head()
+    if (row.getLong(0) == 0L) NoRows else row.getString(1)
+  }
+
   /** Order-insensitive fingerprint (our extension): the SUM of each row
     * hash's signed-64 reinterpretation, accumulated exactly in
     * DECIMAL(38,0) (no overflow before ~10¹⁹ rows). The sum is commutative
@@ -319,6 +358,7 @@ object Fingerprints {
     case TestModes.Sparse   => sparseDigest(df, spec, cfg)
     case TestModes.Bookend  => bookendDigest(df, spec, cfg)
     case TestModes.RowCount => rowCountDigest(df)
+    case TestModes.Stats    => statsDigest(df, spec, cfg)
     case other => throw new IllegalArgumentException(s"unknown test mode $other")
   }
 
@@ -331,7 +371,7 @@ object Fingerprints {
     */
   def runModes(modes: Seq[String], df: DataFrame, spec: TableSpec, cfg: VerifyConfig): Map[String, String] = {
     import scala.util.Try
-    val needsHash = modes.exists(_ != TestModes.RowCount)
+    val needsHash = modes.exists(m => m != TestModes.RowCount && m != TestModes.Stats)
     // (k, h, sparse-key) computed once and persisted across modes; building
     // the plan throws for tables whose PK columns are missing — each hash
     // mode then degrades to the (err) sentinel below
@@ -352,6 +392,10 @@ object Fingerprints {
       mode -> Try {
         mode match {
           case TestModes.RowCount => rowCountDigest(df)
+          // aggregates over df directly (not the kh projection): stats has no
+          // per-row hash and no PK need, so it stays computable for tables
+          // every hash mode (err)s on
+          case TestModes.Stats => statsDigest(df, spec, cfg)
           case TestModes.Full =>
             val (kh, n) = khOpt.get
             // scale guard: past the row limit the exact digest's driver-side

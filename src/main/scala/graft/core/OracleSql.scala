@@ -179,12 +179,34 @@ object OracleSql {
        ORDER BY bucket"""
 
   /** Mode dispatch, twin of [[Fingerprints.runMode]]. */
+  /** Twin of [[Fingerprints.statsDigest]]: per-column (count, canonical min,
+    * canonical max) with '|' separators in hash column order, MD5'd; raw
+    * (non-coalesced) canonical forms keep NULLs out of MIN/MAX on both sides.
+    */
+  def stats(table: String, spec: TableSpec, cfg: VerifyConfig,
+            source: Option[String] = None): String = {
+    val schema = schemas(table)
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = Canon.hashColumnOrder(schema.fields.map(_.name).filter(spec.validColumn).toSeq)
+    val parts = cols.flatMap { name =>
+      val raw =
+        if (spec.jsonColumns.exists(_.equalsIgnoreCase(name))) Canon.duckJsonSqlRaw(name)
+        else Canon.duckSqlRaw(name, byName(name), cfg.tsPrecision)
+      Seq(s"'|${name.toLowerCase}|'", s"""CAST(count("$name") AS VARCHAR)""",
+        "'|'", s"coalesce(min($raw), '')", "'|'", s"coalesce(max($raw), '')")
+    }
+    s"(SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}' ELSE " +
+      s"md5(concat(CAST(count(*) AS VARCHAR), ${parts.mkString(", ")})) END " +
+      s"FROM ${source.getOrElse(table)} AS src)"
+  }
+
   def forMode(mode: String, table: String, spec: TableSpec, cfg: VerifyConfig,
               source: Option[String] = None): String = mode match {
     case TestModes.Full     => full(table, spec, cfg, "", source)
     case TestModes.Sparse   => sparse(table, spec, cfg, source)
     case TestModes.Bookend  => bookend(table, spec, cfg, source)
     case TestModes.RowCount => rowCount(table, "", source)
+    case TestModes.Stats    => stats(table, spec, cfg, source)
     case other => throw new IllegalArgumentException(s"unknown test mode $other")
   }
 }

@@ -91,7 +91,9 @@ object VerifierQueries {
        ORDER BY table_name, mode, output"""
 
   private val reportModes = TestModes.All
-  private val reportCfg = cfg.copy(bookendLimit = 100)
+  // modes pinned to the SAME list the oracle CTE loops — VerifyRun.run takes
+  // its mode set from cfg.modes, and the two must never drift
+  private val reportCfg = cfg.copy(bookendLimit = 100, modes = reportModes)
 
   /** The PG-singular fixed-width `--tz-precision` units added in round 4
     * (micro/milli/seconds are already exercised by every other pv_* query),
@@ -221,6 +223,15 @@ object VerifierQueries {
     "pv_rowcount" -> QueryEntry(
       fn = (spark, sfDir) => digestDf(spark, sfDir, Fixtures.tableNames, TestModes.RowCount, cfg),
       oracle = Some(digestSql(Fixtures.tableNames, TestModes.RowCount, cfg))
+    ),
+
+    // stats mode (our extension): per-column count/canonical-min/canonical-max
+    // fingerprint — the one-scan, no-hash, no-sort screen that runs FIRST on a
+    // 100 TB nightly verify (see Fingerprints.statsDigest for the scale shape)
+    "pv_stats" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        digestDf(spark, sfDir, Fixtures.fingerprintTables, TestModes.Stats, cfg),
+      oracle = Some(digestSql(Fixtures.fingerprintTables, TestModes.Stats, cfg))
     ),
 
     // A1+O1+P1/P2/P3: full-mode fingerprints

@@ -36,7 +36,7 @@ class CliSpec extends SparkSpec {
       |      --merkle-snapshots string   incremental re-verification: diff each table's Merkle bucket vector against the previous run's snapshot under this directory, report drifted buckets, then refresh the snapshot
       |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
-      |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount) (default [full])
+      |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount,stats) (default [full])
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
       |""".stripMargin
 

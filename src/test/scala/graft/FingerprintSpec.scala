@@ -47,6 +47,31 @@ class FingerprintSpec extends SparkSpec {
     assert(Fingerprints.fullDigest(base, spec, cfg) != Fingerprints.fullDigest(extra, spec, cfg))
     assert(Fingerprints.bookendDigest(base, spec, cfg) != Fingerprints.bookendDigest(extra, spec, cfg))
     assert(Fingerprints.rowCountDigest(base) != Fingerprints.rowCountDigest(extra))
+    assert(Fingerprints.statsDigest(base, spec, cfg) != Fingerprints.statsDigest(extra, spec, cfg))
+  }
+
+  test("stats digest: sensitivity is count/min/max of the canonical text, by design") {
+    val s = Fingerprints.statsDigest(base, spec, cfg)
+    // a min-breaking change flips it ...
+    assert(s != Fingerprints.statsDigest(
+      df((1, "A", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5)), spec, cfg))
+    // ... a NULL flips it (non-null count drops, even with min/max intact) ...
+    val withNull = Seq((1, Some("a"), 1.5), (2, None: Option[String], 2.5),
+      (3, Some("c"), 3.5), (4, Some("d"), 4.5)).toDF("id", "s", "d")
+    assert(s != Fingerprints.statsDigest(withNull, spec, cfg))
+    // ... but a mid-range swap that preserves every column's stats passes —
+    // the documented screen-vs-confirm trade (Fingerprints.statsDigest)
+    val swapped = df((1, "a", 2.5), (2, "b", 1.5), (3, "c", 3.5), (4, "d", 4.5))
+    assert(s == Fingerprints.statsDigest(swapped, spec, cfg))
+    // and the empty table takes the sentinel, like the hash modes
+    assert(Fingerprints.statsDigest(base.limit(0), spec, cfg) == Fingerprints.NoRows)
+  }
+
+  test("stats digest needs no primary key (covers P8-skipped tables)") {
+    val noPk = TableSpec("t", Seq.empty)
+    val viaRunModes = Fingerprints.runModes(Seq(TestModes.Stats), base, noPk, cfg)
+    assert(viaRunModes(TestModes.Stats) == Fingerprints.statsDigest(base, noPk, cfg))
+    assert(viaRunModes(TestModes.Stats) != Fingerprints.Err)
   }
 
   test("streamed exact digest equals collect() digest across the threshold") {

@@ -95,6 +95,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("o_orderkey"), plan)
   }
 
+  test("stats digest is one pruned scan + partial agg — no sort, no join, one exchange") {
+    import graft.core.{Fingerprints, Fixtures, Readers, VerifyConfig}
+    val li = Readers.fixture(spark, sfDir, "lineitem")
+    val spec = Fixtures.specs("lineitem")
+    val cfg = VerifyConfig()
+    val byName = li.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = graft.canon.Canon.hashColumnOrder(Fingerprints.hashableColumns(li, spec))
+    val pieces = cols.flatMap { name =>
+      import org.apache.spark.sql.functions._
+      val canon = graft.canon.Canon.canonText(col(name), byName(name), cfg.tsPrecision)
+      Seq(lit("|" + name + "|"), count(col(name)).cast("string"),
+        lit("|"), coalesce(min(canon), lit("")), lit("|"), coalesce(max(canon), lit("")))
+    }
+    import org.apache.spark.sql.functions._
+    val agg = li.agg(count(lit(1)).as("n"), md5(concat(pieces: _*)).as("fp"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Sort "), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan) // SinglePartition combine only
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
