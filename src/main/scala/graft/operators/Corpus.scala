@@ -220,4 +220,55 @@ object Corpus {
       .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** Bloom-prefiltered [[contaminatedIds]] — identical output, different 100 TB
+    * cost model. [[contaminatedIds]] probes a broadcast hash relation holding
+    * the full eval shingle STRINGS (memory ∝ suite size); here the train side
+    * probes a bloom filter instead (~10 bits/shingle — two orders of magnitude
+    * smaller than the strings, fits in L2 for MB-scale suites) via Spark's own
+    * codegen'd `might_contain`, and only bloom-POSITIVE shingles — the true
+    * contamination plus the ~0.8% false-positive residue — reach the exact
+    * semi-join that restores set-exact output. Same two-phase shape Catalyst's
+    * InjectRuntimeFilter applies inside a query; done here explicitly because
+    * the filter must cross a pipeline stage (build once, filter a corpus).
+    *
+    * Exactness: the bloom admits false positives, never false negatives, and
+    * phase 3 re-checks every survivor against the real shingle set — so the
+    * result equals [[contaminatedIds]] row-for-row (CorpusSpec asserts it).
+    */
+  def contaminatedIdsBloom(train: org.apache.spark.sql.DataFrame,
+                           eval: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String, shingleN: Int,
+                           bitsPerItem: Int = 10): org.apache.spark.sql.DataFrame = {
+    import TextAnalysis.{shinglesFromTokens, tokens}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val evalShingles = eval
+      .withColumn("tk", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+      .distinct().persist()
+    try {
+      // phase 1: size from the persisted distinct count, then one tiny
+      // aggregate job builds the filter over xxhash64(shingle) — the same
+      // hash `might_contain` probes with, so the two phases can never drift
+      val nShingles = math.max(evalShingles.count(), 1L)
+      val bloomBytes = evalShingles.agg(Bridge.column(
+        new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("shingle"))),
+          Literal(nShingles), Literal(nShingles * bitsPerItem))
+          .toAggregateExpression()).as("bf")).head().getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col("shingle")))))
+      // phase 2: codegen bloom probe per exploded train shingle (no shuffle,
+      // no broadcast relation); phase 3: exact semi-join over survivors only
+      graft.core.Readers.spread(train, col(idCol))
+        .withColumn("tk", tokens(col(textCol)))
+        .select(col(idCol), explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+        .filter(mightContain)
+        .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+        .select(idCol).distinct()
+    } finally evalShingles.unpersist(blocking = false)
+  }
 }

@@ -101,6 +101,35 @@ object CorpusQueries {
            ORDER BY doc_id"""
       }),
 
+    // bloom-prefiltered decontamination: identical output to
+    // corpus_decontaminate through a two-phase runtime-filter plan — a
+    // ~10-bit/shingle bloom probe (codegen might_contain) screens the train
+    // side, the exact semi-join re-checks only the survivors (see
+    // Corpus.contaminatedIdsBloom for why this is the 100 TB shape)
+    "corpus_decontaminate_bloom" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val isEval = col("doc_id") % 100 === 7
+        val contaminated = Corpus.contaminatedIdsBloom(
+          docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
+        docs.filter(!isEval)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckShinglesExpr, duckTokens}
+        s"""WITH toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM documents),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
+           train_sh AS (SELECT id, unnest(sh) AS shingle FROM shs WHERE id % 100 <> 7),
+           contaminated AS (SELECT DISTINCT id FROM train_sh
+                            WHERE shingle IN (SELECT shingle FROM eval_sh))
+           SELECT doc_id, lang FROM documents
+           WHERE doc_id % 100 <> 7 AND doc_id NOT IN (SELECT id FROM contaminated)
+           ORDER BY doc_id"""
+      }),
+
     // GPT-style sequence packing: concat documents in id order within each
     // (lang, shard) and chunk into 512-token training sequences — the window
     // cumsum parallelizes across lang × shard partitions (see

@@ -76,6 +76,22 @@ class CorpusSpec extends SparkSpec {
     assert(dupTrainIds.intersect(out).isEmpty, "exact duplicates of eval docs must be dropped")
   }
 
+  test("bloom-prefiltered decontamination equals the exact variant, and probes before joining") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 100 === 7
+    val exact = Corpus.contaminatedIds(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
+    val viaBloom = Corpus.contaminatedIdsBloom(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
+    // false positives must be re-checked away: the id sets are identical
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+    // and the plan carries the codegen bloom probe BELOW the semi-join
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.indexOf("might_contain") > plan.indexOf("Join"), // tree prints top-down
+      s"bloom probe must sit under the verify join:\n$plan")
+  }
+
   test("repetition signals stay in their mathematical ranges") {
     val rows = SparkEntry.queries("text_repetition")(spark, sfDir).collect()
     assert(rows.nonEmpty)
