@@ -181,7 +181,97 @@ object VerifierQueries {
         val orders = Readers.fixture(spark, sfDir, "orders")
         RowDiff.diffColumns(orders, perturbOrders(orders), spec("orders"))
       },
-      oracle = Some(RowDiff.duckColumnsSql("orders", spec("orders"), "orders", perturbOrdersSql)))
+      oracle = Some(RowDiff.duckColumnsSql("orders", spec("orders"), "orders", perturbOrdersSql))),
+
+    // schema-drift diff: catalog-level drill-down BEFORE any data scan — a
+    // migrated beta (column dropped, column retyped, column added) diffs as
+    // exactly those three drift rows, from footers/information_schema only
+    "pv_diff_schema" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val migrate: DataFrame => DataFrame = df => df
+          .drop("o_orderpriority")
+          .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+          .withColumn("o_note", lit("migrated"))
+        val alpha = ParquetTarget("alpha", sfDir)
+        val beta = ParquetTarget("beta", sfDir, tweaks = Map("orders" -> migrate))
+        SchemaDiff.diff(
+          SchemaDiff.catalog(spark, alpha, Seq("region", "orders")),
+          SchemaDiff.catalog(spark, beta, Seq("region", "orders")))
+      },
+      oracle = Some {
+        def catalogCte(rows: Seq[(String, String, String)]): String =
+          rows.map { case (t, c, d) =>
+            s"SELECT '$t' AS table_name, '$c' AS column_name, '$d' AS data_type"
+          }.mkString(" UNION ALL ")
+        val alphaRows = Seq("orders", "region").flatMap(t =>
+          OracleSql.schemas(t).fields.map(f => (t, f.name, f.dataType.simpleString)))
+        // the SAME migration, applied to the static catalog
+        val betaRows = alphaRows.filter(_._2 != "o_orderpriority").map {
+          case ("orders", "o_orderdate", _) => ("orders", "o_orderdate", "date")
+          case r => r
+        } :+ ("orders", "o_note", "string")
+        s"""WITH a AS (${catalogCte(alphaRows)}), b AS (${catalogCte(betaRows)})
+           SELECT table_name, column_name,
+                  coalesce(a.data_type, '') AS a_type,
+                  coalesce(b.data_type, '') AS b_type,
+                  CASE WHEN a.data_type IS NULL THEN 'missing_in_a'
+                       WHEN b.data_type IS NULL THEN 'missing_in_b'
+                       WHEN a.data_type <> b.data_type THEN 'type_changed' END AS status
+           FROM a FULL OUTER JOIN b USING (table_name, column_name)
+           WHERE a.data_type IS NULL OR b.data_type IS NULL
+              OR a.data_type <> b.data_type
+           ORDER BY table_name, column_name"""
+      }),
+
+    // referential-integrity audit across the star schema's FK edges, with
+    // orders.o_custkey perturbed to dangle for one key band — the intact
+    // edges must audit 0 orphans, the broken one exactly its band
+    "pv_orphans" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import Integrity.FkEdge
+        val li = Readers.fixture(spark, sfDir, "lineitem")
+        val orders = Readers.fixture(spark, sfDir, "orders")
+        val dangling = orders.withColumn("o_custkey",
+          when(col("o_orderkey") % 1000 === 13, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")))
+        Integrity.orphanAudit(Seq(
+          FkEdge("customer.c_nationkey->nation.n_nationkey",
+            Readers.fixture(spark, sfDir, "customer"), "c_nationkey",
+            Readers.fixture(spark, sfDir, "nation"), "n_nationkey", broadcastDim = true),
+          // fact-to-fact: orders is no broadcast candidate at scale
+          FkEdge("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", orders, "o_orderkey", broadcastDim = false),
+          FkEdge("lineitem.l_partkey->part.p_partkey",
+            li, "l_partkey",
+            Readers.fixture(spark, sfDir, "part"), "p_partkey", broadcastDim = true),
+          FkEdge("orders.o_custkey->customer.c_custkey",
+            dangling, "o_custkey",
+            Readers.fixture(spark, sfDir, "customer"), "c_custkey", broadcastDim = true)))
+      },
+      oracle = Some("""
+        WITH po AS (SELECT CASE WHEN o_orderkey % 1000 = 13 THEN o_custkey + 10000000
+                                ELSE o_custkey END AS o_custkey FROM orders)
+        SELECT * FROM (
+          SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk_name,
+                 (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL) AS fact_rows,
+                 (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+                    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS orphans
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+                 (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+                 (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part.p_partkey',
+                 (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+                 (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+                    AND l_partkey NOT IN (SELECT p_partkey FROM part))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer.c_custkey',
+                 (SELECT count(*) FROM po WHERE o_custkey IS NOT NULL),
+                 (SELECT count(*) FROM po WHERE o_custkey IS NOT NULL
+                    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        ) AS t ORDER BY fk_name"""))
   ) ++ Map(
 
     // S1: catalog discovery — directory listing as the information_schema scan

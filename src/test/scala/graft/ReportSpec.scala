@@ -72,5 +72,38 @@ class ReportSpec extends SparkSpec {
     assert(outputs(TestModes.Bookend) == Fingerprints.Err)
     assert(outputs(TestModes.RowCount) == "5")
     assert(VerifyRun.inconsistencies(results, targets.size).count() == 2)
+    // ... and so does stats, which never touches the PK
+    val withStats = VerifyRun.run(spark, targets, Fixtures.specs,
+      cfg.copy(modes = Seq(TestModes.Stats)), includeTables = Seq("region"))
+    val statsOut = withStats.filter(col("target") === "beta")
+      .select("output").head().getString(0)
+    assert(statsOut != Fingerprints.Err, statsOut)
+  }
+
+  test("schema diff: identical catalogs are empty; a migration diffs as exactly its drift") {
+    val alpha = ParquetTarget("alpha", sfDir)
+    assert(SchemaDiff.diff(
+      SchemaDiff.catalog(spark, alpha, tables),
+      SchemaDiff.catalog(spark, alpha, tables)).isEmpty)
+    val drift = SparkEntry.queries("pv_diff_schema")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(4))).toSeq.sorted
+    assert(drift == Seq(("o_note", "missing_in_a"),
+      ("o_orderdate", "type_changed"), ("o_orderpriority", "missing_in_b")))
+  }
+
+  test("orphan audit: intact FK edges count zero, the dangling band counts exactly") {
+    val rows = SparkEntry.queries("pv_orphans")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("customer.c_nationkey->nation.n_nationkey")._2 == 0)
+    assert(rows("lineitem.l_orderkey->orders.o_orderkey")._2 == 0)
+    assert(rows("lineitem.l_partkey->part.p_partkey")._2 == 0)
+    // the perturbed edge dangles one key band — exactly the band's size
+    val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+    val band = orders.filter(col("o_orderkey") % 1000 === 13).count()
+    assert(band > 0 && rows("orders.o_custkey->customer.c_custkey")._2 == band)
+    // dims marked broadcastable must actually broadcast (no fact-side shuffle)
+    val plan = SparkEntry.queries("pv_orphans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
