@@ -138,6 +138,37 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
 
+    // hourly traffic-spike detection: flag hours whose event count exceeds
+    // 2x the per-type hourly mean. The comparison is cross-multiplied pure
+    // 64-bit integer arithmetic (n * type_hours > 2 * type_total) — no
+    // float mean, so the flag is bit-exact across engines and partition
+    // orders. Two-level shape: the big scan collapses in the hourly groupBy
+    // (map-side partial agg), the window then runs over the tiny per-type
+    // aggregate frame — state is hours-per-type, never raw events
+    "ev_hourly_anomaly" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val w = Window.partitionBy(col("event_type"))
+        Readers.fixture(spark, sfDir, "events")
+          .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("type_hours", count(lit(1)).over(w))
+          .withColumn("type_total", sum(col("n_events")).over(w))
+          .withColumn("is_spike",
+            col("n_events") * col("type_hours") > lit(2L) * col("type_total"))
+          .orderBy("hour_us", "event_type")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT hour_us, event_type, n_events,
+               count(*) OVER (PARTITION BY event_type) AS type_hours,
+               CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+               n_events * count(*) OVER (PARTITION BY event_type)
+                 > 2 * sum(n_events) OVER (PARTITION BY event_type) AS is_spike
+        FROM hourly ORDER BY hour_us, event_type""")),
+
     // gap-based sessionization: a >30min silence starts a new session
     "ev_sessionize" -> QueryEntry(
       fn = (spark, sfDir) => {
