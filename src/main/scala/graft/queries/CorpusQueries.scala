@@ -101,6 +101,38 @@ object CorpusQueries {
            ORDER BY doc_id"""
       }),
 
+    // data-derived quality threshold: drop the bottom quartile by quality
+    // score, where the cut point is the exact (floor(n/4)+1)-th smallest
+    // score, not a fixed constant — the two-pass scalar-threshold pattern
+    // (pass 1: rank the score column to one driver scalar; pass 2: scan +
+    // filter). The exact rank costs a global sort of ONE double column; the
+    // 100 TB swap is approx_percentile for pass 1 (t-digest, one partial-agg
+    // pass), not used here only because sketches aren't cross-engine
+    // comparable — same degrade pattern as q_quantiles/fullModeRowLimit
+    "corpus_quality_band" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val scored = docs.select(col("doc_id"), col("lang"),
+          qualityScore(tokens(col("text"))).as("quality_score"))
+        val k = scored.count() / 4
+        val threshold = scored.orderBy(col("quality_score"))
+          .select(col("quality_score")).offset(k.toInt).limit(1).head().getDouble(0)
+        scored.filter(col("quality_score") >= threshold).orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckTokens}
+        s"""WITH toks AS (SELECT doc_id, lang, ${duckTokens("text")} AS tk FROM documents),
+           scored AS (SELECT doc_id, lang, ${duckQualityScore("tk")} AS quality_score FROM toks),
+           ranked AS (SELECT quality_score,
+                             row_number() OVER (ORDER BY quality_score) AS rn,
+                             count(*) OVER () AS n
+                      FROM scored)
+           SELECT doc_id, lang, quality_score FROM scored
+           WHERE quality_score >= (SELECT quality_score FROM ranked WHERE rn = n // 4 + 1)
+           ORDER BY doc_id"""
+      }),
+
     // bloom-prefiltered decontamination: identical output to
     // corpus_decontaminate through a two-phase runtime-filter plan — a
     // ~10-bit/shingle bloom probe (codegen might_contain) screens the train
