@@ -228,9 +228,21 @@ object Fingerprints {
     * column's count/min/max (e.g. swapping two mid-range values) passes —
     * run it as the screen, the Merkle/full digest as the confirm.
     */
-  def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
-    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val cols = Canon.hashColumnOrder(hashableColumns(df, spec))
+  def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
+    df.agg(statsDigestCol(df.schema, spec, cfg).as("fp")).head().getString(0)
+
+  /** The stats fingerprint as a single aggregate Column over `schema`'s
+    * compared columns — the batch mode above and the streaming continuous
+    * variant ([[graft.streaming.EventStreams.runningStats]]) share it, so the
+    * two can never drift. Every piece (count, min, max) is a commutative
+    * monotone aggregate under APPEND-ONLY input, which is what makes the
+    * streaming twin exact: the running digest equals the batch digest of
+    * everything ingested so far. Deletes/updates break min/max monotonicity —
+    * re-verification after mutation is the Merkle snapshot's job.
+    */
+  def statsDigestCol(schema: StructType, spec: TableSpec, cfg: VerifyConfig): Column = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = Canon.hashColumnOrder(schema.fields.map(_.name).filter(spec.validColumn).toSeq)
     val pieces: Seq[Column] = cols.flatMap { name =>
       val canon =
         if (spec.jsonColumns.exists(_.equalsIgnoreCase(name))) Canon.canonJson(col(name))
@@ -240,10 +252,8 @@ object Fingerprints {
         lit("|"), coalesce(min(canon), lit("")),
         lit("|"), coalesce(max(canon), lit("")))
     }
-    val row = df.agg(
-      count(lit(1)).as("n"),
-      md5(concat(count(lit(1)).cast(StringType) +: pieces: _*)).as("fp")).head()
-    if (row.getLong(0) == 0L) NoRows else row.getString(1)
+    when(count(lit(1)) === 0, lit(NoRows))
+      .otherwise(md5(concat(count(lit(1)).cast(StringType) +: pieces: _*)))
   }
 
   /** Order-insensitive fingerprint (our extension): the SUM of each row

@@ -120,6 +120,23 @@ object EventQueries {
       },
       oracle = Some(FingerprintOracle)),
 
+    // continuous stats mode: the pv_stats fingerprint maintained by the
+    // stream (state = one count/min/max triple per column); must equal the
+    // batch stats digest of the whole fixture once the stream drains
+    "ev_stats_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.runningStats(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_stats_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+          .select(col("table_name"), col("fingerprint"))
+      },
+      oracle = Some {
+        import graft.core.{Fixtures, OracleSql, TestModes, VerifyConfig}
+        s"SELECT 'events' AS table_name, " +
+          s"${OracleSql.forMode(TestModes.Stats, "events", Fixtures.specs("events"), VerifyConfig())} AS fingerprint"
+      }),
+
     // tumbling hourly window per event type
     "ev_window_hourly" -> QueryEntry(
       fn = (spark, sfDir) => {

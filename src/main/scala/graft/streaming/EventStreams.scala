@@ -146,6 +146,23 @@ object EventStreams {
           Fixtures.specs("events"), VerifyConfig()).as("digest_sum"))
   }
 
+  /** Continuous stats mode: the per-column count/min/max fingerprint
+    * ([[graft.core.Fingerprints.statsDigestCol]] — the SAME expression the
+    * batch mode evaluates) maintained as a complete-mode global aggregate.
+    * State is one (count, min, max) triple per compared column, O(columns)
+    * regardless of stream length; every aggregate is monotone under
+    * append-only input, so after each micro-batch the running digest equals
+    * the batch stats digest of everything ingested so far — a growing table
+    * screens continuously without re-reading consumed data.
+    */
+  def runningStats(events: DataFrame): DataFrame = {
+    import graft.core.{Fingerprints, Fixtures, OracleSql, VerifyConfig}
+    events.groupBy()
+      .agg(Fingerprints.statsDigestCol(OracleSql.schemas("events"),
+        Fixtures.specs("events"), VerifyConfig()).as("fingerprint"))
+      .select(lit("events").as("table_name"), col("fingerprint"))
+  }
+
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
     */

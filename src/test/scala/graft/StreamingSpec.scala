@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running stats digest equals the batch stats mode after each arriving file") {
+    import graft.core.{Fingerprints, Fixtures, VerifyConfig}
+    val inDir = Files.createTempDirectory("graft-st-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutUs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0) / 1000
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-st-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    def batchStats(df: org.apache.spark.sql.DataFrame): String =
+      Fingerprints.statsDigest(df, Fixtures.specs("events"), VerifyConfig())
+    def emitted(): String =
+      spark.table("st_run").select(col("fingerprint")).head().getString(0)
+
+    stage(raw.filter(expr("ts div 1000") <= cutUs), "half0.parquet")
+    val q = EventStreams.runningStats(EventStreams.readEvents(spark, inDir.toString))
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName("st_run").start()
+    try {
+      q.processAllAvailable()
+      val gotHalf = emitted()
+      assert(gotHalf == batchStats(batchEvents.filter(unix_micros(col("ts")) <= cutUs)))
+      stage(raw.filter(expr("ts div 1000") > cutUs), "half1.parquet")
+      q.processAllAvailable()
+      val gotAll = emitted()
+      assert(gotAll == batchStats(batchEvents))
+      assert(gotAll != gotHalf)
+    } finally q.stop()
+  }
+
   test("stateful sessionization equals the batch session counts") {
     val gapUs = 30L * 60 * 1000000
     val stream = EventStreams.sessionize(EventStreams.readEvents(spark, streamDir), gapUs)
