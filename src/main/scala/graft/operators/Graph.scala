@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the PageRank family,
+  * re-expressed as k rounds of (join rank to edges → integer-divide by
+  * out-degree → sum inflow per destination). Complements the connected
+  * components in [[DedupClusters]]: components answer "which near-dups group
+  * together", centrality answers "which node represents the group / which
+  * source carries weight" (link-graph centrality is a standard web-corpus
+  * quality prior for training-data curation).
+  *
+  * All arithmetic is 64-bit integer micro-units: contributions are
+  * `rank div outdeg`, damping is `(num * inflow) div den`. Integer sums are
+  * exactly associative-commutative, so the result is bit-identical across
+  * engines, partitionings, and aggregation orders — the same no-libm
+  * discipline as the TF-IDF and cosine operators (truncation loss per
+  * division is deliberate and identical on both sides).
+  *
+  * Scale shape per iteration: one equi-join of the edge list against the
+  * |V|-sized rank frame (both shuffle on src — or co-locate when edges are
+  * bucketed by src), one map-side-combined sum keyed on dst. State between
+  * iterations is one persisted |V|-row frame; plans stay shallow because
+  * each iteration materializes behind a persist barrier (the BPE-merge
+  * lesson — k chained joins in one lazy plan re-evaluate exponentially).
+  */
+object Graph {
+
+  /** `iters` damped PageRank rounds over directed `edges` (src, dst) —
+    * multi-edges must be pre-deduplicated (out-degree counts distinct
+    * targets). Returns (node, rank) in micro-units: rank_0 = unit;
+    * rank' = (unit - unit·d) + d·inflow with d = dampNum/dampDen applied in
+    * integer arithmetic. Dangling nodes (no out-edges) leak their mass —
+    * acceptable for a RANKING (ordering is what downstream curation uses),
+    * documented rather than patched because the redistribution term would
+    * need a float-free global aggregate per round on both engines.
+    */
+  def pageRank(edges: DataFrame, iters: Int, unit: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val base = unit - unit * dampNum / dampDen
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .persist()
+    withDeg.count() // materialize: every iteration re-reads this frame
+    var rank = nodes.withColumn("rank", lit(unit)).persist()
+    try {
+      for (_ <- 1 to iters) {
+        val inflow = withDeg
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("inflow"))
+        val next = nodes.join(inflow, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + expr(s"$dampNum * coalesce(inflow, 0L) div $dampDen")).as("rank"))
+          .persist()
+        next.count() // barrier: k chained joins must not stack in one plan
+        rank.unpersist(blocking = false)
+        rank = next
+      }
+      rank
+    } finally withDeg.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin of [[pageRank]] as unrolled CTE stages (the KMeans-twin
+    * pattern): `edgesSql` must select (src, dst). Returns the CTE chain and
+    * the name of the final rank relation.
+    */
+  def duckPageRankCtes(edgesSql: String, iters: Int, unit: Long = 1000000L,
+                       dampNum: Long = 85L, dampDen: Long = 100L): (String, String) = {
+    val base = unit - unit * dampNum / dampDen
+    val head =
+      s"""e AS ($edgesSql),
+         nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST($unit AS BIGINT) AS rank FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
+             GROUP BY e.dst),
+         r$i AS (SELECT n.node,
+                        CAST($base + ($dampNum * coalesce(c$i.inflow, 0)) // $dampDen AS BIGINT) AS rank
+                 FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"""
+    }
+    ((head +: steps).mkString(",\n"), s"r$iters")
+  }
+}

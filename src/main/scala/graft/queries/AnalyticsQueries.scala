@@ -241,6 +241,36 @@ object AnalyticsQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // iterative graph centrality: 3 damped PageRank rounds over the
+    // customer<->supplier purchase graph (nodes encoded 2k / 2k+1 so the two
+    // key spaces can't collide), all in integer micro-units — see
+    // operators/Graph for the per-iteration scale shape and why integer
+    // arithmetic is what makes an ITERATIVE result hash-comparable across
+    // engines. Oracle unrolls the rounds as CTE stages (the KMeans pattern)
+    "q_pagerank" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        // both directions: a purchase is an undirected affinity edge; the
+        // two arms live in disjoint (even->odd / odd->even) key spaces
+        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRank(edges, iters = 3)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      oracle = Some {
+        val joined = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        val edgesSql =
+          s"""SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst $joined
+             UNION SELECT DISTINCT l_suppkey*2+1, o_custkey*2 $joined"""
+        val (ctes, last) = graft.operators.Graph.duckPageRankCtes(edgesSql, iters = 3)
+        s"WITH $ctes\nSELECT node, rank FROM $last ORDER BY rank DESC, node ASC LIMIT 20"
+      }),
+
     // semi/anti join surfaces as an explicit query: customer segments split
     // by order existence — the left_semi side never materializes order
     // columns, the left_anti is the NOT-IN scale shape (both shuffle only

@@ -253,6 +253,28 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((2, "V")))
   }
 
+  test("integer pagerank: mass bounds, hub dominance, partitioning invariance") {
+    // star graph: hub 0 <-> spokes 1..8, plus an off-star edge 1 <-> 9
+    val undirected = Seq.tabulate(8)(i => (0L, i + 1L)) :+ (1L, 9L)
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node ranked; total mass never exceeds n*unit and integer
+    // truncation may only leak DOWNWARD, boundedly
+    assert(ranks.size == 10)
+    val total = ranks.values.sum
+    assert(total <= 10L * 1000000L && total > 9L * 1000000L, total)
+    // the hub out-ranks every spoke; the spoke with the extra edge
+    // out-ranks plain spokes; the leaf ranks below its (rich) parent but
+    // above plain spokes — it receives half of 1's mass undiluted
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L), ranks.toString)
+    assert(ranks(9L) < ranks(1L) && ranks(9L) > ranks(2L), ranks.toString)
+    // integer arithmetic makes the result partitioning-independent
+    val reparted = Graph.pageRank(edges.repartition(13), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reparted == ranks)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
