@@ -39,29 +39,54 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, unit: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val base = unit - unit * dampNum / dampDen
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    // the caller's edge expression can be arbitrarily expensive (a join +
+    // distinct, typically) and this consumes it THREE ways (degree agg, edge
+    // annotation, node set) before iterating — persist it once, and persist
+    // the two frames every iteration re-reads
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .persist()
-    withDeg.count() // materialize: every iteration re-reads this frame
-    var rank = nodes.withColumn("rank", lit(unit)).persist()
+    withDeg.count()
+    nodes.count() // materialize BOTH consumers before releasing the edge cache
+    e.unpersist(blocking = false)
+    var rank = nodes.withColumn("rank", lit(unit))
+    var barrier: Option[DataFrame] = None
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val inflow = withDeg
           .join(rank.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
           .groupBy("node").agg(sum(col("c")).as("inflow"))
-        val next = nodes.join(inflow, Seq("node"), "left_outer")
+        rank = nodes.join(inflow, Seq("node"), "left_outer")
           .select(col("node"),
             (lit(base) + expr(s"$dampNum * coalesce(inflow, 0L) div $dampDen")).as("rank"))
-          .persist()
-        next.count() // barrier: k chained joins must not stack in one plan
-        rank.unpersist(blocking = false)
-        rank = next
+        // each intermediate rank is consumed exactly ONCE (by the next
+        // round), so rounds can chain lazily in one job — unlike the BPE
+        // fold, nothing re-inlines. A periodic persist barrier still caps
+        // plan depth (Catalyst analysis cost grows with the chain) without
+        // paying a scheduler round-trip per iteration
+        if (i % 5 == 0 && i < iters) {
+          val p = rank.persist()
+          p.count()
+          barrier.foreach(_.unpersist(blocking = false))
+          barrier = Some(p)
+          rank = p
+        }
       }
-      rank
-    } finally withDeg.unpersist(blocking = false)
+      // materialize the result BEFORE the finally releases the caches it
+      // reads from — returned persisted, like every operator that must
+      // outlive its inputs
+      val result = rank.persist()
+      result.count()
+      result
+    } finally {
+      withDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      barrier.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** DuckDB twin of [[pageRank]] as unrolled CTE stages (the KMeans-twin

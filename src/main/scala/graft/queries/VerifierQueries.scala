@@ -317,10 +317,19 @@ object VerifierQueries {
 
     // stats mode (our extension): per-column count/canonical-min/canonical-max
     // fingerprint — the one-scan, no-hash, no-sort screen that runs FIRST on a
-    // 100 TB nightly verify (see Fingerprints.statsDigest for the scale shape)
+    // 100 TB nightly verify (see Fingerprints.statsDigest for the scale
+    // shape). Unlike the hash modes' driver-scalar loop (their MD5 chains
+    // force a job per table), stats is a pure aggregate, so ALL tables union
+    // into ONE plan — the scans run concurrently in a single job
     "pv_stats" -> QueryEntry(
-      fn = (spark, sfDir) =>
-        digestDf(spark, sfDir, Fixtures.fingerprintTables, TestModes.Stats, cfg),
+      fn = (spark, sfDir) => {
+        val target = ParquetTarget("t", sfDir)
+        Fixtures.fingerprintTables.sorted.map { t =>
+          target.read(spark, t)
+            .agg(Fingerprints.statsDigestCol(OracleSql.schemas(t), spec(t), cfg).as("fingerprint"))
+            .select(lit(t).as("table_name"), col("fingerprint"))
+        }.reduce(_ unionAll _).orderBy("table_name")
+      },
       oracle = Some(digestSql(Fixtures.fingerprintTables, TestModes.Stats, cfg))
     ),
 

@@ -46,6 +46,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats digest: order/partitioning-invariant; extremum or null-count changes flip it") {
+    for ((rows, pick) <- samples(8).zipWithIndex) {
+      val df = rows.toDF("id", "s", "d")
+      val a = Fingerprints.statsDigest(df, spec, cfg)
+      // invariant under shuffle AND repartition (pure commutative aggregates)
+      assert(a == Fingerprints.statsDigest(
+        new scala.util.Random(11).shuffle(rows).toDF("id", "s", "d").repartition(5), spec, cfg))
+      // growing the string MAXIMUM flips it (suffix on the max-sorting cell)
+      val i = rows.indexOf(rows.maxBy(_._2))
+      val mutated = rows.updated(i, rows(i).copy(_2 = rows(i)._2 + "~"))
+      assert(a != Fingerprints.statsDigest(mutated.toDF("id", "s", "d"), spec, cfg),
+        s"rows=$rows i=$i")
+      // nulling any one cell flips it (non-null count drops)
+      val j = pick % rows.length
+      val withNull = rows.zipWithIndex.map { case (r, k) =>
+        (r._1, if (k == j) null else r._2, r._3)
+      }
+      assert(a != Fingerprints.statsDigest(withNull.toDF("id", "s", "d"), spec, cfg),
+        s"rows=$rows j=$j")
+    }
+  }
+
   test("sparse samples a deterministic subset: mod=1 equals full, stable across partitionings") {
     for (rows <- samples(5)) {
       val df = rows.toDF("id", "s", "d")
