@@ -117,13 +117,13 @@ object KMeans {
   // ordered-fold mean), generated from the same k/iters/dims parameters.
   // -------------------------------------------------------------------------
 
-  private def duckAssign(centCte: String): String = {
+  private[operators] def duckAssign(centCte: String, source: String = "embeddings"): String = {
     val cos = Similarity.duckCosineScaled("v.embedding", "c.cv")
     s"""(SELECT vec_id, embedding, cent_id FROM (
           SELECT v.vec_id, v.embedding, c.cent_id,
                  row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY $cos DESC, c.cent_id ASC) AS rn
-          FROM embeddings v CROSS JOIN $centCte c) AS t WHERE rn = 1)"""
+          FROM $source v CROSS JOIN $centCte c) AS t WHERE rn = 1)"""
   }
 
   private def duckMean(assignCte: String, dims: Int): String =
@@ -137,14 +137,15 @@ object KMeans {
   /** The unrolled training CTE chain and the final centroid CTE's name —
     * shared by [[duckSummary]] and the trained-IVF search twin.
     */
-  def duckTrainCtes(k: Int, iters: Int, dims: Int): (String, String) = {
-    val init = s"""cent0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  def duckTrainCtes(k: Int, iters: Int, dims: Int,
+                    source: String = "embeddings", suffix: String = ""): (String, String) = {
+    val init = s"""cent${suffix}0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM $source
                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)"""
     val stages = (1 to iters).flatMap { i =>
-      Seq(s"assign$i AS ${duckAssign(s"cent${i - 1}")}",
-        s"cent$i AS ${duckMean(s"assign$i", dims)}")
+      Seq(s"assign$suffix$i AS ${duckAssign(s"cent$suffix${i - 1}", source)}",
+        s"cent$suffix$i AS ${duckMean(s"assign$suffix$i", dims)}")
     }
-    (s"$init, ${stages.mkString(",\n")}", s"cent$iters")
+    (s"$init, ${stages.mkString(",\n")}", s"cent$suffix$iters")
   }
 
   def duckSummary(k: Int, iters: Int, dims: Int): String = {

@@ -190,6 +190,20 @@ object SimilarityQueries {
       },
       oracle = Some(Similarity.duckQuantizedTopK(K, "q.vec_id < 8"))),
 
+    // product quantization + asymmetric distance (Jégou et al.): m=4
+    // independent sub-codebooks k-means-trained in-engine, vectors stored as
+    // 4 byte-sized codes, queries scored against a broadcast per-query lookup
+    // table — the compressed-domain scan that reads 64× less at 100 TB
+    "sim_pq_topk" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.pqTopK(e, col("vec_id") < 8, K, m = 4, dims = Dims,
+            codebook = 8, iters = 1)
+          .select("query_id", "neighbor_id", "adc_micro", "rank")
+      },
+      oracle = Some(Similarity.duckPqTopK("q.vec_id < 8", K, m = 4,
+        dims = Dims, codebook = 8, iters = 1))),
+
     // ANN: candidates restricted to the query's LSH bucket (deterministic
     // MD5-derived hyperplanes embedded as literals on both engines)
     "sim_ann_lsh" -> QueryEntry(

@@ -93,6 +93,28 @@ class OperatorSpec extends SparkSpec {
     assert(ivfMin >= 100000L && ivfMean >= 300000L, s"ivf recall regressed: $byMethod")
   }
 
+  test("PQ/ADC: complete per-subspace codes; compressed ranking beats random") {
+    val n = emb.count()
+    val subs = Similarity.pqTrain(emb, m = 4, dims = 64, codebook = 8, iters = 1)
+    assert(subs.length == 4)
+    // every vector gets exactly one code per subspace (no drops, no dups)
+    subs.foreach { ps =>
+      assert(ps.codes.count() == n)
+      assert(ps.centroids.count() <= 8)
+    }
+    val pq = Similarity.pqTopK(emb, col("vec_id") < 8, 10, 4, 64, 8, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pq.length == 80, "10 neighbors for each of 8 queries")
+    val exact = Similarity.topK(emb.filter(col("vec_id") < 8), emb, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.count(exact.contains).toDouble / exact.size
+    info(s"PQ recall@10 vs exact: $recall")
+    // fixture embeddings are near-random — the PQ worst case; measured 0.10
+    // at m=4 × 8 codes (64× compression) vs 0.02 random-pick baseline.
+    // Floor guards the mechanism (a broken ADC join or LUT scores ~random)
+    assert(recall >= 0.05, s"ADC ranking degenerated to random: recall=$recall")
+  }
+
   test("BPE merges: greedy leftmost non-overlapping fold, argmax tiebreaks") {
     // "aa aa ab": words aa(2), ab(1); merge 1 must be (a,a) count 2,
     // then (a,b) count 1 from the surviving un-merged word
