@@ -323,3 +323,108 @@ object SimHash {
     // the registered query adds its own deterministic orderBy
   }
 }
+
+/** Exact duplicated-SUBSTRING detection (Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better", ACL'22 — the ExactSubstr family): find
+  * k-token spans that occur more than once ANYWHERE in the corpus and report,
+  * per document, how much of its text those duplicated spans cover. This is
+  * finer-grained than doc-level MinHash/SimHash (which this engine also has):
+  * boilerplate headers, license blocks, and quoted passages duplicate long
+  * spans inside otherwise-unique documents, and span coverage is the signal a
+  * curation pass thresholds on.
+  *
+  * The reference paper builds a corpus-wide suffix array; the Spark-shaped
+  * equivalent is a hashed sliding-window inverted index: every k-token window
+  * hashes to 16 bytes, duplicated hashes are found by one groupBy, and
+  * membership joins back by hash — all shuffles are narrow (id, pos, hash)
+  * tuples, never the text, and nothing is quadratic. Interval-union coverage
+  * runs as a per-document window function: spans all have length k, so
+  * islands split exactly where `pos - prev_pos >= k` and the union length is
+  * `max(pos) - min(pos) + k` per island — pure integer arithmetic, exact on
+  * both engines.
+  *
+  * Scale shape (100 TB): spans ≈ tokens ≈ corpus size; the groupBy(h) and the
+  * per-doc window both shuffle fixed-width rows. At 100 TB the dup-hash set
+  * is Zipf-concentrated — AQE's skew handling splits the hot hash partitions
+  * (boilerplate spans repeat millions of times); the semi-join back is hash
+  * → hash, broadcastable when the dup set is small.
+  */
+object ExactSubstr {
+
+  /** (id, n, pos, h): every k-token window of every document with >= k
+    * tokens; pos is 1-based, h = md5 of the space-joined window. The span
+    * array computes in ONE projection (k·n md5s per doc) and is persisted
+    * before the explode — the InferFiltersFromGenerate recompute hazard
+    * documented on [[MinHashLSH.signatures]] applies identically here.
+    */
+  def spanFrame(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val staged = graft.core.Readers.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") >= k)
+      .select(col("id"), col("n"),
+        transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          p => md5(array_join(slice(col("tk"), p, lit(k)), " "))).as("hs"))
+      .persist()
+    staged.select(col("id"), col("n"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      .select(col("id"), col("n"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** Per-document duplicated-span coverage: token positions covered by at
+    * least one k-window whose hash occurs more than once corpus-wide.
+    * Returns (doc id, n_tokens, n_dup_spans, covered_tokens, coverage_micro),
+    * only documents with at least one duplicated span.
+    */
+  def coverage(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanFrame(df, idCol, textCol, k)
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dupStarts = spans.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupStarts
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("flag",
+        when(col("prev").isNull || col("pos") - col("prev") >= k, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("flag")).over(run))
+      .groupBy(col("id"), col("grp"))
+      .agg(first(col("n")).as("n"),
+        (max(col("pos")) - min(col("pos")) + k).as("ilen"),
+        count(lit(1)).as("nspans"))
+      .groupBy(col("id"))
+      .agg(first(col("n")).as("n_tokens"),
+        sum(col("nspans")).as("n_dup_spans"),
+        sum(col("ilen")).as("covered_tokens"))
+      .withColumn("coverage_micro", expr("(1000000 * covered_tokens) div n_tokens"))
+  }
+
+  /** DuckDB twin of [[coverage]] (same k, same island arithmetic). */
+  def duckCoverage(table: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH toks AS (SELECT $idCol AS id, ${TextAnalysis.duckTokens(textCol)} AS tk FROM $table),
+       base AS (SELECT id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) >= $k),
+       spans AS (SELECT id, n, CAST(p AS BIGINT) AS pos,
+                        md5(array_to_string(tk[p:p+${k - 1}], ' ')) AS h
+                 FROM base, unnest(generate_series(1, CAST(n AS INTEGER) - ${k - 1})) AS t(p)),
+       dup AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+       ds AS (SELECT id, n, pos FROM spans WHERE h IN (SELECT h FROM dup)),
+       flagged AS (SELECT id, n, pos,
+                          CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w >= $k
+                               THEN 1 ELSE 0 END AS flag
+                   FROM ds WINDOW w AS (PARTITION BY id ORDER BY pos)),
+       grpd AS (SELECT id, n, pos,
+                       sum(flag) OVER (PARTITION BY id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+                FROM flagged),
+       isl AS (SELECT id, grp, any_value(n) AS n,
+                      max(pos) - min(pos) + $k AS ilen, count(*) AS nspans
+               FROM grpd GROUP BY id, grp)
+       SELECT id AS $idCol, CAST(any_value(n) AS BIGINT) AS n_tokens,
+              CAST(sum(nspans) AS BIGINT) AS n_dup_spans,
+              CAST(sum(ilen) AS BIGINT) AS covered_tokens,
+              (1000000 * CAST(sum(ilen) AS BIGINT)) // CAST(any_value(n) AS BIGINT)
+                AS coverage_micro
+       FROM isl GROUP BY id ORDER BY id"""
+}

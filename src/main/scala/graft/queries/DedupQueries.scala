@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryEntry
 import graft.core.Readers
-import graft.operators.{MinHashLSH, SimHash, Similarity}
+import graft.operators.{ExactSubstr, MinHashLSH, SimHash, Similarity}
 
 /** Deduplication family over `documents` and `embeddings`: exact hash dedup,
   * MinHash+LSH candidates, exact n-gram Jaccard verification, SimHash, and
@@ -15,6 +15,9 @@ object DedupQueries {
   private val ShingleN = 3
   private val NumPerm = 16
   private val NumBands = 4
+  // ExactSubstr window: long enough that random 56-token docs don't collide,
+  // short enough that the fixture's planted near-dups share whole windows
+  private val SubstrK = 8
 
   val entries: Map[String, QueryEntry] = Map(
 
@@ -37,6 +40,20 @@ object DedupQueries {
         ShingleN, NumPerm, NumBands).orderBy("doc_a", "doc_b"),
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
+
+    // duplicated-substring coverage (the ExactSubstr dedup family): k-token
+    // spans occurring more than once corpus-wide, reported as per-document
+    // covered-token fraction — the finer-than-document signal that catches
+    // boilerplate/license blocks inside otherwise-unique documents
+    "dedup_substring" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        ExactSubstr.coverage(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", SubstrK)
+          .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_spans"),
+            col("covered_tokens"), col("coverage_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(ExactSubstr.duckCoverage("documents", "doc_id", "text", SubstrK))),
 
     // exact n-gram Jaccard verification of the LSH candidates (the standard
     // candidate-then-verify dedup pipeline; nothing touches O(n^2) pairs)

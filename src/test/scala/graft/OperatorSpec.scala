@@ -115,6 +115,34 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.05, s"ADC ranking degenerated to random: recall=$recall")
   }
 
+  test("ExactSubstr coverage: island union, within-doc dups, overlap merging") {
+    val docs = Seq(
+      // docs 1+2 share one 8-token window: doc1 island [1,8] of 10 tokens
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h y"),
+      // doc 3 duplicates a window WITHIN itself (pos 1 and 9); gap = 8 >= k
+      // so two islands, covering all 16 tokens
+      (3L, "p q r s t u v w p q r s t u v w"),
+      // docs 4+5 share two OVERLAPPING windows (pos 1 and 2); gap 1 < k so
+      // one merged island of length 2-1+8 = 9
+      (4L, "m n o p q r s t u Z"),
+      (5L, "m n o p q r s t u W"),
+      // doc 6 shares nothing and must not appear
+      (6L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = ExactSubstr.coverage(docs, "doc_id", "text", k = 8)
+      .select(col("id"), col("n_tokens"), col("n_dup_spans"),
+        col("covered_tokens"), col("coverage_micro"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, n, d, c, m) => id -> ((n, d, c, m)) }.toMap
+    assert(got == Map(
+      1L -> (10L, 1L, 8L, 800000L),
+      2L -> (10L, 1L, 8L, 800000L),
+      3L -> (16L, 2L, 16L, 1000000L),
+      4L -> (10L, 2L, 9L, 900000L),
+      5L -> (10L, 2L, 9L, 900000L)))
+  }
+
   test("BPE merges: greedy leftmost non-overlapping fold, argmax tiebreaks") {
     // "aa aa ab": words aa(2), ab(1); merge 1 must be (a,a) count 2,
     // then (a,b) count 1 from the surviving un-merged word
