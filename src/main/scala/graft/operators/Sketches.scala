@@ -61,4 +61,145 @@ object Sketches {
                          // CAST(max(h) AS HUGEINT) AS BIGINT) END
         FROM m)"""
   }
+
+  // ---------------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan '05): a depth×width counter
+  // table estimating per-key frequencies with BOUNDED state — the structure
+  // that answers "how often does key x occur in 100 TB" without a
+  // cardinality-sized groupBy. Counters are plain data-determined counts, so
+  // the whole sketch (and its one-sided overestimate) is exactly reproducible
+  // cross-engine and oracle-gated. Lane hashes reuse [[MinHashLSH.permHash]]
+  // (32-bit md5 lanes), so depth 4 costs ONE md5 per row.
+  //
+  // Scale shape: building is one narrow groupBy over (lane, bucket) — the
+  // aggregation state is depth·width counters regardless of key cardinality,
+  // and partial aggregation collapses each partition to ≤ depth·width rows
+  // before the shuffle. The finished sketch is depth·width rows — broadcast
+  // side of every estimate join. Mergeable by construction (counters add).
+  // ---------------------------------------------------------------------------
+
+  /** All `depth` (lane, bucket) coordinates of a key, as one exploded pair
+    * column — shared by the build and probe sides so the two can never
+    * disagree on the hash family.
+    */
+  private def cmsLanes(key: Column, depth: Int, width: Int): Column =
+    posexplode(array((0 until depth).map(i =>
+      MinHashLSH.permHash(key.cast("string"), i) % width): _*))
+
+  /** Build the counter table: (d, b, c) with exactly the non-empty cells. */
+  def cmsCounters(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.select(cmsLanes(key, depth, width).as(Seq("d", "b")))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Point-query the sketch for each key in `keys`: the classic min over the
+    * key's depth counters. Returns (key, cms_count); the sketch never
+    * underestimates, so cms_count >= the true frequency.
+    */
+  def cmsEstimates(counters: DataFrame, keys: DataFrame, keyCol: String,
+                   depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol).as("key"), cmsLanes(col(keyCol), depth, width).as(Seq("d", "b")))
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy(col("key")).agg(min(col("c")).as("cms_count"))
+
+  /** DuckDB twin CTEs for [[cmsCounters]] + [[cmsEstimates]] over the keys of
+    * `keysCte` (a CTE name with a `keySql` column): unrolled per-lane UNION
+    * ALL, same md5 lanes, same min-over-depth.
+    */
+  def duckCms(table: String, keySql: String, keysCte: String, keyCol: String,
+              depth: Int, width: Int): String = {
+    def lane(src: String, i: Int) =
+      s"${MinHashLSH.duckPermHash(s"CAST($src AS VARCHAR)", i)} % $width"
+    val counters = (0 until depth).map(i =>
+      s"SELECT $i AS d, ${lane(keySql, i)} AS b, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 2")
+      .mkString(" UNION ALL ")
+    val lanes = (0 until depth).map(i =>
+      s"SELECT $keyCol, $i AS d, ${lane(keyCol, i)} AS b FROM $keysCte")
+      .mkString(" UNION ALL ")
+    s"""cms_counters AS ($counters),
+       cms_lanes AS ($lanes),
+       cms_est AS (SELECT l.$keyCol, min(c.c) AS cms_count
+                   FROM cms_lanes l JOIN cms_counters c USING (d, b)
+                   GROUP BY l.$keyCol)"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. '07) with EXACT integer arithmetic: register
+  // index = top 8 md5 bits (m = 256 registers), rank = leading-zero count of
+  // the next 56 bits. The raw-estimate harmonic mean is normally float; here
+  // every 2^-M_j term is scaled by 2^57 (so each is an exact integer power of
+  // two) and alpha is a fixed-point micro constant — the estimate becomes one
+  // big-integer division, bit-identical on any engine with md5 and 128-bit
+  // division. No small/large-range corrections (they need ln; the spec pins
+  // accuracy against exact counts instead). Registers are a groupBy(reg)
+  // max(rho): 256-cell aggregation state, partials collapse per partition,
+  // registers merge by max — the per-shard rollup property, same as KMV.
+  // ---------------------------------------------------------------------------
+
+  /** Fixed-point alpha_256 = floor(0.7213 / (1 + 1.079/256) * 1e6). */
+  val HllAlphaMicro = 718273L
+  private val HllM = 256
+  private val Two57 = BigInt(1) << 57
+
+  /** Small-range (linear-counting) correction table: lnMicro(V) =
+    * floor(ln(m/V)·1e6) for V = 1..m zero registers. ln is float, so the
+    * table is computed ONCE here and embedded as integer literals in the
+    * DuckDB twin — both engines index the same constants and the corrected
+    * estimate stays bit-exact cross-engine.
+    */
+  private val HllLnMicro: IndexedSeq[Long] =
+    (1 to HllM).map(v => math.floor(math.log(HllM.toDouble / v) * 1e6).toLong)
+
+  /** Per-register max rank: (reg 0..255, m_rho 1..57). */
+  def hllRegisters(df: DataFrame, key: Column): DataFrame = {
+    val h = md5(key.cast("string"))
+    df.select(
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("reg"),
+        conv(substring(h, 3, 14), 16, 10).cast("long").as("v"))
+      .select(col("reg"),
+        when(col("v") === 0, 57).otherwise(lit(57) - length(bin(col("v")))).as("rho"))
+      .groupBy(col("reg")).agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** HLL distinct estimate — deterministic integer arithmetic end to end,
+    * with the standard small-range linear-counting correction (raw HLL
+    * overestimates below ~2.5m; measured +48% at 200 distinct): when the raw
+    * estimate <= 5m/2 and zero registers exist, estimate m·ln(m/V) from the
+    * shared fixed-point table instead.
+    */
+  def hllDistinct(df: DataFrame, key: Column): Long = {
+    val regs = hllRegisters(df, key).collect().map(r => r.getInt(1))
+    val zeroRegs = HllM - regs.length
+    val z = regs.map(m => BigInt(1) << (57 - m)).sum + zeroRegs * Two57
+    val raw = (BigInt(HllAlphaMicro) * HllM * HllM * Two57 / z / 1000000L).toLong
+    if (raw <= 5L * HllM / 2 && zeroRegs > 0) HllM * HllLnMicro(zeroRegs - 1) / 1000000L
+    else raw
+  }
+
+  /** DuckDB twin of [[hllDistinct]] as a scalar subquery — same registers,
+    * same scaled-integer raw estimate, same linear-counting branch over the
+    * SAME embedded lnMicro literals (1-indexed list lookup by zero-register
+    * count), so the two engines agree bit-for-bit.
+    */
+  def duckHllDistinct(table: String, keySql: String): String = {
+    val h = s"md5(CAST($keySql AS VARCHAR))"
+    val lnList = HllLnMicro.mkString("[", ", ", "]")
+    s"""(WITH hh AS (SELECT CAST('0x' || substr($h, 1, 2) AS INTEGER) AS reg,
+                            CAST('0x' || substr($h, 3, 14) AS UBIGINT) AS v
+                     FROM $table),
+        r AS (SELECT reg, max(CASE WHEN v = 0 THEN 57
+                                   ELSE 57 - length(bin(v)) END) AS m_rho
+              FROM hh GROUP BY reg),
+        z AS (SELECT CAST(sum(CAST(CAST(1 AS BIGINT) << (57 - m_rho) AS HUGEINT)) AS HUGEINT)
+                     + ($HllM - count(*)) * CAST(${Two57.toString} AS HUGEINT) AS zz,
+                     $HllM - count(*) AS zero_regs
+              FROM r),
+        raw AS (SELECT CAST(CAST($HllAlphaMicro AS HUGEINT) * $HllM * $HllM
+                            * CAST(${Two57.toString} AS HUGEINT) // zz // 1000000 AS BIGINT)
+                         AS est, zero_regs
+                FROM z)
+        SELECT CASE WHEN est <= ${5L * HllM / 2} AND zero_regs > 0
+                    THEN $HllM * $lnList[zero_regs] // 1000000
+                    ELSE est END
+        FROM raw)"""
+  }
 }

@@ -197,6 +197,37 @@ object AnalyticsQueries {
            ) AS t ORDER BY key_col"""
       }),
 
+    // HyperLogLog distinct estimates beside the KMV sketch: 256 registers,
+    // exact integer arithmetic (2^57-scaled harmonic terms + fixed-point
+    // alpha) so the float-free estimator itself is oracle-gated — the
+    // constant-state merge-by-max rollup sketch for per-shard/day pipelines
+    "q_distinct_hll" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val spark2 = spark; import spark2.implicits._
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+        Seq(
+          ("l_partkey", li.agg(countDistinct(col("l_partkey"))).head().getLong(0),
+            Sketches.hllDistinct(li, col("l_partkey"))),
+          ("o_custkey", orders.agg(countDistinct(col("o_custkey"))).head().getLong(0),
+            Sketches.hllDistinct(orders, col("o_custkey"))))
+          .toDF("key_col", "exact_distinct", "hll_estimate")
+          .orderBy("key_col")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""SELECT * FROM (
+             SELECT 'l_partkey' AS key_col,
+                    CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS exact_distinct,
+                    ${Sketches.duckHllDistinct("lineitem", "l_partkey")} AS hll_estimate
+             UNION ALL
+             SELECT 'o_custkey',
+                    CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+                    ${Sketches.duckHllDistinct("orders", "o_custkey")}
+           ) AS t ORDER BY key_col"""
+      }),
+
     // window-function ranking: top-3 parts by price within each brand
     "q_window_brand_rank" -> QueryEntry(
       fn = (spark, sfDir) => {

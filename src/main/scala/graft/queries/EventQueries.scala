@@ -19,6 +19,10 @@ object EventQueries {
   private val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
   private val HopUs: Long = 30L * 60 * 1000000 // sliding-window hop, 30 min
   private val AttributionUs: Long = 3600L * 1000000 // click→purchase window, 1 h
+  // Count-Min sketch shape: 4 lanes (one md5 per row) × 512 buckets — error
+  // bound e·n/512 per lane, overestimate-only
+  private val CmsDepth = 4
+  private val CmsWidth = 512
 
   /** Ordered single-file stream fixture for `ev_dedup_first_stream`,
     * materialized ONCE per (JVM, sfDir): the sort+rewrite is harness setup
@@ -542,6 +546,32 @@ object EventQueries {
         SELECT user_id, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id
-        ORDER BY n_events DESC, user_id ASC LIMIT 20"""))
+        ORDER BY n_events DESC, user_id ASC LIMIT 20""")),
+
+    // Count-Min heavy hitters: the exact top-20 users' frequencies re-read
+    // from a 4×512 counter sketch — bounded-state frequency estimation (the
+    // 100 TB alternative to a cardinality-sized groupBy), overestimate-only
+    // by construction, fully deterministic so the estimates hash-match
+    "ev_topk_cms" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val ev = Readers.fixture(spark, sfDir, "events")
+        val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id").asc).limit(20)
+        val counters = Sketches.cmsCounters(ev, col("user_id"), CmsDepth, CmsWidth)
+        Sketches.cmsEstimates(counters, exact, "user_id", CmsDepth, CmsWidth)
+          .join(exact, col("key") === col("user_id"))
+          .select(col("user_id"), col("n_exact"), col("cms_count"))
+          .orderBy("user_id")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""WITH ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+                        FROM events GROUP BY user_id
+                        ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+           ${Sketches.duckCms("events", "user_id", "ex", "user_id", CmsDepth, CmsWidth)}
+           SELECT e.user_id, e.n_exact, CAST(c.cms_count AS BIGINT) AS cms_count
+           FROM ex e JOIN cms_est c USING (user_id) ORDER BY user_id"""
+      })
   )
 }

@@ -40,4 +40,30 @@ class SketchSpec extends SparkSpec {
     val region = Readers.fixture(spark, sfDir, "region")
     assert(Sketches.kmvDistinct(region, col("r_regionkey"), 256) == 5L)
   }
+
+  test("HLL distinct sketch: within 3 sigma of exact, partitioning-invariant") {
+    import graft.operators.Sketches
+    val li = Readers.fixture(spark, sfDir, "lineitem")
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = Sketches.hllDistinct(li, col("l_partkey"))
+    // HLL relative standard error ≈ 1.04/sqrt(m) = 6.5% at m=256; 3σ bound
+    assert(math.abs(est - exact).toDouble / exact < 0.20, s"exact=$exact est=$est")
+    // register merge is a max — any partitioning yields the identical sketch
+    assert(Sketches.hllDistinct(li.repartition(7), col("l_partkey")) == est)
+  }
+
+  test("Count-Min sketch never underestimates and is exact for unique lanes") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val ev = Readers.fixture(spark, sfDir, "events")
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val counters = Sketches.cmsCounters(ev, col("user_id"), 4, 512)
+    val est = Sketches.cmsEstimates(counters, exact, "user_id", 4, 512)
+    val joined = exact.join(est, col("user_id") === col("key"))
+      .select(col("n_exact"), col("cms_count")).as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    // the one-sided guarantee: every estimate >= the true count
+    assert(joined.forall { case (n, c) => c >= n },
+      s"CMS underestimated: ${joined.filter { case (n, c) => c < n }.take(3).mkString(",")}")
+  }
 }
