@@ -39,19 +39,18 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, unit: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val base = unit - unit * dampNum / dampDen
-    // the caller's edge expression can be arbitrarily expensive (a join +
-    // distinct, typically) and this consumes it THREE ways (degree agg, edge
-    // annotation, node set) before iterating — persist it once, and persist
-    // the two frames every iteration re-reads
-    val e = edges.persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    // degree comes from a WINDOW over src, not a self-join against a degree
+    // aggregate: one exchange on src instead of two exchanges plus a join.
+    // The caller's (arbitrarily expensive) edge expression is consumed once
+    // here; nodes derive from the cached annotated frame, so one count()
+    // materializes both persisted consumers in a single job
+    import org.apache.spark.sql.expressions.Window
+    val withDeg = edges
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist()
-    withDeg.count()
-    nodes.count() // materialize BOTH consumers before releasing the edge cache
-    e.unpersist(blocking = false)
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node"))).distinct().persist()
+    nodes.count()
     var rank = nodes.withColumn("rank", lit(unit))
     var barrier: Option[DataFrame] = None
     try {
