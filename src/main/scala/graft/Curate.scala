@@ -27,6 +27,9 @@ object Curate {
       |Flags:
       |      --decontaminate-against dir  drop documents sharing a word trigram
       |                                   with this corpus's documents.parquet
+      |      --max-substr-coverage int    drop documents whose duplicated
+      |                                   8-token-span coverage exceeds this
+      |                                   (micro-units, 0..1000000; default off)
       |      --min-quality num            quality-score threshold (default 0.45)
       |      --train-pct int              train percentage (default 90)
       |      --val-pct int                validation percentage (default 5)
@@ -37,6 +40,7 @@ object Curate {
   case class Config(
       docsDir: String = "", outDir: String = "",
       decontaminateAgainst: Option[String] = None,
+      maxSubstrCoverage: Option[Long] = None,
       minQuality: Double = 0.45, trainPct: Int = 90, valPct: Int = 5, shards: Int = 4)
 
   def parse(args: Seq[String]): Either[String, Config] = {
@@ -57,6 +61,10 @@ object Curate {
           flag match {
             case "--decontaminate-against" =>
               loop(tail, acc.copy(decontaminateAgainst = Some(value)), positional)
+            case "--max-substr-coverage" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(maxSubstrCoverage = Some(n)))
+                .flatMap(loop(tail, _, positional))
             case "--min-quality" =>
               num(flag, value, (_: String).toDoubleOption)(d => acc.copy(minQuality = d))
                 .flatMap(loop(tail, _, positional))
@@ -83,6 +91,8 @@ object Curate {
       else if (c.trainPct + c.valPct > 100)
         Left(s"train-pct + val-pct must be <= 100, got ${c.trainPct}+${c.valPct}")
       else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
+      else if (c.maxSubstrCoverage.exists(m => m < 0 || m > 1000000))
+        Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
       else Right(c)
     }
   }
@@ -115,8 +125,19 @@ object Curate {
         Seq("doc_id"), "left_anti").persist()
     }
 
+    // optional duplicated-substring screen: drop documents mostly covered by
+    // k-token spans that repeat elsewhere in the surviving corpus (license
+    // blocks, boilerplate) — the ExactSubstr operator dedup_substring gates
+    val substrScreened = cfg.maxSubstrCoverage.fold(decontaminated) { maxMicro =>
+      val heavy = graft.operators.ExactSubstr
+        .coverage(decontaminated, "doc_id", "text", k = 8)
+        .filter(col("coverage_micro") > maxMicro)
+        .select(col("id").as("doc_id"))
+      decontaminated.join(heavy, Seq("doc_id"), "left_anti").persist()
+    }
+
     // quality filter (shared scorer — same expression the oracle checks)
-    val quality = decontaminated
+    val quality = substrScreened
       .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality)
       .persist()
 
@@ -133,9 +154,11 @@ object Curate {
       "exact_deduped" -> exact.count(),
       "near_deduped" -> nearDeduped.count(),
       "decontaminated" -> decontaminated.count(),
+      "substr_screened" -> substrScreened.count(),
       "quality_kept" -> qualityKept,
       "written" -> written)
-    Seq(exact, nearDeduped, decontaminated, quality).foreach(_.unpersist())
+    Seq(exact, nearDeduped, decontaminated, substrScreened, quality)
+      .foreach(_.unpersist())
     funnel
   }
 

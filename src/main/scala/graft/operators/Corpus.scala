@@ -178,6 +178,53 @@ object Corpus {
        FROM c GROUP BY stratum, shard, cum_before // $seqLen
        ORDER BY stratum, shard, seq_id"""
 
+  /** Overlapping-window document chunking — the retrieval/RAG preparation
+    * step (and the long-document remedy for embedding models with a context
+    * cap): each document splits into `chunkTokens`-token windows advancing by
+    * `stride` tokens (overlap = chunkTokens − stride preserves context across
+    * boundaries). Start positions are 1, 1+stride, …, through the first start
+    * whose window reaches the end; the final chunk may be short, and no start
+    * lies beyond the text. Pure per-row expressions until one explode — no
+    * shuffle at all; chunk count ≈ n_tokens/stride rows out.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride=$stride must be in [1, chunkTokens=$chunkTokens]")
+    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      // ceil((n - chunkTokens) / stride) + 1 chunks; 1 when n <= chunkTokens
+      .withColumn("n_chunks",
+        when(col("n") <= chunkTokens, 1L)
+          .otherwise(expr(s"(n - $chunkTokens + $stride - 1) div $stride") + 1L))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        (col("i") * stride + 1L).as("start_pos"),
+        least(lit(chunkTokens.toLong), col("n") - col("i") * stride).as("n_chunk_tokens"),
+        array_join(slice(col("tk"), (col("i") * stride + 1L).cast("int"),
+          least(lit(chunkTokens.toLong), col("n") - col("i") * stride).cast("int")), " ")
+          .as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunk]] over the `documents` fixture. */
+  def duckChunk(chunkTokens: Int, stride: Int): String =
+    s"""WITH base AS (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS tk FROM documents),
+       sized AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+                        CASE WHEN len(tk) <= $chunkTokens THEN 1
+                             ELSE (len(tk) - $chunkTokens + $stride - 1) // $stride + 1
+                        END AS n_chunks
+                 FROM base),
+       ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i * $stride + 1 AS BIGINT) AS start_pos,
+                     CAST(least($chunkTokens, n - i * $stride) AS BIGINT) AS n_chunk_tokens,
+                     array_to_string(tk[CAST(i * $stride + 1 AS INTEGER) :
+                       CAST(i * $stride + least($chunkTokens, n - i * $stride) AS INTEGER)], ' ')
+                       AS chunk_text
+              FROM sized, unnest(generate_series(0, CAST(n_chunks - 1 AS INTEGER))) AS t(i))
+       SELECT doc_id, chunk_idx, start_pos, n_chunk_tokens, chunk_text
+       FROM ch ORDER BY doc_id, chunk_idx"""
+
   /** Partitioned corpus sink: hive-layout parquet partitioned by the given
     * columns (e.g. split/lang), with file count per output partition bounded
     * by `shardsPerPartition`. The pre-write shuffle keys on (partition cols,

@@ -172,6 +172,15 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // RAG-style overlapping chunking: 32-token windows, stride 24 (8-token
+    // overlap), final chunk short — the retrieval prep step; zero shuffle
+    "corpus_chunk" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.chunk(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some(Corpus.duckChunk(chunkTokens = 32, stride = 24))),
+
     // per-source curation dashboard: volume, token mass, language spread,
     // and exact-duplicate incidence by origin — the report a pipeline
     // operator reads before deciding which sources to keep. All-integer

@@ -23,6 +23,17 @@ object EventQueries {
   // bound e·n/512 per lane, overestimate-only
   private val CmsDepth = 4
   private val CmsWidth = 512
+  // shared by ev_topk_cms and its streaming twin: the drained stream counters
+  // must answer point queries identically to the batch sketch
+  private lazy val CmsOracle = {
+    import graft.operators.Sketches
+    s"""WITH ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+                    FROM events GROUP BY user_id
+                    ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+       ${Sketches.duckCms("events", "user_id", "ex", "user_id", CmsDepth, CmsWidth)}
+       SELECT e.user_id, e.n_exact, CAST(c.cms_count AS BIGINT) AS cms_count
+       FROM ex e JOIN cms_est c USING (user_id) ORDER BY user_id"""
+  }
 
   /** Ordered single-file stream fixture for `ev_dedup_first_stream`,
     * materialized ONCE per (JVM, sfDir): the sort+rewrite is harness setup
@@ -564,14 +575,29 @@ object EventQueries {
           .select(col("user_id"), col("n_exact"), col("cms_count"))
           .orderBy("user_id")
       },
-      oracle = Some {
+      oracle = Some(CmsOracle)),
+
+    // streaming heavy hitters: the SAME Count-Min counters maintained as a
+    // complete-mode streaming aggregate — state is depth×width rows no
+    // matter how many users or events flow past (a per-user running count
+    // would grow with cardinality). Drained counters must answer point
+    // queries identically to the batch sketch, so the oracle is shared
+    "ev_topk_cms_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
         import graft.operators.Sketches
-        s"""WITH ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
-                        FROM events GROUP BY user_id
-                        ORDER BY n_exact DESC, user_id ASC LIMIT 20),
-           ${Sketches.duckCms("events", "user_id", "ex", "user_id", CmsDepth, CmsWidth)}
-           SELECT e.user_id, e.n_exact, CAST(c.cms_count AS BIGINT) AS cms_count
-           FROM ex e JOIN cms_est c USING (user_id) ORDER BY user_id"""
-      })
+        val stream = graft.streaming.EventStreams.runningCms(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)),
+          "user_id", CmsDepth, CmsWidth)
+        val counters = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_cms_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        val exact = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id").asc).limit(20)
+        Sketches.cmsEstimates(counters, exact, "user_id", CmsDepth, CmsWidth)
+          .join(exact, col("key") === col("user_id"))
+          .select(col("user_id"), col("n_exact"), col("cms_count"))
+          .orderBy("user_id")
+      },
+      oracle = Some(CmsOracle))
   )
 }

@@ -163,6 +163,20 @@ object EventStreams {
       .select(lit("events").as("table_name"), col("fingerprint"))
   }
 
+  /** Continuous Count-Min counters over the event stream: the
+    * [[graft.operators.Sketches.cmsLanes]] coordinates aggregated as a
+    * complete-mode count — state is at most depth×width counter rows
+    * REGARDLESS of key cardinality or stream length (the property that makes
+    * CMS the streaming heavy-hitter structure: a per-user running groupBy
+    * would grow state with users). Counts only add under append-only input,
+    * so after each micro-batch the counters equal the batch sketch of
+    * everything ingested so far; [[graft.operators.Sketches.cmsEstimates]]
+    * answers point queries against any snapshot.
+    */
+  def runningCms(events: DataFrame, key: String, depth: Int, width: Int): DataFrame =
+    events.select(graft.operators.Sketches.cmsLanes(col(key), depth, width).as(Seq("d", "b")))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
     */

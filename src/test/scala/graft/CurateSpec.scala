@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * oracle-checked queries, output layout, and flag parsing.
   */
 class CurateSpec extends SparkSpec {
+  import spark.implicits._
 
   test("curate pipeline funnel is monotone and matches the query-level stages") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
@@ -49,6 +50,40 @@ class CurateSpec extends SparkSpec {
     assert(Curate.parse(Seq("--train-pct", "-10", "a", "b")).isLeft)
     assert(Curate.parse(Seq("--val-pct", "-1", "a", "b")).isLeft)
     val ok = Curate.parse(Seq("--min-quality=0.5", "--shards", "2", "in", "out"))
-    assert(ok == Right(Curate.Config("in", "out", None, 0.5, 90, 5, 2)))
+    assert(ok == Right(Curate.Config(docsDir = "in", outDir = "out",
+      minQuality = 0.5, shards = 2)))
+    // substring-coverage threshold: micro-units within [0, 1000000]
+    assert(Curate.parse(Seq("--max-substr-coverage", "high", "a", "b")).isLeft)
+    assert(Curate.parse(Seq("--max-substr-coverage", "-1", "a", "b")).isLeft)
+    assert(Curate.parse(Seq("--max-substr-coverage", "1000001", "a", "b")).isLeft)
+    assert(Curate.parse(Seq("--max-substr-coverage", "300000", "a", "b"))
+      == Right(Curate.Config(docsDir = "a", outDir = "b",
+        maxSubstrCoverage = Some(300000L))))
+  }
+
+  test("substring-coverage stage drops exactly the over-threshold documents") {
+    // the screen's motivating case: an 8+-token license block repeated
+    // across otherwise-unrelated documents — too little shingle overlap for
+    // the LSH near-dup stage (Jaccard ≈ 0.13 << 0.5), so only the substring
+    // screen can catch it. Build that corpus and run the full CLI pipeline.
+    val license = (1 to 10).map(i => s"license$i").mkString(" ")
+    def uniq(d: Int) = (1 to 30).map(i => s"w${d}x$i").mkString(" ")
+    val rows = (1 to 3).map(d => (d.toLong, s"$license ${uniq(d)}", "en", "synth")) ++
+      (4 to 8).map(d => (d.toLong, uniq(d), "en", "synth"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-sub-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    // shared 10-token block, 40-token docs: coverage = 10/40 = 250000 micro
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-s").toString
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxSubstrCoverage = Some(200000L))).toMap
+    assert(funnel("decontaminated") == 8L, "no exact/near dups in this corpus")
+    assert(funnel("substr_screened") == 5L, "the three license-headed docs drop")
+    // a permissive threshold keeps everything
+    val funnel2 = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxSubstrCoverage = Some(250000L))).toMap
+    assert(funnel2("substr_screened") == 8L)
   }
 }
