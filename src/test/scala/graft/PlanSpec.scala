@@ -116,6 +116,35 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan) // SinglePartition combine only
   }
 
+  test("PQ/ADC scoring joins the code scan against a BROADCAST lookup table") {
+    val plan = physicalPlan("sim_pq_topk")
+    // big side = (vec_id, sub, code) scan; LUT = |queries|·m·codebook rows
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(25).mkString("\n"))
+    // the ADC sum combines map-side before the (query, vector) shuffle
+    assert(plan.contains("partial_sum"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("substring dedup broadcasts the dup-hash set; no all-pairs product") {
+    val plan = physicalPlan("dedup_substring")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("CMS point queries broadcast the counter table; scans prune to the key") {
+    val plan = physicalPlan("ev_topk_cms")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("FileScan parquet [user_id"), plan) // key-only scan
+  }
+
+  test("chunking shuffles nothing but the output order") {
+    val plan = physicalPlan("corpus_chunk")
+    assert(!plan.contains("Join"), plan)
+    // the only exchange is the registered query's deterministic orderBy
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
