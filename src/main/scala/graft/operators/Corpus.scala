@@ -225,6 +225,36 @@ object Corpus {
        SELECT doc_id, chunk_idx, start_pos, n_chunk_tokens, chunk_text
        FROM ch ORDER BY doc_id, chunk_idx"""
 
+  /** Deterministic training-order shuffle: the epoch-seeded md5 of each id
+    * is a reproducible pseudo-random sort key; documents land in
+    * `nShards` hash shards with a within-shard position. This is the
+    * data-order randomization an LLM trainer consumes (a different `seed`
+    * per epoch re-permutes), kept scale-correct by sharding FIRST: the
+    * within-shard row_number window parallelizes across shards instead of
+    * serializing the corpus through one global-order partition.
+    */
+  def shuffle(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              seed: Int, nShards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("id"))
+    docs.select(col(idCol).as("id"), key.as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("id"))
+  }
+
+  /** DuckDB twin of [[shuffle]] over the `documents` fixture. */
+  def duckShuffle(seed: Int, nShards: Int): String =
+    s"""WITH keyed AS (SELECT doc_id AS id, md5(concat('$seed:', CAST(doc_id AS VARCHAR))) AS k
+                       FROM documents),
+       sharded AS (SELECT id, k,
+                          CAST(CAST('0x' || substr(k, 1, 8) AS UBIGINT) % $nShards AS INTEGER) AS shard
+                   FROM keyed)
+       SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY k, id) AS BIGINT) AS pos, id
+       FROM sharded ORDER BY shard, pos"""
+
   /** Partitioned corpus sink: hive-layout parquet partitioned by the given
     * columns (e.g. split/lang), with file count per output partition bounded
     * by `shardsPerPartition`. The pre-write shuffle keys on (partition cols,

@@ -172,6 +172,16 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // epoch-seeded deterministic training-order shuffle: reproducible
+    // pseudo-random permutation, sharded FIRST so the ordering window
+    // parallelizes per shard (never one global-order partition)
+    "corpus_shuffle" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.shuffle(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", seed = 7, nShards = 4)
+          .orderBy("shard", "pos"),
+      oracle = Some(Corpus.duckShuffle(seed = 7, nShards = 4))),
+
     // RAG-style overlapping chunking: 32-token windows, stride 24 (8-token
     // overlap), final chunk short — the retrieval prep step; zero shuffle
     "corpus_chunk" -> QueryEntry(

@@ -210,6 +210,50 @@ object TextQueries {
            ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20"""
       }),
 
+    // per-document LM fluency score: mean bigram conditional probability
+    // under the corpus-trained count LM, in exact integer micro-units — the
+    // deterministic screen standing where perplexity filtering stands in a
+    // production pipeline (log-free, so it stays oracle-exact; rank order is
+    // what curation thresholds use). LM table is vocabulary-sized and
+    // broadcasts; one corpus explode scores every document
+    "text_lm_score" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val tk = tokens(col("text"))
+        val bigrams = transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+        val docBg = docs.filter(size(tk) >= 2)
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val pair = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+        val lm = pair.join(uni, "w1")
+          .select(col("w1"), col("w2"), expr("(1000000 * n_pair) div n_w1").as("p_micro"))
+        docBg.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("sum_p div n_bigrams").as("mean_pcond_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+                  FROM toks WHERE len(tk) >= 2),
+           docbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM ex),
+           pair AS (SELECT w1, w2, count(*) AS n_pair FROM docbg GROUP BY 1, 2),
+           uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pair GROUP BY w1),
+           lm AS (SELECT w1, w2, (1000000 * n_pair) // n_w1 AS p_micro
+                  FROM pair JOIN uni USING (w1))
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_pcond_micro
+           FROM docbg JOIN lm USING (w1, w2)
+           GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
     // BPE tokenizer training: 8 highest-count-bigram merges over the corpus
     "text_bpe_merges" -> QueryEntry(
       fn = (spark, sfDir) =>

@@ -114,4 +114,25 @@ class CorpusSpec extends SparkSpec {
     assert(trained.count() >= 1 && trained.count() <= 4)
     assert(trained.select(size(col("cv")).as("d")).distinct().head().getInt(0) == 64)
   }
+
+  test("shuffle is a sharded permutation; a new seed re-permutes, same seed doesn't") {
+    import spark.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val n = docs.count()
+    val s7 = Corpus.shuffle(docs, "doc_id", seed = 7, nShards = 4).persist()
+    // every document exactly once
+    assert(s7.count() == n)
+    assert(s7.select("id").distinct().count() == n)
+    // positions are contiguous 1..|shard| within each shard
+    val bad = s7.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("c")).count()
+    assert(bad == 0L)
+    def orderOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    val o7 = orderOf(s7)
+    assert(orderOf(Corpus.shuffle(docs, "doc_id", 7, 4)) == o7, "same seed reproduces")
+    assert(orderOf(Corpus.shuffle(docs, "doc_id", 8, 4)) != o7, "new epoch re-permutes")
+    s7.unpersist()
+  }
 }
