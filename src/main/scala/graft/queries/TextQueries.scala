@@ -223,9 +223,14 @@ object TextQueries {
         val tk = tokens(col("text"))
         val bigrams = transform(sequence(lit(1), size(tk) - 1),
           i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+        // persist barrier (the SimHash.nearPairs pattern): the exploded
+        // bigram frame feeds BOTH the LM training aggregation and the
+        // scoring join — unpersisted, the tokenize+explode runs twice and
+        // the broadcast side drags the whole corpus pass into its lineage
         val docBg = docs.filter(size(tk) >= 2)
           .select(col("doc_id"), explode(bigrams).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .persist()
         val pair = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
         val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
         val lm = pair.join(uni, "w1")
