@@ -210,6 +210,91 @@ class PropertySpec extends SparkSpec {
     assert(zeroRow.forall(_ == 0L), s"zero vector → zero codes: $zeroRow")
   }
 
+  test("ExactSubstr coverage matches a plain-Scala reference on random corpora") {
+    import graft.operators.ExactSubstr
+    val k = 3
+    // small alphabet + short docs → dense span collisions, the interesting
+    // regime for island merging
+    val corpusGen: Gen[List[String]] = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(0, 12)
+        toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield docs
+    def reference(texts: List[String]): Map[Long, (Long, Long, Long, Long)] = {
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toList)
+      val spans = toks.zipWithIndex.flatMap { case (tk, d) =>
+        if (tk.length < k) Nil
+        else (0 to tk.length - k).map(p => (d.toLong, p + 1, tk.slice(p, p + k).mkString(" ")))
+      }
+      val dup = spans.groupBy(_._3).filter(_._2.size > 1).keySet
+      spans.filter(s => dup.contains(s._3)).groupBy(_._1).map { case (d, ss) =>
+        val starts = ss.map(_._2).sorted
+        // merge intervals [p, p+k-1]
+        // plain interval union of [p, p+k-1]; merging adjacent intervals is
+        // length-equivalent to the operator's gap>=k island split
+        val covered = starts.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (lo, hi) :: t if p <= hi + 1 => (lo, math.max(hi, p + k - 1)) :: t
+            case _ => (p, p + k - 1) :: acc
+          }
+        }.map { case (lo, hi) => hi - lo + 1 }.sum
+        val n = toks(d.toInt).length.toLong
+        d -> ((n, starts.size.toLong, covered.toLong, 1000000L * covered / n))
+      }
+    }
+    for (seedOff <- 0 until 10; corpus <- corpusGen.apply(Gen.Parameters.default, Seed(11L + seedOff))) {
+      // split-on-space of an empty string yields one empty token in both
+      // engines; restrict the property to non-degenerate docs
+      val texts = corpus.filter(_.nonEmpty)
+      if (texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = ExactSubstr.coverage(df, "doc_id", "text", k)
+          .select("id", "n_tokens", "n_dup_spans", "covered_tokens", "coverage_micro")
+          .as[(Long, Long, Long, Long, Long)].collect()
+          .map { case (id, n, d, c, m) => id -> ((n, d, c, m)) }.toMap
+        assert(got == reference(texts), s"corpus=$texts")
+      }
+    }
+  }
+
+  test("chunking is a partition at stride==chunk and reassembles every token") {
+    import graft.operators.Corpus
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w"))
+    } yield toks.mkString(" ")
+    val texts = (0 until 12)
+      .flatMap(i => docGen.apply(Gen.Parameters.default, Seed(23L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // stride == chunkTokens: chunks tile the doc exactly — concatenation in
+    // chunk_idx order reproduces the original text
+    val tiled = Corpus.chunk(df, "doc_id", "text", chunkTokens = 5, stride = 5)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (d, cs) =>
+        d -> cs.sortBy(_._2).map(_._3).mkString(" ")
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(tiled(i.toLong) == t, s"doc $i reassembly")
+    }
+    // overlapping stride: every token position is covered by some chunk and
+    // consecutive chunks agree on their overlap
+    val over = Corpus.chunk(df, "doc_id", "text", chunkTokens = 6, stride = 4)
+      .select("doc_id", "start_pos", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.split(" ").length
+      val iv = over(i.toLong).map(c => (c._2, c._2 + c._3 - 1)).sortBy(_._1)
+      assert(iv.head._1 == 1 && iv.last._2 == n, s"doc $i span range")
+      iv.sliding(2).foreach {
+        case Array((_, hiA), (loB, _)) => assert(loB <= hiA + 1, s"doc $i gap")
+        case _ =>
+      }
+    }
+  }
+
   test("week truncation lands on a Monday boundary for random timestamps") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions.col
