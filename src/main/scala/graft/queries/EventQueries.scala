@@ -89,6 +89,20 @@ object EventQueries {
       dir
     })
 
+  /** Shared batch-and-stream oracle for the funnel twins. */
+  private lazy val FunnelOracle = """
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts_us) AS c_us FROM ev e JOIN s USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us > s.s_us GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts_us) AS p_us FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id)
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+        ORDER BY stage"""
+
   /** Shared oracle for the continuous-verification fingerprint twins. */
   private lazy val FingerprintOracle = {
     import graft.core.{Fixtures, OracleSql, VerifyConfig}
@@ -503,18 +517,29 @@ object EventQueries {
           .select(col("stage"), col("n_users"))
           .orderBy("stage")
       },
-      oracle = Some("""
-        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
-              WHERE event_type = 'signup' GROUP BY user_id),
-        c AS (SELECT e.user_id, min(e.ts_us) AS c_us FROM ev e JOIN s USING (user_id)
-              WHERE e.event_type = 'click' AND e.ts_us > s.s_us GROUP BY e.user_id),
-        p AS (SELECT e.user_id, min(e.ts_us) AS p_us FROM ev e JOIN c USING (user_id)
-              WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id)
-        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
-        UNION ALL SELECT '2_click', count(*) FROM c
-        UNION ALL SELECT '3_purchase', count(*) FROM p
-        ORDER BY stage""")),
+      oracle = Some(FunnelOracle)),
+
+    // streaming funnel: the three join+agg stages become a per-user
+    // (stage, gate-ts) state machine — 16 bytes of state per user vs three
+    // user-keyed shuffles, the standard batch→stream funnel rewrite; strict
+    // gate inequalities make equal-timestamp ties order-insensitive, so the
+    // replayed result equals the batch query (shared oracle)
+    "ev_funnel_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
+        val result = graft.streaming.EventStreams.runToBatch(
+          graft.streaming.EventStreams.funnelStages(stream).toDF(),
+          s"ev_funnel_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        val stages = result.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        def reach(n: Int, label: String) =
+          stages.filter(col("stage") >= n)
+            .agg(count(lit(1)).as("n_users")).withColumn("stage", lit(label))
+        reach(1, "1_signup").unionByName(reach(2, "2_click"))
+          .unionByName(reach(3, "3_purchase"))
+          .select(col("stage"), col("n_users")).orderBy("stage")
+      },
+      oracle = Some(FunnelOracle)),
 
     // cohort retention: users grouped by first-activity day, counted per
     // day-offset of later activity — the classic triangle matrix. Distinct

@@ -23,10 +23,17 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of the events fixture with ts normalized to µs. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  /** File-source stream of the events fixture with ts normalized to µs;
+    * `maxFilesPerTrigger` splits a staged multi-file directory into that
+    * many micro-batches (specs use it to force cross-batch state carry).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Streaming twin of ev_window_hourly: tumbling window + watermark. */
   def hourlyWindow(events: DataFrame): DataFrame =
@@ -126,6 +133,42 @@ object EventStreams {
           }
           state.update((lastTs, nSessions, nEvents))
           Iterator(SessionSummary(user, nSessions, nEvents))
+        })
+  }
+
+  case class FunnelStage(user_id: Long, stage: Long)
+
+  /** Stateful funnel progression via flatMapGroupsWithState: per-user state
+    * is (stage reached, gate timestamp) — a 16-byte state machine per user,
+    * against the batch query's three user-keyed join+agg stages. Events
+    * inside a micro-batch are sorted by event time before folding; stage
+    * transitions use the batch query's strict inequality (click strictly
+    * after the FIRST signup, purchase strictly after that click), and
+    * equal-timestamp ties are order-insensitive because the gate comparison
+    * is strict. Single-batch replay of the fixture therefore equals
+    * ev_funnel; across batches the state carries, assuming event-time
+    * arrival order (the same contract as [[sessionize]]).
+    */
+  def funnelStages(events: DataFrame): Dataset[FunnelStage] = {
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[FunnelStage]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long)]) => {
+          val sorted = rows.toArray.sortBy(_._3)
+          var (stage, gate) = state.getOption.getOrElse((0L, Long.MinValue))
+          sorted.foreach { case (_, tpe, ts) =>
+            if (stage == 0L && tpe == "signup") { stage = 1L; gate = ts }
+            else if (stage == 1L && tpe == "click" && ts > gate) { stage = 2L; gate = ts }
+            else if (stage == 2L && tpe == "purchase" && ts > gate) { stage = 3L; gate = ts }
+          }
+          state.update((stage, gate))
+          Iterator(FunnelStage(user, stage))
         })
   }
 

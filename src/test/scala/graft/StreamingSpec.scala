@@ -230,4 +230,34 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("n_sessions"), col("n_events"))
     assert(gotFinal.except(want).isEmpty && want.except(gotFinal).isEmpty)
   }
+
+  test("funnel state machine carries across micro-batches (two-file staged arrival)") {
+    // split the fixture into two time-ordered halves so a user's signup can
+    // land in batch 1 and their click/purchase in batch 2 — the final stage
+    // must still equal the batch funnel (state carried, not recomputed)
+    val inDir = Files.createTempDirectory("graft-funnel-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-funnel-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    // one file per micro-batch → two batches, event-time ordered
+    val stream = EventStreams.funnelStages(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+    val got = EventStreams.runToBatch(stream.toDF(), "funnel2", OutputMode.Update)
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+    def reach(n: Int) = got.filter(col("stage") >= n).count()
+    val want = SparkEntry.queries("ev_funnel")(spark, sfDir)
+      .select("stage", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reach(1) == want("1_signup"))
+    assert(reach(2) == want("2_click"))
+    assert(reach(3) == want("3_purchase"))
+  }
 }
