@@ -400,6 +400,58 @@ object ExactSubstr {
       .withColumn("coverage_micro", expr("(1000000 * covered_tokens) div n_tokens"))
   }
 
+  /** The operational drill-down behind [[coverage]]: the `topN`
+    * most-repeated k-token spans with their text — "WHICH license block /
+    * boilerplate header dominates the corpus". A deterministic witness
+    * occurrence (smallest (doc, pos), packed into one integer so both
+    * engines take the same min) is joined back to slice the actual tokens;
+    * only `topN` rows reach that join.
+    */
+  def topSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int, topN: Int): DataFrame = {
+    val spans = spanFrame(df, idCol, textCol, k)
+    val top = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id") * 1000000L + col("pos")).as("wit"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("h").asc)
+      .limit(topN)
+      .select(col("h"), col("n_occurrences"), col("n_docs"),
+        expr("wit div 1000000").as("witness_doc"),
+        (col("wit") % 1000000L).as("witness_pos"))
+    val toks = graft.core.Readers.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
+      .select(col("id"), tokens(col("text")).as("tk"))
+    top.join(toks, col("witness_doc") === col("id"))
+      .select(col("h"),
+        array_join(slice(col("tk"), col("witness_pos").cast("int"), lit(k)), " ")
+          .as("span_text"),
+        col("n_occurrences"), col("n_docs"), col("witness_doc"), col("witness_pos"))
+      .orderBy(col("n_occurrences").desc, col("h").asc)
+  }
+
+  /** DuckDB twin of [[topSpans]]. */
+  def duckTopSpans(table: String, idCol: String, textCol: String,
+                   k: Int, topN: Int): String =
+    s"""WITH toks AS (SELECT $idCol AS id, ${TextAnalysis.duckTokens(textCol)} AS tk FROM $table),
+       base AS (SELECT id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) >= $k),
+       spans AS (SELECT id, CAST(p AS BIGINT) AS pos,
+                        md5(array_to_string(tk[p:p+${k - 1}], ' ')) AS h
+                 FROM base, unnest(generate_series(1, CAST(n AS INTEGER) - ${k - 1})) AS t(p)),
+       agg AS (SELECT h, CAST(count(*) AS BIGINT) AS n_occurrences,
+                      CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+                      min(id * 1000000 + pos) AS wit
+               FROM spans GROUP BY h HAVING count(*) > 1),
+       top AS (SELECT * FROM agg ORDER BY n_occurrences DESC, h ASC LIMIT $topN)
+       SELECT t.h,
+              array_to_string(b.tk[CAST(t.wit % 1000000 AS INTEGER) :
+                CAST(t.wit % 1000000 + ${k - 1} AS INTEGER)], ' ') AS span_text,
+              t.n_occurrences, t.n_docs,
+              t.wit // 1000000 AS witness_doc, t.wit % 1000000 AS witness_pos
+       FROM top t JOIN base b ON b.id = t.wit // 1000000
+       ORDER BY t.n_occurrences DESC, t.h ASC"""
+
   /** DuckDB twin of [[coverage]] (same k, same island arithmetic). */
   def duckCoverage(table: String, idCol: String, textCol: String, k: Int): String =
     s"""WITH toks AS (SELECT $idCol AS id, ${TextAnalysis.duckTokens(textCol)} AS tk FROM $table),

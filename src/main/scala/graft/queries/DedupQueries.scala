@@ -55,6 +55,17 @@ object DedupQueries {
       },
       oracle = Some(ExactSubstr.duckCoverage("documents", "doc_id", "text", SubstrK))),
 
+    // the drill-down behind dedup_substring: WHICH spans repeat most — the
+    // report an operator reads to see the license block / boilerplate header
+    // dominating the corpus (witness occurrence sliced back to real text)
+    "dedup_substring_top" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        ExactSubstr.topSpans(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          SubstrK, topN = 20),
+      oracle = Some(ExactSubstr.duckTopSpans("documents", "doc_id", "text",
+        SubstrK, topN = 20))),
+
     // exact n-gram Jaccard verification of the LSH candidates (the standard
     // candidate-then-verify dedup pipeline; nothing touches O(n^2) pairs)
     "dedup_ngram_jaccard" -> QueryEntry(
