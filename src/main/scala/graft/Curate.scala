@@ -34,6 +34,15 @@ object Curate {
       |      --train-pct int              train percentage (default 90)
       |      --val-pct int                validation percentage (default 5)
       |      --shards int                 max files per output partition (default 4)
+      |      --chunk-tokens int           emit overlapping token-window chunks
+      |                                   instead of whole documents (default off);
+      |                                   split is assigned by PARENT document so
+      |                                   overlapping chunks never straddle
+      |                                   train/val/test
+      |      --chunk-stride int           chunk window stride (default =
+      |                                   chunk-tokens, i.e. no overlap)
+      |      --shuffle-seed int           add a deterministic epoch-seeded
+      |                                   training-order column (shuffle_pos)
       |  -h, --help                       help for graft-curate
       |""".stripMargin
 
@@ -41,7 +50,9 @@ object Curate {
       docsDir: String = "", outDir: String = "",
       decontaminateAgainst: Option[String] = None,
       maxSubstrCoverage: Option[Long] = None,
-      minQuality: Double = 0.45, trainPct: Int = 90, valPct: Int = 5, shards: Int = 4)
+      minQuality: Double = 0.45, trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
+      chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
+      shuffleSeed: Option[Int] = None)
 
   def parse(args: Seq[String]): Either[String, Config] = {
     val split = args.toList.flatMap { a =>
@@ -77,6 +88,15 @@ object Curate {
             case "--shards" =>
               num(flag, value, (_: String).toIntOption)(n => acc.copy(shards = n))
                 .flatMap(loop(tail, _, positional))
+            case "--chunk-tokens" =>
+              num(flag, value, (_: String).toIntOption)(n =>
+                acc.copy(chunkTokens = Some(n))).flatMap(loop(tail, _, positional))
+            case "--chunk-stride" =>
+              num(flag, value, (_: String).toIntOption)(n =>
+                acc.copy(chunkStride = Some(n))).flatMap(loop(tail, _, positional))
+            case "--shuffle-seed" =>
+              num(flag, value, (_: String).toIntOption)(n =>
+                acc.copy(shuffleSeed = Some(n))).flatMap(loop(tail, _, positional))
             case other => Left(s"unknown flag: $other\n\n$helpText")
           }
         case flag :: Nil if flag.startsWith("--") =>
@@ -93,6 +113,12 @@ object Curate {
       else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
       else if (c.maxSubstrCoverage.exists(m => m < 0 || m > 1000000))
         Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
+      else if (c.chunkTokens.exists(_ < 1))
+        Left(s"--chunk-tokens must be >= 1, got ${c.chunkTokens.get}")
+      else if (c.chunkStride.isDefined && c.chunkTokens.isEmpty)
+        Left("--chunk-stride requires --chunk-tokens")
+      else if (c.chunkStride.exists(s => s < 1 || s > c.chunkTokens.get))
+        Left(s"--chunk-stride must be in [1, chunk-tokens], got ${c.chunkStride.get}")
       else Right(c)
     }
   }
@@ -141,10 +167,32 @@ object Curate {
       .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality)
       .persist()
 
-    // deterministic split + sharded hive-partitioned write
+    // deterministic split, assigned by (parent) document BEFORE optional
+    // chunking: overlapping chunks of one document share text, so letting
+    // them straddle train/val/test would leak evaluation data into training
     val qualityKept = quality.count()
-    val tagged = quality.withColumn("split",
+    val split = quality.withColumn("split",
       Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
+
+    // optional chunking: the written unit becomes the overlapping token
+    // window; chunk ids pack (parent, idx) so they stay unique and traceable
+    val units = cfg.chunkTokens.fold(split) { ct =>
+      val stride = cfg.chunkStride.getOrElse(ct)
+      Corpus.chunk(split, "doc_id", "text", ct, stride)
+        .join(split.select(col("doc_id"), col("lang"), col("split")), "doc_id")
+        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"), col("lang"), col("split"))
+        .persist()
+    }
+
+    // optional epoch-seeded training order: shard + position columns the
+    // trainer reads in (shard, shuffle_pos) order; a new seed re-permutes
+    val tagged = cfg.shuffleSeed.fold(units) { seed =>
+      units.join(
+        Corpus.shuffle(units, "doc_id", seed, cfg.shards)
+          .select(col("id").as("doc_id"), col("pos").as("shuffle_pos")),
+        "doc_id")
+    }
     Corpus.writeSharded(tagged, cfg.outDir, "doc_id", Seq("split", "lang"), cfg.shards)
     // an all-filtered corpus writes only _SUCCESS — nothing to read back
     val written = if (qualityKept == 0) 0L else spark.read.parquet(cfg.outDir).count()
@@ -156,9 +204,10 @@ object Curate {
       "decontaminated" -> decontaminated.count(),
       "substr_screened" -> substrScreened.count(),
       "quality_kept" -> qualityKept,
+      "written_units" -> (if (qualityKept == 0) 0L else units.count()),
       "written" -> written)
-    Seq(exact, nearDeduped, decontaminated, substrScreened, quality)
-      .foreach(_.unpersist())
+    (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
+      (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())
     funnel
   }
 

@@ -61,6 +61,26 @@ class CurateSpec extends SparkSpec {
         maxSubstrCoverage = Some(300000L))))
   }
 
+  test("chunked + shuffled output: parent-assigned splits, traceable ids, order column") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-c").toString
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = sfDir, outDir = out, minQuality = 0.45,
+      chunkTokens = Some(32), chunkStride = Some(24), shuffleSeed = Some(3))).toMap
+    assert(funnel("written_units") >= funnel("quality_kept"),
+      "chunking can only multiply units")
+    assert(funnel("written") == funnel("written_units"))
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("shuffle_pos"))
+    // chunk ids pack (parent * 100000 + idx); every parent's chunks must sit
+    // in ONE split — the leakage guard the stage ordering exists for
+    val parents = back.select((col("doc_id") / 100000L).cast("long").as("parent"), col("split"))
+      .distinct().groupBy("parent").count().filter(col("count") > 1).count()
+    assert(parents == 0L, "a parent document's chunks straddle splits")
+    // the shuffle column is a within-shard permutation: positions distinct
+    // per id-hash shard is implied by distinct doc ids; check global sanity
+    assert(back.select("doc_id").distinct().count() == funnel("written_units"))
+  }
+
   test("substring-coverage stage drops exactly the over-threshold documents") {
     // the screen's motivating case: an 8+-token license block repeated
     // across otherwise-unrelated documents — too little shingle overlap for
