@@ -542,4 +542,120 @@ object Similarity {
          FROM scored) AS t
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  // ---------------------------------------------------------------------------
+  // IVF-PQ: the production billion-scale ANN composition (coarse inverted
+  // lists gate the scan; global PQ codebooks over CELL RESIDUALS compress
+  // it). Scoring uses the inner-product decomposition
+  //   dot(q, v) = dot(q, c_v) + dot(q, v - c_v)
+  // with the residual term approximated by the ADC lookup — the query-side
+  // cell dot is exact, only the (small-magnitude) residual is quantized,
+  // which is why residual PQ beats raw PQ at equal code budget.
+  // ---------------------------------------------------------------------------
+
+  /** IVF-PQ top-k: coarse k-means cells (shared trainer), per-query nprobe
+    * cell gating, global residual sub-codebooks ([[pqTrain]] on the residual
+    * frame), broadcast per-query lookup table, integer score =
+    * floor-scaled exact cell dot + sum of floor-scaled residual partials.
+    */
+  def ivfPqTopK(vectors: DataFrame, queryFilter: Column, k: Int,
+                kc: Int, nprobe: Int, m: Int, dims: Int,
+                codebook: Int, iters: Int): DataFrame = {
+    val subDims = dims / m
+    val cent = KMeans.train(vectors, kc, iters).persist()
+    cent.count()
+    val assigned = KMeans.assign(vectors, cent)
+    val resid = assigned.join(broadcast(cent), "cent_id")
+      .select(col("vec_id"), col("cent_id").as("home_cell"),
+        zip_with(col("embedding"), col("cv"),
+          (a, b) => a.cast("double") - b).as("embedding"))
+      .persist()
+    resid.count()
+    val subs = pqTrain(resid.select(col("vec_id"), col("embedding")),
+      m, dims, codebook, iters)
+    val codes = subs.map(_.codes).reduce(_ unionAll _)
+    val homes = resid.select(col("vec_id"), col("home_cell"))
+    val queries = vectors.filter(queryFilter)
+    // nprobe nearest cells per query (ranked by the same floor-scaled cosine
+    // as every IVF path), each carrying the EXACT query-to-centroid dot term
+    val probed = assignRanked(queries, cent).filter(col("rn") <= nprobe)
+      .join(broadcast(cent), "cent_id")
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        floor(dot(col("embedding"), col("cv")) * 1e6).cast("long").as("cdot_micro"))
+    val lut = subs.map { ps =>
+      queries.select(col("vec_id").as("query_id"),
+          slice(col("embedding"), ps.sub * subDims + 1, subDims).as("qs"))
+        .crossJoin(broadcast(ps.centroids))
+        .select(col("query_id"), lit(ps.sub).as("sub"), col("cent_id").as("code"),
+          floor(dot(col("qs"), col("cv")) * 1e6).cast("long").as("pdot"))
+    }.reduce(_ unionAll _)
+    val scored = graft.core.Readers.spread(codes, col("vec_id"))
+      .join(homes, "vec_id")
+      .join(broadcast(probed), col("home_cell") === col("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cdot_micro"))
+      .agg(sum(col("pdot")).as("rdot"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("cdot_micro") + col("rdot")).as("score_micro"))
+    rankTopK(scored, "score_micro", k)
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]] — coarse training CTEs + residual CTE +
+    * per-subspace residual training/codes/LUT + the gated ADC sum.
+    */
+  def duckIvfPqTopK(queryWhere: String, k: Int, kc: Int, nprobe: Int,
+                    m: Int, dims: Int, codebook: Int, iters: Int): String = {
+    val subDims = dims / m
+    val (coarseCtes, coarseLast) = KMeans.duckTrainCtes(kc, iters, dims,
+      source = "embeddings", suffix = "c_")
+    val residExpr =
+      s"list_transform(generate_series(1, $dims), " +
+        s"i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i])"
+    val subParts = (0 until m).map { s =>
+      val src = s"ressub$s"
+      val lo = s * subDims + 1
+      val hi = (s + 1) * subDims
+      val (train, last) = KMeans.duckTrainCtes(codebook, iters, subDims,
+        source = src, suffix = s"ps${s}_")
+      s"""$src AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM resid),
+         $train,
+         pcodes$s AS (SELECT vec_id, $s AS sub, cent_id AS code
+                      FROM ${KMeans.duckAssign(last, src)} AS a),
+         plut$s AS (SELECT q.vec_id AS query_id, $s AS sub, c.cent_id AS code,
+                           CAST(floor(${duckDot(s"q.embedding[$lo:$hi]", "c.cv")} * 1e6) AS BIGINT) AS pdot
+                    FROM embeddings q CROSS JOIN $last c WHERE $queryWhere)"""
+    }
+    val codesAll = (0 until m).map(s => s"SELECT * FROM pcodes$s").mkString(" UNION ALL ")
+    val lutAll = (0 until m).map(s => s"SELECT * FROM plut$s").mkString(" UNION ALL ")
+    s"""WITH $coarseCtes,
+       cassign AS (SELECT vec_id, embedding, cent_id
+                   FROM ${KMeans.duckAssign(coarseLast)} AS a),
+       resid AS (SELECT a.vec_id, a.cent_id AS home_cell, $residExpr AS embedding
+                 FROM cassign a JOIN $coarseLast c USING (cent_id)),
+       ${subParts.mkString(",\n")},
+       pqcodes AS ($codesAll), pqlut AS ($lutAll),
+       probed AS (SELECT query_id, cell, cdot_micro FROM (
+         SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                CAST(floor(${duckDot("q.embedding", "c.cv")} * 1e6) AS BIGINT) AS cdot_micro,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${duckCosineScaled("q.embedding", "c.cv")} DESC,
+                           c.cent_id ASC) AS rn
+         FROM embeddings q CROSS JOIN $coarseLast c WHERE $queryWhere) AS t
+         WHERE rn <= $nprobe),
+       scored AS (SELECT p.query_id, cd.vec_id AS neighbor_id,
+                         p.cdot_micro + CAST(sum(l.pdot) AS BIGINT) AS score_micro
+                  FROM pqcodes cd
+                  JOIN resid r ON r.vec_id = cd.vec_id
+                  JOIN probed p ON p.cell = r.home_cell AND p.query_id <> cd.vec_id
+                  JOIN pqlut l ON l.query_id = p.query_id
+                              AND l.sub = cd.sub AND l.code = cd.code
+                  GROUP BY p.query_id, cd.vec_id, p.cdot_micro)
+       SELECT query_id, neighbor_id, score_micro, rank FROM (
+         SELECT query_id, neighbor_id, score_micro,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored) AS t
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 }

@@ -204,6 +204,20 @@ object SimilarityQueries {
       oracle = Some(Similarity.duckPqTopK("q.vec_id < 8", K, m = 4,
         dims = Dims, codebook = 8, iters = 1))),
 
+    // IVF-PQ: the production billion-scale composition — coarse k-means
+    // cells gate the scan (nprobe=2), global PQ codebooks over CELL
+    // RESIDUALS compress it; score = exact query-cell dot + residual ADC
+    // (only the small-magnitude residual is quantized)
+    "sim_ivfpq" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.ivfPqTopK(e, col("vec_id") < 8, K, kc = 8, nprobe = 2,
+            m = 4, dims = Dims, codebook = 8, iters = 1)
+          .select("query_id", "neighbor_id", "score_micro", "rank")
+      },
+      oracle = Some(Similarity.duckIvfPqTopK("q.vec_id < 8", K, kc = 8,
+        nprobe = 2, m = 4, dims = Dims, codebook = 8, iters = 1))),
+
     // ANN: candidates restricted to the query's LSH bucket (deterministic
     // MD5-derived hyperplanes embedded as literals on both engines)
     "sim_ann_lsh" -> QueryEntry(

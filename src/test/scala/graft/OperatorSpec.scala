@@ -143,6 +143,21 @@ class OperatorSpec extends SparkSpec {
       5L -> (10L, 2L, 9L, 900000L)))
   }
 
+  test("IVF-PQ: gated candidates rank above random; every query filled") {
+    val pq = Similarity.ivfPqTopK(emb, col("vec_id") < 8, 10,
+        kc = 8, nprobe = 2, m = 4, dims = 64, codebook = 8, iters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pq.length == 80, "10 neighbors for each of 8 queries")
+    val exact = Similarity.topK(emb.filter(col("vec_id") < 8), emb, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.count(exact.contains).toDouble / exact.size
+    info(s"IVF-PQ recall@10 vs exact: $recall")
+    // random fixture vectors are the worst case twice over: residuals carry
+    // no structure (centroids ≈ 0) and nprobe=2/8 caps the candidate pool.
+    // Measured 0.0875; floor guards the mechanism vs ~0.02 random picking
+    assert(recall >= 0.04, s"IVF-PQ ranking degenerated to random: $recall")
+  }
+
   test("BPE merges: greedy leftmost non-overlapping fold, argmax tiebreaks") {
     // "aa aa ab": words aa(2), ab(1); merge 1 must be (a,a) count 2,
     // then (a,b) count 1 from the surviving un-merged word
