@@ -124,6 +124,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan.linesIterator.take(25).mkString("\n"))
   }
 
+  test("IVF-PQ gates and scores through broadcast joins with map-side sums") {
+    val plan = physicalPlan("sim_ivfpq")
+    // probed-cells gate, per-query LUT, and centroid joins all broadcast;
+    // the big side is only ever the (vec_id, sub, code) scan
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(25).mkString("\n"))
+    assert(plan.contains("partial_sum"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("substring dedup broadcasts the dup-hash set; no all-pairs product") {
     val plan = physicalPlan("dedup_substring")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
