@@ -377,11 +377,51 @@ object ExactSubstr {
     * only documents with at least one duplicated span.
     */
   def coverage(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = spanFrame(df, idCol, textCol, k)
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
-    val dupStarts = spans.join(dup, Seq("h"), "left_semi")
+    islandCoverage(spans.join(dup, Seq("h"), "left_semi"), k)
+  }
+
+  /** Bloom-prefiltered [[coverage]] — row-identical output, different scale
+    * shape. The dup-hash groupBy is unavoidable but CHEAP at scale (partial
+    * counts collapse duplicate hashes map-side, so its shuffle carries
+    * ~distinct hashes); the expensive second pass is the semi-join, whose
+    * spans side re-shuffles EVERY (id, n, pos, h) occurrence. Folding the
+    * dup set into a bloom filter turns that into a scan-local codegen
+    * `might_contain` probe — only probable-duplicate spans (true dups + the
+    * ~1/1024 false-positive tail at 10 bits/item) reach the exact semi-join
+    * that removes the false positives. Same pattern as
+    * [[Corpus.contaminatedIdsBloom]].
+    */
+  def coverageBloom(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    bitsPerItem: Int = 10): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val spans = spanFrame(df, idCol, textCol, k)
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h")).persist()
+    try {
+      val nDup = math.max(dup.count(), 1L)
+      val bloomBytes = dup.agg(Bridge.column(
+        new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("h"))),
+          Literal(nDup), Literal(nDup * bitsPerItem))
+          .toAggregateExpression()).as("bf")).head().getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col("h")))))
+      val result = islandCoverage(
+        spans.filter(mightContain).join(dup, Seq("h"), "left_semi"), k).persist()
+      result.count() // materialize before the finally releases the dup cache
+      result
+    } finally dup.unpersist(blocking = false)
+  }
+
+  /** The shared interval-union tail of both coverage variants. */
+  private def islandCoverage(dupStarts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dupStarts

@@ -55,6 +55,19 @@ object DedupQueries {
       },
       oracle = Some(ExactSubstr.duckCoverage("documents", "doc_id", "text", SubstrK))),
 
+    // the bloom-prefiltered scale path of dedup_substring: identical rows
+    // (the exact semi-join removes bloom false positives), but probable-dup
+    // filtering happens scan-local instead of re-shuffling every span
+    "dedup_substring_bloom" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        ExactSubstr.coverageBloom(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", SubstrK)
+          .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_spans"),
+            col("covered_tokens"), col("coverage_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(ExactSubstr.duckCoverage("documents", "doc_id", "text", SubstrK))),
+
     // the drill-down behind dedup_substring: WHICH spans repeat most — the
     // report an operator reads to see the license block / boilerplate header
     // dominating the corpus (witness occurrence sliced back to real text)

@@ -143,6 +143,16 @@ class OperatorSpec extends SparkSpec {
       5L -> (10L, 2L, 9L, 900000L)))
   }
 
+  test("bloom-prefiltered substring coverage is row-identical to the exact path") {
+    val exact = ExactSubstr.coverage(docs, "doc_id", "text", 8)
+      .select("id", "n_tokens", "n_dup_spans", "covered_tokens", "coverage_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val bloom = ExactSubstr.coverageBloom(docs, "doc_id", "text", 8)
+      .select("id", "n_tokens", "n_dup_spans", "covered_tokens", "coverage_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("IVF-PQ: gated candidates rank above random; every query filled") {
     val pq = Similarity.ivfPqTopK(emb, col("vec_id") < 8, 10,
         kc = 8, nprobe = 2, m = 4, dims = 64, codebook = 8, iters = 1)
