@@ -41,8 +41,9 @@ object Curate {
       |                                   train/val/test
       |      --chunk-stride int           chunk window stride (default =
       |                                   chunk-tokens, i.e. no overlap)
-      |      --shuffle-seed int           add a deterministic epoch-seeded
-      |                                   training-order column (shuffle_pos)
+      |      --shuffle-seed int           add deterministic epoch-seeded
+      |                                   training-order columns
+      |                                   (shuffle_shard, shuffle_pos)
       |  -h, --help                       help for graft-curate
       |""".stripMargin
 
@@ -178,19 +179,32 @@ object Curate {
     // window; chunk ids pack (parent, idx) so they stay unique and traceable
     val units = cfg.chunkTokens.fold(split) { ct =>
       val stride = cfg.chunkStride.getOrElse(ct)
-      Corpus.chunk(split, "doc_id", "text", ct, stride)
+      val chunks = Corpus.chunk(split, "doc_id", "text", ct, stride).persist()
+      // the id packing is only collision-free below 100k chunks per doc —
+      // fail loudly instead of silently fusing two parents' chunks
+      val maxIdx = chunks.agg(max(col("chunk_idx"))).head().getLong(0)
+      require(maxIdx < 100000L,
+        s"chunk id packing overflow: a document produced ${maxIdx + 1} chunks " +
+          "(>= 100000); raise --chunk-stride or --chunk-tokens")
+      val packed = chunks
         .join(split.select(col("doc_id"), col("lang"), col("split")), "doc_id")
         .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
           col("chunk_text").as("text"), col("lang"), col("split"))
         .persist()
+      packed.count()
+      chunks.unpersist(blocking = false)
+      packed
     }
 
     // optional epoch-seeded training order: shard + position columns the
-    // trainer reads in (shard, shuffle_pos) order; a new seed re-permutes
+    // trainer reads in (shuffle_shard, shuffle_pos) order; a new seed
+    // re-permutes. BOTH columns are written — shuffle_pos alone is a
+    // per-shard position and would be ambiguous without its shard
     val tagged = cfg.shuffleSeed.fold(units) { seed =>
       units.join(
         Corpus.shuffle(units, "doc_id", seed, cfg.shards)
-          .select(col("id").as("doc_id"), col("pos").as("shuffle_pos")),
+          .select(col("id").as("doc_id"), col("shard").as("shuffle_shard"),
+            col("pos").as("shuffle_pos")),
         "doc_id")
     }
     Corpus.writeSharded(tagged, cfg.outDir, "doc_id", Seq("split", "lang"), cfg.shards)

@@ -356,8 +356,13 @@ object ExactSubstr {
     * array computes in ONE projection (k·n md5s per doc) and is persisted
     * before the explode — the InferFiltersFromGenerate recompute hazard
     * documented on [[MinHashLSH.signatures]] applies identically here.
+    * Returns (persisted staged frame, exploded span frame): the CALLER owns
+    * the staged cache and must release it after materializing its result —
+    * every public operator here does so, so none leaks a corpus-scale cache
+    * into the rest of a pipeline run.
     */
-  def spanFrame(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  private def stagedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): (DataFrame, DataFrame) = {
     val staged = graft.core.Readers.spread(
         df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
       .withColumn("tk", tokens(col("text")))
@@ -367,8 +372,20 @@ object ExactSubstr {
         transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
           p => md5(array_join(slice(col("tk"), p, lit(k)), " "))).as("hs"))
       .persist()
-    staged.select(col("id"), col("n"), posexplode(col("hs")).as(Seq("pos0", "h")))
+    val spans = staged
+      .select(col("id"), col("n"), posexplode(col("hs")).as(Seq("pos0", "h")))
       .select(col("id"), col("n"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    (staged, spans)
+  }
+
+  /** Materialize `result` (persisted) then release the staged span cache —
+    * the persist-lifecycle tail shared by every operator in this object.
+    */
+  private def materializedThenRelease(result: DataFrame, staged: DataFrame): DataFrame = {
+    val out = result.persist()
+    out.count()
+    staged.unpersist(blocking = false)
+    out
   }
 
   /** Per-document duplicated-span coverage: token positions covered by at
@@ -377,10 +394,11 @@ object ExactSubstr {
     * only documents with at least one duplicated span.
     */
   def coverage(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val spans = spanFrame(df, idCol, textCol, k)
+    val (staged, spans) = stagedSpans(df, idCol, textCol, k)
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
-    islandCoverage(spans.join(dup, Seq("h"), "left_semi"), k)
+    materializedThenRelease(
+      islandCoverage(spans.join(dup, Seq("h"), "left_semi"), k), staged)
   }
 
   /** Bloom-prefiltered [[coverage]] — row-identical output, different scale
@@ -400,7 +418,7 @@ object ExactSubstr {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
-    val spans = spanFrame(df, idCol, textCol, k)
+    val (staged, spans) = stagedSpans(df, idCol, textCol, k)
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h")).persist()
     try {
@@ -412,10 +430,8 @@ object ExactSubstr {
           .toAggregateExpression()).as("bf")).head().getAs[Array[Byte]](0)
       val mightContain = Bridge.column(new BloomFilterMightContain(
         Literal(bloomBytes, BinaryType), Bridge.expression(xxhash64(col("h")))))
-      val result = islandCoverage(
-        spans.filter(mightContain).join(dup, Seq("h"), "left_semi"), k).persist()
-      result.count() // materialize before the finally releases the dup cache
-      result
+      materializedThenRelease(islandCoverage(
+        spans.filter(mightContain).join(dup, Seq("h"), "left_semi"), k), staged)
     } finally dup.unpersist(blocking = false)
   }
 
@@ -447,28 +463,37 @@ object ExactSubstr {
     * engines take the same min) is joined back to slice the actual tokens;
     * only `topN` rows reach that join.
     */
+  /** Witness packing base: 2^31 positions per document — covers 2-billion-
+    * token documents, with ids up to 2^32 (≈ 4.3e9) before the packed long
+    * overflows. Both bounds documented rather than probed: validating them
+    * would cost an extra full-corpus aggregate per call.
+    */
+  val WitnessBase: Long = 1L << 31
+
   def topSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int, topN: Int): DataFrame = {
-    val spans = spanFrame(df, idCol, textCol, k)
+    val (staged, spans) = stagedSpans(df, idCol, textCol, k)
     val top = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("id")).as("n_docs"),
-        min(col("id") * 1000000L + col("pos")).as("wit"))
+        min(col("id") * WitnessBase + col("pos")).as("wit"))
       .filter(col("n_occurrences") > 1)
       .orderBy(col("n_occurrences").desc, col("h").asc)
       .limit(topN)
       .select(col("h"), col("n_occurrences"), col("n_docs"),
-        expr("wit div 1000000").as("witness_doc"),
-        (col("wit") % 1000000L).as("witness_pos"))
+        expr(s"wit div $WitnessBase").as("witness_doc"),
+        (col("wit") % WitnessBase).as("witness_pos"))
     val toks = graft.core.Readers.spread(
         df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
       .select(col("id"), tokens(col("text")).as("tk"))
-    top.join(toks, col("witness_doc") === col("id"))
-      .select(col("h"),
-        array_join(slice(col("tk"), col("witness_pos").cast("int"), lit(k)), " ")
-          .as("span_text"),
-        col("n_occurrences"), col("n_docs"), col("witness_doc"), col("witness_pos"))
-      .orderBy(col("n_occurrences").desc, col("h").asc)
+    materializedThenRelease(
+      top.join(toks, col("witness_doc") === col("id"))
+        .select(col("h"),
+          array_join(slice(col("tk"), col("witness_pos").cast("int"), lit(k)), " ")
+            .as("span_text"),
+          col("n_occurrences"), col("n_docs"), col("witness_doc"), col("witness_pos"))
+        .orderBy(col("n_occurrences").desc, col("h").asc),
+      staged)
   }
 
   /** DuckDB twin of [[topSpans]]. */
@@ -481,15 +506,15 @@ object ExactSubstr {
                  FROM base, unnest(generate_series(1, CAST(n AS INTEGER) - ${k - 1})) AS t(p)),
        agg AS (SELECT h, CAST(count(*) AS BIGINT) AS n_occurrences,
                       CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
-                      min(id * 1000000 + pos) AS wit
+                      min(id * $WitnessBase + pos) AS wit
                FROM spans GROUP BY h HAVING count(*) > 1),
        top AS (SELECT * FROM agg ORDER BY n_occurrences DESC, h ASC LIMIT $topN)
        SELECT t.h,
-              array_to_string(b.tk[CAST(t.wit % 1000000 AS INTEGER) :
-                CAST(t.wit % 1000000 + ${k - 1} AS INTEGER)], ' ') AS span_text,
+              array_to_string(b.tk[CAST(t.wit % $WitnessBase AS INTEGER) :
+                CAST(t.wit % $WitnessBase + ${k - 1} AS INTEGER)], ' ') AS span_text,
               t.n_occurrences, t.n_docs,
-              t.wit // 1000000 AS witness_doc, t.wit % 1000000 AS witness_pos
-       FROM top t JOIN base b ON b.id = t.wit // 1000000
+              t.wit // $WitnessBase AS witness_doc, t.wit % $WitnessBase AS witness_pos
+       FROM top t JOIN base b ON b.id = t.wit // $WitnessBase
        ORDER BY t.n_occurrences DESC, t.h ASC"""
 
   /** DuckDB twin of [[coverage]] (same k, same island arithmetic). */

@@ -39,18 +39,22 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, unit: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val base = unit - unit * dampNum / dampDen
-    // degree comes from a WINDOW over src, not a self-join against a degree
-    // aggregate: one exchange on src instead of two exchanges plus a join.
-    // The caller's (arbitrarily expensive) edge expression is consumed once
-    // here; nodes derive from the cached annotated frame, so one count()
-    // materializes both persisted consumers in a single job
-    import org.apache.spark.sql.expressions.Window
-    val withDeg = edges
-      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+    // degree via groupBy + join back, NOT a window over src: the window
+    // shape would exchange AND sort the full edge list with a hub node's
+    // whole edge set funneled through one window partition (AQE cannot
+    // split skew inside windows), whereas the aggregate shuffles only
+    // map-side-combined (src, count) partials and AQE's skew-join handling
+    // applies to the join back. The caller's (arbitrarily expensive) edge
+    // expression persists once and feeds degree, annotation, and node set
+    val e = edges.persist()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .persist()
-    val nodes = withDeg.select(col("src").as("node"))
-      .union(withDeg.select(col("dst").as("node"))).distinct().persist()
-    nodes.count()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    withDeg.count()
+    nodes.count() // materialize BOTH consumers before releasing the edge cache
+    e.unpersist(blocking = false)
     var rank = nodes.withColumn("rank", lit(unit))
     var barrier: Option[DataFrame] = None
     try {

@@ -33,9 +33,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Micro-scaled similarity: floor(cos * 1e6) as BIGINT. */
+  /** Micro-scaled similarity: floor(cos * 1e6) as BIGINT; zero-norm inputs
+    * score 0 (see [[duckCosineScaled]] for why the guard exists).
+    */
   def cosineScaled(a: Column, b: Column): Column =
-    floor(cosine(a, b) * 1e6).cast("long")
+    when(norm(a) * norm(b) === 0, 0L)
+      .otherwise(floor(cosine(a, b) * 1e6).cast("long"))
 
   def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
@@ -45,15 +48,24 @@ object Similarity {
     s"sqrt(list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))"
 
+  /** Zero-norm inputs define cosine as 0 on BOTH engines: without the guard
+    * a zero vector (an IVF-PQ residual of a singleton cell, a null-ish
+    * embedding) yields 0/0 — Spark floors NaN to an arbitrary long while
+    * DuckDB errors casting NaN to BIGINT, so the two sides would diverge
+    * exactly on degenerate data.
+    */
   def duckCosineScaled(a: String, b: String): String =
-    s"CAST(floor(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) * 1e6) AS BIGINT)"
+    s"CASE WHEN ${duckNorm(a)} * ${duckNorm(b)} = 0 THEN CAST(0 AS BIGINT) " +
+      s"ELSE CAST(floor(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) * 1e6) AS BIGINT) END"
 
   /** Scaled cosine with norms precomputed as columns — callers stage `na`/`nb`
     * once per vector instead of once per pair (norms inside the pair loop
-    * would redo O(dims) work |queries|× per row).
+    * would redo O(dims) work |queries|× per row). Zero-norm guard as on
+    * [[duckCosineScaled]].
     */
   def cosineScaledWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    floor(dot(a, b) / (na * nb) * 1e6).cast("long")
+    when(na * nb === 0, 0L)
+      .otherwise(floor(dot(a, b) / (na * nb) * 1e6).cast("long"))
 
   /** The shared top-k tail: windowed rank per query over a scored pair frame
     * with the deterministic (score desc, neighbor id asc) tiebreak — every

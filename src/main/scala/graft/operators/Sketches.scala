@@ -79,10 +79,11 @@ object Sketches {
   // ---------------------------------------------------------------------------
 
   /** All `depth` (lane, bucket) coordinates of a key, as one exploded pair
-    * column — shared by the build and probe sides (and the streaming counter
-    * build) so the three can never disagree on the hash family.
+    * column — shared by the build and probe sides so the two can never
+    * disagree on the hash family ([[cmsCounters]] is also the streaming
+    * counter build, so the stream shares it too).
     */
-  private[graft] def cmsLanes(key: Column, depth: Int, width: Int): Column =
+  private def cmsLanes(key: Column, depth: Int, width: Int): Column =
     posexplode(array((0 until depth).map(i =>
       MinHashLSH.permHash(key.cast("string"), i) % width): _*))
 

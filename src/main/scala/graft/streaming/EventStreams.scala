@@ -217,8 +217,7 @@ object EventStreams {
     * answers point queries against any snapshot.
     */
   def runningCms(events: DataFrame, key: String, depth: Int, width: Int): DataFrame =
-    events.select(graft.operators.Sketches.cmsLanes(col(key), depth, width).as(Seq("d", "b")))
-      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    graft.operators.Sketches.cmsCounters(events, col(key), depth, width)
 
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
