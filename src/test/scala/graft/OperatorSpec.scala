@@ -153,6 +153,28 @@ class OperatorSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("zero-norm vectors score cosine 0 instead of NaN on every path") {
+    // degenerate embeddings (all-zero rows) arise as IVF-PQ singleton-cell
+    // residuals; without the guard Spark floors NaN to an arbitrary long
+    // while DuckDB errors casting NaN — the engines would split exactly here
+    val vecs = Seq(
+      (1L, Array.fill(8)(0f)),            // zero query
+      (2L, Array.tabulate(8)(_.toFloat)), // normal
+      (3L, Array.fill(8)(0f)),            // zero neighbor
+      (4L, Array.tabulate(8)(i => (8 - i).toFloat))
+    ).toDF("vec_id", "embedding")
+    val scores = Similarity.topK(vecs.filter(col("vec_id") <= 2), vecs, 3)
+      .select("query_id", "neighbor_id", "cos_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(scores.nonEmpty)
+    // every pair involving a zero vector scores exactly 0; nothing is NaN-ish
+    scores.filter { case (q, n, _) => q == 1L || n == 3L }
+      .foreach { case (q, n, c) => assert(c == 0L, s"($q,$n) scored $c") }
+    // and the kmeans/IVF assignment path survives an all-zero slice
+    val cent = KMeans.train(vecs, k = 2, iters = 1)
+    assert(cent.count() >= 1)
+  }
+
   test("IVF-PQ: gated candidates rank above random; every query filled") {
     val pq = Similarity.ivfPqTopK(emb, col("vec_id") < 8, 10,
         kc = 8, nprobe = 2, m = 4, dims = 64, codebook = 8, iters = 1)
