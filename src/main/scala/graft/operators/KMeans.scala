@@ -88,11 +88,14 @@ object KMeans {
     } else meanCentroids(assigned)
 
   /** `iters` Lloyd iterations; returns (cent_id, cv). One input count probes
-    * the guard; the switch applies to every iteration identically.
+    * the guard (callers that already know the row count pass `nRows` and
+    * skip the job — PQ trains m subspaces of identical cardinality); the
+    * switch applies to every iteration identically.
     */
   def train(vectors: DataFrame, k: Int, iters: Int,
-            orderedFoldLimit: Long = OrderedFoldRowLimit): DataFrame = {
-    val n = vectors.count()
+            orderedFoldLimit: Long = OrderedFoldRowLimit,
+            nRows: Option[Long] = None): DataFrame = {
+    val n = nRows.getOrElse(vectors.count())
     (1 to iters).foldLeft(initCentroids(vectors, k)) { (cent, _) =>
       meanCentroidsGuarded(assign(vectors, cent), n, orderedFoldLimit)
     }

@@ -457,12 +457,15 @@ object Similarity {
     * the same generators) and code every vector per subspace.
     */
   def pqTrain(vectors: DataFrame, m: Int, dims: Int,
-              codebook: Int, iters: Int): Seq[PqSubspace] = {
+              codebook: Int, iters: Int, nRows: Option[Long] = None): Seq[PqSubspace] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val subDims = dims / m
     require(m * subDims == dims, s"dims=$dims must split into m=$m equal subspaces")
+    // every subspace has the input's cardinality — one count serves all m
+    // trainings (and callers that already materialized the frame pass it in)
+    val n = Some(nRows.getOrElse(vectors.count()))
     // the m sub-trainings are fully independent — run them as concurrent job
     // chains (the fanOutPerTarget pattern) so wall time is one subspace's
     // training, not the sum; combined with the centroid persist barrier
@@ -474,7 +477,7 @@ object Similarity {
         // persist the (codebook-row) centroids: the Lloyd lineage would
         // otherwise re-run per consumer — ADC uses each sub-codebook TWICE
         // (query lookup table + database-side coding)
-        val cent = KMeans.train(sliced, codebook, iters).persist()
+        val cent = KMeans.train(sliced, codebook, iters, nRows = n).persist()
         cent.count()
         val codes = KMeans.assign(sliced, cent)
           .select(col("vec_id"), lit(s).as("sub"), col("cent_id").as("code"))
@@ -582,9 +585,9 @@ object Similarity {
         zip_with(col("embedding"), col("cv"),
           (a, b) => a.cast("double") - b).as("embedding"))
       .persist()
-    resid.count()
+    val nResid = resid.count()
     val subs = pqTrain(resid.select(col("vec_id"), col("embedding")),
-      m, dims, codebook, iters)
+      m, dims, codebook, iters, nRows = Some(nResid))
     val codes = subs.map(_.codes).reduce(_ unionAll _)
     val homes = resid.select(col("vec_id"), col("home_cell"))
     val queries = vectors.filter(queryFilter)
