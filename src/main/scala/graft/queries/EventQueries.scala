@@ -89,6 +89,16 @@ object EventQueries {
       dir
     })
 
+  /** Shared batch-and-stream oracle for the retention twins. */
+  private lazy val RetentionOracle = """
+        WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+                     FROM events),
+        coh AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)
+        SELECT cohort_us, (day_us - cohort_us) // 86400000000 AS offset_days,
+               count(*) AS n_users
+        FROM act JOIN coh USING (user_id)
+        GROUP BY cohort_us, offset_days ORDER BY cohort_us, offset_days"""
+
   /** Shared batch-and-stream oracle for the funnel twins. */
   private lazy val FunnelOracle = """
         WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -559,14 +569,24 @@ object EventQueries {
           .agg(count(lit(1)).as("n_users"))
           .orderBy("cohort_us", "offset_days")
       },
-      oracle = Some("""
-        WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
-                     FROM events),
-        coh AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)
-        SELECT cohort_us, (day_us - cohort_us) // 86400000000 AS offset_days,
-               count(*) AS n_users
-        FROM act JOIN coh USING (user_id)
-        GROUP BY cohort_us, offset_days ORDER BY cohort_us, offset_days""")),
+      oracle = Some(RetentionOracle)),
+
+    // streaming retention: per-user (cohort, seen-offsets) state emits each
+    // NEW (cohort, offset, user) hit exactly once append-style — the drained
+    // distinct-hit set counts to exactly the batch cohort table, so the two
+    // twins share one oracle; state is offsets-per-user (horizon-bounded)
+    "ev_retention_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.retentionHits(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        graft.streaming.EventStreams.runToBatch(stream.toDF(),
+          s"ev_ret_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .groupBy(col("cohort_us"), col("offset_days"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_us", "offset_days")
+      },
+      oracle = Some(RetentionOracle)),
 
     // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(

@@ -172,6 +172,47 @@ object EventStreams {
         })
   }
 
+  case class RetentionState(cohort_us: Long, seen: Seq[Long])
+  case class RetentionHit(cohort_us: Long, offset_days: Long, user_id: Long)
+
+  /** Stateful cohort-retention hits via flatMapGroupsWithState: per-user
+    * state is (cohort day, offsets already seen); each NEW (user, offset)
+    * emits exactly one append-mode row, so the drained output is the
+    * distinct (cohort, offset, user) set and a plain batch count over it
+    * equals ev_retention. Under event-time arrival order (the [[sessionize]]
+    * contract) the first day seen IS the user's cohort. State is
+    * offsets-per-user — bounded by the retention horizon a product tracks
+    * (a production deployment would cap `seen` at its horizon and let a
+    * 64-bit bitmap replace the Seq).
+    */
+  def retentionHits(events: DataFrame): Dataset[RetentionHit] = {
+    val DayUs = 86400000000L
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.product[RetentionState]
+    implicit val outEnc = Encoders.product[RetentionHit]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[RetentionState]) => {
+          val days = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+          days.foreach { d =>
+            if (st.cohort_us == Long.MaxValue) st = RetentionState(d, Nil)
+            val offset = (d - st.cohort_us) / DayUs
+            if (!st.seen.contains(offset)) {
+              st = st.copy(seen = st.seen :+ offset)
+              out += RetentionHit(st.cohort_us, offset, user)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Continuous verification: per-event-type running fingerprint of the
     * append-only stream. The order-insensitive digest
     * ([[graft.core.Fingerprints.unorderedDigestCol]]) is a commutative

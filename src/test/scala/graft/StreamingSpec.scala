@@ -231,6 +231,32 @@ class StreamingSpec extends SparkSpec {
     assert(gotFinal.except(want).isEmpty && want.except(gotFinal).isEmpty)
   }
 
+  test("retention state carries across micro-batches: no re-emitted hits, batch-equal counts") {
+    val inDir = Files.createTempDirectory("graft-ret-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ret-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    val stream = EventStreams.retentionHits(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+    val got = EventStreams.runToBatch(stream.toDF(), "ret2", OutputMode.Append)
+    // append semantics: each (cohort, offset, user) hit appears exactly once
+    // even when a user's cohort day and return day split across batches
+    assert(got.count() == got.distinct().count())
+    val counts = got.groupBy(col("cohort_us"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val want = SparkEntry.queries("ev_retention")(spark, sfDir)
+      .select("cohort_us", "offset_days", "n_users")
+    assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
+  }
+
   test("funnel state machine carries across micro-batches (two-file staged arrival)") {
     // split the fixture into two time-ordered halves so a user's signup can
     // land in batch 1 and their click/purchase in batch 2 — the final stage
