@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout — the multi-dimensional clustering that
+  * lets a 100 TB table skip data on BOTH of two filter columns at once.
+  * Sorting by `(a, b)` clusters only on `a`: a predicate on `b` alone still
+  * scans every file. Interleaving the bits of `a` and `b` into one z-value
+  * and clustering by it maps each storage bucket to a small RECTANGLE of the
+  * `(a, b)` key space, so per-file min/max statistics prune scans for
+  * predicates on either column — the layout optimization behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`.
+  *
+  * Everything is 64-bit integer bit arithmetic (shift/and/or), exactly
+  * reproducible across engines — the same no-libm discipline as the hash
+  * and PageRank operators, and codegen-friendly: the interleave folds into
+  * one `WholeStageCodegen` expression over the scan, no shuffle until the
+  * per-bucket aggregate.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y` (odd
+    * positions) into a z-value: bit i of x lands at 2i, bit i of y at 2i+1.
+    * `bits` ≤ 31 keeps the result in a positive long. Inputs must be
+    * non-negative and below 2^bits — callers pick `bits` from the key
+    * domain (the fixture keys are dense from 1, so 21 bits covers a
+    * thousand-fold scale-up).
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    val lanes = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    lanes.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[zValue]] — the identical bit lanes as SQL text,
+    * generated from the same loop so the two engines cannot drift.
+    */
+  def duckZValue(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    val lanes = (0 until bits).flatMap { i =>
+      Seq(
+        s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i})",
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+    }
+    lanes.mkString("(", " | ", ")")
+  }
+
+  /** Per-bucket layout statistics for a z-clustered table: bucket id =
+    * z-value with the low `tileShift` bits dropped (each bucket is a
+    * 2^(tileShift/2) × 2^(tileShift/2) tile of the key plane), plus the
+    * min/max span of each key inside the bucket — exactly the per-file
+    * statistics a lakehouse scan prunes on. The proof of locality is in the
+    * output: every bucket's `(x, y)` bounding box is tile-bounded no matter
+    * how large the table grows, where size-equal row-order buckets would
+    * each span the FULL key domain.
+    */
+  def zBucketStats(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+                   bits: Int, tileShift: Int): org.apache.spark.sql.DataFrame = {
+    require(tileShift >= 2 && tileShift % 2 == 0 && tileShift < 2 * bits,
+      s"tileShift=$tileShift must be even and inside the ${2 * bits}-bit z-domain")
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("bucket", shiftright(zValue(col("x"), col("y"), bits), tileShift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  /** DuckDB twin of [[zBucketStats]] over a named table. */
+  def duckZBucketStats(table: String, xCol: String, yCol: String,
+                       bits: Int, tileShift: Int): String =
+    s"""SELECT bucket, count(*) AS n_rows,
+          min(x) AS x_min, max(x) AS x_max,
+          min(y) AS y_min, max(y) AS y_max
+        FROM (SELECT CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y,
+                     (${duckZValue(xCol, yCol, bits)} >> $tileShift) AS bucket
+              FROM $table) AS z
+        GROUP BY bucket ORDER BY bucket"""
+}

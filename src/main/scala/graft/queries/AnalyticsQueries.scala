@@ -347,6 +347,24 @@ object AnalyticsQueries {
         SELECT c_mktsegment, 'intersect' AS op FROM (
           SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 1
           INTERSECT SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 2) i
-        ORDER BY op, c_mktsegment"""))
+        ORDER BY op, c_mktsegment""")),
+
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) into a
+    // z-value, bucket by 256×256 key-plane tiles, report per-bucket min/max
+    // spans — the per-file statistics a lakehouse scan prunes on. The output
+    // is the locality PROOF: every bucket's bounding box stays tile-bounded
+    // (span ≤ 255 on BOTH keys) no matter how large the table grows, where
+    // row-order buckets would each span the full key domain. bits=21 covers
+    // a 100× key-domain scale-up of sf0.1; pure shift/and/or bit lanes fold
+    // into the scan's codegen stage, so the only shuffle is the bucket agg
+    "q_zorder_layout" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        graft.operators.Layout.zBucketStats(li, "l_partkey", "l_suppkey",
+            bits = 21, tileShift = 16)
+          .orderBy("bucket")
+      },
+      oracle = Some(graft.operators.Layout.duckZBucketStats(
+        "lineitem", "l_partkey", "l_suppkey", bits = 21, tileShift = 16)))
   )
 }

@@ -372,6 +372,32 @@ class OperatorSpec extends SparkSpec {
     assert(reparted == ranks)
   }
 
+  test("z-order: zValue equals a plain-Scala bit interleave; buckets are tile-bounded") {
+    // expression path vs an independent reference interleave over a key grid
+    // that exercises every bit lane up to the `bits` budget
+    def refZ(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val keys = for (x <- Seq(0L, 1L, 2L, 5L, 255L, 256L, 1048575L);
+                    y <- Seq(0L, 1L, 3L, 127L, 128L, 2097151L)) yield (x, y)
+    val got = keys.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 21).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == refZ(x, y, 21), s"($x,$y)") }
+
+    // the locality invariant the layout exists for: with tileShift=16 every
+    // bucket's (x, y) bounding box fits a 256×256 tile — per-file min/max
+    // stats then prune on EITHER key, which row-order layout cannot do
+    val li = Readers.fixture(spark, sfDir, "lineitem")
+    val stats = Layout.zBucketStats(li, "l_partkey", "l_suppkey", bits = 21, tileShift = 16)
+      .select(max(col("x_max") - col("x_min")), max(col("y_max") - col("y_min")),
+        sum(col("n_rows")))
+      .as[(Long, Long, Long)].head()
+    assert(stats._1 < 256 && stats._2 < 256, stats.toString)
+    assert(stats._3 == li.count(), "bucket stats must partition the table exactly")
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
