@@ -302,6 +302,39 @@ object AnalyticsQueries {
         s"WITH $ctes\nSELECT node, rank FROM $last ORDER BY rank DESC, node ASC LIMIT 20"
       }),
 
+    // triangle enumeration over the user co-click affinity graph: users who
+    // clicked the same item (props.k) within 30 minutes share an edge; a
+    // triangle is a tight interest cluster — the community-density signal
+    // beside components (dedup_clusters) and centrality (q_pagerank). Edge
+    // generation reuses the banded interval self-join (never a per-key cross
+    // product); enumeration is the degree-oriented compact-forward join (see
+    // operators/Graph.triangles for the O(m^1.5) bound). Oracle builds the
+    // same graph naively — banding is an identity, orientation is unwound by
+    // the sorted-triple output
+    "q_triangles" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val edges = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+        graft.operators.Graph.triangles(edges).orderBy("t1", "t2", "t3")
+      },
+      oracle = Some {
+        val edgesSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 1800000000"""
+        graft.operators.Graph.duckTrianglesSql(edgesSql) + "\nORDER BY t1, t2, t3"
+      }),
+
     // semi/anti join surfaces as an explicit query: customer segments split
     // by order existence — the left_semi side never materializes order
     // columns, the left_anti is the NOT-IN scale shape (both shuffle only

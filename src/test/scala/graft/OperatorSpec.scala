@@ -398,6 +398,24 @@ class OperatorSpec extends SparkSpec {
     assert(stats._3 == li.count(), "bucket stats must partition the table exactly")
   }
 
+  test("triangles: degree-oriented enumeration equals the naive closure, each exactly once") {
+    // K4 on {1..4} (4 triangles), a pendant 4-5, and a hub 0 wired to
+    // 1..4 (hub triangles exercise the orientation flip at high degree)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ (4L, 5L)) ++ (1L to 4L).map(i => (0L, i))
+    val got = Graph.triangles(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // naive reference: all id-ordered triples whose three edges exist
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = for (u <- nodes; v <- nodes if u < v && es((u, v));
+                    w <- nodes if v < w && es((v, w)) && es((u, w))) yield (u, v, w)
+    assert(got == want.sorted, s"got=$got")
+    assert(got.size == 10) // C(4,3)=4 inside K4 + C(4,2)=6 through the hub
+    // duplicate-free by construction: every triangle appears exactly once
+    assert(got.distinct == got)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
