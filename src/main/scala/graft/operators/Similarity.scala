@@ -100,6 +100,46 @@ object Similarity {
     rankTopK(scored, "cos_micro", k)
   }
 
+  /** Exact rescore of an approximate shortlist — the second stage of the
+    * production two-stage ANN recipe: a compressed-domain scan (PQ, IVF-PQ)
+    * nominates `shortlist` pairs, then ONLY those |queries|·k' pairs are
+    * scored against the raw float vectors and re-ranked to the final k. The
+    * shortlist joined with the query vectors is broadcast-sized by
+    * construction, so the raw-vector side is touched once, keyed by id —
+    * point lookups against the vector store, never a second scan. Recall is
+    * the shortlist's; precision of the final ORDER is exact.
+    */
+  def rerankExact(shortlist: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val withQ = shortlist.select("query_id", "neighbor_id")
+      .join(v.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn")), "query_id")
+    val scored = v
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(withQ), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
+    rankTopK(scored, "cos_micro", k)
+  }
+
+  /** DuckDB twin of [[rerankExact]]: `shortlistSql` must select
+    * (query_id, neighbor_id); pairs join the raw vectors by id and re-rank
+    * on the exact scaled cosine.
+    */
+  def duckRerankExact(shortlistSql: String, k: Int): String = {
+    val cos = duckCosineScaled("q.embedding", "n.embedding")
+    s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         SELECT s.query_id, s.neighbor_id, $cos AS cos_micro,
+                CAST(row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY $cos DESC, s.neighbor_id ASC) AS BIGINT) AS rank
+         FROM ($shortlistSql) s
+           JOIN embeddings q ON q.vec_id = s.query_id
+           JOIN embeddings n ON n.vec_id = s.neighbor_id) AS t
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Deterministic ±1 random hyperplanes: component (p, d) from one MD5 bit.
     * Computed in Scala and embedded as literals on BOTH engines, so the plane
     * matrix can never drift between Spark plan and oracle SQL.

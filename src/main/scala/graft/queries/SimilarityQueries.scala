@@ -204,6 +204,24 @@ object SimilarityQueries {
       oracle = Some(Similarity.duckPqTopK("q.vec_id < 8", K, m = 4,
         dims = Dims, codebook = 8, iters = 1))),
 
+    // two-stage retrieval, the production ANN recipe end to end: the PQ-ADC
+    // compressed-domain scan nominates a 3k shortlist, then ONLY those pairs
+    // are re-scored against the raw float vectors and re-ranked to the final
+    // k — the exact math runs on a broadcast-sized pair set (point lookups
+    // by id, never a second scan). Quantization can reorder CANDIDATES but
+    // not the final ranking: output order is exact-cosine over the shortlist
+    "sim_pq_rerank" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val shortlist = Similarity.pqTopK(e, col("vec_id") < 8, 3 * K, m = 4,
+          dims = Dims, codebook = 8, iters = 1)
+        Similarity.rerankExact(shortlist, e, K)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some(Similarity.duckRerankExact(
+        Similarity.duckPqTopK("q.vec_id < 8", 3 * K, m = 4, dims = Dims,
+          codebook = 8, iters = 1), K))),
+
     // IVF-PQ: the production billion-scale composition — coarse k-means
     // cells gate the scan (nprobe=2), global PQ codebooks over CELL
     // RESIDUALS compress it; score = exact query-cell dot + residual ADC

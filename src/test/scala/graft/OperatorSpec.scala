@@ -416,6 +416,23 @@ class OperatorSpec extends SparkSpec {
     assert(got.distinct == got)
   }
 
+  test("rerankExact of the complete pair set reproduces exact topK") {
+    // the identity that makes two-stage retrieval trustworthy: rerank is
+    // exact-cosine rankTopK over whatever pairs it is given, so given ALL
+    // pairs it must equal the brute-force baseline bit for bit
+    val queries = emb.filter(col("vec_id") < 4)
+    val allPairs = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val viaRerank = Similarity.rerankExact(allPairs, emb, 5)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val viaTopK = Similarity.topK(queries, emb, 5)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(viaRerank == viaTopK)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
