@@ -154,6 +154,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), plan)
   }
 
+  test("z-order layout is one pruned scan + partial agg; interleave stays in codegen") {
+    val plan = physicalPlan("q_zorder_layout")
+    // only the two interleaved keys are read from the 11-column table
+    assert(plan.contains("FileScan parquet [l_partkey,l_suppkey]")
+      || plan.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min")
+      || plan.contains("Partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    // the bit lanes fold into whole-stage codegen over the scan
+    val codegen = SparkEntry.queries("q_zorder_layout")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+
+  test("triangle enumeration is equi-joins only — no cartesian, no nested loop") {
+    val plan = physicalPlan("q_triangles")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("LeftSemi"), plan) // closing edge is a semi-join
+  }
+
+  test("PQ rerank scores only the shortlist: raw-vector side joins a BROADCAST pair set") {
+    val plan = physicalPlan("sim_pq_rerank")
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
