@@ -81,4 +81,52 @@ object Layout {
                      (${duckZValue(xCol, yCol, bits)} >> $tileShift) AS bucket
               FROM $table) AS z
         GROUP BY bucket ORDER BY bucket"""
+
+  /** Small-file compaction plan — the other half of lakehouse layout
+    * maintenance next to [[zBucketStats]]: given a file listing (directory,
+    * ordered file id, byte size), assign files to merge groups by constant-
+    * size chunking of each directory's cumulative byte offset: a file whose
+    * START offset falls in `[b·target, (b+1)·target)` joins bin `b`. The
+    * output (one row per planned merge group: file count, bytes, id range)
+    * is what a compactor executes with per-group concatenating rewrites.
+    *
+    * Scale shape (100 TB): one window over (dir, id) — Spark shuffles by
+    * `dir` and sorts each partition once; every downstream figure is a
+    * partial-agg `groupBy` on the same keys, so AQE coalesces it onto the
+    * window's partitioning with no second exchange. The offset-chunking rule
+    * (rather than stateful first-fit) is what keeps the planner a pure
+    * window expression: bin boundaries depend only on the prefix sum, not on
+    * earlier bin decisions, so both engines compute it with identical SQL
+    * semantics and a 1000-dir listing plans in one pass.
+    */
+  def compactionPlan(files: org.apache.spark.sql.DataFrame, dirCol: String,
+                     idCol: String, sizeCol: Column, targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dir")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    files
+      .select(col(dirCol).as("dir"), col(idCol).cast("long").as("id"),
+        sizeCol.cast("long").as("bytes"))
+      .withColumn("bin",
+        floor((sum(col("bytes")).over(w) - col("bytes")) / lit(targetBytes.toDouble)))
+      .groupBy(col("dir"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("id")).as("id_first"), max(col("id")).as("id_last"))
+  }
+
+  /** DuckDB twin of [[compactionPlan]] over a named table. */
+  def duckCompactionPlan(table: String, dirCol: String, idCol: String,
+                         sizeSql: String, targetBytes: Long): String =
+    s"""WITH files AS (
+          SELECT $dirCol AS dir, CAST($idCol AS BIGINT) AS id,
+                 CAST($sizeSql AS BIGINT) AS bytes FROM $table),
+        packed AS (
+          SELECT dir, id, bytes,
+                 CAST(floor((sum(bytes) OVER (PARTITION BY dir ORDER BY id
+                      ROWS UNBOUNDED PRECEDING) - bytes) / $targetBytes.0) AS BIGINT) AS bin
+          FROM files)
+        SELECT dir, bin, count(*) AS n_files, sum(bytes) AS bytes,
+               min(id) AS id_first, max(id) AS id_last
+        FROM packed GROUP BY dir, bin ORDER BY dir, bin"""
 }

@@ -399,5 +399,40 @@ object AnalyticsQueries {
       },
       oracle = Some(graft.operators.Layout.duckZBucketStats(
         "lineitem", "l_partkey", "l_suppkey", bits = 21, tileShift = 16)))
+      ,
+
+    // Small-file compaction plan over the documents listing (source dir,
+    // doc_id order, text length as the byte size): one window pass chunks
+    // each directory's cumulative offset into ~4 KiB merge groups — the
+    // lakehouse compactor's planning half, sibling to q_zorder_layout's
+    // file-statistics half. Shuffles once by dir for the window; the group
+    // aggregate reuses that partitioning (partial aggs, no second exchange)
+    "q_compaction_bins" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = graft.core.Readers.fixture(spark, sfDir, "documents")
+        graft.operators.Layout.compactionPlan(docs, "source", "doc_id",
+            length(col("text")), targetBytes = 4096L)
+          .orderBy("dir", "bin")
+      },
+      oracle = Some(graft.operators.Layout.duckCompactionPlan(
+        "documents", "source", "doc_id", "length(text)", targetBytes = 4096L))),
+
+    // Entity resolution: fuzzy-match customer names (levenshtein ≤ 1) inside
+    // nation blocks without any O(n²) comparison — two blocked equi-joins
+    // over disjoint digit windows of the name, UNION-deduplicated, with the
+    // quadratic edit-distance computed once per distinct candidate pair.
+    // The disjoint windows give pigeonhole-exact recall for one-substitution
+    // typos on the fixed-width names (see EntityResolution.scala)
+    "q_entity_resolution" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cust = graft.core.Readers.fixture(spark, sfDir, "customer")
+        graft.operators.EntityResolution.blockedFuzzyPairs(cust,
+            "c_custkey", "c_name", "c_nationkey",
+            winA = (10, 4), winB = (14, 5), maxDist = 1)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(graft.operators.EntityResolution.duckBlockedFuzzyPairs(
+        "customer", "c_custkey", "c_name", "c_nationkey",
+        winA = (10, 4), winB = (14, 5), maxDist = 1)))
   )
 }

@@ -433,6 +433,58 @@ class OperatorSpec extends SparkSpec {
     assert(viaRerank == viaTopK)
   }
 
+  test("compaction plan equals a plain-Scala offset-chunking reference") {
+    val target = 4096L
+    val got = Layout.compactionPlan(docs, "source", "doc_id", length(col("text")), target)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // independent reference: per-dir running offset, file joins the bin its
+    // START offset falls in; aggregate the same five figures per (dir, bin)
+    val files = docs.select(col("source"), col("doc_id").cast("long"),
+        length(col("text")).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val want = files.groupBy(_._1).toSeq.flatMap { case (dir, fs) =>
+      var offset = 0L
+      fs.sortBy(_._2).map { case (_, id, bytes) =>
+        val bin = offset / target
+        offset += bytes
+        (dir, bin, id, bytes)
+      }.groupBy(_._2).map { case (bin, members) =>
+        (dir, bin, members.size.toLong, members.map(_._4).sum,
+          members.map(_._3).min, members.map(_._3).max)
+      }
+    }.sorted
+    assert(got == want)
+    // conservation: the plan partitions the listing exactly
+    assert(got.map(_._3).sum == files.size && got.map(_._4).sum == files.map(_._3).sum)
+  }
+
+  test("blocked fuzzy pairs equal brute-force same-block levenshtein<=1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = Readers.fixture(spark, sfDir, "customer")
+    val got = EntityResolution.blockedFuzzyPairs(cust,
+        "c_custkey", "c_name", "c_nationkey", winA = (10, 4), winB = (14, 5), maxDist = 1)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // brute force over every same-nation pair: equal-length names make a
+    // single substitution leave one blocking window untouched (pigeonhole),
+    // so the blocked union must find EVERY lev<=1 pair, not just a subset
+    val rows = cust.select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_nationkey").cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val want = for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ba == bb && ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)
+    assert(got == want.sorted && got.nonEmpty)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -180,6 +180,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
   }
 
+  test("compaction plan prunes the scan and reuses the window's partitioning") {
+    val plan = physicalPlan("q_compaction_bins")
+    // only (source, doc_id, text) leave the 5-column documents scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Partial") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+    // one data shuffle: the group-by reuses the window's hash(dir)
+    // partitioning (the only other exchange is the final ORDER BY's range)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("entity resolution is blocked equi-joins; distance filters inside the join tasks") {
+    val plan = physicalPlan("q_entity_resolution")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // blocking keys are the join keys; levenshtein is pushed into each
+    // join's post-condition (never the lookup key), so the dedup exchange
+    // above the Union shuffles only matching pairs
+    val joinLines = plan.linesIterator.filter(_.contains("HashJoin")).toSeq
+    assert(joinLines.size == 2 && joinLines.forall(_.contains("levenshtein")), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
