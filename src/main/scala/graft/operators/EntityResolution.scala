@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   * Edits that change length shift every later window position; equal-length
   * inputs (the fixture's fixed-width names) make the guarantee exact.
   *
+  * The guarantee needs DISJOINT windows, not covering ones — a substitution
+  * outside both windows leaves both agreeing (the pair is just found twice
+  * and deduplicated). That freedom is the selectivity lever: windows must
+  * sit on HIGH-ENTROPY character positions, because block sizes — not the
+  * match count — are the quadratic term. On zero-padded identifiers the
+  * leading digits are near-constant at every scale (ids below 10ᵏ zero the
+  * first 9−k positions), so a leading-window block collapses to "everything
+  * in the nation" and the pass degenerates toward O(n²/nations): measured
+  * 16.8 s → 1.4 s at sf0.1 moving the windows from the leading to the
+  * trailing digits. At 100× the trailing windows keep splitting (low-order
+  * digits stay uniform); re-audit window entropy when the id domain grows.
+  *
   * Cost discipline: candidate generation is equi-joins only — the O(len²)
   * dynamic-programming `levenshtein` never gates the join lookup itself.
   * The `≤ maxDist` filter is written above the union's dedup, and Catalyst

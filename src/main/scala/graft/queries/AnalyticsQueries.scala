@@ -419,20 +419,23 @@ object AnalyticsQueries {
 
     // Entity resolution: fuzzy-match customer names (levenshtein ≤ 1) inside
     // nation blocks without any O(n²) comparison — two blocked equi-joins
-    // over disjoint digit windows of the name, UNION-deduplicated, with the
-    // quadratic edit-distance computed once per distinct candidate pair.
-    // The disjoint windows give pigeonhole-exact recall for one-substitution
-    // typos on the fixed-width names (see EntityResolution.scala)
+    // over disjoint digit windows of the name, UNION-deduplicated, distance
+    // filtered inside the join tasks. Disjoint windows give pigeonhole-exact
+    // recall for one-substitution typos on the fixed-width names, so the
+    // window CHOICE only affects block sizes, never the result — both sit on
+    // the trailing (high-entropy) digits because the leading digits of
+    // zero-padded ids are near-constant and would degenerate the block join
+    // toward per-nation O(n²) (see EntityResolution.scala)
     "q_entity_resolution" -> QueryEntry(
       fn = (spark, sfDir) => {
         val cust = graft.core.Readers.fixture(spark, sfDir, "customer")
         graft.operators.EntityResolution.blockedFuzzyPairs(cust,
             "c_custkey", "c_name", "c_nationkey",
-            winA = (10, 4), winB = (14, 5), maxDist = 1)
+            winA = (14, 3), winB = (17, 2), maxDist = 1)
           .orderBy("id_a", "id_b")
       },
       oracle = Some(graft.operators.EntityResolution.duckBlockedFuzzyPairs(
         "customer", "c_custkey", "c_name", "c_nationkey",
-        winA = (10, 4), winB = (14, 5), maxDist = 1)))
+        winA = (14, 3), winB = (17, 2), maxDist = 1)))
   )
 }

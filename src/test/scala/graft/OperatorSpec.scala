@@ -469,7 +469,7 @@ class OperatorSpec extends SparkSpec {
     }
     val cust = Readers.fixture(spark, sfDir, "customer")
     val got = EntityResolution.blockedFuzzyPairs(cust,
-        "c_custkey", "c_name", "c_nationkey", winA = (10, 4), winB = (14, 5), maxDist = 1)
+        "c_custkey", "c_name", "c_nationkey", winA = (14, 3), winB = (17, 2), maxDist = 1)
       .select("id_a", "id_b", "dist")
       .as[(Long, Long, Long)].collect().toSeq.sorted
     // brute force over every same-nation pair: equal-length names make a
