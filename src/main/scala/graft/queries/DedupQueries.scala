@@ -18,6 +18,9 @@ object DedupQueries {
   // ExactSubstr window: long enough that random 56-token docs don't collide,
   // short enough that the fixture's planted near-dups share whole windows
   private val SubstrK = 8
+  // dedup_lsh_recall ground-truth probe: docs below this id are the exact-
+  // Jaccard query side (probe × corpus stays linear in the corpus)
+  private val ProbeDocs = 100L
 
   val entries: Map[String, QueryEntry] = Map(
 
@@ -111,6 +114,65 @@ object DedupQueries {
                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
            ORDER BY doc_a, doc_b"""
       )),
+
+    // LSH recall tripwire, the dedup-side twin of sim_ann_recall: exact
+    // Jaccard pairs from a bounded probe set (probe docs × corpus — LINEAR
+    // in the corpus, never all-pairs) are the ground truth; recall of the
+    // banded candidate generation is reported per similarity band, so a
+    // (NumPerm, NumBands) tuning change that starts missing real near-dups
+    // flips a hash-checked result instead of silently shrinking the dedup.
+    // Everything integer micro-units (DIV), no float drift across engines.
+    // The banding S-curve shows in the output: recall rises with the band
+    "dedup_lsh_recall" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val probe = sh.filter(col("id") < ProbeDocs)
+          .select(col("id").as("id_p"), col("sh").as("sh_p"))
+        val exact = probe
+          .crossJoin(sh.select(col("id").as("id_o"), col("sh").as("sh_o")))
+          .filter(col("id_p") =!= col("id_o"))
+          .select(least(col("id_p"), col("id_o")).as("doc_a"),
+            greatest(col("id_p"), col("id_o")).as("doc_b"),
+            expr("(CAST(size(array_intersect(sh_p, sh_o)) AS BIGINT) * 1000000)"
+              + " DIV size(array_union(sh_p, sh_o))").as("j_micro"))
+          .filter(col("j_micro") >= 500000L)
+          .distinct() // both-ends-in-probe pairs arrive once per direction
+        val cand = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        exact.join(cand, Seq("doc_a", "doc_b"), "left")
+          .na.fill(Map("hit" -> 0L))
+          .select(explode(array(lit(500000L), lit(700000L), lit(900000L)))
+            .as("threshold_micro"), col("j_micro"), col("hit"))
+          .filter(col("j_micro") >= col("threshold_micro"))
+          .groupBy("threshold_micro")
+          .agg(count(lit(1)).as("n_exact"), sum("hit").as("n_hit"))
+          .withColumn("recall_micro", expr("n_hit * 1000000 DIV n_exact"))
+          .orderBy("threshold_micro")
+      },
+      oracle = Some(
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS c),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)},
+           exact AS (
+             SELECT DISTINCT least(p.id, o.id) AS doc_a, greatest(p.id, o.id) AS doc_b,
+                    (CAST(len(list_intersect(p.sh, o.sh)) AS BIGINT) * 1000000)
+                      // len(list_distinct(list_concat(p.sh, o.sh))) AS j_micro
+             FROM shs p JOIN shs o ON p.id <> o.id
+             WHERE p.id < $ProbeDocs
+               AND (CAST(len(list_intersect(p.sh, o.sh)) AS BIGINT) * 1000000)
+                     // len(list_distinct(list_concat(p.sh, o.sh))) >= 500000),
+           marked AS (
+             SELECT e.j_micro, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+             FROM exact e LEFT JOIN cand c
+               ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+           SELECT threshold_micro, count(*) AS n_exact,
+                  CAST(sum(hit) AS BIGINT) AS n_hit,
+                  (CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS recall_micro
+           FROM marked, (SELECT unnest([CAST(500000 AS BIGINT), 700000, 900000])
+                         AS threshold_micro) t
+           WHERE j_micro >= threshold_micro
+           GROUP BY threshold_micro ORDER BY threshold_micro""")),
 
     // asymmetric containment (quote/subset detection, the Lee et al. '22
     // substring-dedup signal LSH can't see symmetrically): |A∩B|/|A| per

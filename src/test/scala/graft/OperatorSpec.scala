@@ -433,6 +433,24 @@ class OperatorSpec extends SparkSpec {
     assert(viaRerank == viaTopK)
   }
 
+  test("LSH dedup recall floor: banded candidates keep finding the exact near-dup pairs") {
+    // dedup-side twin of the ANN floor above: dedup_lsh_recall measures the
+    // banded candidate generation against exact probe-set Jaccard; this gate
+    // enforces it. Measured at sf0.001 with (16 perms, 4 bands): recall
+    // 1000000 at every band (17/17, 17/17, 16/16) — the fixture's planted
+    // near-dups are far above the banding S-curve's midpoint. Floors leave
+    // margin for fixture drift while still failing a (perm, band) tuning
+    // change that starts dropping real near-dups
+    val bands = SparkEntry.queries("dedup_lsh_recall")(spark, sfDir)
+      .select("threshold_micro", "n_exact", "recall_micro")
+      .as[(Long, Long, Long)].collect()
+    info(s"recall per band: ${bands.toSeq}")
+    assert(bands.nonEmpty && bands.forall(_._2 > 0), s"empty ground truth: ${bands.toSeq}")
+    val high = bands.filter(_._1 >= 900000L)
+    assert(high.forall(_._3 >= 900000L), s"high-band recall regressed: ${bands.toSeq}")
+    assert(bands.forall(_._3 >= 700000L), s"recall floor breached: ${bands.toSeq}")
+  }
+
   test("compaction plan equals a plain-Scala offset-chunking reference") {
     val target = 4096L
     val got = Layout.compactionPlan(docs, "source", "doc_id", length(col("text")), target)
