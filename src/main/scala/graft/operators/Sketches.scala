@@ -50,6 +50,69 @@ object Sketches {
     else ((Two64 * (k - 1)) / minima.last).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
   }
 
+  /** Theta-style set algebra over two KMV sketches (the operation that makes
+    * the sketch an ANALYTICS primitive, not just a counter): estimate the
+    * distinct count of A∖B, A∩B, and A∪B from two k-hash sketches, without
+    * ever joining the underlying sets. θ = min of the two sketches' k-th
+    * minima (2⁶⁴ when a sketch is exhaustive); every sketch hash below θ is
+    * a uniform sample of its set at rate θ/2⁶⁴, so plain set algebra on the
+    * sampled hashes scaled by 2⁶⁴/θ estimates the same algebra on the data
+    * — exhaustive sketches degrade to EXACT counts (θ = 2⁶⁴, scale 1).
+    *
+    * Scale shape: each sketch is a distributed TakeOrdered(k) (only k hashes
+    * per partition cross the wire — [[kmvDistinct]]'s plan); the algebra
+    * runs on 2k driver-side integers in exact BigInt arithmetic. This is the
+    * production segment-overlap recipe: sketch each segment once per
+    * day/shard, answer any cross-segment overlap later WITHOUT rescanning —
+    * at 100 TB the exact answer needs a shuffle of every segment pair, the
+    * sketch answers from kilobytes.
+    *
+    * Returns one (op, n_kept, estimate) per operation, ops ordered
+    * a_minus_b / intersect / union.
+    */
+  def kmvSetOps(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+                k: Int): Seq[(String, Long, Long)] = {
+    require(k >= 2, s"k=$k: the estimator needs at least 2 minima")
+    val two64 = BigInt(1) << 64
+    def sketch(df: DataFrame, key: Column): Array[BigInt] =
+      df.select(hash64(key).as("h")).distinct().orderBy(col("h").asc).limit(k)
+        .collect().map(r => BigInt(r.getDecimal(0).toBigInteger))
+    val (sa, sb) = (sketch(dfA, keyA), sketch(dfB, keyB))
+    def thetaOf(s: Array[BigInt]): BigInt = if (s.length < k) two64 else s.last
+    val theta = thetaOf(sa) min thetaOf(sb)
+    val (fa, fb) = (sa.filter(_ < theta).toSet, sb.filter(_ < theta).toSet)
+    def row(op: String, n: Int) = (op, n.toLong, (BigInt(n) * two64 / theta).toLong)
+    Seq(row("a_minus_b", (fa -- fb).size), row("intersect", (fa & fb).size),
+      row("union", (fa | fb).size))
+  }
+
+  /** DuckDB twin of [[kmvSetOps]] over two segment subqueries (each yielding
+    * one key column named `k`): the same θ rule, the same strictly-below-θ
+    * filter, the same HUGEINT floor scaling.
+    */
+  def duckKmvSetOps(segASql: String, segBSql: String, k: Int): String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def h = (src: String) =>
+      s"SELECT DISTINCT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16) AS UBIGINT) AS h FROM ($src) ORDER BY h ASC LIMIT $k"
+    s"""sa AS (${h(segASql)}), sb AS (${h(segBSql)}),
+       th AS (SELECT least(
+         (SELECT CASE WHEN count(*) < $k THEN $two64 ELSE CAST(max(h) AS HUGEINT) END FROM sa),
+         (SELECT CASE WHEN count(*) < $k THEN $two64 ELSE CAST(max(h) AS HUGEINT) END FROM sb)) AS theta),
+       fa AS (SELECT h FROM sa, th WHERE CAST(h AS HUGEINT) < theta),
+       fb AS (SELECT h FROM sb, th WHERE CAST(h AS HUGEINT) < theta),
+       ops AS (
+         SELECT 'a_minus_b' AS op,
+                (SELECT count(*) FROM fa WHERE h NOT IN (SELECT h FROM fb)) AS n_kept
+         UNION ALL SELECT 'intersect',
+                (SELECT count(*) FROM fa WHERE h IN (SELECT h FROM fb))
+         UNION ALL SELECT 'union',
+                (SELECT count(*) FROM (SELECT h FROM fa UNION SELECT h FROM fb) u)),
+       sketch_ops AS (
+         SELECT op, CAST(n_kept AS BIGINT) AS n_kept,
+                CAST(CAST(n_kept AS HUGEINT) * $two64 // theta AS BIGINT) AS estimate
+         FROM ops, th)"""
+  }
+
   /** DuckDB twin of [[kmvDistinct]] as a scalar subquery: same hash, same
     * k-th minimum, same floor division in HUGEINT.
     */

@@ -170,6 +170,51 @@ object AnalyticsQueries {
     // approx-distinct whose integer estimator IS cross-engine comparable
     // (unlike HLL's floats) — the 100 TB countDistinct stand-in, oracle-gated
     // on the estimate itself
+    // Theta-style segment overlap from KMV sketches: estimate |A∖B|, |A∩B|,
+    // |A∪B| for two customer segments (had-an-URGENT-order vs had-a-LOW-
+    // order) from two k=256 sketches — kilobytes — next to the exact answer
+    // for error context. The 100 TB story: sketch each segment at ingest,
+    // answer ANY cross-segment overlap later without rescanning; the exact
+    // column is the one-shuffle flag-aggregate (full-outer on distinct keys)
+    // run here only because the fixture makes it cheap
+    "q_segment_overlap_kmv" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val spark2 = spark; import spark2.implicits._
+        val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+        def seg(p: String) = orders.filter(col("o_orderpriority") === p)
+          .select(col("o_custkey").as("k")).distinct()
+        val (a, b) = (seg("1-URGENT"), seg("5-LOW"))
+        val est = Sketches.kmvSetOps(a, col("k"), b, col("k"), k = 256)
+        // exact counts in ONE pass: full-outer flag join of the two key sets
+        val flags = a.withColumn("fa", lit(1L))
+          .join(b.withColumn("fb", lit(1L)), Seq("k"), "full_outer")
+          .agg(sum(when(col("fa").isNotNull && col("fb").isNull, 1L).otherwise(0L)),
+            sum(when(col("fa").isNotNull && col("fb").isNotNull, 1L).otherwise(0L)),
+            count(lit(1L)))
+          .as[(Long, Long, Long)].head()
+        val exact = Map("a_minus_b" -> flags._1, "intersect" -> flags._2,
+          "union" -> flags._3)
+        est.map { case (op, n, e) => (op, n, e, exact(op)) }
+          .toDF("op", "n_kept", "estimate", "exact").orderBy("op")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        def seg(p: String) =
+          s"SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '$p'"
+        s"""WITH ea AS (${seg("1-URGENT")}), eb AS (${seg("5-LOW")}),
+           ${Sketches.duckKmvSetOps("SELECT k FROM ea", "SELECT k FROM eb", 256)},
+           exact AS (SELECT
+             (SELECT count(*) FROM (SELECT k FROM ea EXCEPT SELECT k FROM eb)) AS x_amb,
+             (SELECT count(*) FROM (SELECT k FROM ea INTERSECT SELECT k FROM eb)) AS x_int,
+             (SELECT count(*) FROM (SELECT k FROM ea UNION SELECT k FROM eb)) AS x_uni)
+           SELECT op, n_kept, estimate,
+                  CAST(CASE op WHEN 'a_minus_b' THEN x_amb
+                               WHEN 'intersect' THEN x_int
+                               ELSE x_uni END AS BIGINT) AS exact
+           FROM sketch_ops, exact ORDER BY op"""
+      }),
+
     "q_distinct_kmv" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.Sketches

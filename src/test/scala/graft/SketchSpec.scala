@@ -41,6 +41,40 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.kmvDistinct(region, col("r_regionkey"), 256) == 5L)
   }
 
+  test("KMV set algebra: exhaustive segments exact, estimates bounded, self-consistent") {
+    import graft.operators.Sketches
+    val orders = Readers.fixture(spark, sfDir, "orders")
+    def seg(p: String) = orders.filter(col("o_orderpriority") === p)
+      .select(col("o_custkey").as("k")).distinct()
+    val (a, b) = (seg("1-URGENT"), seg("5-LOW"))
+
+    // exhaustive case (k above both segment sizes): θ = 2⁶⁴, every estimate
+    // IS the exact distinct count of the hash-set algebra
+    val bigK = Sketches.kmvSetOps(a, col("k"), b, col("k"), k = 100000)
+      .map { case (op, n, est) => op -> (n, est) }.toMap
+    val exactInt = a.intersect(b).count()
+    val exactUni = a.union(b).distinct().count()
+    assert(bigK("intersect") == ((exactInt, exactInt)), bigK.toString)
+    assert(bigK("union") == ((exactUni, exactUni)), bigK.toString)
+    assert(bigK("a_minus_b")._2 == a.count() - exactInt, bigK.toString)
+
+    // sketched case (k=32 below the ~130-key segments, so θ < 2⁶⁴ and the
+    // scale-up is live): partitioning-invariant, internally consistent
+    // (kept hashes of a∖b and a∩b partition fa, so their sum is ≤ union's),
+    // and within a generous relative band of exact — RSE ≈ 1/√(k−2) ≈ 18%
+    val est = Sketches.kmvSetOps(a, col("k"), b, col("k"), k = 32)
+      .map { case (op, n, e) => op -> (n, e) }.toMap
+    val est2 = Sketches.kmvSetOps(a.repartition(7), col("k"),
+      b.repartition(5), col("k"), k = 32)
+      .map { case (op, n, e) => op -> (n, e) }.toMap
+    assert(est == est2, s"partitioning changed the sketch: $est vs $est2")
+    assert(est("a_minus_b")._1 + est("intersect")._1 <= est("union")._1, est.toString)
+    assert(math.abs(est("union")._2 - exactUni).toDouble / exactUni < 0.55,
+      s"union est=${est("union")} exact=$exactUni")
+    assert(math.abs(est("intersect")._2 - exactInt).toDouble / exactInt < 0.75,
+      s"intersect est=${est("intersect")} exact=$exactInt")
+  }
+
   test("HLL distinct sketch: within 3 sigma of exact, partitioning-invariant") {
     import graft.operators.Sketches
     val li = Readers.fixture(spark, sfDir, "lineitem")
