@@ -225,6 +225,41 @@ object EventQueries {
                  > 2 * sum(n_events) OVER (PARTITION BY event_type) AS is_spike
         FROM hourly ORDER BY hour_us, event_type""")),
 
+    // streaming twin of the anomaly scan, with the causally-correct
+    // semantics: each completed hour is flagged against the TRAILING per-type
+    // baseline (only hours before it), emitted exactly once when the next
+    // hour's first event arrives — alerting semantics, where the batch query
+    // scores retrospectively against the whole history. Per-type state is
+    // four longs; each type's final open hour never completes, so the oracle
+    // drops it symmetrically
+    "ev_anomaly_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.anomalyHours(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        graft.streaming.EventStreams.runToBatch(stream.toDF(),
+          s"ev_anom_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy("hour_us", "event_type")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT hour_us, event_type, n_events,
+                 count(*) OVER w AS baseline_hours,
+                 CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS baseline_total,
+                 n_events * count(*) OVER w
+                   > 2 * coalesce(sum(n_events) OVER w, 0) AS is_spike,
+                 max(hour_us) OVER (PARTITION BY event_type) AS last_hour
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT hour_us, event_type, n_events, baseline_hours, baseline_total,
+               is_spike
+        FROM scored WHERE hour_us < last_hour ORDER BY hour_us, event_type""")),
+
     // gap-based sessionization: a >30min silence starts a new session
     "ev_sessionize" -> QueryEntry(
       fn = (spark, sfDir) => {

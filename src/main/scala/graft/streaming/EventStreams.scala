@@ -213,6 +213,61 @@ object EventStreams {
         })
   }
 
+  case class HourlyAnomaly(hour_us: Long, event_type: String, n_events: Long,
+                           baseline_hours: Long, baseline_total: Long,
+                           is_spike: Boolean)
+
+  /** Streaming anomaly detection against a TRAILING baseline: per event
+    * type, each completed hour is flagged by comparing its count to the
+    * running mean of the hours before it (`n · hours_seen > 2 · total_seen`)
+    * — the genuinely-streaming formulation of ev_hourly_anomaly, which as a
+    * batch query scores every hour against the WHOLE history including the
+    * future. Here an hour's verdict uses only the past, so it is emitted
+    * exactly once, the moment the hour completes (the first event of the
+    * next hour arrives) — the alerting semantics a monitor actually wants.
+    *
+    * State per event type is four longs (open hour, its count, hours seen,
+    * total seen) — bounded by the type cardinality, not the stream length.
+    * Requires the event-time arrival order of the [[sessionize]] contract;
+    * a violated contract fails loudly rather than mis-baselining. The final
+    * open hour of each type never completes and is never emitted (its
+    * verdict would change with more data); the batch oracle drops each
+    * type's last hour to match.
+    */
+  def anomalyHours(events: DataFrame): Dataset[HourlyAnomaly] = {
+    val HourUs = 3600000000L
+    implicit val keyEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[HourlyAnomaly]
+    events.select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) => {
+          val hours = rows.map(r => r._2 - r._2 % HourUs).toArray.sorted
+          var (curHour, nCur, hoursSeen, totalSeen) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HourlyAnomaly]
+          hours.foreach { h =>
+            require(curHour == Long.MinValue || h >= curHour,
+              s"event-time arrival order violated for $etype: hour $h after $curHour")
+            if (curHour == Long.MinValue) { curHour = h; nCur = 1L }
+            else if (h == curHour) nCur += 1
+            else {
+              out += HourlyAnomaly(curHour, etype, nCur, hoursSeen, totalSeen,
+                nCur * hoursSeen > 2L * totalSeen)
+              hoursSeen += 1; totalSeen += nCur
+              curHour = h; nCur = 1L
+            }
+          }
+          state.update((curHour, nCur, hoursSeen, totalSeen))
+          out.iterator
+        })
+  }
+
   /** Continuous verification: per-event-type running fingerprint of the
     * append-only stream. The order-insensitive digest
     * ([[graft.core.Fingerprints.unorderedDigestCol]]) is a commutative

@@ -257,6 +257,32 @@ class StreamingSpec extends SparkSpec {
     assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
   }
 
+  test("anomaly baseline carries across micro-batches, open hour resumed not re-emitted") {
+    // split at the median so hours straddle the cut: batch 1's OPEN hour
+    // must resume counting in batch 2 (state carry), and every completed
+    // hour must be emitted exactly once with the same trailing baseline as
+    // the single-batch replay (the oracle-gated registered query)
+    val inDir = Files.createTempDirectory("graft-anom-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-anom-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    val stream = EventStreams.anomalyHours(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+    val got = EventStreams.runToBatch(stream.toDF(), "anom2", OutputMode.Append)
+    assert(got.count() == got.distinct().count(), "an hour was emitted twice")
+    val want = SparkEntry.queries("ev_anomaly_stream")(spark, sfDir)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "two-batch replay diverged from the single-batch result")
+  }
+
   test("funnel state machine carries across micro-batches (two-file staged arrival)") {
     // split the fixture into two time-ordered halves so a user's signup can
     // land in batch 1 and their click/purchase in batch 2 — the final stage
