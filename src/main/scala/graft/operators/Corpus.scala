@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.OracleSql
@@ -63,6 +63,42 @@ object Corpus {
     val h = OracleSql.signedMd564(s"CAST($idSql AS VARCHAR)")
     s"(($h % ($rate) + ($rate)) % ($rate)) = 0"
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM '07): draw a weight-
+    * biased size-k sample by giving every row the key `u / w` (u a uniform
+    * hash, w its integer weight) and keeping the k smallest keys — higher
+    * weight ⇒ smaller key ⇒ more likely kept, with the generality plain
+    * `ORDER BY weight LIMIT k` lacks (low-weight rows still get
+    * proportional representation, so the sample is usable for unbiased
+    * estimation, not just top-k cherry-picking).
+    *
+    * Everything stays in exact 64-bit integers: u is the first 32 md5 bits,
+    * pre-scaled by 2²⁰ before the floor division so weight differences
+    * survive the integer quotient (u·2²⁰ ≤ 2⁵² — no overflow, no floats,
+    * no cross-engine libm risk; the float formulation u^(1/w) would not
+    * hash-match across engines).
+    *
+    * Scale shape: per-row codegen expressions + a global TakeOrdered(k) —
+    * per-partition top-k partials, only k rows per partition cross the
+    * wire, same plan family as [[Sketches.kmvDistinct]].
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
+    df
+      .withColumn("w", weight.cast("long"))
+      .withColumn("u",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"))
+      // `div` (integral division), never floor(a/b): the float quotient can
+      // round up across an integer boundary and flip the floor by one —
+      // exactly the cross-engine hazard the integer formulation exists for
+      .withColumn("priority", expr("(u * 1048576) div w"))
+      .drop("u")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+
+  /** DuckDB twin of [[prioritySample]]'s key (HUGEINT-safe `//` floor). */
+  def duckPriorityKey(idSql: String, weightSql: String): String =
+    s"(CAST(CAST('0x' || substr(md5(CAST($idSql AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)" +
+      s" * 1048576) // ($weightSql)"
 
   /** Source-weighted corpus mixing (the domain-mix step of an LLM data
     * pipeline): deterministically hash-sample each source so the kept token

@@ -71,6 +71,35 @@ object CorpusQueries {
            WHERE ${Corpus.duckStratifiedKeep("doc_id", "lang", SampleRates, DefaultRate)}
            ORDER BY doc_id""")),
 
+    // weight-biased sampling (Duffield–Lund–Thorup priority sampling): a
+    // size-k sample where a document's keep probability scales with its
+    // quality score — the corpus-construction middle ground between uniform
+    // hash sampling (ignores quality) and top-k by score (drops the tail
+    // entirely and biases the mix). Key = 32-bit hash ·2²⁰ DIV weight, all
+    // exact integers, global TakeOrdered(k) — only k rows per partition
+    // cross the wire
+    "corpus_sample_weighted" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"),
+            qualityScore(tokens(col("text"))).as("q"))
+        // integer micro weight, +1 so zero-quality rows stay sampleable
+        Corpus.prioritySample(docs, "doc_id",
+            expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k = 150)
+          .select(col("doc_id"), col("lang"), col("w"), col("priority"))
+          .orderBy("priority", "doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckTokens}
+        s"""WITH toks AS (SELECT doc_id, lang, ${duckTokens("text")} AS tk FROM documents),
+           scored AS (SELECT doc_id, lang,
+                        CAST(floor((${duckQualityScore("tk")}) * 1000000) AS BIGINT) + 1 AS w
+                      FROM toks)
+           SELECT doc_id, lang, w, ${Corpus.duckPriorityKey("doc_id", "w")} AS priority
+           FROM scored ORDER BY priority, doc_id LIMIT 150"""
+      }),
+
     // eval-set decontamination: drop training documents sharing ANY word
     // trigram with a held-out "benchmark" slice (doc_id % 100 == 7 stands in
     // for the eval suite). The eval shingle set is tiny relative to the

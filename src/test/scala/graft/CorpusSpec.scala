@@ -56,6 +56,26 @@ class CorpusSpec extends SparkSpec {
     assert(half.exceptAll(again).isEmpty)
   }
 
+  test("priority sampling is weight-biased, exact-k, and partitioning-invariant") {
+    import spark.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+      .select(col("doc_id"), (length(col("text")) + 1).cast("long").as("wt"))
+    val k = 40
+    val sample = Corpus.prioritySample(docs, "doc_id", col("wt"), k)
+    val got = sample.select(col("doc_id"), col("w")).as[(Long, Long)].collect().toSeq.sorted
+    assert(got.size == k)
+    // the bias property the sampler exists for: keep probability scales
+    // with weight, so the sample's mean weight exceeds the population's
+    val sampleMean = got.map(_._2).sum.toDouble / k
+    val popMean = docs.agg(avg(col("wt"))).head().getDouble(0)
+    assert(sampleMean > popMean,
+      s"sample mean $sampleMean should exceed population mean $popMean")
+    // deterministic: hash keys don't depend on physical layout
+    val got2 = Corpus.prioritySample(docs.repartition(13), "doc_id", col("wt"), k)
+      .select(col("doc_id"), col("w")).as[(Long, Long)].collect().toSeq.sorted
+    assert(got == got2)
+  }
+
   test("decontamination output excludes the eval slice and contaminated train docs") {
     import scala.jdk.CollectionConverters._
     val docs = Readers.fixture(spark, sfDir, "documents")
