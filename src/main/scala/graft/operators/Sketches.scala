@@ -213,15 +213,32 @@ object Sketches {
   private val HllLnMicro: IndexedSeq[Long] =
     (1 to HllM).map(v => math.floor(math.log(HllM.toDouble / v) * 1e6).toLong)
 
+  /** The per-row (register index, rank) pair feeding every HLL variant. */
+  def hllRhoCols(key: Column): (Column, Column) = {
+    val h = md5(key.cast("string"))
+    val v = conv(substring(h, 3, 14), 16, 10).cast("long")
+    (conv(substring(h, 1, 2), 16, 10).cast("int"),
+      when(v === 0, 57).otherwise(lit(57) - length(bin(v))))
+  }
+
   /** Per-register max rank: (reg 0..255, m_rho 1..57). */
   def hllRegisters(df: DataFrame, key: Column): DataFrame = {
-    val h = md5(key.cast("string"))
-    df.select(
-        conv(substring(h, 1, 2), 16, 10).cast("int").as("reg"),
-        conv(substring(h, 3, 14), 16, 10).cast("long").as("v"))
-      .select(col("reg"),
-        when(col("v") === 0, 57).otherwise(lit(57) - length(bin(col("v")))).as("rho"))
+    val (reg, rho) = hllRhoCols(key)
+    df.select(reg.as("reg"), rho.as("rho"))
       .groupBy(col("reg")).agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** The shared integer estimator over a register vector (max ranks of the
+    * POPULATED registers) — the piece both the batch scalar and the
+    * streaming drain apply, so a streamed sketch and a batch sketch of the
+    * same rows produce literally the same number.
+    */
+  def hllEstimateFromRegisters(regs: Seq[Int]): Long = {
+    val zeroRegs = HllM - regs.length
+    val z = regs.map(m => BigInt(1) << (57 - m)).sum + zeroRegs * Two57
+    val raw = (BigInt(HllAlphaMicro) * HllM * HllM * Two57 / z / 1000000L).toLong
+    if (raw <= 5L * HllM / 2 && zeroRegs > 0) HllM * HllLnMicro(zeroRegs - 1) / 1000000L
+    else raw
   }
 
   /** HLL distinct estimate — deterministic integer arithmetic end to end,
@@ -230,20 +247,44 @@ object Sketches {
     * estimate <= 5m/2 and zero registers exist, estimate m·ln(m/V) from the
     * shared fixed-point table instead.
     */
-  def hllDistinct(df: DataFrame, key: Column): Long = {
-    val regs = hllRegisters(df, key).collect().map(r => r.getInt(1))
-    val zeroRegs = HllM - regs.length
-    val z = regs.map(m => BigInt(1) << (57 - m)).sum + zeroRegs * Two57
-    val raw = (BigInt(HllAlphaMicro) * HllM * HllM * Two57 / z / 1000000L).toLong
-    if (raw <= 5L * HllM / 2 && zeroRegs > 0) HllM * HllLnMicro(zeroRegs - 1) / 1000000L
-    else raw
-  }
+  def hllDistinct(df: DataFrame, key: Column): Long =
+    hllEstimateFromRegisters(
+      hllRegisters(df, key).collect().toIndexedSeq.map(_.getInt(1)))
 
   /** DuckDB twin of [[hllDistinct]] as a scalar subquery — same registers,
     * same scaled-integer raw estimate, same linear-counting branch over the
     * SAME embedded lnMicro literals (1-indexed list lookup by zero-register
     * count), so the two engines agree bit-for-bit.
     */
+  /** Grouped DuckDB twin: one HLL estimate per `groupSql` value — the same
+    * register/rank/alpha/linear-counting arithmetic as [[duckHllDistinct]],
+    * aggregated per group instead of as a scalar.
+    */
+  def duckHllByGroup(table: String, groupSql: String, keySql: String): String = {
+    val h = s"md5(CAST($keySql AS VARCHAR))"
+    val lnList = HllLnMicro.mkString("[", ", ", "]")
+    s"""WITH hh AS (SELECT $groupSql AS grp,
+                           CAST('0x' || substr($h, 1, 2) AS INTEGER) AS reg,
+                           CAST('0x' || substr($h, 3, 14) AS UBIGINT) AS v
+                    FROM $table),
+        r AS (SELECT grp, reg, max(CASE WHEN v = 0 THEN 57
+                                        ELSE 57 - length(bin(v)) END) AS m_rho
+              FROM hh GROUP BY grp, reg),
+        z AS (SELECT grp,
+                     CAST(sum(CAST(CAST(1 AS BIGINT) << (57 - m_rho) AS HUGEINT)) AS HUGEINT)
+                     + ($HllM - count(*)) * CAST(${Two57.toString} AS HUGEINT) AS zz,
+                     $HllM - count(*) AS zero_regs
+              FROM r GROUP BY grp),
+        raw AS (SELECT grp, CAST(CAST($HllAlphaMicro AS HUGEINT) * $HllM * $HllM
+                            * CAST(${Two57.toString} AS HUGEINT) // zz // 1000000 AS BIGINT)
+                         AS est, zero_regs
+                FROM z)
+        SELECT grp, CASE WHEN est <= ${5L * HllM / 2} AND zero_regs > 0
+                         THEN $HllM * $lnList[zero_regs] // 1000000
+                         ELSE est END AS est
+        FROM raw"""
+  }
+
   def duckHllDistinct(table: String, keySql: String): String = {
     val h = s"md5(CAST($keySql AS VARCHAR))"
     val lnList = HllLnMicro.mkString("[", ", ", "]")

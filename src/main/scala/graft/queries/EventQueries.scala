@@ -159,6 +159,41 @@ object EventQueries {
       },
       oracle = Some(FingerprintOracle)),
 
+    // continuous cardinality: per-type distinct users from HLL registers
+    // maintained as complete-mode streaming state (≤ 256 rows per type for
+    // ANY stream length — registers merge by max, so batch boundaries can't
+    // change them); estimator applied on drain is the SAME integer
+    // arithmetic as the batch sketch, exact per type beside it for context
+    "ev_distinct_hll_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val spark2 = spark; import spark2.implicits._
+        import graft.operators.Sketches
+        val stream = graft.streaming.EventStreams.runningHll(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)),
+          "event_type", "user_id")
+        val regs = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_hll_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+          .select(col("event_type"), col("m_rho").cast("int"))
+          .as[(String, Int)].collect().groupBy(_._1)
+        val exact = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .as[(String, Long)].collect().toMap
+        regs.toSeq.map { case (t, rs) =>
+          (t, exact(t), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
+        }.toDF("event_type", "exact_users", "hll_users").orderBy("event_type")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""WITH est AS (${Sketches.duckHllByGroup("events", "event_type", "user_id")}),
+           ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                  FROM events GROUP BY event_type)
+           SELECT ex.event_type, ex.exact_users, est.est AS hll_users
+           FROM ex JOIN est ON est.grp = ex.event_type
+           ORDER BY ex.event_type"""
+      }),
+
     // continuous stats mode: the pv_stats fingerprint maintained by the
     // stream (state = one count/min/max triple per column); must equal the
     // batch stats digest of the whole fixture once the stream drains

@@ -315,6 +315,20 @@ object EventStreams {
   def runningCms(events: DataFrame, key: String, depth: Int, width: Int): DataFrame =
     graft.operators.Sketches.cmsCounters(events, col(key), depth, width)
 
+  /** Continuous cardinality: per-event-type HLL registers maintained as
+    * complete-mode state — ≤ 256 rows per type FOREVER, because registers
+    * merge by max (order- and batch-boundary-insensitive), so the drained
+    * register table equals the batch sketch of the same rows bit for bit.
+    * The streaming answer to "how many distinct users has this stream seen"
+    * without ever storing a user set; estimator applied on drain via
+    * [[graft.operators.Sketches.hllEstimateFromRegisters]].
+    */
+  def runningHll(events: DataFrame, groupCol: String, key: String): DataFrame = {
+    val (reg, rho) = graft.operators.Sketches.hllRhoCols(col(key))
+    events.select(col(groupCol), reg.as("reg"), rho.as("rho"))
+      .groupBy(col(groupCol), col("reg")).agg(max(col("rho")).as("m_rho"))
+  }
+
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
     */

@@ -257,6 +257,39 @@ class StreamingSpec extends SparkSpec {
     assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
   }
 
+  test("streaming HLL registers equal the batch sketch after two-batch arrival") {
+    import spark.implicits._
+    // register merge is max — batch boundaries must be invisible: the
+    // drained two-batch register table equals batch registers bit for bit,
+    // so the drained estimate IS the batch estimate
+    val inDir = Files.createTempDirectory("graft-hll-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-hll-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    val stream = EventStreams.runningHll(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+      "event_type", "user_id")
+    val got = EventStreams.runToBatch(stream, "hll2", OutputMode.Complete)
+      .select(col("event_type"), col("reg"), col("m_rho").cast("int"))
+      .as[(String, Int, Int)].collect().toSeq.sorted
+    val batch = Readers.fixture(spark, sfDir, "events")
+    val want = batch.select(col("event_type")).distinct().as[String].collect().toSeq
+      .flatMap { t =>
+        graft.operators.Sketches.hllRegisters(
+            batch.filter(col("event_type") === t), col("user_id"))
+          .as[(Int, Int)].collect().map { case (r, m) => (t, r, m) }
+      }.sorted
+    assert(got == want)
+  }
+
   test("anomaly baseline carries across micro-batches, open hour resumed not re-emitted") {
     // split at the median so hours straddle the cut: batch 1's OPEN hour
     // must resume counting in batch 2 (state carry), and every completed
