@@ -331,6 +331,41 @@ object EventQueries {
                max(session_events) AS max_session_events
         FROM sessions GROUP BY user_id ORDER BY user_id""")),
 
+    // native session_window twin at the SESSION grain (start, end = last
+    // event + gap, count): the engine owns session merging and watermark
+    // eviction — the built-in-operator counterpart of the custom-state
+    // sessionize pair above. Oracle rebuilds the same sessions as gap
+    // islands; ties in ts are harmless (diff 0 never splits an island)
+    "ev_session_window_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.sessionWindowAgg(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)),
+          "30 minutes")
+        graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_sw_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER w > $SessionGapUs
+                 OR lag(ts_us) OVER w IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        numbered AS (SELECT user_id, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, min(ts_us) AS start_us,
+               max(ts_us) + $SessionGapUs AS end_us, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_idx
+        ORDER BY user_id, start_us""")),
+
     // first event per (user, type) — the batch twin of streaming dedup state
     "ev_dedup_first" -> QueryEntry(
       fn = (spark, sfDir) => {

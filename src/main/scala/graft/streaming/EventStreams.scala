@@ -213,6 +213,22 @@ object EventStreams {
         })
   }
 
+  /** Native session-window aggregation — the Spark-idiomatic sibling of the
+    * custom-state [[sessionize]]: `session_window(ts, gap)` lets the engine
+    * own session merging (two windows within `gap` coalesce as events
+    * arrive), watermark-evicted like any windowed state, at the SESSION
+    * grain (start, end = last event + gap, count) rather than [[sessionize]]
+    * 's per-user totals. Prefer this form when the built-in operator
+    * expresses the semantics; the flatMapGroupsWithState twin exists for
+    * state machines the window API cannot express (funnels, anomaly
+    * baselines).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   case class HourlyAnomaly(hour_us: Long, event_type: String, n_events: Long,
                            baseline_hours: Long, baseline_total: Long,
                            is_spike: Boolean)

@@ -257,6 +257,18 @@ class StreamingSpec extends SparkSpec {
     assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
   }
 
+  test("native session windows roll up to the custom-state sessionize totals") {
+    // two independent implementations of one semantics: session_window's
+    // per-session rows, re-aggregated per user, must equal the
+    // flatMapGroupsWithState sessionizer's (n_sessions, n_events)
+    val rolled = SparkEntry.queries("ev_session_window_stream")(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    val want = SparkEntry.queries("ev_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(rolled.except(want).isEmpty && want.except(rolled).isEmpty)
+  }
+
   test("streaming HLL registers equal the batch sketch after two-batch arrival") {
     import spark.implicits._
     // register merge is max — batch boundaries must be invisible: the
