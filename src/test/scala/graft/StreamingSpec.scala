@@ -257,6 +257,53 @@ class StreamingSpec extends SparkSpec {
     assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
   }
 
+  test("flatMapGroupsWithState survives a restart: custom state restored from checkpoint") {
+    // the windowed-agg restart test above exercises the ENGINE's state; this
+    // one proves OUR custom anomaly state (open hour, count, baseline)
+    // round-trips the checkpoint: run 1 processes half the input and stops,
+    // run 2 (fresh query, same checkpoint) reads ONLY the new file yet its
+    // union of emissions equals the uninterrupted single-run replay —
+    // impossible unless the open hour and baseline totals were restored
+    val inDir = Files.createTempDirectory("graft-anckpt-in")
+    val ckpt = Files.createTempDirectory("graft-anckpt-meta").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-anckpt-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    // a FILE sink, not memory: append-mode memory sinks refuse checkpoint
+    // recovery (emitted rows die with the query); the parquet sink is the
+    // exactly-once shape a real deployment restarts into
+    val outDir = Files.createTempDirectory("graft-anckpt-out").toString
+    def start() =
+      EventStreams.anomalyHours(EventStreams.readEvents(spark, inDir.toString)).toDF()
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).count() > 0)
+    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    val half1Rows = raw.filter(col("ts") > cutNs).count()
+    val q2 = start()
+    q2.processAllAvailable()
+    val readRows = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    assert(readRows == half1Rows,
+      s"restart re-read input: $readRows rows vs new-file $half1Rows")
+    // append-once semantics: the sink's total content (run 1 + run 2, no
+    // dedup) must equal the uninterrupted replay — a re-emitted or lost
+    // hour would surface as a diff either way
+    val got = spark.read.parquet(outDir)
+    val want = SparkEntry.queries("ev_anomaly_stream")(spark, sfDir)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "restarted replay diverged from the uninterrupted replay")
+  }
+
   test("native session windows roll up to the custom-state sessionize totals") {
     // two independent implementations of one semantics: session_window's
     // per-session rows, re-aggregated per user, must equal the
