@@ -199,6 +199,80 @@ object MinHashLSH {
     s"""toks AS (SELECT $idCol AS id, ${duckTokens(textCol)} AS tk FROM $table),
        shs AS (SELECT id, ${TextAnalysis.duckShinglesExpr("tk", shingleN)} AS sh FROM toks)"""
 
+  /** Incremental dedup candidates — the daily-ingest shape: a NEW batch is
+    * checked against the EXISTING corpus through its persisted band/
+    * signature index, plus within-batch pairs. Only the delta is tokenized,
+    * shingled, and signed; the corpus contributes index rows (|corpus| ×
+    * numBands narrow tuples + |corpus| signatures), its TEXT is never
+    * re-read — the property that turns a full-corpus O(corpus) re-dedup
+    * into O(delta + index) per ingest at 100 TB. Existing×existing pairs
+    * are absent BY CONSTRUCTION (they were resolved when those docs were
+    * ingested); candidate generation stays banded, never all-pairs.
+    */
+  def incrementalCandidates(newSigs: DataFrame, indexSigs: DataFrame,
+                            numPerm: Int, numBands: Int): DataFrame = {
+    require(numPerm % numBands == 0,
+      s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
+    val rowsPerBand = numPerm / numBands
+    def bandsOf(sigs: DataFrame) = sigs
+      .withColumn("bands", bandHashes(col("sig"), numBands, rowsPerBand))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val nb = bandsOf(newSigs).persist()
+    val ib = bandsOf(indexSigs)
+    def bandCond = col("x.band_idx") === col("y.band_idx") &&
+      col("x.band_hash") === col("y.band_hash")
+    // delta × index: pair order normalized (ingest ids interleave with the
+    // corpus, so neither side is uniformly the smaller id)
+    val cross = nb.as("x").join(ib.as("y"), bandCond)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"))
+    val within = nb.as("x").join(nb.as("y"), bandCond && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    val pairs = cross.union(within).distinct()
+    val all = newSigs.union(indexSigs)
+    val sa = all.select(col("id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = all.select(col("id").as("doc_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_matching",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v), x => x)).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_matching"),
+        (col("n_matching").cast("double") / numPerm).as("est_jaccard"))
+  }
+
+  /** DuckDB twin of [[incrementalCandidates]] over one table with a
+    * new-batch predicate (`newPredSql` over the table's columns).
+    */
+  def duckIncrementalCandidates(table: String, idCol: String, textCol: String,
+                                newPredSql: String, shingleN: Int,
+                                numPerm: Int, numBands: Int): String = {
+    require(numPerm % numBands == 0,
+      s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
+    val rowsPerBand = numPerm / numBands
+    s"""WITH toks AS (SELECT $idCol AS id, ($newPredSql) AS is_new,
+                             ${duckTokens(textCol)} AS tk FROM $table),
+       shs AS (SELECT id, is_new, ${TextAnalysis.duckShinglesExpr("tk", shingleN)} AS sh FROM toks),
+       sigs AS (SELECT id, is_new, ${duckSignature("sh", numPerm)} AS sig FROM shs),
+       bands AS (SELECT id, is_new, b AS band_idx,
+                        md5(array_to_string(list_slice(sig, b*$rowsPerBand + 1, b*$rowsPerBand + $rowsPerBand), '|')) AS band_hash
+                 FROM sigs, generate_series(0, ${numBands - 1}) AS t(b)),
+       pairs AS (
+         SELECT DISTINCT doc_a, doc_b FROM (
+           SELECT least(x.id, y.id) AS doc_a, greatest(x.id, y.id) AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+           WHERE x.is_new AND NOT y.is_new
+           UNION
+           SELECT x.id, y.id
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.id < y.id
+           WHERE x.is_new AND y.is_new) u)
+       SELECT p.doc_a, p.doc_b,
+              CAST(len(list_filter(generate_series(1, $numPerm), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_matching,
+              CAST(len(list_filter(generate_series(1, $numPerm), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numPerm AS est_jaccard
+       FROM pairs p JOIN sigs sa ON sa.id = p.doc_a JOIN sigs sb ON sb.id = p.doc_b
+       ORDER BY doc_a, doc_b"""
+  }
+
   def duckCandidatePairs(table: String, idCol: String, textCol: String,
                          shingleN: Int, numPerm: Int, numBands: Int): String = {
     require(numPerm % numBands == 0,

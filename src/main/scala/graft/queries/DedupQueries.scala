@@ -115,6 +115,29 @@ object DedupQueries {
            ORDER BY doc_a, doc_b"""
       )),
 
+    // incremental (daily-ingest) dedup: the NEW batch (doc_id % 10 == 9
+    // stands in for today's arrivals) is checked against the EXISTING
+    // corpus through its persisted band/signature index plus within-batch
+    // pairs — only the delta is shingled and signed, the corpus text is
+    // never re-read, and existing×existing pairs are absent by construction
+    // (resolved at their own ingest). O(delta + index) per ingest, the
+    // dedup analogue of pv_merkle_incremental
+    "dedup_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sigsNew = MinHashLSH.signaturesFromShingles(
+          MinHashLSH.shingled(docs.filter(col("doc_id") % 10 === 9),
+            "doc_id", "text", ShingleN), NumPerm)
+        val sigsIdx = MinHashLSH.signaturesFromShingles(
+          MinHashLSH.shingled(docs.filter(col("doc_id") % 10 =!= 9),
+            "doc_id", "text", ShingleN), NumPerm)
+        MinHashLSH.incrementalCandidates(sigsNew, sigsIdx, NumPerm, NumBands)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(MinHashLSH.duckIncrementalCandidates(
+        "documents", "doc_id", "text", "doc_id % 10 = 9",
+        ShingleN, NumPerm, NumBands))),
+
     // LSH recall tripwire, the dedup-side twin of sim_ann_recall: exact
     // Jaccard pairs from a bounded probe set (probe docs × corpus — LINEAR
     // in the corpus, never all-pairs) are the ground truth; recall of the

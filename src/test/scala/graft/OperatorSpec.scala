@@ -433,6 +433,27 @@ class OperatorSpec extends SparkSpec {
     assert(viaRerank == viaTopK)
   }
 
+  test("incremental candidates equal the full run minus existing-only pairs") {
+    // the defining identity of the ingest shape: full candidates partition
+    // into new×new + new×old + old×old; the incremental path must produce
+    // exactly the first two (same pairs, same signature-match counts)
+    val isNew = col("doc_id") % 10 === 9
+    val sigsNew = MinHashLSH.signaturesFromShingles(
+      MinHashLSH.shingled(docs.filter(isNew), "doc_id", "text", 3), 16)
+    val sigsIdx = MinHashLSH.signaturesFromShingles(
+      MinHashLSH.shingled(docs.filter(!isNew), "doc_id", "text", 3), 16)
+    val got = MinHashLSH.incrementalCandidates(sigsNew, sigsIdx, 16, 4)
+      .select("doc_a", "doc_b", "n_matching")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val newIds = docs.filter(isNew).select(col("doc_id")).as[Long].collect().toSet
+    val want = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .select("doc_a", "doc_b", "n_matching")
+      .as[(Long, Long, Long)].collect().toSeq
+      .filter(p => newIds(p._1) || newIds(p._2)).sorted
+    assert(got == want && got.nonEmpty,
+      s"incremental=${got.size} pairs, full-minus-existing=${want.size}")
+  }
+
   test("LSH dedup recall floor: banded candidates keep finding the exact near-dup pairs") {
     // dedup-side twin of the ANN floor above: dedup_lsh_recall measures the
     // banded candidate generation against exact probe-set Jaccard; this gate
