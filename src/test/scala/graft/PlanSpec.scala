@@ -205,6 +205,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("incremental dedup is banded equi-joins only; no full-corpus cartesian") {
+    val plan = physicalPlan("dedup_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // candidate generation joins band tuples (band_idx, band_hash) — the
+    // narrow index relation — never raw text or signature arrays
+    assert(plan.contains("band_hash"), plan)
+  }
+
   test("operators carry no global sort (ordering is the registered query's job)") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import graft.core.Readers
