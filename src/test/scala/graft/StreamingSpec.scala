@@ -257,6 +257,60 @@ class StreamingSpec extends SparkSpec {
     assert(counts.except(want).isEmpty && want.except(counts).isEmpty)
   }
 
+  test("watermark contract: data arriving later than the delay is dropped, not double-counted") {
+    import spark.implicits._
+    // arrival inverts event time: the RECENT three-quarters arrives first
+    // (advancing the watermark to max - 2h), then the OLDEST quarter — all
+    // of it far below the watermark. The hourly append stream must (a) drop
+    // every late row (no window older than the first on-time hour appears)
+    // and (b) leave the already-emitted windows untouched — the bounded-
+    // state bargain: accepting arbitrarily late data would mean keeping
+    // every window open forever
+    val inDir = Files.createTempDirectory("graft-late-in")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the cut lives in MICROS on both sides (stream normalizes ns → µs by
+    // integer div; a nanos-side cut could split a microsecond across files)
+    val cutUs = batchEvents.agg(expr("percentile_approx(unix_micros(ts), 0.25)"))
+      .head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-late-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(expr(s"(ts div 1000) > $cutUs")), "ontime.parquet")
+    val q = EventStreams.hourlyWindow(
+        EventStreams.readEvents(spark, inDir.toString))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("late_run").start()
+    q.processAllAvailable()
+    stage(raw.filter(expr(s"(ts div 1000) <= $cutUs")), "late.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_run")
+      .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"),
+        col("n_events"))
+    val onTime = batchEvents.filter(unix_micros(col("ts")) > cutUs)
+    val onTimeFirstHour = onTime
+      .agg(min(unix_micros(date_trunc("hour", col("ts"))))).head().getLong(0)
+    // (a) nothing from the late file's exclusive hours leaked in
+    assert(got.filter(col("hour_us") < onTimeFirstHour).count() == 0,
+      "late rows below the watermark were admitted")
+    // (b) every emitted window equals the on-time-only batch aggregation —
+    // late arrivals neither created windows nor inflated counts
+    val want = onTime
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(got.join(want, Seq("hour_us", "event_type"), "left_anti").count() == 0,
+      "emitted a window the on-time batch aggregation does not have")
+    val mismatch = got.join(want.withColumnRenamed("n_events", "want_n"),
+        Seq("hour_us", "event_type"))
+      .filter(col("n_events") =!= col("want_n")).count()
+    assert(mismatch == 0, s"$mismatch emitted windows have inflated counts")
+  }
+
   test("flatMapGroupsWithState survives a restart: custom state restored from checkpoint") {
     // the windowed-agg restart test above exercises the ENGINE's state; this
     // one proves OUR custom anomaly state (open hour, count, baseline)
