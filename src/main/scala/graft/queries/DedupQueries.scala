@@ -197,6 +197,37 @@ object DedupQueries {
            WHERE j_micro >= threshold_micro
            GROUP BY threshold_micro ORDER BY threshold_micro""")),
 
+    // near-dup pair EXPLANATION — the drill-down an operator reads after the
+    // candidate list (the dedup analogue of pv_diff_columns): for each LSH
+    // candidate pair, how many shingles are shared and the first three in
+    // lexicographic order as a witness. Same persisted shingle stage; the
+    // witness slice is deterministic (binary-collated sort on both engines)
+    "dedup_pair_explain" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+          .select("doc_a", "doc_b")
+        pairs
+          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"),
+            array_join(slice(array_sort(array_intersect(col("sh_a"), col("sh_b"))),
+              1, 3), " | ").as("witness"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS c),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)}
+           SELECT cand.doc_a, cand.doc_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+                  array_to_string(list_slice(list_sort(list_intersect(a.sh, b.sh)), 1, 3),
+                    ' | ') AS witness
+           FROM cand JOIN shs a ON a.id = cand.doc_a JOIN shs b ON b.id = cand.doc_b
+           ORDER BY doc_a, doc_b""")),
+
     // asymmetric containment (quote/subset detection, the Lee et al. '22
     // substring-dedup signal LSH can't see symmetrically): |A∩B|/|A| per
     // direction in integer micro-units, over the SAME persisted shingle
