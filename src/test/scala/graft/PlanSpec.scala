@@ -205,6 +205,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("priority sampling plans as TakeOrdered partials, not a global sort") {
+    val plan = physicalPlan("corpus_sample_weighted")
+    // per-partition top-k partials: only k rows per partition cross the wire
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("incremental dedup is banded equi-joins only; no full-corpus cartesian") {
     val plan = physicalPlan("dedup_incremental")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
