@@ -27,6 +27,36 @@ class PropertySpec extends SparkSpec {
   private def samples(k: Int): Seq[List[(Int, String, Double)]] =
     (0 until k).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("priority sampling equals a plain-Scala reference on random weighted sets") {
+    // independent reimplementation of the Duffield–Lund–Thorup key (md5 →
+    // first 8 hex chars → unsigned 32-bit → ·2²⁰ integral-div weight) and
+    // the (key, id) tiebreak — locks the exact integer formula the DuckDB
+    // twin also reimplements
+    def refKey(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) * 1048576L) / w
+    }
+    val idsGen = for {
+      n <- Gen.choose(5, 40)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+      ws <- Gen.listOfN(n, Gen.choose(1L, 5000000L))
+    } yield ids.distinct.zip(ws)
+    (0 until 5).foreach { i =>
+      val rows = idsGen.apply(Gen.Parameters.default, Seed(77L + i)).get
+      val k = math.max(1, rows.size / 2)
+      val df = rows.toDF("doc_id", "wt")
+      val got = graft.operators.Corpus.prioritySample(df, "doc_id",
+          org.apache.spark.sql.functions.col("wt"), k)
+        .select("doc_id", "priority")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = rows.map { case (id, w) => (id, refKey(id, w)) }
+        .sortBy { case (id, key) => (key, id) }.take(k).sorted
+      assert(got == want, s"sample $i diverged: got=$got want=$want")
+    }
+  }
+
   test("full digest is invariant under row order") {
     for (rows <- samples(8)) {
       val a = Fingerprints.fullDigest(rows.toDF("id", "s", "d"), spec, cfg)
