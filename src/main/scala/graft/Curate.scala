@@ -31,6 +31,10 @@ object Curate {
       |                                   8-token-span coverage exceeds this
       |                                   (micro-units, 0..1000000; default off)
       |      --min-quality num            quality-score threshold (default 0.45)
+      |      --sample-weighted int        after the quality filter, keep a
+      |                                   quality-weighted priority sample of
+      |                                   this many documents (deterministic;
+      |                                   default off = keep all)
       |      --train-pct int              train percentage (default 90)
       |      --val-pct int                validation percentage (default 5)
       |      --shards int                 max files per output partition (default 4)
@@ -51,7 +55,8 @@ object Curate {
       docsDir: String = "", outDir: String = "",
       decontaminateAgainst: Option[String] = None,
       maxSubstrCoverage: Option[Long] = None,
-      minQuality: Double = 0.45, trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
+      minQuality: Double = 0.45, sampleWeighted: Option[Int] = None,
+      trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
       chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
       shuffleSeed: Option[Int] = None)
 
@@ -80,6 +85,9 @@ object Curate {
             case "--min-quality" =>
               num(flag, value, (_: String).toDoubleOption)(d => acc.copy(minQuality = d))
                 .flatMap(loop(tail, _, positional))
+            case "--sample-weighted" =>
+              num(flag, value, (_: String).toIntOption)(n =>
+                acc.copy(sampleWeighted = Some(n))).flatMap(loop(tail, _, positional))
             case "--train-pct" =>
               num(flag, value, (_: String).toIntOption)(n => acc.copy(trainPct = n))
                 .flatMap(loop(tail, _, positional))
@@ -114,6 +122,8 @@ object Curate {
       else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
       else if (c.maxSubstrCoverage.exists(m => m < 0 || m > 1000000))
         Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
+      else if (c.sampleWeighted.exists(_ < 1))
+        Left(s"--sample-weighted must be >= 1, got ${c.sampleWeighted.get}")
       else if (c.chunkTokens.exists(_ < 1))
         Left(s"--chunk-tokens must be >= 1, got ${c.chunkTokens.get}")
       else if (c.chunkStride.isDefined && c.chunkTokens.isEmpty)
@@ -168,11 +178,24 @@ object Curate {
       .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality)
       .persist()
 
+    // optional quality-weighted downsample (Duffield–Lund–Thorup priority
+    // sample — the corpus_sample_weighted operator): keep-probability scales
+    // with the shared quality score, so the budget cut preserves the mix
+    // instead of top-k cherry-picking; deterministic across runs
+    val qualityCount = quality.count()
+    val sampled = cfg.sampleWeighted.fold(quality) { k =>
+      Corpus.prioritySample(
+          quality.withColumn("q",
+            TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")))),
+          "doc_id", expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k)
+        .drop("q", "w", "priority").persist()
+    }
+
     // deterministic split, assigned by (parent) document BEFORE optional
     // chunking: overlapping chunks of one document share text, so letting
     // them straddle train/val/test would leak evaluation data into training
-    val qualityKept = quality.count()
-    val split = quality.withColumn("split",
+    val qualityKept = if (cfg.sampleWeighted.isDefined) sampled.count() else qualityCount
+    val split = sampled.withColumn("split",
       Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
 
     // optional chunking: the written unit becomes the overlapping token
@@ -217,10 +240,12 @@ object Curate {
       "near_deduped" -> nearDeduped.count(),
       "decontaminated" -> decontaminated.count(),
       "substr_screened" -> substrScreened.count(),
+      "quality_filtered" -> qualityCount,
       "quality_kept" -> qualityKept,
       "written_units" -> (if (qualityKept == 0) 0L else units.count()),
       "written" -> written)
     (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
+      (if (sampled ne quality) Seq(sampled) else Nil) ++
       (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())
     funnel
   }

@@ -30,6 +30,25 @@ class CurateSpec extends SparkSpec {
     assert(back.columns.toSet.contains("split") && back.columns.toSet.contains("lang"))
   }
 
+  test("weighted-sample stage keeps exactly k of the quality survivors") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-w").toString
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = sfDir, outDir = out, minQuality = 0.45,
+      sampleWeighted = Some(20))).toMap
+    assert(funnel("quality_filtered") >= 20,
+      s"fixture too small for the test: ${funnel("quality_filtered")} survivors")
+    assert(funnel("quality_kept") == 20L, funnel.toString)
+    assert(funnel("written") == 20L, funnel.toString)
+    // the sample is drawn FROM the survivors (subset, not a re-read)
+    val written = spark.read.parquet(out).select("doc_id")
+    val noSampleOut = java.nio.file.Files.createTempDirectory("graft-curate-w0").toString
+    val full = Curate.run(spark, Curate.Config(
+      docsDir = sfDir, outDir = noSampleOut, minQuality = 0.45)).toMap
+    val fullWritten = spark.read.parquet(noSampleOut).select("doc_id")
+    assert(written.join(fullWritten, Seq("doc_id"), "left_anti").count() == 0)
+    assert(full("quality_kept") == full("quality_filtered"))
+  }
+
   test("decontamination stage drops trigram-overlapping documents") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate-d").toString
     // decontaminating a corpus against itself leaves nothing (every doc
