@@ -85,6 +85,12 @@ object Corpus {
   def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
     df
       .withColumn("w", weight.cast("long"))
+      // non-positive weights are excluded, not divided: Spark renders
+      // `x div 0` as NULL and ascending sort puts NULLs FIRST, so a
+      // zero-weight row would otherwise WIN the sample (DuckDB would error
+      // on the same division — the filter keeps both engines out of the
+      // undefined region)
+      .filter(col("w") >= 1)
       .withColumn("u",
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"))
       // `div` (integral division), never floor(a/b): the float quotient can

@@ -74,6 +74,14 @@ class CorpusSpec extends SparkSpec {
     val got2 = Corpus.prioritySample(docs.repartition(13), "doc_id", col("wt"), k)
       .select(col("doc_id"), col("w")).as[(Long, Long)].collect().toSeq.sorted
     assert(got == got2)
+    // zero/negative weights are excluded, never sampled: `x div 0` is NULL
+    // in Spark and NULLs sort first ascending — without the guard a
+    // zero-weight row would WIN the sample
+    val zeroed = docs.withColumn("wt",
+      when(col("doc_id") % 3 === 0, 0L).otherwise(col("wt")))
+    val gotZ = Corpus.prioritySample(zeroed, "doc_id", col("wt"), k)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(gotZ.size == k && gotZ.forall(_ % 3 != 0), s"zero-weight row sampled: $gotZ")
   }
 
   test("decontamination output excludes the eval slice and contaminated train docs") {
