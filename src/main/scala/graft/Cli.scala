@@ -47,7 +47,9 @@ object Cli {
       |Usage:
       |  graft [flags] target...
       |
-      |A target is a directory of <table>.parquet files or a jdbc: URL.
+      |A target is a directory of <table>.parquet files, a directory of
+      |<table>.csv or <table>.json export dumps (with optional
+      |<table>.schema.json sidecars), or a jdbc: URL.
       |
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
@@ -140,7 +142,13 @@ object Cli {
   private def buildTargets(cfg: CliConfig): Seq[Target] =
     cfg.targets.zip(targetNames(cfg.targets, cfg.aliases)).map {
       case (uri, name) if uri.startsWith("jdbc:") => JdbcTarget(name, uri)
-      case (dir, name) => ParquetTarget(name, dir, schemaName = cfg.parquetSchema)
+      case (dir, name) => graft.core.FileTarget.detectFormat(dir) match {
+        // a dir of csv/json dumps (no parquet present) verifies as an
+        // export target; parquet stays the primary kind
+        case Some(fmt) => graft.core.FileTarget(name, dir, fmt,
+          schemaName = cfg.parquetSchema)
+        case None => ParquetTarget(name, dir, schemaName = cfg.parquetSchema)
+      }
     }
 
   /** Table include/exclude (P4) on the bare table name, schema-qualified or

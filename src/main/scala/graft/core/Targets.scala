@@ -91,6 +91,69 @@ case class ParquetTarget(name: String, dir: String,
   }
 }
 
+/** Directory of `<table>.csv` or `<table>.json`/`.jsonl` files — the
+  * export-dump target kind: verify a warehouse (parquet/JDBC) table against
+  * the flat-file dump a pipeline emitted, the "did the export lose rows"
+  * check. Same implicit-schema contract as [[ParquetTarget]].
+  *
+  * Schema: a `<table>.schema.json` sidecar (Spark `StructType.json`) is
+  * honored when present — an engine-produced export should carry its
+  * schema — otherwise header+inference, with the canonicalizing projection
+  * absorbing representational drift (int-vs-long, double rendering) the
+  * same way it absorbs cross-engine drift; ScaleSpec pins the
+  * format-independence of the fingerprint.
+  */
+case class FileTarget(name: String, dir: String, format: String,
+                      schemaName: String = VerifyRun.SchemaName) extends Target {
+  require(FileTarget.Extensions.contains(format), s"unsupported format: $format")
+  private def exts = FileTarget.Extensions(format)
+
+  override def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String] = {
+    if (!schemas.accepts(schemaName)) return Nil
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val bare = files.iterator.map(_.getName)
+      .filterNot(_.endsWith(".schema.json"))
+      .flatMap(n => exts.collectFirst { case e if n.endsWith(e) => n.stripSuffix(e) })
+      .toSeq.distinct.sorted
+    if (schemaName == VerifyRun.SchemaName) bare else bare.map(t => s"$schemaName.$t")
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val bare = table.stripPrefix(s"$schemaName.")
+    val ext = exts.find(e => new java.io.File(s"$dir/$bare$e").exists())
+      .getOrElse(sys.error(s"no ${exts.mkString("/")} file for table $bare in $dir"))
+    val sidecar = new java.io.File(s"$dir/$bare.schema.json")
+    val reader = spark.read
+    val withSchema =
+      if (sidecar.exists())
+        reader.schema(org.apache.spark.sql.types.DataType
+          .fromJson(new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else reader.option("inferSchema", "true")
+    format match {
+      case "csv"  => withSchema.option("header", "true").csv(s"$dir/$bare$ext")
+      case "json" => withSchema.json(s"$dir/$bare$ext")
+    }
+  }
+}
+
+object FileTarget {
+  val Extensions: Map[String, Seq[String]] =
+    Map("csv" -> Seq(".csv"), "json" -> Seq(".json", ".jsonl"))
+
+  /** Which file-target format a directory holds, if any — how the CLI
+    * decides a positional arg is an export dump rather than a parquet dir.
+    */
+  def detectFormat(dir: String): Option[String] = {
+    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filterNot(_.endsWith(".schema.json"))
+    if (names.exists(_.endsWith(".parquet"))) None
+    else Extensions.collectFirst {
+      case (fmt, exts) if names.exists(n => exts.exists(n.endsWith)) => fmt
+    }
+  }
+}
+
 /** Parquet reading with one normalization: nanosecond-precision timestamp
   * columns. Spark has no TIMESTAMP(NANOS) type — sessions set
   * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader converts the

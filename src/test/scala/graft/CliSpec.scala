@@ -17,7 +17,9 @@ class CliSpec extends SparkSpec {
       |Usage:
       |  graft [flags] target...
       |
-      |A target is a directory of <table>.parquet files or a jdbc: URL.
+      |A target is a directory of <table>.parquet files, a directory of
+      |<table>.csv or <table>.json export dumps (with optional
+      |<table>.schema.json sidecars), or a jdbc: URL.
       |
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)

@@ -52,6 +52,57 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("csv/json export dumps verify as full targets against the parquet warehouse") {
+    import graft.core.{FileTarget, ParquetTarget, TableSpec, VerifyRun, VerifyConfig}
+    // stage csv AND json dumps of two fixture tables, schema sidecars
+    // attached (the engine-produced-export contract), then run the actual
+    // multi-target verifier: parquet vs csv vs json must agree on every
+    // mode, and a perturbed csv row must flip csv against the other two
+    val dump = java.nio.file.Files.createTempDirectory("graft-dump").toString
+    def stage(table: String, tweak: Boolean = false): Unit = {
+      val df0 = Readers.fixture(spark, sfDir, table)
+      val df = if (tweak) df0.withColumn("r_name",
+        when(col("r_regionkey") === 1, lit("TWEAKED")).otherwise(col("r_name"))) else df0
+      def one(fmt: String, write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-one").toString
+        write(df.coalesce(1), tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(s".$fmt")).get
+        val outDir = new java.io.File(s"$dump/$fmt"); outDir.mkdirs()
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(outDir, s"$table.$fmt").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.writeString(
+          new java.io.File(outDir, s"$table.schema.json").toPath, df.schema.json)
+      }
+      one("csv", (d, p) => d.write.mode("overwrite").option("header", "true").csv(p))
+      one("json", (d, p) => d.write.mode("overwrite").json(p))
+    }
+    stage("region")
+    stage("nation")
+    val targets = Seq(
+      ParquetTarget("warehouse", sfDir),
+      FileTarget("csvdump", s"$dump/csv", "csv"),
+      FileTarget("jsondump", s"$dump/json", "json"))
+    val specs = Map("region" -> TableSpec("region", Seq("r_regionkey")),
+      "nation" -> TableSpec("nation", Seq("n_nationkey")))
+    val cfg = VerifyConfig()
+    val results = VerifyRun.run(spark, targets, specs, cfg,
+      includeTables = Seq("region", "nation"))
+    assert(results.count() == 2 * cfg.modes.size * targets.size)
+    assert(VerifyRun.inconsistencies(results, targets.size).count() == 0)
+
+    // perturb one csv value: csv must now disagree with parquet+json on
+    // region (hash modes), while nation stays clean
+    stage("region", tweak = true)
+    val results2 = VerifyRun.run(spark, targets, specs, cfg,
+      includeTables = Seq("region", "nation"))
+    val bad = VerifyRun.inconsistencies(results2, targets.size)
+      .select("table").collect().map(_.getString(0)).toSet
+    assert(bad.exists(_.equalsIgnoreCase("region")), bad.toString)
+    assert(!bad.exists(_.equalsIgnoreCase("nation")), bad.toString)
+  }
+
   test("csv and json sources fingerprint identically to parquet (format-independent canon)") {
     import graft.core.{Fingerprints, TableSpec, VerifyConfig}
     val cfg = VerifyConfig()
