@@ -101,6 +101,21 @@ class ScaleSpec extends SparkSpec {
       .select("table").collect().map(_.getString(0)).toSet
     assert(bad.exists(_.equalsIgnoreCase("region")), bad.toString)
     assert(!bad.exists(_.equalsIgnoreCase("nation")), bad.toString)
+
+    // no-sidecar fallback: header+inference on int/string tables must still
+    // verify clean against parquet (canon absorbs int-vs-long inference
+    // drift); restage region clean first
+    stage("region")
+    Seq("csv", "json").foreach { fmt =>
+      java.nio.file.Files.delete(
+        new java.io.File(s"$dump/$fmt/region.schema.json").toPath)
+      java.nio.file.Files.delete(
+        new java.io.File(s"$dump/$fmt/nation.schema.json").toPath)
+    }
+    val results3 = VerifyRun.run(spark, targets, specs, cfg,
+      includeTables = Seq("region", "nation"))
+    assert(VerifyRun.inconsistencies(results3, targets.size).count() == 0,
+      "inference fallback diverged from the sidecar schema")
   }
 
   test("csv and json sources fingerprint identically to parquet (format-independent canon)") {
