@@ -32,7 +32,29 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String,
-           valueCols: Seq[String]): DataFrame = {
+           valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, leftKey, leftTime, rightKey, rightTime, valueCols,
+      forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the same
+    * key and time >= left time — "next event after the order", the mirror
+    * of [[asOf]]'s "last order before the event". Same union + one-shuffle
+    * window composition, with the carry running over the FOLLOWING frame
+    * and left rows sorting before right at equal time so an exactly-
+    * coincident right row is still visible (>= semantics, matching DuckDB's
+    * forward `ASOF JOIN ... ON l.t <= r.t` oracle).
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String,
+                  valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, leftKey, leftTime, rightKey, rightTime, valueCols,
+      forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, leftTime: String,
+                       rightKey: String, rightTime: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
     // a zero-field payload struct has no null-vs-non-null carry signal
     require(valueCols.nonEmpty, "asOf requires at least one value column to carry")
     val reserved = (left.columns ++ right.columns).toSet
@@ -40,21 +62,30 @@ object AsOfJoin {
       Iterator.iterate(base)(_ + "_").dropWhile(reserved.contains).next()
     val (kC, tC, sideC, payC) = (fresh("__k"), fresh("__t"), fresh("__side"), fresh("__pay"))
     val leftCols = left.columns.toSeq
-    val r = right.select(col(rightKey).as(kC), col(rightTime).as(tC), lit(0).as(sideC),
-      struct(valueCols.map(col): _*).as(payC))
+    // tie-breaking by side makes the coincident right row visible in BOTH
+    // directions: backward scans [start, current] so right must sort before
+    // left at equal time (rightSide 0 < leftSide 1); forward scans
+    // [current, end] so right must sort after left (rightSide 1 > leftSide 0)
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
+    val r = right.select(col(rightKey).as(kC), col(rightTime).as(tC),
+      lit(rightSide).as(sideC), struct(valueCols.map(col): _*).as(payC))
     val payType = r.schema(payC).dataType
     val unioned = left.select(
-      (Seq(col(leftKey).as(kC), col(leftTime).as(tC), lit(1).as(sideC),
+      (Seq(col(leftKey).as(kC), col(leftTime).as(tC), lit(leftSide).as(sideC),
         lit(null).cast(payType).as(payC)) ++ leftCols.map(col)): _*)
       .unionByName(r.select(
         (Seq(col(kC), col(tC), col(sideC), col(payC)) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
-    // right rows sort before left rows at equal time (side 0 < 1), so an
-    // exactly-coincident right row IS visible to the left row — ASOF <= semantics
-    val w = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned.withColumn(payC, last(col(payC), ignoreNulls = true).over(w))
-      .filter(col(sideC) === 1)
+    val base = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
+    val carried =
+      if (forward)
+        first(col(payC), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col(payC), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    unioned.withColumn(payC, carried)
+      .filter(col(sideC) === leftSide)
       .select(leftCols.map(col) ++ valueCols.map(c => col(payC).getField(c).as(c)): _*)
   }
 }

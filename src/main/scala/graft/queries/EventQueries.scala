@@ -592,6 +592,41 @@ object EventQueries {
           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         ORDER BY event_id""")),
 
+    // forward as-of: each order joined to the customer's NEXT event at-or-
+    // after the order date — time-to-next-activity, the mirror of
+    // ev_asof_orders' latest-order-before-event. Same union + one-shuffle
+    // window composition with the carry running over the FOLLOWING frame;
+    // DuckDB's forward ASOF (l.t <= r.t) is the oracle
+    "ev_asof_next_event" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        // right side must be unique per (key, time): coincident events
+        // collapse to the smallest event id
+        val nextEv = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(min(col("event_id")).as("next_event_id"))
+          .withColumn("next_ts_us", col("ts_us"))
+        val orders = Readers.fixture(spark, sfDir, "orders")
+          .groupBy(col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+          .agg(max(col("o_orderkey")).as("last_order_key"))
+        graft.operators.AsOfJoin.asOfForward(orders, nextEv,
+            leftKey = "o_custkey", leftTime = "od_us",
+            rightKey = "user_id", rightTime = "ts_us",
+            valueCols = Seq("next_event_id", "next_ts_us"))
+          .orderBy("o_custkey", "od_us")
+      },
+      oracle = Some("""
+        WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+                    FROM orders GROUP BY o_custkey, o_orderdate),
+        ev AS (SELECT user_id, ts, min(event_id) AS next_event_id
+               FROM events GROUP BY user_id, ts)
+        SELECT od.o_custkey, epoch_us(CAST(od.o_orderdate AS TIMESTAMP)) AS od_us,
+               od.last_order_key, ev.next_event_id, epoch_us(ev.ts) AS next_ts_us
+        FROM od ASOF LEFT JOIN ev
+          ON od.o_custkey = ev.user_id AND od.o_orderdate <= ev.ts
+        ORDER BY o_custkey, od_us""")),
+
     // banded interval self-join: same-user event pairs within 5 minutes —
     // the range-join scale pattern (time-bucket equi-join, no cross product)
     "ev_copresence" -> QueryEntry(

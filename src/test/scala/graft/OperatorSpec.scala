@@ -321,6 +321,21 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
   }
 
+  test("forward as-of: exact-time match, next-row match, no-following-row null") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 15L), (3L, 100L, 25L), (4L, 200L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, "a"), (100L, 20L, "b"), (300L, 1L, "z"))
+      .toDF("rk", "rt", "v")
+    val got = graft.operators.AsOfJoin
+      .asOfForward(left, right, "k", "t", "rk", "rt", Seq("v"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // id 1: t=10 matches the rt=10 row exactly (>= semantics)
+    // id 2: t=15 takes the earliest at-or-after, rt=20
+    // id 3: t=25 has no following right row -> null
+    // id 4: key 200 has no right rows at all -> null
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
+  }
+
   test("row diff classifies added/removed/changed rows") {
     val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
     val other = Seq((2, "b"), (3, "CHANGED"), (4, "d")).toDF("id", "v")
