@@ -520,6 +520,49 @@ object EventQueries {
       },
       oracle = Some(AttributionOracle)),
 
+    // multi-touch attribution over the same candidate pairs: each purchase
+    // distributes one unit of credit LINEARLY across all its in-window
+    // clicks (credit_micro = 1e6 DIV n_touches, integer — the remainder
+    // stays unassigned rather than floating-point-split, so credit sums are
+    // exactly reproducible); per-click credit then rolls up. The window
+    // count rides the SAME interval join as last-touch — no second pass —
+    // and the rollup is a narrow (click, credit) aggregate
+    "ev_attribution_multi" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_us"))
+        val touches = c.join(p, Seq("user_id"))
+          .filter(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= AttributionUs)
+          .select(col("click_id"), col("purchase_id"))
+        touches
+          .withColumn("credit_micro", expr("1000000 DIV count(1) OVER " +
+            "(PARTITION BY purchase_id)"))
+          .groupBy(col("click_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("credit_micro")).as("credit_micro"))
+          .orderBy("click_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        touches AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id
+          FROM ev c JOIN ev p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts_us >= c.ts_us AND p.ts_us - c.ts_us <= $AttributionUs),
+        credited AS (
+          SELECT click_id,
+                 1000000 // count(*) OVER (PARTITION BY purchase_id) AS credit_micro
+          FROM touches)
+        SELECT click_id, count(*) AS n_purchases,
+               CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY click_id ORDER BY click_id""")),
+
     // the same attribution as a STREAM-STREAM interval join (the one major
     // Structured Streaming operator class the other ev_*_stream queries don't
     // cover): watermarks on both sides + the time-bound join condition give

@@ -321,6 +321,32 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null))
   }
 
+  test("multi-touch attribution matches a plain-Scala credit split, credit conserved") {
+    val ev = Readers.fixture(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val windowUs = 3600000000L
+    val touches = for {
+      (cid, cu, _, cts) <- clicks; (pid, pu, _, pts) <- purchases
+      if cu == pu && pts >= cts && pts - cts <= windowUs
+    } yield (cid, pid)
+    val perPurchase = touches.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = touches.groupBy(_._1).map { case (cid, ts) =>
+      (cid, ts.size.toLong, ts.map(t => 1000000L / perPurchase(t._2)).sum)
+    }.toSeq.sorted
+    val got = SparkEntry.queries("ev_attribution_multi")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty)
+    // conservation: each purchase hands out n·(1e6 DIV n) ≤ 1e6 credit —
+    // the integer remainder stays unassigned, never double-counted
+    val totalCredit = got.map(_._3).sum
+    val expectTotal = perPurchase.values.map(n => n.toLong * (1000000L / n)).sum
+    assert(totalCredit == expectTotal && totalCredit <= 1000000L * perPurchase.size)
+  }
+
   test("forward as-of: exact-time match, next-row match, no-following-row null") {
     val left = Seq((1L, 100L, 10L), (2L, 100L, 15L), (3L, 100L, 25L), (4L, 200L, 50L))
       .toDF("id", "k", "t")
