@@ -205,6 +205,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("multi-touch attribution joins on user only — no cartesian, narrow rollup") {
+    val plan = physicalPlan("ev_attribution_multi")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Partial") || plan.contains("partial_count"), plan)
+  }
+
   test("priority sampling plans as TakeOrdered partials, not a global sort") {
     val plan = physicalPlan("corpus_sample_weighted")
     // per-partition top-k partials: only k rows per partition cross the wire
