@@ -37,6 +37,25 @@ object Layout {
     lanes.reduce(_ bitwiseOR _)
   }
 
+  /** [[zValue]] with a loud domain check: a key outside `[0, 2^bits)` would
+    * silently alias into the wrong tile (the interleave drops high bits), so
+    * a domain overflow — e.g. the key space growing past the headroom `bits`
+    * was sized for — must fail the job rather than corrupt every bucket
+    * statistic downstream. The guard is a codegen-friendly CASE WHEN around
+    * the same bit lanes; in-domain inputs produce the identical z-value, so
+    * the unguarded DuckDB twin stays cell-for-cell comparable.
+    */
+  def zValueChecked(x: Column, y: Column, bits: Int): Column = {
+    val limit = lit(1L << bits)
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    when(xl < 0L || xl >= limit || yl < 0L || yl >= limit,
+      raise_error(concat(
+        lit(s"zValue domain overflow: key outside [0, 2^$bits): x="),
+        xl.cast("string"), lit(" y="), yl.cast("string"))).cast("long"))
+      .otherwise(zValue(x, y, bits))
+  }
+
   /** DuckDB twin of [[zValue]] — the identical bit lanes as SQL text,
     * generated from the same loop so the two engines cannot drift.
     */
@@ -64,7 +83,7 @@ object Layout {
     require(tileShift >= 2 && tileShift % 2 == 0 && tileShift < 2 * bits,
       s"tileShift=$tileShift must be even and inside the ${2 * bits}-bit z-domain")
     df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .withColumn("bucket", shiftright(zValue(col("x"), col("y"), bits), tileShift))
+      .withColumn("bucket", shiftright(zValueChecked(col("x"), col("y"), bits), tileShift))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
@@ -108,8 +127,12 @@ object Layout {
     files
       .select(col(dirCol).as("dir"), col(idCol).cast("long").as("id"),
         sizeCol.cast("long").as("bytes"))
-      .withColumn("bin",
-        floor((sum(col("bytes")).over(w) - col("bytes")) / lit(targetBytes.toDouble)))
+      .withColumn("cum_before", sum(col("bytes")).over(w) - col("bytes"))
+      // integer floor division (DIV), not a double quotient: past 2^53
+      // cumulative bytes a double rounds across bin boundaries; offsets are
+      // non-negative so DIV and floor-divide agree on every in-range input
+      .withColumn("bin", expr(s"cum_before DIV ${targetBytes}L"))
+      .drop("cum_before")
       .groupBy(col("dir"), col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
         min(col("id")).as("id_first"), max(col("id")).as("id_last"))
@@ -123,10 +146,10 @@ object Layout {
                  CAST($sizeSql AS BIGINT) AS bytes FROM $table),
         packed AS (
           SELECT dir, id, bytes,
-                 CAST(floor((sum(bytes) OVER (PARTITION BY dir ORDER BY id
-                      ROWS UNBOUNDED PRECEDING) - bytes) / $targetBytes.0) AS BIGINT) AS bin
+                 ((sum(bytes) OVER (PARTITION BY dir ORDER BY id
+                      ROWS UNBOUNDED PRECEDING) - bytes) // $targetBytes) AS bin
           FROM files)
-        SELECT dir, bin, count(*) AS n_files, sum(bytes) AS bytes,
+        SELECT dir, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
                min(id) AS id_first, max(id) AS id_last
         FROM packed GROUP BY dir, bin ORDER BY dir, bin"""
 }

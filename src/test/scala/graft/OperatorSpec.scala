@@ -439,6 +439,29 @@ class OperatorSpec extends SparkSpec {
     assert(stats._3 == li.count(), "bucket stats must partition the table exactly")
   }
 
+  test("z-order: out-of-domain keys fail loudly instead of aliasing into wrong tiles") {
+    // a key >= 2^bits would silently collide with a low key's tile if the
+    // interleave just dropped the high bits — the guard must throw instead
+    val bad = Seq((5L, 1L << 21), ((1L << 21) + 3L, 7L), (-1L, 4L))
+    bad.foreach { case (x, y) =>
+      val ex = intercept[Exception] {
+        Seq((x, y)).toDF("x", "y")
+          .select(Layout.zValueChecked(col("x"), col("y"), 21).as("z"))
+          .collect()
+      }
+      assert(ex.getMessage.contains("zValue domain overflow") ||
+        Option(ex.getCause).exists(_.getMessage.contains("zValue domain overflow")),
+        s"($x,$y): ${ex.getMessage}")
+    }
+    // in-domain inputs produce the identical z-value through the guard
+    val ok = Seq((0L, 0L), (255L, 127L), ((1L << 21) - 1L, (1L << 21) - 1L))
+    val viaChecked = ok.toDF("x", "y")
+      .select(Layout.zValueChecked(col("x"), col("y"), 21).as("z")).as[Long].collect()
+    val viaPlain = ok.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 21).as("z")).as[Long].collect()
+    assert(viaChecked.toSeq == viaPlain.toSeq)
+  }
+
   test("triangles: degree-oriented enumeration equals the naive closure, each exactly once") {
     // K4 on {1..4} (4 triangles), a pendant 4-5, and a hub 0 wired to
     // 1..4 (hub triangles exercise the orientation flip at high degree)
