@@ -146,18 +146,17 @@ object AnalyticsQueries {
     "q_quantiles" -> QueryEntry(
       fn = (spark, sfDir) => {
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-        // exact `percentile` buffers each group's values (memory ∝ group
-        // size) — parity-bound choice: DuckDB's quantile_cont is also exact,
-        // so the oracle can compare values bit-for-bit. The 100 TB swap is
-        // `approx_percentile` (t-digest sketch, constant memory, mergeable
-        // map-side) — not used here ONLY because sketches aren't
-        // cross-engine comparable; same degrade pattern as fullModeRowLimit.
-        li.groupBy(col("l_returnflag"))
-          .agg(
-            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag")
+        // guarded exact/approx switch (operators.Quantiles): below the
+        // hottest-group threshold this is exact `percentile` — DuckDB's
+        // quantile_cont is also exact sort-and-interpolate, so the oracle
+        // compares bit-for-bit; above it the operator degrades to the
+        // mergeable t-digest `approx_percentile` with a logged warning
+        // (sketches aren't cross-engine comparable, so only the in-threshold
+        // path carries the equality oracle — ScaleSpec pins the degrade).
+        graft.operators.Quantiles.grouped(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice",
+          Seq("p50_price" -> 0.5, "p90_price" -> 0.9))
       },
       oracle = Some("""
         SELECT l_returnflag,

@@ -189,4 +189,33 @@ class ScaleSpec extends SparkSpec {
         assert(math.abs(v - f) <= 1e-9 * math.max(1.0, math.abs(f)), s"cent $k: $v vs $f")
     } finally assigned.unpersist(blocking = false)
   }
+
+  test("grouped quantiles degrade to the t-digest sketch above the hottest-group limit") {
+    import spark.implicits._
+    import graft.operators.Quantiles
+    // one hot group (150 values) and one cold (10) — the guard keys on the
+    // hottest group, not the total, because per-group buffering is the hazard
+    val df = ((1 to 150).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => ("cold", i.toDouble))).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val (exactDf, d1) = Quantiles.groupedWithMode(df, "g", "v", ps, exactGroupRowLimit = 1000)
+    assert(!d1, "below the limit must stay on the exact path")
+    val (sketchDf, d2) = Quantiles.groupedWithMode(df, "g", "v", ps, exactGroupRowLimit = 100)
+    assert(d2, "a 150-row hottest group must trip a limit of 100")
+    // schema is pinned across modes (the cast in the operator)
+    assert(sketchDf.schema == exactDf.schema)
+    // exact path interpolates: median of 1..150 is 75.5
+    val exact = exactDf.filter($"g" === "hot").select("p50").as[Double].head()
+    assert(exact == 75.5)
+    // sketch path returns a real element near the rank (tight at this n)
+    val approx = sketchDf.filter($"g" === "hot").select("p50").as[Double].head()
+    assert(math.abs(approx - 75.5) <= 1.5, s"sketch median drifted: $approx")
+    // the degraded plan really is the sketch aggregate, not exact percentile
+    val plan = sketchDf.queryExecution.analyzed.toString
+    assert(plan.contains("approx_percentile"), plan)
+    // empty input: no groups, no degrade, empty result
+    val (emptyDf, d3) = Quantiles.groupedWithMode(
+      df.filter($"g" === "nope"), "g", "v", ps, exactGroupRowLimit = 100)
+    assert(!d3 && emptyDf.count() == 0)
+  }
 }
