@@ -123,6 +123,47 @@ object Canon {
   def hashColumnOrder(cols: Seq[String]): Seq[String] =
     cols.sortBy(n => (n.toLowerCase, n))
 
+  /** The reference's hash-order key for one column: its `CastToText`
+    * expression string, synthesized over the LOWERCASED physical name (the
+    * same heterogeneous-catalog normalization as [[hashColumnOrder]]). The
+    * reference sorts the canonicalized EXPRESSION strings, not the names
+    * (`sort.Strings(columnsWithCasting)`, /root/reference/query.go:136-137),
+    * which makes a specially-cast column sort AFTER every default-cast
+    * column regardless of its name — '"' (0x22) < '(' (0x28) < 'l' (0x6c)
+    * puts quoted defaults first, then timestamptz extracts, then json
+    * length proxies. On a table like the `events` fixture (`ts` mid-schema,
+    * `props` json) the name sort and the expression sort genuinely diverge,
+    * so the row-hash surfaces use THIS order to match real pgverify
+    * fingerprints byte-for-byte (PgLiveSpec proves it on a live wire).
+    */
+  def referenceSortKey(name: String, dt: DataType, tsPrecision: String,
+                       isJson: Boolean): String = {
+    val n = name.toLowerCase
+    if (isJson) s"""length("$n"::JSONB::TEXT)::TEXT"""
+    else dt match {
+      case TimestampType =>
+        s"""(extract(epoch from date_trunc('$tsPrecision', "$n"))::DECIMAL * 1000000)::BIGINT::TEXT"""
+      case _ => s""""$n"::TEXT"""
+    }
+  }
+
+  /** Hash-column order for the row-hash surfaces: the reference's
+    * expression-string sort ([[referenceSortKey]]), with the lowercased and
+    * exact names as tie-breaks. Name-only contexts that never feed a
+    * reference-comparable hash (stats mode, diff output column order) keep
+    * the plain [[hashColumnOrder]].
+    */
+  def hashColumnOrderTyped(schema: StructType, cols: Seq[String],
+                           tsPrecision: String = "milliseconds",
+                           jsonCols: Set[String] = Set.empty): Seq[String] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.sortBy { n =>
+      val key = referenceSortKey(n, byName(n), tsPrecision,
+        jsonCols.exists(_.equalsIgnoreCase(n)))
+      (key, n.toLowerCase, n)
+    }
+  }
+
   /** Canonicalized columns of `schema` restricted to `cols`, sorted
     * per [[hashColumnOrder]] so DDL column order never affects the
     * row hash — the analogue of the reference sorting canonicalized expression
@@ -133,7 +174,7 @@ object Canon {
   def canonCols(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
                 jsonCols: Set[String] = Set.empty): Seq[Column] = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    hashColumnOrder(cols).map { name =>
+    hashColumnOrderTyped(schema, cols, tsPrecision, jsonCols).map { name =>
       if (jsonCols.exists(_.equalsIgnoreCase(name))) coalesce(canonJson(col(name)), lit(""))
       else canonCol(col(name), byName(name), tsPrecision)
     }
@@ -218,7 +259,7 @@ object Canon {
   def duckRowHash(schema: StructType, cols: Seq[String], tsPrecision: String = "milliseconds",
                   jsonCols: Set[String] = Set.empty): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = hashColumnOrder(cols).map(n =>
+    val parts = hashColumnOrderTyped(schema, cols, tsPrecision, jsonCols).map(n =>
       if (jsonCols.exists(_.equalsIgnoreCase(n))) duckJsonSql(n) else duckSql(n, byName(n), tsPrecision))
     s"md5(concat(${parts.mkString(", ")}))"
   }
@@ -227,7 +268,8 @@ object Canon {
   def duckPkSortKey(schema: StructType, pks: Seq[String], hashPrimaryKeys: Boolean,
                     tsPrecision: String = "milliseconds"): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = hashColumnOrder(pks).map(n => duckSql(n, byName(n), tsPrecision))
+    val parts = hashColumnOrderTyped(schema, pks, tsPrecision)
+      .map(n => duckSql(n, byName(n), tsPrecision))
     val k = s"concat(${parts.mkString(", ")})"
     if (hashPrimaryKeys) s"md5($k)" else k
   }

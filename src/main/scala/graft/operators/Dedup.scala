@@ -232,11 +232,52 @@ object MinHashLSH {
     val all = newSigs.union(indexSigs)
     val sa = all.select(col("id").as("doc_a"), col("sig").as("sig_a"))
     val sb = all.select(col("id").as("doc_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
+    val result = pairs.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_matching",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v), x => x)).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("n_matching"),
         (col("n_matching").cast("double") / numPerm).as("est_jaccard"))
+    // materialize-then-release (the ExactSubstr persist-lifecycle tail):
+    // the delta band cache must not outlive this call — repeated ingests in
+    // a long-lived session would otherwise accumulate cached partitions
+    val out = result.persist()
+    out.count()
+    nb.unpersist(blocking = false)
+    out
+  }
+
+  /** Persist a signature index for incremental ingest. The sketch
+    * parameters ride along as metadata columns (the Merkle-snapshot
+    * `n_buckets` pattern): signatures built with a different permutation
+    * count, banding, or shingle width are incomparable, and a mismatched
+    * probe would not fail — it would silently miss near-duplicates, the
+    * worst possible failure mode for a dedup gate.
+    */
+  def writeSigIndex(sigs: DataFrame, numPerm: Int, numBands: Int,
+                    shingleN: Int, path: String): Unit =
+    sigs.withColumn("num_perm", lit(numPerm))
+      .withColumn("num_bands", lit(numBands))
+      .withColumn("shingle_n", lit(shingleN))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a signature index, failing loudly when it was built with
+    * different sketch parameters than this ingest run expects. An empty
+    * index (zero rows at write time) carries no metadata rows and probes
+    * against anything.
+    */
+  def readSigIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   expectPerm: Int, expectBands: Int, expectShingleN: Int): DataFrame = {
+    val idx = spark.read.parquet(path)
+    for (r <- idx.select("num_perm", "num_bands", "shingle_n").head(1).headOption) {
+      val (p, b, s) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(p == expectPerm && b == expectBands && s == expectShingleN,
+        s"signature index at $path was built with numPerm=$p numBands=$b " +
+          s"shingleN=$s; this ingest expects numPerm=$expectPerm " +
+          s"numBands=$expectBands shingleN=$expectShingleN — mismatched " +
+          "sketches silently miss near-duplicates (rebuild the index or " +
+          "match its parameters)")
+    }
+    idx.drop("num_perm", "num_bands", "shingle_n")
   }
 
   /** DuckDB twin of [[incrementalCandidates]] over one table with a

@@ -86,6 +86,28 @@ class CanonSpec extends SparkSpec {
     assert(Canon.hashColumnOrder(Seq("abd", "ab_c")) == Seq("ab_c", "abd"))
   }
 
+  test("row-hash order sorts expression strings, reference-style: special casts last") {
+    import org.apache.spark.sql.types._
+    // the reference sorts CastToText EXPRESSIONS (query.go:136-137), so a
+    // timestamptz column sorts after every default-cast column and a json
+    // column after that ('"' < '(' < 'l'), regardless of the column NAME —
+    // the events fixture (ts mid-schema, props json) is exactly this shape
+    val events = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    assert(Canon.hashColumnOrderTyped(events, events.fieldNames.toSeq,
+        jsonCols = Set("props")) ==
+      Seq("event_id", "event_type", "user_id", "value", "ts", "props"))
+    // name sort alone would interleave them — the two rules genuinely differ
+    assert(Canon.hashColumnOrder(events.fieldNames.toSeq) ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    // all-default tables: the expression sort degenerates to the name sort
+    val plain = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType)))
+    assert(Canon.hashColumnOrderTyped(plain, Seq("b", "a")) == Seq("a", "b"))
+  }
+
   test("pre-1970 timestamps truncate by floor, matching the oracle's floor-mod") {
     // 1969-12-31 23:59:59.9995 = -500us; ms-floor -> -1000us (not -0 or -500)
     val df = Seq(new Timestamp(-1L)).toDF("t") // -1 ms = -1000 us

@@ -518,6 +518,32 @@ class OperatorSpec extends SparkSpec {
       s"incremental=${got.size} pairs, full-minus-existing=${want.size}")
   }
 
+  test("signature index round-trips; a parameter mismatch fails loudly, not silently") {
+    val sigs = MinHashLSH.signaturesFromShingles(
+      MinHashLSH.shingled(docs.limit(50), "doc_id", "text", 3), 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-sigidx")
+      .resolve("idx").toString
+    MinHashLSH.writeSigIndex(sigs, numPerm = 16, numBands = 4, shingleN = 3, path)
+    // matched parameters: identical signatures back, metadata stripped
+    val back = MinHashLSH.readSigIndex(spark, path, 16, 4, 3)
+    assert(back.columns.toSeq == Seq("id", "sig"))
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      sigs.select("id").as[Long].collect().sorted.toSeq)
+    // any drifted parameter must refuse the read — a mismatched probe would
+    // otherwise silently miss near-dups instead of erroring
+    for ((p, b, s) <- Seq((32, 4, 3), (16, 8, 3), (16, 4, 5))) {
+      val ex = intercept[IllegalArgumentException] {
+        MinHashLSH.readSigIndex(spark, path, p, b, s)
+      }
+      assert(ex.getMessage.contains("silently miss near-duplicates"), ex.getMessage)
+    }
+    // empty index carries no metadata rows and probes against anything
+    val emptyPath = java.nio.file.Files.createTempDirectory("graft-sigidx-e")
+      .resolve("idx").toString
+    MinHashLSH.writeSigIndex(sigs.filter(col("id") < 0), 16, 4, 3, emptyPath)
+    assert(MinHashLSH.readSigIndex(spark, emptyPath, 99, 9, 9).count() == 0)
+  }
+
   test("LSH dedup recall floor: banded candidates keep finding the exact near-dup pairs") {
     // dedup-side twin of the ANN floor above: dedup_lsh_recall measures the
     // banded candidate generation against exact probe-set Jaccard; this gate
