@@ -12,6 +12,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // fixture events.ts is TIMESTAMP(NANOS); see graft.core.Readers
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed JIT/codegen warmup on tiny inputs: the md5/HOF/agg/window

@@ -336,6 +336,7 @@ object Main {
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel(cfg.level match {
           case "debug" | "trace" => "INFO"

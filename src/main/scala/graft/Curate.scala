@@ -264,6 +264,7 @@ object Curate {
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
           .config("spark.sql.adaptive.enabled", "true")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")

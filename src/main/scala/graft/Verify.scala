@@ -20,6 +20,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // fixture events.ts is TIMESTAMP(NANOS); see graft.core.Readers
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -82,16 +82,24 @@ object Canon {
     case FloatType => c.cast(DoubleType).cast(StringType)
     case DoubleType => c.cast(StringType)
     case _: DecimalType => c.cast(StringType)
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
       val unit = unitMicros(tsPrecision)
       val off = precisionOffsetMicros(tsPrecision)
-      val micros = unix_micros(c.cast(TimestampType))
+      val micros = unix_micros(c)
       // floor-fold onto the unit grid anchored at `off` (non-zero only for
       // week, whose PG boundary is Monday, not the epoch)
       (if (unit == 1L) micros
        else micros - pmod(micros - lit(off), lit(unit))).cast(StringType)
+    // naive timestamps take the reference's DEFAULT rule — plain ::TEXT
+    // ("yyyy-MM-dd HH:mm:ss[.f]"), NOT the epoch fold: only "timestamp with
+    // time zone" is special-cased (/root/reference/column.go:26-28), because
+    // the naive rendering is already session-TZ-independent
+    case TimestampNTZType => c.cast(StringType)
     case DateType => c.cast(StringType)
-    case BinaryType => lower(hex(c))
+    // PG's bytea::TEXT form exactly — `\x` prefix then lowercase hex
+    // (/root/reference/column.go:34 default-cases bytea; PgLiveSpec pins the
+    // rendering against a live wire)
+    case BinaryType => concat(lit("\\x"), lower(hex(c)))
     case ArrayType(et, _) =>
       concat(lit("{"), array_join(transform(c, e => canonText(e, et, tsPrecision)), ","), lit("}"))
     case StringType => c
@@ -223,15 +231,21 @@ object Canon {
       case FloatType => s"CAST(CAST($c AS DOUBLE) AS VARCHAR)"
       case DoubleType => s"CAST($c AS VARCHAR)"
       case _: DecimalType => s"CAST($c AS VARCHAR)"
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
         val unit = unitMicros(tsPrecision)
         val off = precisionOffsetMicros(tsPrecision)
         // floor-mod, not %: DuckDB % truncates toward zero, which would
         // diverge from Spark's pmod for pre-1970 sub-unit timestamps
         if (unit == 1L) s"CAST(epoch_us($c) AS VARCHAR)"
         else s"CAST(epoch_us($c) - (((epoch_us($c) - ($off)) % $unit + $unit) % $unit) AS VARCHAR)"
+      // naive timestamps: the reference's default ::TEXT rule (see canonText)
+      case TimestampNTZType => s"CAST($c AS VARCHAR)"
       case DateType => s"CAST($c AS VARCHAR)"
-      case BinaryType => s"lower(hex($c))"
+      // DuckDB standard strings do no backslash processing: '\x' is the
+      // two characters backslash-x, PG's bytea::TEXT prefix. NULL guard as
+      // for arrays: DuckDB concat SKIPS null args, so without it the bare
+      // prefix would leak out of a NULL bytea instead of NULL
+      case BinaryType => s"CASE WHEN $c IS NULL THEN NULL ELSE concat('\\x', lower(hex($c))) END"
       case ArrayType(et, _) =>
         val elem = duckElemSql("e", et, tsPrecision)
         // NULL guard: DuckDB concat skips NULL args (a NULL array would

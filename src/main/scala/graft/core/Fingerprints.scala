@@ -181,7 +181,14 @@ object Fingerprints {
   /** bookend mode — first and last `limit` rows in PK order, digested
     * separately and combined (/root/reference/query.go:231-277). Spark plans
     * the ORDER BY+LIMIT as TakeOrderedAndProject (no full sort/shuffle).
-    * PG `CONCAT` null-skip semantics on an empty side → md5 over ''.
+    *
+    * Combine wart, replicated deliberately: the reference's outer
+    * `md5(CONCAT(starthash::TEXT, endhash::TEXT))` casts TABLE ALIASES to
+    * text, and PG renders a one-column row as a parenthesized literal — so
+    * the combined hash is over `(<md5>)(<md5>)`, an empty side contributing
+    * `()` (string_agg NULL inside the row renders empty). PgLiveSpec pins
+    * this against a live server; the DuckDB twin (OracleSql.bookend)
+    * replicates the same parens.
     */
   def bookendDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
     // persist the (k, h) projection: both bookend sides scan it, and without
@@ -202,7 +209,7 @@ object Fingerprints {
       .select(col("h")).collect().map(_.getString(0))
     val startHash = if (start.isEmpty) "" else Digests.md5OfConcat(start.iterator)
     val endHash = if (end.isEmpty) "" else Digests.md5OfConcat(end.iterator)
-    Digests.md5OfConcat(Iterator(startHash, endHash))
+    Digests.md5OfConcat(Iterator("(", startHash, ")(", endHash, ")"))
   }
 
   /** rowcount mode — `SELECT count(*)::TEXT` (/root/reference/query.go:279-283). */

@@ -117,7 +117,10 @@ object OracleSql {
       s"FROM (SELECT k, h FROM $kh AS kh1 ORDER BY k ASC, h ASC LIMIT $n) AS s)"
     val end = s"(SELECT coalesce(md5(string_agg(h, '' ORDER BY k DESC, h DESC)), '') " +
       s"FROM (SELECT k, h FROM $kh AS kh2 ORDER BY k DESC, h DESC LIMIT $n) AS e)"
-    s"(SELECT md5(concat($start, $end)))"
+    // the reference's outer combine casts table-alias ROWS to text, which PG
+    // renders parenthesized — '(<md5>)(<md5>)', '()' for an empty side (see
+    // Fingerprints.bookendFromKh; PgLiveSpec pins it on a live wire)
+    s"(SELECT md5(concat('(', $start, ')(', $end, ')')))"
   }
 
   /** Twin of [[Fingerprints.rowCountDigest]]. */

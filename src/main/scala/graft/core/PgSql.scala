@@ -1,0 +1,127 @@
+package graft.core
+
+/** The reference's PostgreSQL query-text generator, reproduced exactly —
+  * `CastToText` (/root/reference/column.go:24-36) and the four mode queries
+  * (/root/reference/query.go:122-283) including `formatQuery`'s whitespace
+  * collapse (/root/reference/query.go:10-16). This is the contract surface
+  * for running the verifier against a live PostgreSQL wire: PgLiveSpec
+  * executes these byte-exact texts on a real server and asserts the returned
+  * fingerprints equal the Spark engine's over the same rows, and PgSqlSpec
+  * pins the generated text so dialect drift fails a golden test even when no
+  * server is available.
+  *
+  * Scala's `String#sorted`/`sortBy` compares UTF-16 code units where Go's
+  * `sort.Strings` compares UTF-8 bytes; the two orders agree on ASCII, and
+  * every expression this object emits is ASCII as long as column names are
+  * (non-ASCII identifiers would also break the reference's own quoting).
+  */
+object PgSql {
+
+  /** One catalog column as the reference models it: physical name, the
+    * information_schema `data_type` string, and PK membership.
+    */
+  case class PgColumn(name: String, dataType: String, isPk: Boolean = false)
+
+  /** `CastToText` — /root/reference/column.go:24-36, byte-for-byte. */
+  def castToText(c: PgColumn, precision: String): String =
+    c.dataType.toLowerCase match {
+      case "timestamp with time zone" =>
+        s"""(extract(epoch from date_trunc('$precision', "${c.name}"))::DECIMAL * 1000000)::BIGINT::TEXT"""
+      case "json" => s"""length("${c.name}"::JSONB::TEXT)::TEXT"""
+      case "jsonb" => s"""length("${c.name}"::TEXT)::TEXT"""
+      case _ => s""""${c.name}"::TEXT"""
+    }
+
+  /** `formatQuery` — collapse all whitespace runs to one space and trim. */
+  def formatQuery(q: String): String = q.replaceAll("\\s+", " ").trim
+
+  private def sortedCasts(cols: Seq[PgColumn], precision: String): (Seq[String], Seq[String]) = {
+    val casts = cols.map(castToText(_, precision)).sorted
+    val pkCasts = cols.filter(_.isPk).map(castToText(_, precision)).sorted
+    (casts, pkCasts)
+  }
+
+  private def pkConcat(pkCasts: Seq[String], hashPrimaryKeys: Boolean): String = {
+    val c = s"CONCAT(${pkCasts.mkString(", ")})"
+    if (hashPrimaryKeys) s"MD5($c)" else c
+  }
+
+  /** `buildFullHashQuery` — /root/reference/query.go:122-158. */
+  def fullHashQuery(schemaName: String, tableName: String, cols: Seq[PgColumn],
+                    precision: String = "milliseconds",
+                    hashPrimaryKeys: Boolean = false): String = {
+    val (casts, pkCasts) = sortedCasts(cols, precision)
+    formatQuery(s"""
+      SELECT md5(string_agg(hash, ''))
+      FROM (
+        SELECT MD5(CONCAT(${casts.mkString(", ")})) AS hash
+        FROM "$schemaName"."$tableName"
+        ORDER BY ${pkConcat(pkCasts, hashPrimaryKeys)}
+      ) as eachhash
+      """)
+  }
+
+  /** `buildSparseHashQuery` — /root/reference/query.go:160-227. The WHERE
+    * term per PK column is the P7 signed-64 md5-mod bucket predicate
+    * (query.go:193) that [[JdbcTarget.pgMd5ModPredicates]] reuses as a scan
+    * partitioner; note the reference semi-joins each PK column independently
+    * against the composite-concat bucket (warts replicated — see SURVEY.md
+    * J2).
+    */
+  def sparseHashQuery(schemaName: String, tableName: String, cols: Seq[PgColumn],
+                      sparseMod: Int, precision: String = "milliseconds",
+                      hashPrimaryKeys: Boolean = false): String = {
+    val (casts, pkCasts) = sortedCasts(cols, precision)
+    val pkNames = cols.filter(_.isPk).map(_.name).sorted
+    val pkCastsJoined = pkCasts.mkString(", ")
+    val whens = pkNames.map { pk =>
+      s""" $pk in (
+        SELECT $pk
+        FROM "$schemaName"."$tableName"
+        WHERE ('x' || substr(md5(CONCAT($pkCastsJoined)),1,16))::bit(64)::bigint % $sparseMod = 0
+      )"""
+    }
+    formatQuery(s"""
+      SELECT md5(string_agg(hash, ''))
+      FROM (
+        SELECT MD5(CONCAT(${casts.mkString(", ")})) AS hash
+        FROM "$schemaName"."$tableName"
+        WHERE ${whens.mkString(" AND ")}
+        ORDER BY ${pkConcat(pkCasts, hashPrimaryKeys)}
+      ) AS eachrow
+      """)
+  }
+
+  /** `buildBookendHashQuery` — /root/reference/query.go:230-277. */
+  def bookendHashQuery(schemaName: String, tableName: String, cols: Seq[PgColumn],
+                       limit: Int, precision: String = "milliseconds",
+                       hashPrimaryKeys: Boolean = false): String = {
+    val (casts, pkCasts) = sortedCasts(cols, precision)
+    val all = casts.mkString(", ")
+    val pk = pkConcat(pkCasts, hashPrimaryKeys)
+    formatQuery(s"""
+      SELECT md5(CONCAT(starthash::TEXT, endhash::TEXT))
+      FROM (
+        SELECT md5(string_agg(hash, ''))
+        FROM (
+          SELECT MD5(CONCAT($all)) AS hash
+          FROM "$schemaName"."$tableName"
+          ORDER BY $pk ASC
+          LIMIT $limit
+        ) AS eachrow
+      ) as starthash, (
+        SELECT md5(string_agg(hash, ''))
+        FROM (
+          SELECT MD5(CONCAT($all)) AS hash
+          FROM "$schemaName"."$tableName"
+          ORDER BY $pk DESC
+          LIMIT $limit
+        ) AS eachrow
+      ) as endhash
+      """)
+  }
+
+  /** `buildRowCountQuery` — /root/reference/query.go:280-283. */
+  def rowCountQuery(schemaName: String, tableName: String): String =
+    formatQuery(s"""SELECT count(*)::TEXT FROM "$schemaName"."$tableName"""")
+}

@@ -163,7 +163,7 @@ object FileTarget {
   */
 object Readers {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Spread rows across all cores before a CPU-heavy per-row stage. An
     * explicit partition count, not `repartition(col)`: AQE sizes shuffles by
@@ -179,13 +179,28 @@ object Readers {
 
   def fixture(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
-    nanosColumns.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
+    val deNanosed = nanosColumns.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
         // integer `div`, not `/`: the nanos exceed a double's exact range
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       else d
     }
+    normalizeNtz(deNanosed)
   }
+
+  /** Session-timestamp normalize: parquet written with naive (isAdjustedToUTC
+    * = false) timestamps reads as TIMESTAMP_NTZ when the session infers NTZ
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled`, default true in Spark 4).
+    * Every downstream operator expects session-TZ TimestampType (`unix_micros`
+    * rejects NTZ outright), and all graft sessions pin UTC, where the cast is
+    * the identity on the stored micros — the same reading DuckDB's `epoch_us`
+    * gives the naive value. Schema-driven, so it covers any fixture column the
+    * generator switches to naive encoding, not a hard-coded list.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
 }
 
 /** JDBC target — the faithful analogue of the reference's PostgreSQL targets.

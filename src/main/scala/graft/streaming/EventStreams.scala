@@ -17,22 +17,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw fixture schema (ts read as nanos-long, see graft.core.Readers). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream of the events fixture with ts normalized to µs;
+  /** File-source stream of the events fixture with `ts` normalized to a
+    * session-TZ timestamp. File streams require an explicit schema, so the
+    * actual footer schema is inferred with one batch read (cheap: footers
+    * only) rather than pinned — the fixture generator has shipped `ts` as
+    * nanos-int64, naive µs timestamp, and UTC µs timestamp across rounds,
+    * and a hard-coded schema silently misreads the others (a LongType read
+    * of a µs column "works" and produces 1000×-off event times).
     * `maxFilesPerTrigger` splits a staged multi-file directory into that
     * many micro-batches (specs use it to force cross-batch state carry).
     */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val fileSchema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = reader.parquet(dir)
+    fileSchema("ts").dataType match {
+      // integer `div`, not `/`: nanos exceed a double's exact range
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Streaming twin of ev_window_hourly: tumbling window + watermark. */

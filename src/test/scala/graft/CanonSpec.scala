@@ -127,9 +127,9 @@ class CanonSpec extends SparkSpec {
     assert(sh == Seq("a b"))
   }
 
-  test("binary canonicalizes to lowercase hex") {
+  test("binary canonicalizes to PG's bytea text form: \\x then lowercase hex") {
     val df = Seq(Array[Byte](0x0a, -1, 0x00)).toDF("b")
-    assert(canonOf(df, "b") == Seq("0aff00"))
+    assert(canonOf(df, "b") == Seq("\\x0aff00"))
   }
 
   test("arrays canonicalize to PG-literal-ish form") {

@@ -99,10 +99,10 @@ class StreamingSpec extends SparkSpec {
   test("checkpointed stream survives a restart: offsets and window state restored") {
     val inDir = Files.createTempDirectory("graft-ckpt-in")
     val ckpt = Files.createTempDirectory("graft-ckpt-meta").toString
-    // split the raw fixture (nanos schema preserved) into two time-ordered
+    // split the normalized fixture into two time-ordered
     // halves — files arriving in event-time order, the shape a real ingest has
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-ckpt-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -110,7 +110,7 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
 
     def start(name: String) =
       EventStreams.hourlyWindow(EventStreams.readEvents(spark, inDir.toString))
@@ -124,8 +124,8 @@ class StreamingSpec extends SparkSpec {
     assert(mid > 0)
 
     // the second half arrives while the query is DOWN
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
-    val half1Rows = raw.filter(col("ts") > cutNs).count()
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val half1Rows = raw.filter(unix_micros(col("ts")) > cutUs).count()
 
     // run 2: fresh query object, SAME checkpoint
     val q2 = start("ckpt_run2")
@@ -150,8 +150,8 @@ class StreamingSpec extends SparkSpec {
 
   test("running fingerprint equals the batch digest after each arriving file") {
     val inDir = Files.createTempDirectory("graft-fp-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutUs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0) / 1000
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-fp-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -169,7 +169,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_type"), col("digest_sum").cast("string"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
-    stage(raw.filter(expr("ts div 1000") <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
     val q = EventStreams.runningFingerprint(EventStreams.readEvents(spark, inDir.toString))
       .writeStream.outputMode(OutputMode.Complete).format("memory")
       .queryName("fp_run").start()
@@ -179,7 +179,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val gotHalf = emitted()
       assert(gotHalf == digests(batchEvents.filter(unix_micros(col("ts")) <= cutUs)))
-      stage(raw.filter(expr("ts div 1000") > cutUs), "half1.parquet")
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
       q.processAllAvailable()
       val gotAll = emitted()
       assert(gotAll == digests(batchEvents))
@@ -190,8 +190,8 @@ class StreamingSpec extends SparkSpec {
   test("running stats digest equals the batch stats mode after each arriving file") {
     import graft.core.{Fingerprints, Fixtures, VerifyConfig}
     val inDir = Files.createTempDirectory("graft-st-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutUs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0) / 1000
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-st-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
     def emitted(): String =
       spark.table("st_run").select(col("fingerprint")).head().getString(0)
 
-    stage(raw.filter(expr("ts div 1000") <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
     val q = EventStreams.runningStats(EventStreams.readEvents(spark, inDir.toString))
       .writeStream.outputMode(OutputMode.Complete).format("memory")
       .queryName("st_run").start()
@@ -211,7 +211,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val gotHalf = emitted()
       assert(gotHalf == batchStats(batchEvents.filter(unix_micros(col("ts")) <= cutUs)))
-      stage(raw.filter(expr("ts div 1000") > cutUs), "half1.parquet")
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
       q.processAllAvailable()
       val gotAll = emitted()
       assert(gotAll == batchStats(batchEvents))
@@ -233,8 +233,8 @@ class StreamingSpec extends SparkSpec {
 
   test("retention state carries across micro-batches: no re-emitted hits, batch-equal counts") {
     val inDir = Files.createTempDirectory("graft-ret-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-ret-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -242,8 +242,8 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
     val stream = EventStreams.retentionHits(
       EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
     val got = EventStreams.runToBatch(stream.toDF(), "ret2", OutputMode.Append)
@@ -267,7 +267,7 @@ class StreamingSpec extends SparkSpec {
     // state bargain: accepting arbitrarily late data would mean keeping
     // every window open forever
     val inDir = Files.createTempDirectory("graft-late-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = Readers.fixture(spark, sfDir, "events")
     // the cut lives in MICROS on both sides (stream normalizes ns → µs by
     // integer div; a nanos-side cut could split a microsecond across files)
     val cutUs = batchEvents.agg(expr("percentile_approx(unix_micros(ts), 0.25)"))
@@ -279,13 +279,13 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(expr(s"(ts div 1000) > $cutUs")), "ontime.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "ontime.parquet")
     val q = EventStreams.hourlyWindow(
         EventStreams.readEvents(spark, inDir.toString))
       .writeStream.outputMode(OutputMode.Append).format("memory")
       .queryName("late_run").start()
     q.processAllAvailable()
-    stage(raw.filter(expr(s"(ts div 1000) <= $cutUs")), "late.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "late.parquet")
     q.processAllAvailable()
     q.stop()
     val got = spark.table("late_run")
@@ -320,8 +320,8 @@ class StreamingSpec extends SparkSpec {
     // impossible unless the open hour and baseline totals were restored
     val inDir = Files.createTempDirectory("graft-anckpt-in")
     val ckpt = Files.createTempDirectory("graft-anckpt-meta").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-anckpt-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -329,7 +329,7 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
     // a FILE sink, not memory: append-mode memory sinks refuse checkpoint
     // recovery (emitted rows die with the query); the parquet sink is the
     // exactly-once shape a real deployment restarts into
@@ -341,8 +341,8 @@ class StreamingSpec extends SparkSpec {
     val q1 = start()
     q1.processAllAvailable(); q1.stop()
     assert(spark.read.parquet(outDir).count() > 0)
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
-    val half1Rows = raw.filter(col("ts") > cutNs).count()
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val half1Rows = raw.filter(unix_micros(col("ts")) > cutUs).count()
     val q2 = start()
     q2.processAllAvailable()
     val readRows = q2.recentProgress.map(_.numInputRows).sum
@@ -376,8 +376,8 @@ class StreamingSpec extends SparkSpec {
     // drained two-batch register table equals batch registers bit for bit,
     // so the drained estimate IS the batch estimate
     val inDir = Files.createTempDirectory("graft-hll-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-hll-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -385,8 +385,8 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
     val stream = EventStreams.runningHll(
       EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
       "event_type", "user_id")
@@ -409,8 +409,8 @@ class StreamingSpec extends SparkSpec {
     // hour must be emitted exactly once with the same trailing baseline as
     // the single-batch replay (the oracle-gated registered query)
     val inDir = Files.createTempDirectory("graft-anom-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-anom-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -418,8 +418,8 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
     val stream = EventStreams.anomalyHours(
       EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
     val got = EventStreams.runToBatch(stream.toDF(), "anom2", OutputMode.Append)
@@ -434,8 +434,8 @@ class StreamingSpec extends SparkSpec {
     // land in batch 1 and their click/purchase in batch 2 — the final stage
     // must still equal the batch funnel (state carried, not recomputed)
     val inDir = Files.createTempDirectory("graft-funnel-in")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNs = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-funnel-half").toString
       half.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -443,8 +443,8 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       Files.move(part.toPath, inDir.resolve(name))
     }
-    stage(raw.filter(col("ts") <= cutNs), "half0.parquet")
-    stage(raw.filter(col("ts") > cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
     // one file per micro-batch → two batches, event-time ordered
     val stream = EventStreams.funnelStages(
       EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
