@@ -54,7 +54,7 @@ object Cli {
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
       |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
-      |      --drill-down                on mismatch with exactly two targets, also report which rows differ and which columns within them (first 20 rows per table)
+      |      --drill-down                on mismatch, also report which rows differ and which columns within them (first 20 rows per table); 3+ targets diff each dissenter against a majority-fingerprint reference
       |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
       |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
       |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
@@ -206,52 +206,92 @@ object Cli {
     val results = VerifyRun.runPerTarget(spark, plans, vcfg)
     VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
     val bad = VerifyRun.inconsistencies(results, targets.size)
-    if (cfg.drillDown) drillDown(spark, cfg, plans, bad, out)
+    if (cfg.drillDown) drillDown(spark, cfg, plans, results, bad, out)
     if (bad.isEmpty) 0 else 1
   }
 
-  /** `--drill-down`: for each inconsistent table of a TWO-target run, report
-    * which rows differ ([[RowDiff.diff]]) and which columns within the rows
-    * present on both sides ([[RowDiff.diffColumns]]), capped at 20 rendered
-    * rows per table. Spark's default case-insensitive resolution lines the
-    * join up across heterogeneous identifier casing (Derby `ID` vs parquet
-    * `id`). More than two targets would need a reference choice — skipped
-    * with a note rather than guessing one.
+  /** `--drill-down`: for each inconsistent table, report which rows differ
+    * ([[RowDiff.diff]]) and which columns within the rows present on both
+    * sides ([[RowDiff.diffColumns]]), capped at 20 rendered rows per table.
+    * Spark's default case-insensitive resolution lines the join up across
+    * heterogeneous identifier casing (Derby `ID` vs parquet `id`).
+    *
+    * Two targets diff directly (a vs b). Three or more pick a REFERENCE per
+    * table — a holder of the modal mode-output vector, ties broken to the
+    * lexicographically smallest target name so the choice is deterministic —
+    * and each dissenting target diffs against it: the way a fleet mismatch
+    * is actually triaged (find the odd ones out relative to the quorum), and
+    * N-1 diffs instead of the N² of all-pairs.
     */
   private def drillDown(spark: SparkSession, cfg: CliConfig,
                         plans: Seq[(Target, Seq[VerifyRun.TableWork])],
+                        results: org.apache.spark.sql.DataFrame,
                         bad: org.apache.spark.sql.DataFrame, out: Writer): Unit = {
     val badTables = bad.select("schema", "table").distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet // lowercased by A3
     if (badTables.isEmpty) return
-    if (plans.length != 2) {
-      out.write(s"drill-down: skipped (${plans.length} targets; needs exactly 2)\n")
+    if (plans.length < 2) {
+      out.write(s"drill-down: skipped (${plans.length} targets; needs at least 2)\n")
       out.flush(); return
     }
-    val Seq((ta, worksA), (tb, worksB)) = plans
-    for {
-      wa <- worksA.sortBy(_.table)
-      if badTables.contains((wa.schema.toLowerCase, wa.table.toLowerCase))
+    def workOf(plan: (Target, Seq[VerifyRun.TableWork]), schema: String, table: String) =
       // match on (schema, table): a bare-name match could pair APP.EXTRA
       // with an unrelated OTHER.EXTRA when both schemas carry the name
-      wb <- worksB.find(w => w.table.equalsIgnoreCase(wa.table) &&
-        w.schema.equalsIgnoreCase(wa.schema))
-    } {
-      // contained per table like the fingerprint run (X3): a drill-down that
-      // cannot be built (e.g. PK column absent on one side) notes the reason
-      // instead of aborting the run after the report already printed
+      plan._2.find(w => w.table.equalsIgnoreCase(table) && w.schema.equalsIgnoreCase(schema))
+    // contained per table like the fingerprint run (X3): a drill-down that
+    // cannot be built (e.g. PK column absent on one side) notes the reason
+    // instead of aborting the run after the report already printed
+    def diffPair(ta: Target, wa: VerifyRun.TableWork, tb: Target,
+                 wb: VerifyRun.TableWork, labels: String): Unit =
       scala.util.Try {
         val a = ta.read(spark, wa.readName)
         val b = tb.read(spark, wb.readName)
         val rows = RowDiff.diff(a, b, wa.spec, cfg.verifyConfig).limit(20)
-        out.write(s"\ndrill-down rows: ${wa.schema}.${wa.table} " +
-          s"(a=${ta.name}, b=${tb.name}, first 20)\n")
+        out.write(s"\ndrill-down rows: ${wa.schema}.${wa.table} ($labels, first 20)\n")
         VerifyRun.renderTable(rows, rows.columns.toSeq, out)
         val cols = RowDiff.diffColumns(a, b, wa.spec, cfg.verifyConfig).limit(20)
         out.write(s"drill-down columns: ${wa.schema}.${wa.table} (first 20)\n")
         VerifyRun.renderTable(cols, cols.columns.toSeq, out)
       }.recover { case e =>
         out.write(s"\ndrill-down: ${wa.schema}.${wa.table} failed: ${e.getMessage}\n")
+      }
+
+    if (plans.length == 2) {
+      val Seq((ta, worksA), planB @ (tb, _)) = plans
+      for {
+        wa <- worksA.sortBy(_.table)
+        if badTables.contains((wa.schema.toLowerCase, wa.table.toLowerCase))
+        wb <- workOf(planB, wa.schema, wa.table)
+      } diffPair(ta, wa, tb, wb, s"a=${ta.name}, b=${tb.name}")
+    } else {
+      // per (table, target) mode-output vector, driver-side: the report is
+      // rows × modes × targets — always tiny (A5's own collect shape)
+      val vectors = results.collect()
+        .map(r => ((r.getString(1).toLowerCase, r.getString(2).toLowerCase),
+          r.getString(0), r.getString(3), r.getString(4))) // (key, target, mode, output)
+        .groupBy(_._1)
+        .map { case (key, rows) =>
+          key -> rows.groupBy(_._2).map { case (t, rs) =>
+            t -> rs.sortBy(_._3).map(_._4).toSeq
+          }
+        }
+      val byName = plans.map(p => p._1.name -> p).toMap
+      for (key @ (schema, table) <- badTables.toSeq.sorted;
+           perTarget <- vectors.get(key).toSeq) {
+        val quorum = perTarget.groupBy(_._2).values
+          .maxBy(g => (g.size, g.keys.min))(
+            Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))
+        val refName = quorum.keys.min
+        val dissenters = perTarget.keys.filterNot(quorum.contains).toSeq.sorted
+        out.write(s"\ndrill-down: $schema.$table reference=$refName " +
+          s"(agreeing ${quorum.size}/${perTarget.size})\n")
+        for {
+          (refTarget, refPlan) <- byName.get(refName).map(p => (p._1, p)).toSeq
+          refWork <- workOf(refPlan, schema, table).toSeq
+          d <- dissenters
+          (dt, dPlan) <- byName.get(d).map(p => (p._1, p)).toSeq
+          dw <- workOf(dPlan, schema, table)
+        } diffPair(refTarget, refWork, dt, dw, s"ref=${refTarget.name}, dissenter=${dt.name}")
       }
     }
     out.flush()

@@ -43,6 +43,12 @@ object AsOfJoin {
     * and left rows sorting before right at equal time so an exactly-
     * coincident right row is still visible (>= semantics, matching DuckDB's
     * forward `ASOF JOIN ... ON l.t <= r.t` oracle).
+    *
+    * Same contract as [[asOf]]: right rows must be unique per (key, time) —
+    * the window order ties within equal (time, side) are unordered, so
+    * duplicate right keys would surface an arbitrary payload (on this and
+    * any engine). Pre-aggregate the right side first, as the registered
+    * queries do.
     */
   def asOfForward(left: DataFrame, right: DataFrame,
                   leftKey: String, leftTime: String,

@@ -388,8 +388,13 @@ object VerifierQueries {
       oracle = Some(digestSql(Seq("orders", "lineitem"), TestModes.Sparse, cfg))),
 
     // P1 over the full type matrix (boolean/date/decimal/binary/array/string
-    // + NULLs) — fixture tables don't carry these, so both engines build the
-    // same literal rows and must agree on the fingerprint
+    // + NULLs, plus the uuid-shaped and bit-string columns from the
+    // reference's 18-type matrix, /root/reference/integration_test.go:135-158
+    // — PG renders uuid/bit/varbit ::TEXT as their literal spellings, so both
+    // engines carry them as strings; PgLiveSpec proves that rendering against
+    // real PG columns of those types) — fixture tables don't carry these, so
+    // both engines build the same literal rows and must agree on the
+    // fingerprint
     "pv_full_typed" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.Row
@@ -398,15 +403,18 @@ object VerifierQueries {
           StructField("id", IntegerType), StructField("b", BooleanType),
           StructField("d", DateType), StructField("dec", DecimalType(9, 2)),
           StructField("bin", BinaryType), StructField("arr", ArrayType(IntegerType)),
-          StructField("s", StringType)))
+          StructField("s", StringType), StructField("uid", StringType),
+          StructField("bit1", StringType), StructField("vbit", StringType)))
         val rows = java.util.Arrays.asList(
           Row(1, true, java.sql.Date.valueOf("2020-01-02"),
             new java.math.BigDecimal("1.25"), Array[Byte](0x0a, 0xff.toByte),
-            Seq(1, 2, 3), "héllo"),
+            Seq(1, 2, 3), "héllo",
+            "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", "1", "101"),
           Row(2, false, java.sql.Date.valueOf("1999-12-31"),
             new java.math.BigDecimal("-12.50"), Array[Byte](0x00),
-            Seq.empty[Int], "x,y{z}"),
-          Row(3, null, null, null, null, null, null))
+            Seq.empty[Int], "x,y{z}",
+            "00000000-0000-0000-0000-000000000000", "0", "010"),
+          Row(3, null, null, null, null, null, null, null, null, null))
         val df = spark.createDataFrame(rows, schema)
         val digest = Fingerprints.fullDigest(df, TableSpec("typed", Seq("id")), cfg)
         import spark.implicits._
@@ -418,14 +426,17 @@ object VerifierQueries {
           StructField("id", IntegerType), StructField("b", BooleanType),
           StructField("d", DateType), StructField("dec", DecimalType(9, 2)),
           StructField("bin", BinaryType), StructField("arr", ArrayType(IntegerType)),
-          StructField("s", StringType)))
+          StructField("s", StringType), StructField("uid", StringType),
+          StructField("bit1", StringType), StructField("vbit", StringType)))
         val cols = schema.fieldNames.toSeq
         val k = graft.canon.Canon.duckPkSortKey(schema, Seq("id"), hashPrimaryKeys = false, cfg.tsPrecision)
         val h = graft.canon.Canon.duckRowHash(schema, cols, cfg.tsPrecision)
-        s"""WITH typed(id, b, d, dec, bin, arr, s) AS (VALUES
-             (1, TRUE, DATE '2020-01-02', CAST(1.25 AS DECIMAL(9,2)), from_hex('0aff'), [1,2,3], 'héllo'),
-             (2, FALSE, DATE '1999-12-31', CAST(-12.50 AS DECIMAL(9,2)), from_hex('00'), CAST([] AS INTEGER[]), 'x,y{z}'),
-             (3, NULL, NULL, NULL, NULL, NULL, NULL))
+        s"""WITH typed(id, b, d, dec, bin, arr, s, uid, bit1, vbit) AS (VALUES
+             (1, TRUE, DATE '2020-01-02', CAST(1.25 AS DECIMAL(9,2)), from_hex('0aff'), [1,2,3], 'héllo',
+              'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', '1', '101'),
+             (2, FALSE, DATE '1999-12-31', CAST(-12.50 AS DECIMAL(9,2)), from_hex('00'), CAST([] AS INTEGER[]), 'x,y{z}',
+              '00000000-0000-0000-0000-000000000000', '0', '010'),
+             (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
            SELECT 'typed' AS table_name,
              (SELECT CASE WHEN count(*) = 0 THEN '${Fingerprints.NoRows}'
                      ELSE md5(string_agg(h, '' ORDER BY k, h)) END

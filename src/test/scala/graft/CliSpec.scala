@@ -24,7 +24,7 @@ class CliSpec extends SparkSpec {
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
       |      --bookend-limit int         only check the first and last N rows (with --tests=bookend) (default 1000)
-      |      --drill-down                on mismatch with exactly two targets, also report which rows differ and which columns within them (first 20 rows per table)
+      |      --drill-down                on mismatch, also report which rows differ and which columns within them (first 20 rows per table); 3+ targets diff each dissenter against a majority-fingerprint reference
       |      --exclude-columns strings   column names to skip verification, ignored if '--include-columns' used (comma separated)
       |      --exclude-schemas strings   schemas to skip verification, ignored if '--include-schemas' used (comma separated)
       |      --exclude-tables strings    tables to skip verification, ignored if '--include-tables' used (comma separated)
@@ -85,6 +85,31 @@ class CliSpec extends SparkSpec {
     assert(o.contains("drill-down columns: main.nation") && o.contains("n_name"), o)
     // the value-changed nation row is `differs`, attributed to exactly n_name
     assert(!o.contains("n_regionkey X") && o.contains("differs"), o)
+  }
+
+  test("--drill-down with three targets diffs the dissenter against the majority reference") {
+    // two agreeing copies (the fixture itself twice) + one dissenter with a
+    // row missing and a value perturbed — the reference must be a majority
+    // holder and only the dissenter diffs against it
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drill3").toString
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    graft.core.Readers.fixture(spark, sfDir, "region")
+      .filter(col("r_regionkey") =!= 2)
+      .withColumn("r_name", when(col("r_regionkey") === 3,
+        concat(col("r_name"), lit("X"))).otherwise(col("r_name")))
+      .write.parquet(s"$tmp/region.parquet")
+    val cfg = Cli.parse(Seq("--tests", "full", "--drill-down",
+      "--include-tables", "region", "--aliases", "prod,replica,drifted",
+      sfDir, sfDir, tmp)).toOption.get
+    val sw = new StringWriter()
+    assert(Cli.run(spark, cfg, sw) == 1)
+    val o = sw.toString
+    // the quorum is the two agreeing fixture reads; prod is the smallest name
+    assert(o.contains("drill-down: main.region reference=prod (agreeing 2/3)"), o)
+    assert(o.contains("ref=prod, dissenter=drifted"), o)
+    // exactly one dissenter diff: the replica never diffs against prod
+    assert(!o.contains("dissenter=replica"), o)
+    assert(o.contains("only_a") && o.contains("differs"), o)
   }
 
   test("incremental re-verification: baseline, verified, drifted across three runs") {
