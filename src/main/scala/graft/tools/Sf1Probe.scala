@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExactSubstr, Graph, MinHashLSH, Similarity}
+
+/** 10× (sf1-equivalent) scale points for the heavy operator families —
+  * pagerank, IVF-PQ, substring dedup, incremental ingest dedup — measured
+  * against the same families at 1× so BASELINE.md can record observed
+  * exponents, not just plan-shape arguments.
+  *
+  * The 10× inputs are staged from sf0.1 with per-copy key offsets, and (for
+  * text) a per-copy token suffix: replicating IDENTICAL documents would make
+  * every copy a near-dup of its 9 siblings and quadratically explode the
+  * candidate-pair count — a 100× measurement artifact, not a 10× corpus.
+  * Embedding copies perturb one coordinate so exact-duplicate centroids
+  * don't degenerate k-means. Both stagings preserve the intra-copy
+  * duplication structure exactly.
+  *
+  * Usage: sbt "runMain graft.tools.Sf1Probe /root/testdata/sf0.1 /tmp/sf1probe"
+  */
+object Sf1Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.drop(1).headOption.getOrElse("/tmp/sf1probe")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[sf1] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+
+    def fixture(t: String): DataFrame = graft.core.Readers.fixture(spark, sfDir, t)
+
+    // -- staging ------------------------------------------------------------
+    val copies = spark.range(10).select(col("id").cast("int").as("copy"))
+    val keyOff = 100000000L
+
+    def staged(name: String)(make: => DataFrame): DataFrame = {
+      val path = s"$work/$name.parquet"
+      if (!new java.io.File(path).exists()) make.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    val docs10 = staged("documents_x10") {
+      fixture("documents").crossJoin(broadcast(copies))
+        .select((col("doc_id") + col("copy") * keyOff).as("doc_id"),
+          // per-copy token suffix: kills cross-copy shingle/span matches,
+          // keeps every within-copy duplicate relationship intact
+          regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1c"), col("copy"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+    }
+    val emb10 = staged("embeddings_x10") {
+      fixture("embeddings").crossJoin(broadcast(copies))
+        .select((col("vec_id") + col("copy") * keyOff).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            when(i === 0, v + col("copy").cast("float") * lit(0.001f)).otherwise(v))
+            .as("embedding"),
+          col("label"))
+    }
+    val orders10 = staged("orders_x10") {
+      fixture("orders").crossJoin(broadcast(copies))
+        .select((col("o_orderkey") + col("copy") * keyOff).as("o_orderkey"),
+          (col("o_custkey") + col("copy") * keyOff).as("o_custkey"))
+    }
+    val li10 = staged("lineitem_x10") {
+      fixture("lineitem").crossJoin(broadcast(copies))
+        .select((col("l_orderkey") + col("copy") * keyOff).as("l_orderkey"),
+          (col("l_suppkey") + col("copy") * keyOff).as("l_suppkey"))
+    }
+    println(s"[sf1] staged: docs=${docs10.count()} emb=${emb10.count()} " +
+      s"orders=${orders10.count()} lineitem=${li10.count()}")
+
+    // -- pagerank (q_pagerank shape: affinity graph from lineitem ⋈ orders) --
+    def pagerank(li: DataFrame, o: DataFrame): Long = {
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, iters = 3).count()
+    }
+    timed("pagerank 1x") { pagerank(
+      fixture("lineitem").select("l_orderkey", "l_suppkey"),
+      fixture("orders").select("o_orderkey", "o_custkey")) }
+    timed("pagerank 10x") { pagerank(li10, orders10) }
+
+    // -- IVF-PQ (sim_ivfpq shape; probe set stays 8 queries at both scales) --
+    def ivfpq(e: DataFrame): Long =
+      Similarity.ivfPqTopK(e, col("vec_id") % keyOff < 8, k = 10, kc = 8,
+        nprobe = 2, m = 4, dims = 64, codebook = 8, iters = 1).count()
+    timed("ivfpq 1x") { ivfpq(fixture("embeddings")) }
+    timed("ivfpq 10x") { ivfpq(emb10) }
+
+    // -- substring dedup, bloom scan-local path (dedup_substring_bloom) -----
+    timed("substring_bloom 1x") {
+      ExactSubstr.coverageBloom(fixture("documents"), "doc_id", "text", 8).count()
+    }
+    timed("substring_bloom 10x") {
+      ExactSubstr.coverageBloom(docs10, "doc_id", "text", 8).count()
+    }
+
+    // -- incremental ingest dedup (dedup_incremental shape, 1/10 delta) -----
+    def incremental(docs: DataFrame): Long = {
+      val sigsNew = MinHashLSH.signaturesFromShingles(
+        MinHashLSH.shingled(docs.filter(col("doc_id") % 10 === 9), "doc_id", "text", 3), 16)
+      val sigsIdx = MinHashLSH.signaturesFromShingles(
+        MinHashLSH.shingled(docs.filter(col("doc_id") % 10 =!= 9), "doc_id", "text", 3), 16)
+      MinHashLSH.incrementalCandidates(sigsNew, sigsIdx, 16, 4).count()
+    }
+    timed("incremental_dedup 1x") { incremental(fixture("documents")) }
+    timed("incremental_dedup 10x") { incremental(docs10) }
+
+    spark.stop()
+  }
+}
