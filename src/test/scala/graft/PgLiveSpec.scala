@@ -248,6 +248,37 @@ class PgLiveSpec extends SparkSpec {
     assert(sparkBuckets == pgBuckets)
   }
 
+  test("migration story: parquet == live PostgreSQL == PG's own CSV dump") {
+    liveOrCancel()
+    // seed PG with the region fixture rows — the actual cross-engine case:
+    // the same logical table living in parquet, in PostgreSQL, and in a CSV
+    // export the warehouse emitted
+    val region = graft.core.Readers.fixture(spark, sfDir, "region")
+    val rows = region.orderBy("r_regionkey").collect()
+    psql("DROP TABLE IF EXISTS public.region; " +
+      "CREATE TABLE public.region (r_regionkey integer PRIMARY KEY, r_name text); " +
+      s"INSERT INTO public.region VALUES ${
+        rows.map(r => s"(${r.getInt(0)}, '${r.getString(1).replace("'", "''")}')").mkString(", ")};")
+    // live PG fingerprint (reference SQL) equals the Spark parquet fingerprint
+    val cols = Seq(PgColumn("r_regionkey", "integer", isPk = true),
+      PgColumn("r_name", "text"))
+    val pgHash = psqlScalar(PgSql.fullHashQuery("public", "region", cols))
+    val sparkHash = Fingerprints.fullDigest(region,
+      TableSpec("region", Seq("r_regionkey")), cfg)
+    assert(sparkHash == pgHash, s"spark=$sparkHash pg=$pgHash")
+    // PG dumps itself to CSV (client-side \copy); the export-dump target
+    // reads it back and the CLI verifies parquet vs dump clean end-to-end
+    val dumpDir = Files.createTempDirectory("graft-pgdump")
+    psql(s"\\copy public.region to '${dumpDir.resolve("region.csv")}' with (format csv, header)")
+    java.nio.file.Files.write(dumpDir.resolve("region.schema.json"),
+      region.schema.json.getBytes("UTF-8"))
+    val cliCfg = Cli.parse(Seq("--tests", "full,rowcount", "--include-tables", "region",
+      "--aliases", "parquet,pgdump", sfDir, dumpDir.toString)).toOption.get
+    val sw = new java.io.StringWriter()
+    assert(Cli.run(spark, cliCfg, sw) == 0, sw.toString)
+    assert(sw.toString.contains(pgHash), sw.toString) // all three agree on the hash
+  }
+
   test("empty table: live reference returns NULL aggregate, engine says no rows") {
     liveOrCancel()
     psql("DROP TABLE IF EXISTS public.typed_empty; " +
