@@ -124,4 +124,40 @@ object PgSql {
   /** `buildRowCountQuery` — /root/reference/query.go:280-283. */
   def rowCountQuery(schemaName: String, tableName: String): String =
     formatQuery(s"""SELECT count(*)::TEXT FROM "$schemaName"."$tableName"""")
+
+  /** `buildGetTablesQuery` — /root/reference/query.go:21-99: views always
+    * excluded, include lists WIN over exclude lists (the `else if`), same
+    * P4 semantics [[SchemaFilter]] applies to file targets.
+    */
+  def getTablesQuery(includeSchemas: Seq[String] = Nil, excludeSchemas: Seq[String] = Nil,
+                     includeTables: Seq[String] = Nil, excludeTables: Seq[String] = Nil): String = {
+    def inList(col: String, in: Seq[String], ex: Seq[String]): Seq[String] =
+      if (in.nonEmpty) Seq(s"$col IN (${in.map(s => s"'$s'").mkString(", ")})")
+      else if (ex.nonEmpty) Seq(s"$col NOT IN (${ex.map(s => s"'$s'").mkString(", ")})")
+      else Nil
+    val wheres = Seq("table_type != 'VIEW'") ++
+      inList("table_schema", includeSchemas, excludeSchemas) ++
+      inList("table_name", includeTables, excludeTables)
+    formatQuery("SELECT table_schema, table_name FROM information_schema.tables" +
+      s" WHERE ${wheres.mkString(" AND ")}")
+  }
+
+  /** `buildGetColumsQuery` — /root/reference/query.go:104-119: the two
+    * LEFT OUTER catalog joins (J1) with the generated-column filter (P5)
+    * pushed into the WHERE.
+    */
+  def getColumnsQuery(schemaName: String, tableName: String): String =
+    formatQuery(s"""
+      SELECT c.column_name, c.data_type, k.constraint_name, tc.constraint_type
+      FROM information_schema.columns as c
+        LEFT OUTER JOIN information_schema.key_column_usage as k ON (
+          c.column_name = k.column_name AND
+          c.table_name = k.table_name AND
+          c.table_schema = k.table_schema
+        )
+        LEFT OUTER JOIN information_schema.table_constraints as tc ON (
+          k.constraint_name = tc.constraint_name
+        )
+      WHERE c.table_name = '$tableName' AND c.table_schema = '$schemaName' AND c.is_generated != 'ALWAYS'
+      """)
 }

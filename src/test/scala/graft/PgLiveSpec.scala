@@ -279,6 +279,36 @@ class PgLiveSpec extends SparkSpec {
     assert(sw.toString.contains(pgHash), sw.toString) // all three agree on the hash
   }
 
+  test("catalog discovery runs live: PK detection, generated-column filter, view exclusion") {
+    liveOrCancel()
+    psql("""DROP TABLE IF EXISTS public.disco CASCADE;
+      CREATE TABLE public.disco (
+        a bigint, b text, a2 bigint,
+        gen bigint GENERATED ALWAYS AS (a * 2) STORED,
+        uniq text UNIQUE,
+        PRIMARY KEY (a, a2));
+      CREATE OR REPLACE VIEW public.disco_view AS SELECT a FROM public.disco;""")
+    // S1: the tables query sees the table, never the view; include wins
+    val tables = psqlLines(PgSql.getTablesQuery(
+      includeSchemas = Seq("public"), includeTables = Seq("disco", "disco_view")))
+    assert(tables == Seq("public|disco"), tables)
+    // exclude path drops it
+    assert(!psqlLines(PgSql.getTablesQuery(includeSchemas = Seq("public"),
+      excludeTables = Seq("disco"))).contains("public|disco"))
+    // S2/J1/P5: the columns query returns the generated column NEVER, both
+    // PK members tagged PRIMARY KEY, and the unique column's constraint
+    // distinct from a PK — exactly the rows the reference builds specs from
+    val cols = psqlLines(PgSql.getColumnsQuery("public", "disco"))
+      .map(_.split('|')).map(a => (a(0), a.lift(3).getOrElse("")))
+    assert(!cols.exists(_._1 == "gen"), cols)
+    val pks = cols.collect { case (n, "PRIMARY KEY") => n }.sorted
+    assert(pks == Seq("a", "a2"), cols)
+    assert(cols.exists { case (n, c) => n == "uniq" && c == "UNIQUE" }, cols)
+    // a column may appear once per constraint membership; the spec-building
+    // rule (PK = any row tagged PRIMARY KEY) dedups naturally
+    assert(cols.map(_._1).distinct.sorted == Seq("a", "a2", "b", "uniq"), cols)
+  }
+
   test("empty table: live reference returns NULL aggregate, engine says no rows") {
     liveOrCancel()
     psql("DROP TABLE IF EXISTS public.typed_empty; " +
