@@ -279,6 +279,70 @@ class PgLiveSpec extends SparkSpec {
     assert(sw.toString.contains(pgHash), sw.toString) // all three agree on the hash
   }
 
+  test("every timestamp precision folds like live PG date_trunc — incl. week's Monday anchor and pre-1970 floor") {
+    liveOrCancel()
+    // the fixture's col_tstz spans: whole-second, sub-ms micros, and a
+    // pre-1970 sub-second value (floor, not truncate-toward-zero, at every
+    // unit); 'week' additionally pins the Monday (not epoch-Thursday) anchor
+    for (precision <- Seq("microseconds", "milliseconds", "second", "minute",
+      "hour", "day", "week")) {
+      val pgHash = psqlScalar(PgSql.fullHashQuery("public", "typed", pgColumns,
+        precision = precision))
+      val sparkHash = Fingerprints.fullDigest(typedDf, spec,
+        cfg.copy(tsPrecision = precision))
+      assert(sparkHash == pgHash, s"precision=$precision spark=$sparkHash pg=$pgHash")
+    }
+  }
+
+  test("composite-PK sparse replicates the per-column IN wart against the live wire") {
+    liveOrCancel()
+    // the reference semi-joins EACH PK column independently against the
+    // composite-concat bucket (query.go:186-205) — not equivalent to the
+    // joint filter; (a, a2) collide across rows so the wart is observable
+    psql("""DROP TABLE IF EXISTS public.comp;
+      CREATE TABLE public.comp (a bigint, a2 bigint, v text, PRIMARY KEY (a, a2));
+      INSERT INTO public.comp
+        SELECT i / 10, i % 10, 'v' || i::text FROM generate_series(0, 199) AS s(i);""")
+    val compCols = Seq(PgColumn("a", "bigint", isPk = true),
+      PgColumn("a2", "bigint", isPk = true), PgColumn("v", "text"))
+    val compDf = spark.range(0, 200).selectExpr("id div 10 as a", "id % 10 as a2",
+      "concat('v', cast(id as string)) as v")
+    val compSpec = TableSpec("comp", Seq("a", "a2"))
+    for (mod <- Seq(2, 3)) {
+      val pgOut = psqlScalar(PgSql.sparseHashQuery("public", "comp", compCols, sparseMod = mod))
+      val pgHash = if (pgOut.isEmpty) Fingerprints.NoRows else pgOut
+      val sparkHash = Fingerprints.sparseDigest(compDf, compSpec, cfg.copy(sparseMod = mod))
+      assert(sparkHash == pgHash, s"mod=$mod spark=$sparkHash pg=$pgHash")
+    }
+    // full-mode on the composite table too: the PK-concat ORDER BY over two
+    // casts, live-checked
+    val pgFull = psqlScalar(PgSql.fullHashQuery("public", "comp", compCols))
+    assert(Fingerprints.fullDigest(compDf, compSpec, cfg) == pgFull)
+  }
+
+  test("bookend with --hash-primary-keys equals the live reference") {
+    liveOrCancel()
+    val pgHash = psqlScalar(PgSql.bookendHashQuery("public", "typed", pgColumns,
+      limit = 2, hashPrimaryKeys = true))
+    val sparkHash = Fingerprints.bookendDigest(typedDf, spec,
+      cfg.copy(bookendLimit = 2, hashPrimaryKeys = true))
+    assert(sparkHash == pgHash, s"spark=$sparkHash pg=$pgHash")
+  }
+
+  test("float8 divergence is real and stays OUT of the matrix: PG drops '.0' on integral doubles") {
+    liveOrCancel()
+    // evidence for the Canon scaladoc claim that restricts canonical doubles
+    // to non-integral values: PG shortest-reprs 2.0 to '2' where Java and
+    // DuckDB say '2.0' — a live pin so the documented divergence can't rot
+    assert(psqlScalar("SELECT 2.0::float8::text") == "2")
+    assert(psqlScalar("SELECT 69.123987::float8::text") == "69.123987")
+    import spark.implicits._
+    val sparkRender = Seq(2.0).toDF("d")
+      .select(graft.canon.Canon.canonCol(col("d"),
+        org.apache.spark.sql.types.DoubleType)).as[String].head()
+    assert(sparkRender == "2.0") // the divergence the fixture dodges
+  }
+
   test("catalog discovery runs live: PK detection, generated-column filter, view exclusion") {
     liveOrCancel()
     psql("""DROP TABLE IF EXISTS public.disco CASCADE;
