@@ -49,7 +49,8 @@ object Cli {
       |
       |A target is a directory of <table>.parquet files, a directory of
       |<table>.csv or <table>.json export dumps (with optional
-      |<table>.schema.json sidecars), or a jdbc: URL.
+      |<table>.schema.json sidecars), a jdbc: URL, or pg:<conninfo> for a
+      |live PostgreSQL reached through the psql client.
       |
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)
@@ -142,6 +143,9 @@ object Cli {
   private def buildTargets(cfg: CliConfig): Seq[Target] =
     cfg.targets.zip(targetNames(cfg.targets, cfg.aliases)).map {
       case (uri, name) if uri.startsWith("jdbc:") => JdbcTarget(name, uri)
+      // live PostgreSQL through the psql client (no JDBC driver needed):
+      // pg:<libpq conninfo or URI>
+      case (uri, name) if uri.startsWith("pg:") => PsqlTarget(name, uri.stripPrefix("pg:"))
       case (dir, name) => graft.core.FileTarget.detectFormat(dir) match {
         // a dir of csv/json dumps (no parquet present) verifies as an
         // export target; parquet stays the primary kind
@@ -174,7 +178,15 @@ object Cli {
     val catalogPks: Seq[String] = target match {
       case j: JdbcTarget =>
         j.discoverColumns(spark, schema, table).filter(_.isPrimaryKey).map(_.name).sorted
+      case p: PsqlTarget =>
+        p.discoverColumns(schema, table).collect { case (m, _) if m.isPrimaryKey => m.name }.sorted
       case _ => Fixtures.specs.get(table).map(_.pks).getOrElse(Nil)
+    }
+    // json/jsonb columns take the P1 length proxy: discovered live for PG
+    // targets, from the fixture catalog otherwise
+    val jsonCols = target match {
+      case p: PsqlTarget => p.jsonColumns(schema, table)
+      case _ => Fixtures.specs.get(table).map(_.jsonColumns).getOrElse(Set.empty)
     }
     // align catalog-case PK names to the physical result-set case
     // (Derby uppercases unquoted identifiers; PG lowercases them)
@@ -182,7 +194,7 @@ object Cli {
     if (pks.isEmpty) None
     else Some(VerifyRun.TableWork(schema, table, fullName,
       TableSpec(table, pks, cfg.includeColumns, cfg.excludeColumns,
-        jsonColumns = Fixtures.specs.get(table).map(_.jsonColumns).getOrElse(Set.empty))))
+        jsonColumns = jsonCols)))
   }
 
   /** Full CLI run: discover PER TARGET (tables, PKs, column casing — each

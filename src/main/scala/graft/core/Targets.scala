@@ -458,3 +458,131 @@ object Fixtures {
     */
   val fingerprintTables: Seq[String] = tableNames.filterNot(_ == "embeddings")
 }
+
+/** Live PostgreSQL target driven through the `psql` client — the
+  * no-JDBC-driver path: discovery and data both ride the reference's own
+  * catalog SQL ([[PgSql.getTablesQuery]]/[[PgSql.getColumnsQuery]]) executed
+  * by a real server, so this target IS the reference's connection model
+  * (PostgreSQL ≥10 wire) re-hosted on Spark. `conn` is a libpq conninfo
+  * string (`host=/sock/dir dbname=postgres user=graft`) or URI; the CLI
+  * spells it `pg:<conninfo>`.
+  *
+  * Data reads stage one server-side `\copy (SELECT ... ::TEXT) TO csv` per
+  * table and cast in Spark. Server-side renderings are chosen so the
+  * canonicalizing projection (P1) sees exactly what it would see reading the
+  * same logical values from parquet:
+  *   - timestamptz → epoch micros BIGINT (cast back via `timestamp_micros`;
+  *     the canonical fold then applies identically)
+  *   - json → `::JSONB::TEXT` (normalized — the reference's length proxy is
+  *     over the normalized text, column.go:30)
+  *   - bytea/uuid/bit/varbit/arrays → `::TEXT`, which IS the canonical form
+  *   - numerics/bool/date → `::TEXT` re-cast to the discovered Spark type so
+  *     stats-mode min/max stay typed, not lexicographic
+  * NULLs travel as the CSV null-string `\N`; a literal text value `\N` would
+  * be read back as NULL (accepted, documented — the reference's CSV dumps
+  * have the same ambiguity).
+  *
+  * Scale shape: one pipe per table — the right tool for live verification
+  * and modest tables. At warehouse scale the partitioned-JDBC path
+  * ([[JdbcTarget]], one server-side range scan per task) is the route; this
+  * target exists because fingerprint fidelity needs a REAL PostgreSQL more
+  * than it needs a driver jar.
+  */
+case class PsqlTarget(name: String, conn: String) extends Target {
+  import java.nio.file.Files
+  import scala.sys.process._
+  import org.apache.spark.sql.types._
+
+  private def psqlLines(sql: String): Seq[String] = {
+    val f = Files.createTempFile("graft-psql-t", ".sql")
+    Files.write(f, sql.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val code = Process(Seq("psql", conn, "-v", "ON_ERROR_STOP=1", "-tA", "-f", f.toString))
+      .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    Files.deleteIfExists(f)
+    require(code == 0, s"psql exited $code for:\n$sql")
+    out.toString.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  /** System schemas never verify — the analogue of JdbcTarget's exclusion. */
+  private val systemSchemas = Set("pg_catalog", "information_schema", "pg_toast")
+
+  override def tables(spark: SparkSession, schemas: SchemaFilter): Seq[String] =
+    psqlLines(PgSql.getTablesQuery())
+      .map(_.split('|')).collect {
+        case Array(s, t) if !systemSchemas.contains(s) && schemas.accepts(s) => s"$s.$t"
+      }.sorted
+
+  /** Column discovery with numeric precision/scale (the two extra
+    * information_schema columns beyond the reference's four — consumed only
+    * for Spark type mapping, never hashed).
+    */
+  def discoverColumns(schema: String, table: String): Seq[(ColumnMeta, Option[(Int, Int)])] =
+    psqlLines(s"""
+      SELECT c.column_name, c.data_type,
+             coalesce(bool_or(tc.constraint_type = 'PRIMARY KEY'), false),
+             min(c.ordinal_position), min(c.numeric_precision), min(c.numeric_scale)
+      FROM information_schema.columns AS c
+        LEFT OUTER JOIN information_schema.key_column_usage AS k ON (
+          c.column_name = k.column_name AND c.table_name = k.table_name AND
+          c.table_schema = k.table_schema)
+        LEFT OUTER JOIN information_schema.table_constraints AS tc ON (
+          k.constraint_name = tc.constraint_name)
+      WHERE c.table_name = '$table' AND c.table_schema = '$schema'
+        AND c.is_generated != 'ALWAYS'
+      GROUP BY 1, 2 ORDER BY min(c.ordinal_position)""")
+      .map(_.split('|'))
+      .map { a =>
+        val ps = (a.lift(4).filter(_.nonEmpty), a.lift(5).filter(_.nonEmpty)) match {
+          case (Some(p), Some(s)) => Some((p.toInt, s.toInt))
+          case _ => None
+        }
+        (ColumnMeta(a(0), a(1), a(2) == "t"), ps)
+      }
+
+  /** JSON-rule columns for spec building (data_type json/jsonb — P1). */
+  def jsonColumns(schema: String, table: String): Set[String] =
+    discoverColumns(schema, table)
+      .collect { case (m, _) if m.dataType == "json" || m.dataType == "jsonb" => m.name }
+      .toSet
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val (schema, bare) = VerifyRun.splitName(table)
+    val cols = discoverColumns(schema, bare)
+    require(cols.nonEmpty, s"no columns discovered for $schema.$bare")
+    val selects = cols.map { case (m, _) =>
+      val q = "\"" + m.name + "\""
+      m.dataType match {
+        case "timestamp with time zone" =>
+          s"(extract(epoch from $q)::DECIMAL * 1000000)::BIGINT::TEXT AS $q"
+        case "json" => s"$q::JSONB::TEXT AS $q"
+        case _ => s"$q::TEXT AS $q"
+      }
+    }
+    val csv = Files.createTempFile(s"graft-psql-$bare", ".csv")
+    psqlLines(s"""\\copy (SELECT ${selects.mkString(", ")} FROM "$schema"."$bare") """ +
+      s"to '$csv' with (format csv, header, null '\\N')")
+    val raw = spark.read
+      .schema(StructType(cols.map { case (m, _) => StructField(m.name, StringType) }))
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(csv.toString)
+    cols.foldLeft(raw) { case (df, (m, ps)) =>
+      val c = org.apache.spark.sql.functions.col(m.name)
+      val cast = m.dataType match {
+        case "smallint" => Some(c.cast(ShortType))
+        case "integer" => Some(c.cast(IntegerType))
+        case "bigint" => Some(c.cast(LongType))
+        case "boolean" => Some(c.cast(BooleanType))
+        case "date" => Some(c.cast(DateType))
+        case "real" => Some(c.cast(FloatType))
+        case "double precision" => Some(c.cast(DoubleType))
+        case "numeric" => ps.map { case (p, s) => c.cast(DecimalType(p min 38, s)) }
+        case "timestamp with time zone" =>
+          Some(org.apache.spark.sql.functions.timestamp_micros(c.cast(LongType)))
+        case "timestamp without time zone" => Some(c.cast(TimestampNTZType))
+        case _ => None // text/uuid/bit/bytea/arrays/json: ::TEXT IS canonical
+      }
+      cast.fold(df)(e => df.withColumn(m.name, e))
+    }
+  }
+}

@@ -19,7 +19,8 @@ class CliSpec extends SparkSpec {
       |
       |A target is a directory of <table>.parquet files, a directory of
       |<table>.csv or <table>.json export dumps (with optional
-      |<table>.schema.json sidecars), or a jdbc: URL.
+      |<table>.schema.json sidecars), a jdbc: URL, or pg:<conninfo> for a
+      |live PostgreSQL reached through the psql client.
       |
       |Flags:
       |      --aliases strings           alias names for the supplied targets (comma separated)

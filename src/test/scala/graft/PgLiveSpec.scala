@@ -373,6 +373,33 @@ class PgLiveSpec extends SparkSpec {
     assert(cols.map(_._1).distinct.sorted == Seq("a", "a2", "b", "uniq"), cols)
   }
 
+  test("CLI verifies a live PostgreSQL target (pg:conninfo) against parquet, end to end") {
+    liveOrCancel()
+    // seed PG with nation + region so discovery finds MULTIPLE tables and
+    // PKs live; parquet presents as schema 'public' to pair with PG's
+    val region = graft.core.Readers.fixture(spark, sfDir, "region")
+    val nation = graft.core.Readers.fixture(spark, sfDir, "nation")
+    psql("DROP TABLE IF EXISTS public.region; DROP TABLE IF EXISTS public.nation; " +
+      "CREATE TABLE public.region (r_regionkey integer PRIMARY KEY, r_name text); " +
+      s"INSERT INTO public.region VALUES ${region.collect().map(r =>
+        s"(${r.getInt(0)}, '${r.getString(1).replace("'", "''")}')").mkString(", ")}; " +
+      "CREATE TABLE public.nation (n_nationkey integer PRIMARY KEY, n_name text, n_regionkey integer); " +
+      s"INSERT INTO public.nation VALUES ${nation.collect().map(r =>
+        s"(${r.getInt(0)}, '${r.getString(1).replace("'", "''")}', ${r.getInt(2)})").mkString(", ")};")
+    val conninfo = PgHarness.conninfo
+    val cliCfg = Cli.parse(Seq("--tests", "full,bookend,sparse,rowcount",
+      "--include-tables", "region,nation", "--parquet-schema", "public",
+      "--aliases", "pg,parquet", s"pg:$conninfo", sfDir)).toOption.get
+    val sw = new java.io.StringWriter()
+    assert(Cli.run(spark, cliCfg, sw) == 0, sw.toString)
+    assert(sw.toString.contains("region") && sw.toString.contains("nation"), sw.toString)
+    // and a perturbed PG row makes the live pair FAIL — the check can fire
+    psql("UPDATE public.nation SET n_name = n_name || 'X' WHERE n_nationkey = 3;")
+    val sw2 = new java.io.StringWriter()
+    assert(Cli.run(spark, cliCfg, sw2) == 1, sw2.toString)
+    psql("UPDATE public.nation SET n_name = rtrim(n_name, 'X') WHERE n_nationkey = 3;")
+  }
+
   test("empty table: live reference returns NULL aggregate, engine says no rows") {
     liveOrCancel()
     psql("DROP TABLE IF EXISTS public.typed_empty; " +
@@ -449,6 +476,9 @@ object PgHarness {
       }
     } catch { case _: Exception => false }
   }
+
+  /** libpq conninfo for this cluster — what `pg:<conninfo>` CLI targets take. */
+  def conninfo: String = s"host=$sockDir user=graft dbname=postgres"
 
   /** Run a SQL script; throws on failure (tests treat that as a real red). */
   def psql(sql: String): Unit = {
