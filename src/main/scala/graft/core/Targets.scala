@@ -482,13 +482,18 @@ object Fixtures {
   * be read back as NULL (accepted, documented — the reference's CSV dumps
   * have the same ambiguity).
   *
-  * Scale shape: one pipe per table — the right tool for live verification
-  * and modest tables. At warehouse scale the partitioned-JDBC path
-  * ([[JdbcTarget]], one server-side range scan per task) is the route; this
+  * Scale shape: `readPartitions` > 1 with an integer-family leading PK
+  * splits [min, max] into contiguous ranges and runs one concurrent
+  * server-side `\copy` per range — each an index-range scan, the psql
+  * analogue of [[JdbcTarget]]'s `partitionColumn` split (PgLiveSpec proves
+  * the partitioned digest equals the single-pipe one). Staging still lands
+  * on driver-local disk before Spark reads it, so warehouse-scale pulls
+  * belong to the partitioned-JDBC path where executors read directly; this
   * target exists because fingerprint fidelity needs a REAL PostgreSQL more
   * than it needs a driver jar.
   */
-case class PsqlTarget(name: String, conn: String) extends Target {
+case class PsqlTarget(name: String, conn: String,
+                      readPartitions: Int = 1) extends Target {
   import java.nio.file.Files
   import scala.sys.process._
   import org.apache.spark.sql.types._
@@ -559,13 +564,46 @@ case class PsqlTarget(name: String, conn: String) extends Target {
         case _ => s"$q::TEXT AS $q"
       }
     }
-    val csv = Files.createTempFile(s"graft-psql-$bare", ".csv")
-    psqlLines(s"""\\copy (SELECT ${selects.mkString(", ")} FROM "$schema"."$bare") """ +
-      s"to '$csv' with (format csv, header, null '\\N')")
+    // parallel pull (readPartitions > 1, integer-family leading PK): split
+    // [min, max] into contiguous ranges — one server-side index-range scan
+    // per concurrent \copy, the psql analogue of JdbcTarget's
+    // partitionColumn split; first/last ranges open-ended so coverage is
+    // exhaustive regardless of bound tightness. Anything else (no PK,
+    // non-integer PK, empty table) stays one pipe.
+    val intTypes = Set("smallint", "integer", "bigint")
+    val splitPk = cols.collectFirst {
+      case (m, _) if m.isPrimaryKey && intTypes.contains(m.dataType) => m.name
+    }
+    val stageDir = Files.createTempDirectory(s"graft-psql-$bare")
+    def copyTo(file: String, where: String): Unit =
+      psqlLines(s"""\\copy (SELECT ${selects.mkString(", ")} FROM "$schema"."$bare"$where) """ +
+        s"to '$stageDir/$file' with (format csv, header, null '\\N')")
+    val bounds = splitPk.filter(_ => readPartitions > 1).flatMap { pk =>
+      psqlLines(s"""SELECT min("$pk") || '|' || max("$pk") FROM "$schema"."$bare"""")
+        .headOption.map(_.split('|')).collect { case Array(lo, hi) => (pk, lo.toLong, hi.toLong) }
+    }
+    bounds match {
+      case Some((pk, lo, hi)) if hi > lo =>
+        val n = readPartitions min (hi - lo + 1).toInt
+        val step = (hi - lo) / n + 1
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence((0 until n).map { i =>
+          Future {
+            val wheres = Seq(
+              if (i == 0) "" else s""""$pk" >= ${lo + i * step}""",
+              if (i == n - 1) "" else s""""$pk" < ${lo + (i + 1) * step}""").filter(_.nonEmpty)
+            copyTo(f"part-$i%05d.csv",
+              if (wheres.isEmpty) "" else wheres.mkString(" WHERE ", " AND ", ""))
+          }
+        }), Duration.Inf)
+      case _ => copyTo("part-00000.csv", "")
+    }
     val raw = spark.read
       .schema(StructType(cols.map { case (m, _) => StructField(m.name, StringType) }))
       .option("header", "true").option("nullValue", "\\N")
-      .csv(csv.toString)
+      .csv(stageDir.toString)
     cols.foldLeft(raw) { case (df, (m, ps)) =>
       val c = org.apache.spark.sql.functions.col(m.name)
       val cast = m.dataType match {

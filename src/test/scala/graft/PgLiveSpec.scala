@@ -387,7 +387,10 @@ class PgLiveSpec extends SparkSpec {
       s"INSERT INTO public.nation VALUES ${nation.collect().map(r =>
         s"(${r.getInt(0)}, '${r.getString(1).replace("'", "''")}', ${r.getInt(2)})").mkString(", ")};")
     val conninfo = PgHarness.conninfo
-    val cliCfg = Cli.parse(Seq("--tests", "full,bookend,sparse,rowcount",
+    // stats included deliberately: its min/max only agree because PsqlTarget
+    // re-casts numerics to the discovered Spark types (string min/max would
+    // order '10' before '2')
+    val cliCfg = Cli.parse(Seq("--tests", "full,bookend,sparse,rowcount,stats",
       "--include-tables", "region,nation", "--parquet-schema", "public",
       "--aliases", "pg,parquet", s"pg:$conninfo", sfDir)).toOption.get
     val sw = new java.io.StringWriter()
@@ -398,6 +401,22 @@ class PgLiveSpec extends SparkSpec {
     val sw2 = new java.io.StringWriter()
     assert(Cli.run(spark, cliCfg, sw2) == 1, sw2.toString)
     psql("UPDATE public.nation SET n_name = rtrim(n_name, 'X') WHERE n_nationkey = 3;")
+  }
+
+  test("partitioned psql pull: 4 concurrent range scans digest identically to one pipe") {
+    liveOrCancel()
+    psql("""DROP TABLE IF EXISTS public.bigt;
+      CREATE TABLE public.bigt (id bigint PRIMARY KEY, v text);
+      INSERT INTO public.bigt
+        SELECT i, 'row' || i::text FROM generate_series(0, 9999) AS s(i);""")
+    val single = graft.core.PsqlTarget("pg1", PgHarness.conninfo)
+    val split = graft.core.PsqlTarget("pg4", PgHarness.conninfo, readPartitions = 4)
+    val bigtSpec = TableSpec("bigt", Seq("id"))
+    val a = Fingerprints.fullDigest(single.read(spark, "public.bigt"), bigtSpec, cfg)
+    val b = Fingerprints.fullDigest(split.read(spark, "public.bigt"), bigtSpec, cfg)
+    assert(a == b && a != Fingerprints.NoRows, s"single=$a split=$b")
+    // row counts agree too (ranges are disjoint and exhaustive)
+    assert(split.read(spark, "public.bigt").count() == 10000L)
   }
 
   test("empty table: live reference returns NULL aggregate, engine says no rows") {
