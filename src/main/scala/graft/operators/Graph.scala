@@ -158,6 +158,75 @@ object Graph {
              FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst) w
        WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.v AND e.b = w.w)"""
 
+  /** Multi-source BFS levels over directed `edges` (src, dst): the minimum
+    * hop count from any node in `sources` (one column `node`), up to
+    * `maxDepth` hops — reachability with distance, the third leg of the
+    * graph family beside components ([[DedupClusters]]) and centrality
+    * ([[pageRank]]). Curation uses it as link-distance-from-seed-set: "keep
+    * documents within k hops of a trusted seed domain" is a standard
+    * web-corpus quality filter.
+    *
+    * Frontier-expansion shape (the textbook distributed BFS): each round
+    * joins the CURRENT frontier (not the whole visited set) to the edge
+    * list, then anti-joins against visited to keep first discoveries only.
+    * Per-round cost is O(edges incident to the frontier) + one |visited|
+    * anti-join shuffle; rounds stop early when a frontier empties (the
+    * frontier count doubles as the persist barrier every round, so plans
+    * stay one round deep — the BPE-merge lesson). Levels are exact small
+    * integers: nothing here floats, so cross-engine equality is structural.
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth=$maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count()
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("level", lit(0L)).persist()
+    visited.count()
+    var frontier = visited.select(col("node"))
+    try {
+      var depth = 0
+      var frontierSize = 1L
+      while (depth < maxDepth && frontierSize > 0) {
+        depth += 1
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("level", lit(depth.toLong))
+          .persist()
+        frontierSize = next.count()
+        val grown = visited.unionByName(next).persist()
+        grown.count()
+        visited.unpersist(blocking = false)
+        next.unpersist(blocking = false)
+        visited = grown
+        // read the new frontier back OUT OF the persisted union (a slice of
+        // the cache), not from the unpersisted `next` plan — referencing
+        // `next` here would re-run its join + anti-join next round
+        frontier = grown.filter(col("level") === depth.toLong).select(col("node"))
+      }
+      visited
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin of [[bfsLevels]] as unrolled frontier CTEs (bounded depth,
+    * so no recursion needed — the same unroll pattern as the PageRank twin).
+    * `sourcesSql` must select one column `node`.
+    */
+  def duckBfsLevelsSql(edgesSql: String, sourcesSql: String, maxDepth: Int): String = {
+    val head =
+      s"""e AS ($edgesSql),
+         v0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS level FROM ($sourcesSql) s)"""
+    val steps = (1 to maxDepth).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node
+             FROM e JOIN v${i - 1} v ON e.src = v.node AND v.level = ${i - 1}
+             WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x WHERE x.node = e.dst)),
+         v$i AS (SELECT node, level FROM v${i - 1}
+                 UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)"""
+    }
+    s"WITH ${(head +: steps).mkString(",\n")}\nSELECT node, level FROM v$maxDepth"
+  }
+
   /** DuckDB twin of [[pageRank]] as unrolled CTE stages (the KMeans-twin
     * pattern): `edgesSql` must select (src, dst). Returns the CTE chain and
     * the name of the final rank relation.

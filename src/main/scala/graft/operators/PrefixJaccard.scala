@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
+
+/** Exact shingle-set similarity join via prefix filtering (the AllPairs /
+  * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair
+  * with Jaccard >= t, with NO false negatives — the exact counterpart of the
+  * MinHash-LSH candidate pipeline ([[MinHashLSH]]), for the dedup stages
+  * where a probabilistic miss is not acceptable (e.g. benchmark
+  * decontamination audits).
+  *
+  * The pruning rule: order every document's token set by one global total
+  * order (document frequency ascending, then token — rare tokens first) and
+  * keep only the first `|x| - ceil(t*|x|) + 1` tokens as its "prefix". If
+  * J(x,y) >= t the two prefixes must share a token, so an inverted-index
+  * self-join on prefix tokens generates a candidate superset; a size filter
+  * (`min(|x|,|y|) >= t*max(|x|,|y|)` — Jaccard cannot reach t across a
+  * larger size skew) prunes further, and an exact intersection verifies.
+  * Correctness needs only SOME fixed global order; the rare-first choice is
+  * the efficiency lever (frequent tokens land outside prefixes, so the
+  * inverted index's hot buckets disappear).
+  *
+  * Scale shape (100 TB): tokenize + per-doc sort are scan-parallel; the df
+  * dimension is vocabulary-sized (joined back by token — broadcast when it
+  * fits, shuffle otherwise); the candidate join shuffles narrow
+  * `(token, id, size)` prefix rows only — never whole documents, never the
+  * O(n^2) pair space. Verification joins token arrays back by id, the same
+  * candidate-then-verify shape as the LSH path. Thresholds are exact
+  * integer arithmetic (t = num/den) on both engines.
+  */
+object PrefixJaccard {
+
+  /** Per-doc distinct-shingle rows `(id, t)` — the same word-n-gram sets the
+    * MinHash pipeline hashes ([[TextAnalysis.shinglesFromTokens]]; never an
+    * empty array: short docs shingle to the whole text), so the exact join
+    * and the LSH join rank the same pair population.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    graft.core.Readers.spread(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
+      .withColumn("tk", tokens(col("text")))
+      .select(col("id"), explode(shinglesFromTokens(col("tk"), shingleN)).as("t"))
+
+  /** All pairs `(doc_a, doc_b, jaccard_micro)` with doc_a < doc_b and
+    * shingle-set Jaccard >= num/den, jaccard_micro = floor(1e6*|inter|/|union|).
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+            num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
+    val tok = shingleRows(df, idCol, textCol, shingleN)
+    // document frequency per token: the global-order key (df asc, token asc)
+    val dfDim = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    // one row per doc: the full sorted token set (for exact verification)
+    // and the df-ordered set (for prefix extraction). Persisted: it feeds
+    // the prefix explode AND two verification joins.
+    val docs = tok.join(dfDim, "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("t"))).as("toks"),
+        sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
+      .withColumn("s", size(col("toks")).cast("long"))
+      .persist()
+    try {
+      // prefix length |x| - ceil(t|x|) + 1, all-integer ceil
+      val prefixed = docs
+        .withColumn("plen", expr(s"s - ((s * $num + ${den - 1}) div $den) + 1"))
+        .select(col("id"), col("s"),
+          explode(expr("transform(slice(ord, 1, int(plen)), x -> x.t)")).as("pt"))
+      // inverted-index candidate join on prefix tokens + size filter
+      val cand = prefixed.as("a")
+        .join(prefixed.as("b"),
+          col("a.pt") === col("b.pt") && col("a.id") < col("b.id") &&
+            least(col("a.s"), col("b.s")) * den >= greatest(col("a.s"), col("b.s")) * num)
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct()
+      // exact verify: inter*den >= num*(|a|+|b|-inter)
+      val byId = docs.select(col("id"), col("toks"), col("s"))
+      cand
+        .join(byId.select(col("id").as("doc_a"), col("toks").as("ta"), col("s").as("sa")), "doc_a")
+        .join(byId.select(col("id").as("doc_b"), col("toks").as("tb"), col("s").as("sb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(col("inter") * den >= (col("sa") + col("sb") - col("inter")) * num)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(1000000 * inter) div (sa + sb - inter)").as("jaccard_micro"))
+    } finally docs.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle: BRUTE-FORCE all-pairs exact Jaccard — deliberately
+    * algorithm-independent ground truth, so the gate proves the prefix
+    * pruning loses no pair (the no-false-negative claim), not merely that
+    * two copies of the same pruning agree.
+    */
+  def duckPairs(table: String, idCol: String, textCol: String, shingleN: Int,
+                num: Int, den: Int): String =
+    s"""WITH ${MinHashLSH.duckShingleCte(table, idCol, textCol, shingleN)},
+        sized AS (SELECT id, list_sort(sh) AS toks,
+                         CAST(len(sh) AS BIGINT) AS s FROM shs)
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               (1000000 * CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT))
+                 // (a.s + b.s - len(list_intersect(a.toks, b.toks))) AS jaccard_micro
+        FROM sized a JOIN sized b ON a.id < b.id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * $den
+                >= (a.s + b.s - len(list_intersect(a.toks, b.toks))) * $num
+        ORDER BY doc_a, doc_b"""
+}

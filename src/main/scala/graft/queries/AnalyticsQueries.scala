@@ -346,6 +346,37 @@ object AnalyticsQueries {
         s"WITH $ctes\nSELECT node, rank FROM $last ORDER BY rank DESC, node ASC LIMIT 20"
       }),
 
+    // multi-source BFS levels over the same purchase-affinity graph as
+    // q_pagerank: minimum hop distance from a seed customer set, up to 3
+    // hops — the link-distance-from-trusted-seeds curation filter. Frontier
+    // expansion joins only the CURRENT frontier to the edge list per round
+    // (see operators/Graph.bfsLevels); oracle unrolls the frontiers as CTE
+    // stages (bounded depth, no recursion)
+    "q_bfs_levels" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val sources = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .filter(col("c_custkey") <= 3).select((col("c_custkey") * 2).as("node"))
+        graft.operators.Graph.bfsLevels(edges, sources, maxDepth = 3)
+          .orderBy("node")
+      },
+      oracle = Some {
+        val joined = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        val edgesSql =
+          s"""SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst $joined
+             UNION SELECT DISTINCT l_suppkey*2+1, o_custkey*2 $joined"""
+        val sourcesSql = "SELECT c_custkey*2 AS node FROM customer WHERE c_custkey <= 3"
+        graft.operators.Graph.duckBfsLevelsSql(edgesSql, sourcesSql, maxDepth = 3) +
+          "\nORDER BY node"
+      }),
+
     // triangle enumeration over the user co-click affinity graph: users who
     // clicked the same item (props.k) within 30 minutes share an edge; a
     // triangle is a tight interest cluster — the community-density signal

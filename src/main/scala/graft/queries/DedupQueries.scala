@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryEntry
 import graft.core.Readers
-import graft.operators.{ExactSubstr, MinHashLSH, SimHash, Similarity}
+import graft.operators.{ExactSubstr, MinHashLSH, PrefixJaccard, SimHash, Similarity}
 
 /** Deduplication family over `documents` and `embeddings`: exact hash dedup,
   * MinHash+LSH candidates, exact n-gram Jaccard verification, SimHash, and
@@ -122,6 +122,18 @@ object DedupQueries {
     // never re-read, and existing×existing pairs are absent by construction
     // (resolved at their own ingest). O(delta + index) per ingest, the
     // dedup analogue of pv_merkle_incremental
+    // exact similarity join via prefix filtering (AllPairs/PPJoin): every
+    // shingle-set pair with Jaccard >= 0.5, NO false negatives — the exact
+    // counterpart of the LSH candidate path (same shingle sets), gated
+    // against a brute-force all-pairs oracle so the gate proves the
+    // pruning loses nothing
+    "dedup_jaccard_prefix" -> QueryEntry(
+      fn = (spark, sfDir) => PrefixJaccard.pairs(
+        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+        ShingleN, num = 1, den = 2).orderBy("doc_a", "doc_b"),
+      oracle = Some(PrefixJaccard.duckPairs("documents", "doc_id", "text",
+        ShingleN, num = 1, den = 2))),
+
     "dedup_incremental" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")

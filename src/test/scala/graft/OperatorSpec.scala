@@ -480,6 +480,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.distinct == got)
   }
 
+  test("bfs levels: minimum hop distance, early exit, unreachable absent") {
+    // chain 1->2->3->4->5 plus a shortcut 1->4 (min beats the long path),
+    // a cycle edge 3->1 (revisits must not lower a settled level), and an
+    // isolated component 8->9 that no source reaches
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (3L, 1L), (8L, 9L))
+    val got = Graph.bfsLevels(edges.toDF("src", "dst"), Seq(1L).toDF("node"), maxDepth = 5)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)), s"got=$got")
+    // depth cap truncates: only 1 hop explored
+    val capped = Graph.bfsLevels(edges.toDF("src", "dst"), Seq(1L).toDF("node"), maxDepth = 1)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(capped == Seq((1L, 0L), (2L, 1L), (4L, 1L)), s"capped=$capped")
+    // multi-source: nearest source wins
+    val multi = Graph.bfsLevels(edges.toDF("src", "dst"), Seq(1L, 4L).toDF("node"), maxDepth = 5)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(multi == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)), s"multi=$multi")
+  }
+
   test("rerankExact of the complete pair set reproduces exact topK") {
     // the identity that makes two-stage retrieval trustworthy: rerank is
     // exact-cosine rankTopK over whatever pairs it is given, so given ALL

@@ -254,4 +254,11 @@ class PlanSpec extends SparkSpec {
       .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
     assertNoGlobalSort(graft.operators.DedupClusters.propagate(pairs), "label propagation")
   }
+
+  test("prefix-filter Jaccard join stays equi-join — no cartesian, no all-pairs") {
+    val plan = physicalPlan("dedup_jaccard_prefix")
+    // candidate generation must key on the prefix token (inverted-index
+    // equi-join); only the brute-force ORACLE is allowed to touch all pairs
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }

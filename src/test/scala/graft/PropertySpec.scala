@@ -325,6 +325,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter Jaccard join equals brute force on random corpora") {
+    // independent plain-Scala reference: same shingle semantics
+    // (distinct word n-grams; short docs shingle to the whole text) and the
+    // integer threshold/micro formulas, but ALL pairs — so any pair the
+    // prefix pruning loses (or invents) fails the property
+    val n = 3
+    def sh(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length >= n) tk.sliding(n).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    def brute(docs: Seq[(Long, String)], num: Int, den: Int): Seq[(Long, Long, Long)] =
+      (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        inter = (sh(ta) & sh(tb)).size.toLong
+        union = (sh(ta) | sh(tb)).size.toLong
+        if inter * den >= union * num
+      } yield (ia, ib, 1000000L * inter / union)).sorted
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val corpusGen = for {
+      nd <- Gen.choose(6, 24)
+      base <- Gen.listOfN(nd, Gen.choose(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      // planted near-dups: copy some docs with one token appended
+      dups <- Gen.someOf(base)
+    } yield (base ++ dups.map(_ + " echo")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    (0 until 6).foreach { i =>
+      val docs = corpusGen.apply(Gen.Parameters.default, Seed(91L + i)).get
+      val (num, den) = if (i % 2 == 0) (1, 2) else (7, 10)
+      val got = graft.operators.PrefixJaccard.pairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n, num, den)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val want = brute(docs, num, den)
+      assert(got == want, s"corpus $i (t=$num/$den) diverged:\n got=$got\n want=$want")
+    }
+  }
+
   test("week truncation lands on a Monday boundary for random timestamps") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions.col
