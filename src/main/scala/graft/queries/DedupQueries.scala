@@ -115,13 +115,6 @@ object DedupQueries {
            ORDER BY doc_a, doc_b"""
       )),
 
-    // incremental (daily-ingest) dedup: the NEW batch (doc_id % 10 == 9
-    // stands in for today's arrivals) is checked against the EXISTING
-    // corpus through its persisted band/signature index plus within-batch
-    // pairs — only the delta is shingled and signed, the corpus text is
-    // never re-read, and existing×existing pairs are absent by construction
-    // (resolved at their own ingest). O(delta + index) per ingest, the
-    // dedup analogue of pv_merkle_incremental
     // exact similarity join via prefix filtering (AllPairs/PPJoin): every
     // shingle-set pair with Jaccard >= 0.5, NO false negatives — the exact
     // counterpart of the LSH candidate path (same shingle sets), gated
@@ -134,6 +127,13 @@ object DedupQueries {
       oracle = Some(PrefixJaccard.duckPairs("documents", "doc_id", "text",
         ShingleN, num = 1, den = 2))),
 
+    // incremental (daily-ingest) dedup: the NEW batch (doc_id % 10 == 9
+    // stands in for today's arrivals) is checked against the EXISTING
+    // corpus through its persisted band/signature index plus within-batch
+    // pairs — only the delta is shingled and signed, the corpus text is
+    // never re-read, and existing×existing pairs are absent by construction
+    // (resolved at their own ingest). O(delta + index) per ingest, the
+    // dedup analogue of pv_merkle_incremental
     "dedup_incremental" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")

@@ -211,6 +211,28 @@ object EventQueries {
           s"${OracleSql.forMode(TestModes.Stats, "events", Fixtures.specs("events"), VerifyConfig())} AS fingerprint"
       }),
 
+    // continuous value quantiles: a fixed-bin cent histogram per event type
+    // maintained as complete-mode streaming state (≤ types × 64 counter
+    // rows forever — the bounded-state argument of the CMS/HLL family),
+    // drained and read out as p50/p90/p99 via integer cross-multiplied
+    // cumulative counts. The streaming percentile monitor: approximate in
+    // bin resolution, exact in arithmetic, so the drained stream equals the
+    // batch histogram of the same rows and the oracle gate is exact
+    "ev_quantile_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val hist = graft.streaming.EventStreams.runningValueHistogram(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)),
+          widthCents = 1000L, maxBin = 63)
+        val snap = graft.streaming.EventStreams.runToBatch(hist,
+          s"ev_qhist_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        graft.streaming.EventStreams.histogramQuantiles(
+            snap, widthCents = 1000L, pcts = Seq(50, 90, 99))
+          .orderBy("event_type", "p")
+      },
+      oracle = Some(graft.streaming.EventStreams.duckHistogramQuantiles(
+        "events", widthCents = 1000L, maxBin = 63, pcts = Seq(50, 90, 99)) +
+        "\nORDER BY event_type, p")),
+
     // tumbling hourly window per event type
     "ev_window_hourly" -> QueryEntry(
       fn = (spark, sfDir) => {

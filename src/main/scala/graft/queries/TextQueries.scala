@@ -210,6 +210,58 @@ object TextQueries {
            ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20"""
       }),
 
+    // PMI-style collocation extraction: adjacent pairs scored by integer
+    // LIFT = T·n(ab) / (n(a·)·n(·b)) in micro-units over the bigram
+    // contingency table — monotone in PMI (lift = 2^PMI), so the ranking
+    // thresholds curation uses are identical while staying log-free and
+    // oracle-exact. All three marginals roll up from the vocabulary-sized
+    // pair table (one corpus explode, no second pass); min-support 5 drops
+    // the rare-pair noise PMI is notorious for. Integer domain: exact while
+    // 1e6·n_pair·T < 2^63 (~3e12 bigram-position·pair product — switch the
+    // numerator to DECIMAL(38,0) on both engines past that)
+    "text_pmi_bigrams" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val tk = tokens(col("text"))
+        val bigrams = transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+        val pair = docs.filter(size(tk) >= 2)
+          .select(explode(bigrams).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+          .persist() // feeds both marginals, the total, and the scoring join
+        val left = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+        val right = pair.groupBy(col("w2")).agg(sum(col("n_pair")).as("n_right"))
+        val total = pair.agg(sum(col("n_pair")).as("t"))
+        pair.filter(col("n_pair") >= 5)
+          .join(left, "w1").join(right, "w2")
+          .crossJoin(broadcast(total))
+          // floor(floor(x/a)/b) = floor(x/(a*b)) for positive integers, so
+          // the chained div is the exact lift without the a*b product
+          .select(col("w1"), col("w2"), col("n_pair"),
+            expr("((1000000 * n_pair * t) div n_left) div n_right").as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           ex AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+                  FROM toks WHERE len(tk) >= 2),
+           pair AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_pair
+                    FROM ex GROUP BY 1, 2),
+           lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM pair GROUP BY w1),
+           rgt AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM pair GROUP BY w2),
+           tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t FROM pair)
+           SELECT w1, w2, n_pair,
+                  ((1000000 * n_pair * t) // n_left) // n_right AS lift_micro
+           FROM pair JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+           WHERE n_pair >= 5
+           ORDER BY lift_micro DESC, w1 ASC, w2 ASC LIMIT 20"""
+      }),
+
     // per-document LM fluency score: mean bigram conditional probability
     // under the corpus-trained count LM, in exact integer micro-units — the
     // deterministic screen standing where perplexity filtering stands in a

@@ -351,6 +351,64 @@ object EventStreams {
       .groupBy(col(groupCol), col("reg")).agg(max(col("rho")).as("m_rho"))
   }
 
+  /** Continuous per-type value histogram: fixed-width cent bins, clamped to
+    * `[0, maxBin]`, maintained as complete-mode counts — state is at most
+    * types × (maxBin+1) counter rows REGARDLESS of stream length (the same
+    * bounded-state argument as [[runningCms]]; clamping is what turns
+    * "bins grow with the value range" into a hard cap). Counts only add
+    * under append-only input, so any drained snapshot equals the batch
+    * histogram of everything ingested so far, and
+    * [[histogramQuantiles]] turns a snapshot into quantile readings — the
+    * streaming percentile-latency / spend-distribution monitor.
+    */
+  def runningValueHistogram(events: DataFrame, widthCents: Long, maxBin: Int): DataFrame = {
+    require(widthCents > 0 && maxBin >= 0, s"bad histogram shape ($widthCents, $maxBin)")
+    events.select(col("event_type"),
+        least(greatest(
+          expr(s"cast(cast(value as decimal(18,2)) * 100 as bigint) div ${widthCents}L"),
+          lit(0L)), lit(maxBin.toLong)).as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile readings from a histogram snapshot: for each percentile p the
+    * smallest bin whose cumulative count covers p% (integer cross-multiply,
+    * no float ranks), reported with its exclusive upper bound in cents.
+    * Runs over the types × bins frame — tiny by [[runningValueHistogram]]'s
+    * state bound, so the windows never see raw events.
+    */
+  def histogramQuantiles(hist: DataFrame, widthCents: Long, pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("n")).over(byType.orderBy(col("bin"))))
+      .withColumn("total", sum(col("n")).over(byType))
+      .select(col("event_type"), col("bin"), col("cum"), col("total"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("total"))
+      .groupBy(col("event_type"), col("p")).agg(min(col("bin")).as("q_bin"))
+      .select(col("event_type"), col("p"), col("q_bin"),
+        ((col("q_bin") + 1) * widthCents).as("q_ub_cents"))
+  }
+
+  /** DuckDB twin of histogram + quantile extraction over the same fixture. */
+  def duckHistogramQuantiles(table: String, widthCents: Long, maxBin: Int,
+                             pcts: Seq[Int]): String =
+    s"""WITH h AS (SELECT event_type,
+             least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // $widthCents,
+                            0), $maxBin) AS bin,
+             count(*) AS n
+           FROM $table GROUP BY 1, 2),
+       c AS (SELECT event_type, bin,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+             FROM h),
+       p AS (SELECT CAST(unnest([${pcts.mkString(", ")}]) AS BIGINT) AS p)
+       SELECT event_type, p, min(bin) AS q_bin,
+              (min(bin) + 1) * $widthCents AS q_ub_cents
+       FROM c CROSS JOIN p
+       WHERE cum * 100 >= p * total
+       GROUP BY event_type, p"""
+
   /** Run a streaming frame to completion against the (finite) fixture dir and
     * return the materialized result — memory-sink harness for specs/smoke.
     */

@@ -403,6 +403,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming value histogram equals the batch histogram after two-batch arrival") {
+    import spark.implicits._
+    // histogram counts only ADD, so batch boundaries must be invisible:
+    // the drained two-batch counter table equals the batch histogram of
+    // the same rows, and therefore so does every quantile read from it
+    val inDir = Files.createTempDirectory("graft-qh-in")
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-qh-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val stream = EventStreams.runningValueHistogram(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+      widthCents = 1000L, maxBin = 63)
+    val got = EventStreams.runToBatch(stream, "qhist2", OutputMode.Complete)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val want = EventStreams.runningValueHistogram(raw, widthCents = 1000L, maxBin = 63)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // state bound: never more than types × 64 counter rows
+    assert(got.size <= got.map(_._1).distinct.size * 64)
+    // quantile readout is monotone in p per type
+    val qs = EventStreams.histogramQuantiles(
+        EventStreams.runToBatch(stream, "qhist3", OutputMode.Complete),
+        widthCents = 1000L, pcts = Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    qs.groupBy(_._1).foreach { case (t, rows) =>
+      val byP = rows.sortBy(_._2).map(_._3)
+      assert(byP == byP.sorted, s"$t quantile bins not monotone: $rows")
+    }
+  }
+
   test("anomaly baseline carries across micro-batches, open hour resumed not re-emitted") {
     // split at the median so hours straddle the cut: batch 1's OPEN hour
     // must resume counting in batch 2 (state carry), and every completed
