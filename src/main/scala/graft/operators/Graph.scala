@@ -37,7 +37,26 @@ object Graph {
     * need a float-free global aggregate per round on both engines.
     */
   def pageRank(edges: DataFrame, iters: Int, unit: Long = 1000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    pageRankImpl(edges, iters, unit, dampNum, dampDen, seeds = None)
+
+  /** Personalized PageRank: teleport mass restricted to `seeds` (one column
+    * `node`) — rank_0 = unit at seeds / 0 elsewhere, and the per-round base
+    * term lands only on seeds, so mass diffuses OUT from the seed set and
+    * the ranking reads "importance as seen from these trusted nodes". The
+    * topic-/domain-focused twin of [[pageRank]] (same per-iteration scale
+    * shape; the seed flag is one broadcastable semi-join annotation on the
+    * node frame). Seeds outside the edge set contribute nothing (the node
+    * frame is edge-derived), matching the oracle's IN-subquery semantics.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           unit: Long = 1000000L, dampNum: Long = 85L,
+                           dampDen: Long = 100L): DataFrame =
+    pageRankImpl(edges, iters, unit, dampNum, dampDen, Some(seeds))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, unit: Long,
+                           dampNum: Long, dampDen: Long,
+                           seeds: Option[DataFrame]): DataFrame = {
     val base = unit - unit * dampNum / dampDen
     // degree via groupBy + join back, NOT a window over src: the window
     // shape would exchange AND sort the full edge list with a hub node's
@@ -50,12 +69,22 @@ object Graph {
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodeSet = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // seed flag as a node-frame annotation: uniform PageRank marks every
+    // node a seed, so one code path serves both variants
+    val nodes = (seeds match {
+      case Some(s) => nodeSet.join(
+          s.select(col("node")).distinct().withColumn("is_seed", lit(true)),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => nodeSet.withColumn("is_seed", lit(true))
+    }).persist()
     withDeg.count()
     nodes.count() // materialize BOTH consumers before releasing the edge cache
     e.unpersist(blocking = false)
-    var rank = nodes.withColumn("rank", lit(unit))
+    var rank = nodes.select(col("node"),
+      when(col("is_seed"), lit(unit)).otherwise(lit(0L)).as("rank"))
     var barrier: Option[DataFrame] = None
     try {
       for (i <- 1 to iters) {
@@ -65,7 +94,8 @@ object Graph {
           .groupBy("node").agg(sum(col("c")).as("inflow"))
         rank = nodes.join(inflow, Seq("node"), "left_outer")
           .select(col("node"),
-            (lit(base) + expr(s"$dampNum * coalesce(inflow, 0L) div $dampDen")).as("rank"))
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+              + expr(s"$dampNum * coalesce(inflow, 0L) div $dampDen")).as("rank"))
         // each intermediate rank is consumed exactly ONCE (by the next
         // round), so rounds can chain lazily in one job — unlike the BPE
         // fold, nothing re-inlines. A periodic persist barrier still caps
@@ -178,14 +208,15 @@ object Graph {
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth must be non-negative")
     val e = edges.select(col("src"), col("dst")).persist()
-    e.count()
     var visited = sources.select(col("node")).distinct()
       .withColumn("level", lit(0L)).persist()
-    visited.count()
+    // `e` populates its cache lazily on the first round's join — each later
+    // round then reads the materialized edges, so no eager count is needed
+    var visitedSize = visited.count()
     var frontier = visited.select(col("node"))
     try {
       var depth = 0
-      var frontierSize = 1L
+      var frontierSize = visitedSize
       while (depth < maxDepth && frontierSize > 0) {
         depth += 1
         val next = frontier
@@ -193,16 +224,18 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("level", lit(depth.toLong))
-          .persist()
-        frontierSize = next.count()
         val grown = visited.unionByName(next).persist()
-        grown.count()
+        // ONE action per round: the union's count materializes the new
+        // frontier's join+anti-join as part of the union, and the frontier
+        // size is the count delta — no separate count job on `next`
+        val grownSize = grown.count()
+        frontierSize = grownSize - visitedSize
+        visitedSize = grownSize
         visited.unpersist(blocking = false)
-        next.unpersist(blocking = false)
         visited = grown
         // read the new frontier back OUT OF the persisted union (a slice of
-        // the cache), not from the unpersisted `next` plan — referencing
-        // `next` here would re-run its join + anti-join next round
+        // the cache), not from the `next` plan — referencing `next` here
+        // would re-run its join + anti-join next round
         frontier = grown.filter(col("level") === depth.toLong).select(col("node"))
       }
       visited
@@ -232,19 +265,28 @@ object Graph {
     * the name of the final rank relation.
     */
   def duckPageRankCtes(edgesSql: String, iters: Int, unit: Long = 1000000L,
-                       dampNum: Long = 85L, dampDen: Long = 100L): (String, String) = {
+                       dampNum: Long = 85L, dampDen: Long = 100L,
+                       seedsSql: Option[String] = None): (String, String) = {
     val base = unit - unit * dampNum / dampDen
+    // uniform PageRank = every node a seed (same identity as the Spark side)
+    val seedCte = seedsSql match {
+      case Some(s) => s"seeds AS (SELECT DISTINCT node FROM ($s) s),"
+      case None => "seeds AS (SELECT node FROM nodes),"
+    }
+    def seedCase(expr: String, ref: String) =
+      s"CASE WHEN $ref IN (SELECT node FROM seeds) THEN $expr ELSE 0 END"
     val head =
       s"""e AS ($edgesSql),
          nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         r0 AS (SELECT node, CAST($unit AS BIGINT) AS rank FROM nodes)"""
+         $seedCte
+         r0 AS (SELECT node, CAST(${seedCase(unit.toString, "node")} AS BIGINT) AS rank FROM nodes)"""
     val steps = (1 to iters).map { i =>
       s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inflow
              FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
              GROUP BY e.dst),
          r$i AS (SELECT n.node,
-                        CAST($base + ($dampNum * coalesce(c$i.inflow, 0)) // $dampDen AS BIGINT) AS rank
+                        CAST(${seedCase(base.toString, "n.node")} + ($dampNum * coalesce(c$i.inflow, 0)) // $dampDen AS BIGINT) AS rank
                  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"""
     }
     ((head +: steps).mkString(",\n"), s"r$iters")

@@ -346,6 +346,40 @@ object AnalyticsQueries {
         s"WITH $ctes\nSELECT node, rank FROM $last ORDER BY rank DESC, node ASC LIMIT 20"
       }),
 
+    // personalized PageRank: teleport mass restricted to the same seed
+    // customers q_bfs_levels measures hop distance from — diffusion-based
+    // closeness where BFS gives shortest-path closeness, the pairing used
+    // for seed-set corpus expansion ("crawl outward from trusted domains").
+    // Same integer-micro iteration and unrolled-CTE oracle as q_pagerank;
+    // the seed restriction is one CASE on the node frame
+    "q_ppr_seeds" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .filter(col("c_custkey") <= 3).select((col("c_custkey") * 2).as("node"))
+        graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 3)
+          .filter(col("rank") > 0)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      oracle = Some {
+        val joined = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        val edgesSql =
+          s"""SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst $joined
+             UNION SELECT DISTINCT l_suppkey*2+1, o_custkey*2 $joined"""
+        val seedsSql = "SELECT c_custkey*2 AS node FROM customer WHERE c_custkey <= 3"
+        val (ctes, last) = graft.operators.Graph.duckPageRankCtes(
+          edgesSql, iters = 3, seedsSql = Some(seedsSql))
+        s"WITH $ctes\nSELECT node, rank FROM $last WHERE rank > 0 " +
+          "ORDER BY rank DESC, node ASC LIMIT 20"
+      }),
+
     // multi-source BFS levels over the same purchase-affinity graph as
     // q_pagerank: minimum hop distance from a seed customer set, up to 3
     // hops — the link-distance-from-trusted-seeds curation filter. Frontier
