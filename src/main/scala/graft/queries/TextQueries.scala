@@ -210,6 +210,69 @@ object TextQueries {
            ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20"""
       }),
 
+    // supervised language classifier — the learned counterpart of
+    // text_langid's fixed heuristic: per-token class-posterior voting.
+    // Training tabulates P(class|token) = n(class,tok)/n(tok) in integer
+    // micro-units on the 80% labeled split; a held-out doc's class score is
+    // the SUM of its tokens' posteriors, argmax predicted (ties break to
+    // the lexicographically first class). Posterior voting is what makes
+    // the method degrade gracefully: a token carrying no class signal votes
+    // ≈ the class priors, so on signal-free text the classifier converges
+    // to the majority baseline instead of amplifying training noise (the
+    // fixture corpus draws every language from one shared vocabulary —
+    // text_langid's recorded limitation — so that floor is what this
+    // fixture exercises). Log-free linear scoring keeps it oracle-exact;
+    // the posterior table is vocab × classes (broadcastable — the
+    // fastText-filter scale shape: one train explode, one scoring explode,
+    // argmax over a per-doc × classes frame)
+    "text_lang_classifier" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val isTrain = col("doc_id") % 10 < 8
+        val trainTok = docs.filter(isTrain)
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        val ct = trainTok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n_ct"))
+        val rates = ct
+          .join(ct.groupBy("t").agg(sum(col("n_ct")).as("n_t")), "t")
+          .select(col("lang").as("cand"), col("t"),
+            expr("(1000000 * n_ct) div n_t").as("r"))
+        val testTok = docs.filter(!isTrain)
+          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+        val scored = testTok.join(broadcast(rates), "t")
+          .groupBy(col("doc_id"), col("lang"), col("cand"))
+          .agg(sum(col("r")).as("s"))
+        val best = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("cand").asc)))
+          .filter(col("rn") === 1)
+        docs.filter(!isTrain).select(col("doc_id"), col("lang"))
+          .join(best.select(col("doc_id"), col("cand").as("pred_lang")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("pred_lang") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH train AS (SELECT lang, unnest($tk) AS t FROM documents WHERE doc_id % 10 < 8),
+           ct AS (SELECT lang, t, count(*) AS n_ct FROM train GROUP BY 1, 2),
+           tz AS (SELECT t, CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY t),
+           rates AS (SELECT ct.lang AS cand, ct.t AS t, (1000000 * n_ct) // n_t AS r
+                     FROM ct JOIN tz ON ct.t = tz.t),
+           test AS (SELECT doc_id, lang, unnest($tk) AS t
+                    FROM documents WHERE doc_id % 10 >= 8),
+           sc AS (SELECT doc_id, lang, cand, CAST(sum(r) AS BIGINT) AS s
+                  FROM test JOIN rates USING (t) GROUP BY 1, 2, 3),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY s DESC, cand ASC) AS rn FROM sc)
+           SELECT d.doc_id, d.lang, rk.cand AS pred_lang, rk.cand = d.lang AS correct
+           FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8) d
+           LEFT JOIN rk ON rk.doc_id = d.doc_id AND rk.rn = 1
+           ORDER BY d.doc_id"""
+      }),
+
     // PMI-style collocation extraction: adjacent pairs scored by integer
     // LIFT = T·n(ab) / (n(a·)·n(·b)) in micro-units over the bigram
     // contingency table — monotone in PMI (lift = 2^PMI), so the ranking
