@@ -143,6 +143,61 @@ object AnalyticsQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY gid, rf, ls""")),
 
+    // incremental aggregate maintenance (the lakehouse IVM pattern, and the
+    // aggregate twin of pv_merkle_incremental / dedup_incremental): a
+    // persisted per-group (sum, count) state computed from the EXISTING 90%
+    // is merged with the aggregate of the 10% delta — sums and counts are
+    // additive, so merge = one groupBy over state ∪ delta-partials, cost
+    // O(delta + groups) instead of re-scanning the corpus. Decimal partials
+    // merge exactly (the canon money rule), so the gate proves merged ==
+    // full recompute bit for bit, which is the IVM correctness contract
+    "q_agg_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        val isDelta = col("l_orderkey") % 10 === 9
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+        partial(li.filter(!isDelta)) // the persisted state in production
+          .unionByName(partial(li.filter(isDelta))) // today's delta
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("s")).cast("double").as("sum_qty"), sum(col("n")).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""")),
+
+    // pre-join skew diagnostic: per-key frequency of the probe-side join
+    // key, reported as the top-10 heaviest keys with integer share and
+    // skew factor (n·n_keys/total — 1e6 = a perfectly uniform key). This is
+    // the audit that decides between a plain shuffle join and q_salted_join:
+    // one map-side-combined groupBy over the key column, never the payload
+    "q_skew_audit" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        val freq = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        val tot = freq.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+        freq.crossJoin(broadcast(tot))
+          .select(col("l_suppkey"), col("n"),
+            expr("(1000000 * n) div total").as("share_micro"),
+            expr("(1000000 * n * n_keys) div total").as("skew_micro"))
+          .orderBy(col("n").desc, col("l_suppkey").asc)
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH freq AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_keys FROM freq)
+        SELECT l_suppkey, n,
+               (1000000 * n) // total AS share_micro,
+               (1000000 * n * n_keys) // total AS skew_micro
+        FROM freq CROSS JOIN tot
+        ORDER BY n DESC, l_suppkey ASC LIMIT 10""")),
+
     "q_quantiles" -> QueryEntry(
       fn = (spark, sfDir) => {
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")

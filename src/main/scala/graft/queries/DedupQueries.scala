@@ -127,6 +127,23 @@ object DedupQueries {
       oracle = Some(PrefixJaccard.duckPairs("documents", "doc_id", "text",
         ShingleN, num = 1, den = 2))),
 
+    // the EXACT end-to-end dedup pipeline: prefix-filter pairs (lossless,
+    // unlike LSH candidates) -> connected components -> cluster assignment.
+    // Where dedup_clusters inherits LSH's probabilistic recall, this
+    // composition guarantees every >= 0.5-Jaccard pair reaches clustering —
+    // the variant for benchmark decontamination, where a missed duplicate
+    // is a correctness bug, not a quality loss
+    "dedup_prefix_clusters" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val pairs = PrefixJaccard.pairs(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          ShingleN, num = 1, den = 2).select("doc_a", "doc_b")
+        graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
+      },
+      oracle = Some(graft.operators.DedupClusters.duckComponents(
+        s"""SELECT doc_a, doc_b FROM (${PrefixJaccard.duckPairs(
+            "documents", "doc_id", "text", ShingleN, num = 1, den = 2)}) AS pp"""))),
+
     // incremental (daily-ingest) dedup: the NEW batch (doc_id % 10 == 9
     // stands in for today's arrivals) is checked against the EXISTING
     // corpus through its persisted band/signature index plus within-batch
