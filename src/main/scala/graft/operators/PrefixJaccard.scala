@@ -64,16 +64,28 @@ object PrefixJaccard {
       .withColumn("s", size(col("toks")).cast("long"))
       .persist()
     try {
-      // prefix length |x| - ceil(t|x|) + 1, all-integer ceil
+      // prefix length |x| - ceil(t|x|) + 1, all-integer ceil; posexplode
+      // keeps each prefix token's 1-based position for the positional filter
       val prefixed = docs
         .withColumn("plen", expr(s"s - ((s * $num + ${den - 1}) div $den) + 1"))
         .select(col("id"), col("s"),
-          explode(expr("transform(slice(ord, 1, int(plen)), x -> x.t)")).as("pt"))
-      // inverted-index candidate join on prefix tokens + size filter
+          posexplode(expr("transform(slice(ord, 1, int(plen)), x -> x.t)")).as(Seq("p0", "pt")))
+        .withColumn("px", col("p0") + 1).drop("p0")
+      // inverted-index candidate join on prefix tokens + two sound prunes:
+      // size filter (Jaccard >= t forces min/max >= t) and PPJoin's
+      // positional filter — overlap <= 1 + min(|x|-px, |y|-py) for a pair's
+      // FIRST common token (everything before px in x is absent from y, by
+      // minimality under the shared global order), and that token is in
+      // both prefixes with the LOOSEST bound of any common token, so
+      // pruning every index row by its own bound never loses a qualifying
+      // pair. Jaccard >= t needs overlap >= ceil(t/(1+t)·(|x|+|y|)), stated
+      // division-free by cross-multiplying with t = num/den
       val cand = prefixed.as("a")
         .join(prefixed.as("b"),
           col("a.pt") === col("b.pt") && col("a.id") < col("b.id") &&
-            least(col("a.s"), col("b.s")) * den >= greatest(col("a.s"), col("b.s")) * num)
+            least(col("a.s"), col("b.s")) * den >= greatest(col("a.s"), col("b.s")) * num &&
+            (lit(1L) + least(col("a.s") - col("a.px"), col("b.s") - col("b.px"))) * (num + den)
+              >= (col("a.s") + col("b.s")) * num)
         .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
         .distinct()
       // exact verify: inter*den >= num*(|a|+|b|-inter)

@@ -110,6 +110,18 @@ object Sf1Probe {
       ExactSubstr.coverageBloom(docs10, "doc_id", "text", 8).count()
     }
 
+    // -- exact prefix-filter Jaccard join (dedup_jaccard_prefix shape) ------
+    // the per-copy token suffix keeps the pair population exactly 10 copies
+    // of the 1x pairs: candidate growth is linear unless prefix buckets
+    // degrade, which is precisely what this point watches
+    timed("prefix_jaccard 1x") {
+      graft.operators.PrefixJaccard.pairs(
+        fixture("documents"), "doc_id", "text", 3, 1, 2).count()
+    }
+    timed("prefix_jaccard 10x") {
+      graft.operators.PrefixJaccard.pairs(docs10, "doc_id", "text", 3, 1, 2).count()
+    }
+
     // -- incremental ingest dedup (dedup_incremental shape, 1/10 delta) -----
     def incremental(docs: DataFrame): Long = {
       val sigsNew = MinHashLSH.signaturesFromShingles(
