@@ -140,6 +140,126 @@ object Similarity {
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** MMR (maximal-marginal-relevance) diversified re-rank of a shortlist:
+    * greedily select k items, each step taking the remaining candidate with
+    * the highest `lamNum·rel − (lamDen−lamNum)·max_sim_to_selected` (ties to
+    * the lower id) — the retrieval-side dedup that keeps a RAG/hard-negative
+    * batch from being k copies of the same neighborhood. Carbonell &
+    * Goldstein SIGIR'98, in the repo's integer discipline: relevance and
+    * pairwise similarity are floor-scaled micro cosines, the greedy score
+    * stays UNDIVIDED (argmax is invariant to the positive constant lamDen,
+    * and not dividing sidesteps the Spark-div-truncates vs DuckDB-floors
+    * divergence on negative scores).
+    *
+    * Scale shape: MMR is shortlist-bound BY CONTRACT — pairwise similarity
+    * is |shortlist|² per query and each of the k unrolled steps is one
+    * windowed argmax over the per-query remainder, all on frames of
+    * queries × k' rows. The corpus is touched only by id-keyed vector
+    * lookups when staging the shortlist pairs.
+    *
+    * `shortlist` must carry (query_id, neighbor_id, cos_micro); `vectors`
+    * (vec_id, embedding). Output: (query_id, neighbor_id, cos_micro,
+    * mmr_rank 1..k).
+    */
+  def mmrRerank(shortlist: DataFrame, vectors: DataFrame, k: Int,
+                lamNum: Long, lamDen: Long): DataFrame = {
+    require(k >= 1 && lamNum >= 0 && lamNum <= lamDen && lamDen > 0,
+      s"bad MMR shape (k=$k, lambda=$lamNum/$lamDen)")
+    val att = shortlist.select(col("query_id"), col("neighbor_id"), col("cos_micro"))
+      .persist()
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // pairwise candidate-candidate similarity within each query's shortlist
+    val pair = att.select(col("query_id"), col("neighbor_id").as("ca"))
+      .join(att.select(col("query_id"), col("neighbor_id").as("cb")), "query_id")
+      .filter(col("ca") =!= col("cb"))
+      .join(v.select(col("vec_id").as("ca"), col("embedding").as("ea"),
+        col("nrm").as("na")), "ca")
+      .join(v.select(col("vec_id").as("cb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "cb")
+      .select(col("query_id"), col("ca"), col("cb"),
+        cosineScaledWithNorms(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+      .persist()
+    val w = Window.partitionBy(col("query_id"))
+    def pick(scored: DataFrame, scoreCol: Column, rank: Int): DataFrame =
+      scored.withColumn("rn",
+          row_number().over(w.orderBy(scoreCol.desc, col("neighbor_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos_micro"),
+          lit(rank.toLong).as("mmr_rank"))
+    // localCheckpoint, NOT persist: each step references `out` twice (the
+    // remainder anti-join and the max-sim join) and unions the pick back
+    // in, so the ANALYZED plan doubles per step — persist caches data but
+    // Catalyst still re-analyzes the full logical tree each action (2^k
+    // growth measured as multi-MiB task binaries then driver OOM at k=8).
+    // An eager localCheckpoint truncates the lineage itself; the frames are
+    // queries × k rows, so the checkpoint cost is noise.
+    var out = pick(att, col("cos_micro"), 1).localCheckpoint(true)
+    for (i <- 2 to k) {
+      val sel = out.select(col("query_id"), col("neighbor_id").as("cb"))
+      val rem = att.join(out.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = pair.join(sel, Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+        .agg(max(col("sim")).as("ms"))
+      val scored = rem.join(ms, Seq("query_id", "neighbor_id"), "left_outer")
+        .withColumn("score", lit(lamNum) * col("cos_micro")
+          - lit(lamDen - lamNum) * coalesce(col("ms"), lit(0L)))
+      out = out.unionByName(pick(scored, col("score"), i)).localCheckpoint(true)
+    }
+    att.unpersist(blocking = false)
+    pair.unpersist(blocking = false)
+    out.orderBy("query_id", "mmr_rank")
+  }
+
+  /** DuckDB twin of [[mmrRerank]] as unrolled greedy CTE stages (the
+    * PageRank/KMeans pattern): `shortlistSql` must select
+    * (query_id, neighbor_id, cos_micro). Reused stages are MATERIALIZED —
+    * DuckDB inlines plain CTEs, and each step references the previous
+    * selection ~3 times, so the un-materialized unroll re-expands the
+    * shortlist query 3^k times (the oracle-side mirror of the lineage
+    * blowup the Spark side localCheckpoints away).
+    */
+  def duckMmrRerank(shortlistSql: String, k: Int, lamNum: Long, lamDen: Long): String = {
+    val cos = duckCosineScaled("ea.embedding", "eb.embedding")
+    val head =
+      s"""att AS MATERIALIZED ($shortlistSql),
+         pair AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+                         $cos AS sim
+                  FROM att a JOIN att b ON a.query_id = b.query_id
+                                       AND a.neighbor_id <> b.neighbor_id
+                    JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+                    JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+         p1 AS MATERIALIZED (SELECT query_id, neighbor_id, cos_micro, CAST(1 AS BIGINT) AS mmr_rank
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_micro DESC, neighbor_id ASC) AS rn FROM att) t
+                WHERE rn = 1),
+         sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM p1)"""
+    val steps = (2 to k).map { i =>
+      s"""rem$i AS (SELECT att.* FROM att
+               LEFT JOIN sel${i - 1} s ON s.query_id = att.query_id
+                                      AND s.neighbor_id = att.neighbor_id
+               WHERE s.neighbor_id IS NULL),
+         ms$i AS (SELECT p.query_id, p.ca AS neighbor_id, max(p.sim) AS ms
+               FROM pair p JOIN sel${i - 1} s ON s.query_id = p.query_id
+                                             AND s.neighbor_id = p.cb
+               GROUP BY 1, 2),
+         sc$i AS (SELECT r.query_id, r.neighbor_id, r.cos_micro,
+                        $lamNum * r.cos_micro
+                          - ${lamDen - lamNum} * coalesce(m.ms, 0) AS score
+               FROM rem$i r LEFT JOIN ms$i m ON m.query_id = r.query_id
+                                            AND m.neighbor_id = r.neighbor_id),
+         p$i AS MATERIALIZED (SELECT query_id, neighbor_id, cos_micro, CAST($i AS BIGINT) AS mmr_rank
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc$i) t
+               WHERE rn = 1),
+         sel$i AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel${i - 1}
+                   UNION ALL SELECT query_id, neighbor_id FROM p$i)"""
+    }
+    val unions = (1 to k).map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL ")
+    s"WITH ${(head +: steps).mkString(",\n")}\n$unions\nORDER BY query_id, mmr_rank"
+  }
+
   /** Deterministic ±1 random hyperplanes: component (p, d) from one MD5 bit.
     * Computed in Scala and embedded as literals on BOTH engines, so the plane
     * matrix can never drift between Spark plan and oracle SQL.

@@ -22,8 +22,9 @@ object SimilarityQueries {
 
   /** Shared oracle for sim_topk AND the ground-truth side of sim_ann_recall —
     * one string so recall is measured against exactly the gated baseline.
+    * (Parameterized by k so the MMR shortlist reuses the identical text.)
     */
-  private lazy val TopkOracle =
+  private def topkOracle(k: Int) =
     s"""SELECT query_id, neighbor_id, cos_micro, rank FROM (
          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                 ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
@@ -32,7 +33,8 @@ object SimilarityQueries {
                            n.vec_id ASC) AS BIGINT) AS rank
          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
          WHERE q.vec_id < 8) AS t
-       WHERE rank <= $K ORDER BY query_id, rank"""
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  private lazy val TopkOracle = topkOracle(K)
 
   /** Shared oracle for sim_ann_lsh and sim_ann_recall's LSH side — the
     * multi-probe formulation: each query probes every bucket within the same
@@ -210,6 +212,23 @@ object SimilarityQueries {
     // k — the exact math runs on a broadcast-sized pair set (point lookups
     // by id, never a second scan). Quantization can reorder CANDIDATES but
     // not the final ranking: output order is exact-cosine over the shortlist
+    // MMR diversified re-rank: greedy lambda-weighted relevance-vs-redundancy
+    // selection (7/10) of 8 from the exact top-20 shortlist — the
+    // retrieval-side dedup that keeps a RAG context / hard-negative batch
+    // from being k copies of one neighborhood. Shortlist-bound by contract
+    // (pairwise sims are |shortlist|^2 per query); oracle unrolls the greedy
+    // steps as CTE stages over the SAME shortlist text as sim_topk's gate
+    "sim_mmr_rerank" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val shortlist = Similarity.topK(e.filter(col("vec_id") < 8), e, 20)
+        Similarity.mmrRerank(shortlist, e, k = 8, lamNum = 7L, lamDen = 10L)
+          .select("query_id", "neighbor_id", "cos_micro", "mmr_rank")
+      },
+      oracle = Some(Similarity.duckMmrRerank(
+        s"SELECT query_id, neighbor_id, cos_micro FROM (${topkOracle(20)}) tk",
+        k = 8, lamNum = 7L, lamDen = 10L))),
+
     "sim_pq_rerank" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")

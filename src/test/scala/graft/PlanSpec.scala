@@ -255,6 +255,42 @@ class PlanSpec extends SparkSpec {
     assertNoGlobalSort(graft.operators.DedupClusters.propagate(pairs), "label propagation")
   }
 
+  test("bucketed co-located join runs exchange-free (the 100 TB co-location path)") {
+    // the claim every repartition/bucketing note in the operator docs leans
+    // on, pinned for real: two tables bucketed on the join key by the SAME
+    // bucket count join without ANY shuffle exchange — at cluster scale this
+    // is the difference between moving both fact tables and moving nothing
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Readers.fixture(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity").write
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite").saveAsTable("b_li")
+      Readers.fixture(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey").write
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite").saveAsTable("b_ord")
+      val joined = spark.table("b_li")
+        .join(spark.table("b_ord"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // and the co-located plan computes the same join as the plain one
+      val expect = Readers.fixture(spark, sfDir, "lineitem")
+        .join(Readers.fixture(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS b_li")
+      spark.sql("DROP TABLE IF EXISTS b_ord")
+    }
+  }
+
   test("prefix-filter Jaccard join stays equi-join — no cartesian, no all-pairs") {
     val plan = physicalPlan("dedup_jaccard_prefix")
     // candidate generation must key on the prefix token (inverted-index
