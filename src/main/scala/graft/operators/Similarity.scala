@@ -585,6 +585,60 @@ object Similarity {
   }
 
   /** DuckDB twin of [[semanticDropList]]. */
+  /** Embedding-space density outlier filter: per vector, the count of
+    * same-coarse-cell neighbors with cosine ≥ `thresholdMicro`; vectors with
+    * fewer than `minNeighbors` are flagged — the CLIP-filtering-style noise
+    * screen (mislabeled / corrupted / off-distribution items sit in sparse
+    * regions of embedding space). Cluster-bounded like [[semanticDropList]]:
+    * candidate volume is Σ|cell|², never n², at the cost of not counting
+    * cross-cell neighbors — the same coarse approximation SemDeDup makes,
+    * acceptable because the signal is a density BAND, not an exact kNN.
+    */
+  def densityOutliers(vectors: DataFrame, numCentroids: Int,
+                      thresholdMicro: Long, minNeighbors: Long): DataFrame = {
+    val assigned = ivfAssign(vectors, numCentroids)
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        norm(col("embedding")).as("nm"))
+      .persist()
+    try {
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosineScaledWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nm"), col("b.nm")) >= thresholdMicro)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      val counts = pairs.select(col("va").as("vec_id"))
+        .unionAll(pairs.select(col("vb").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+      val result = assigned.select(col("vec_id"))
+        .join(counts, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+        .withColumn("is_outlier", col("n_neighbors") < minNeighbors)
+        .persist()
+      result.count()
+      result
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin of [[densityOutliers]] — same coarse cells, same pair rule. */
+  def duckDensityOutliers(numCentroids: Int, thresholdMicro: Long,
+                          minNeighbors: Long): String = {
+    val cos = duckCosineScaled("a.embedding", "b.embedding")
+    s"""WITH ${duckIvfAssignCtes(numCentroids, nprobe = 1)},
+         pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM assign a JOIN assign b
+             ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+           WHERE $cos >= $thresholdMicro),
+         counts AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+                    FROM (SELECT va AS vec_id FROM pairs
+                          UNION ALL SELECT vb FROM pairs) u GROUP BY vec_id)
+       SELECT s.vec_id, coalesce(c.n_neighbors, 0) AS n_neighbors,
+              coalesce(c.n_neighbors, 0) < $minNeighbors AS is_outlier
+       FROM assign s LEFT JOIN counts c ON c.vec_id = s.vec_id
+       ORDER BY s.vec_id"""
+  }
+
   def duckSemanticDropList(numCentroids: Int, thresholdMicro: Long): String = {
     val cos = duckCosineScaled("a.embedding", "b.embedding")
     s"""WITH ${duckIvfAssignCtes(numCentroids, nprobe = 1)},

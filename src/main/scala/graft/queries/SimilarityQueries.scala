@@ -212,6 +212,19 @@ object SimilarityQueries {
     // k — the exact math runs on a broadcast-sized pair set (point lookups
     // by id, never a second scan). Quantization can reorder CANDIDATES but
     // not the final ranking: output order is exact-cosine over the shortlist
+    // embedding-space density outlier filter: per-vector count of
+    // same-coarse-cell neighbors above cosine 0.80; fewer than 2 flags the
+    // vector — the CLIP-filtering-style noise screen. Cluster-bounded pair
+    // volume (Σ|cell|², never n²), the SemDeDup approximation applied to
+    // density instead of dedup
+    "sim_density_outliers" -> QueryEntry(
+      fn = (spark, sfDir) => Similarity.densityOutliers(
+        Readers.fixture(spark, sfDir, "embeddings"),
+        NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L)
+        .orderBy("vec_id"),
+      oracle = Some(Similarity.duckDensityOutliers(
+        NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
+
     // MMR diversified re-rank: greedy lambda-weighted relevance-vs-redundancy
     // selection (7/10) of 8 from the exact top-20 shortlist — the
     // retrieval-side dedup that keeps a RAG context / hard-negative batch
