@@ -168,6 +168,138 @@ object Corpus {
        ORDER BY d.$idCol"""
   }
 
+  /** Per-source quality gate: drop each source's bottom quartile by quality
+    * score, where every source gets its OWN data-derived cut point — the
+    * adaptive-filtering step real curation pipelines run per domain (a
+    * threshold tuned on encyclopedia text would delete most of a forum
+    * source wholesale; per-source quantiles keep the best 75% of EACH).
+    *
+    * Unlike `corpus_quality_band` (global threshold, two-pass driver
+    * scalar) this is fully distributed: rank within source via one window,
+    * pick each source's (floor(n/4)+1)-th smallest score as its threshold
+    * (#sources rows), broadcast-join it back, and filter `score >=
+    * threshold` (score ties at the cut survive, same keep rule as the
+    * band). Ordering ties break on doc id, so the rank — and therefore the
+    * threshold row — is deterministic on both engines.
+    *
+    * Scale shape (100 TB): the window sorts each source's (score, id)
+    * pairs — parallel ACROSS sources, serial within one, so a single
+    * web-scale source is the skew hazard; the production swap at that size
+    * is grouped `approx_percentile(score, 0.25)` (t-digest partial agg, no
+    * window at all), not used here only because sketch internals aren't
+    * cross-engine comparable — the same documented degrade as q_quantiles.
+    */
+  def perSourceQualityGate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           sourceCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      TextAnalysis.qualityScore(TextAnalysis.tokens(col(textCol))).as("q"))
+    val w = Window.partitionBy(col("src")).orderBy(col("q"), col("id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("src"))))
+    val thresholds = ranked.filter(col("rn") === expr("cnt div 4") + 1)
+      .select(col("src").as("tsrc"), col("q").as("thr"))
+    scored.join(broadcast(thresholds), col("src") === col("tsrc"))
+      .filter(col("q") >= col("thr"))
+      .select(col("id").as(idCol), col("src").as(sourceCol),
+        col("q").as("quality_score"))
+  }
+
+  /** DuckDB twin of [[perSourceQualityGate]]. */
+  def duckPerSourceQualityGate(idCol: String, sourceCol: String,
+                               textCol: String): String = {
+    val toks = graft.operators.TextAnalysis.duckTokens(textCol)
+    val q = graft.operators.TextAnalysis.duckQualityScore("tk")
+    s"""WITH scored AS (SELECT $idCol AS id, $sourceCol AS src, $q AS q
+                        FROM (SELECT $idCol, $sourceCol, $toks AS tk FROM documents) x),
+         ranked AS (SELECT id, src, q,
+                      row_number() OVER (PARTITION BY src ORDER BY q, id) AS rn,
+                      count(*) OVER (PARTITION BY src) AS cnt
+                    FROM scored),
+         thr AS (SELECT src, q AS thr FROM ranked WHERE rn = cnt // 4 + 1)
+       SELECT s.id AS $idCol, s.src AS $sourceCol, s.q AS quality_score
+       FROM scored s JOIN thr t ON s.src = t.src
+       WHERE s.q >= t.thr
+       ORDER BY s.id"""
+  }
+
+  /** Exact integer square root as a SQL expression shared by both engines:
+    * `floor(sqrt(double))` is within ±1 of the true isqrt for inputs below
+    * 2^52 (double sqrt is correctly rounded), and the CASE fix-up makes it
+    * exact — so the temperature weights below never depend on float
+    * rounding agreement between engines.
+    */
+  private def isqrtSql(x: String): String =
+    s"""(CASE WHEN (CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1)
+                 * (CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1) <= $x
+              THEN CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1
+              WHEN CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)
+                 * CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) > $x
+              THEN CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) - 1
+              ELSE CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) END)"""
+
+  /** Temperature-scaled source mixing (alpha = 1/2): each source's share of
+    * the token budget is proportional to sqrt(its token total) instead of
+    * its raw size — the standard up-weighting of small high-quality sources
+    * against a web-scale majority source (multilingual/multi-corpus LM
+    * recipes sample source i with p_i proportional to n_i^alpha, alpha in
+    * [0.3, 0.7]; alpha = 1/2 is the one exponent with an EXACT integer
+    * form, via [[isqrtSql]], so both engines agree bit-for-bit and no libm
+    * pow enters the pipeline). Documents are then hash-sampled toward
+    * `budget * w_s / sum(w)` tokens per source, exactly like
+    * [[weightedMix]] but with data-derived weights.
+    *
+    * Unlike [[weightedMix]] (static weights, driver-collected totals) the
+    * weights here are computed fully distributed: per-source totals are one
+    * map-side-combined groupBy (#sources rows), the weight-sum folds in a
+    * single-row cross join, and docs pick up their keep rate through a
+    * broadcast join — no driver state at any corpus size. The keep-rate
+    * arithmetic runs in DECIMAL(38,0): at 100 TB (~1e14 tokens) the
+    * intermediate `budget * w * 1e6` reaches ~1e27, past BIGINT but well
+    * inside 38 digits.
+    */
+  def temperatureMix(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     sourceCol: String, textCol: String, budgetTokens: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val toks = size(graft.operators.TextAnalysis.tokens(col(textCol))).cast("long")
+    val totals = docs.groupBy(col(sourceCol).as("src")).agg(sum(toks).as("t"))
+      .withColumn("w", expr(isqrtSql("t")))
+    val wsum = totals.agg(sum(col("w")).as("wsum"))
+    val rates = totals.crossJoin(broadcast(wsum))
+      .withColumn("keep_micro",
+        expr(s"least(1000000L, cast(cast($budgetTokens as decimal(38,0)) * w" +
+          " * 1000000 div wsum div t as bigint))"))
+      .select(col("src"), col("keep_micro"))
+    docs.join(broadcast(rates), col(sourceCol) === col("src"))
+      .filter(pmod(GraftFunctions.md5Signed64(col(idCol).cast("string")),
+        lit(1000000L)) < col("keep_micro"))
+      .select(col(idCol), col(sourceCol), toks.as("n_tokens"))
+  }
+
+  /** DuckDB twin of [[temperatureMix]] — HUGEINT carries the same 128-bit
+    * headroom DECIMAL(38,0) does on the Spark side, and `//` floor-divides
+    * the same non-negative operands.
+    */
+  def duckTemperatureMix(idCol: String, sourceCol: String, textCol: String,
+                         budgetTokens: Long): String = {
+    val toks = s"CAST(len(${graft.operators.TextAnalysis.duckTokens(textCol)}) AS BIGINT)"
+    val h = OracleSql.signedMd564(s"CAST($idCol AS VARCHAR)")
+    s"""WITH tot AS (SELECT $sourceCol AS src, CAST(sum($toks) AS BIGINT) AS t
+                     FROM documents GROUP BY 1),
+         wt AS (SELECT src, t, ${isqrtSql("t")} AS w FROM tot),
+         rates AS (SELECT src,
+                     least(1000000, CAST(CAST($budgetTokens AS HUGEINT) * w
+                       * 1000000 // (SELECT sum(w) FROM wt) // t AS BIGINT)) AS keep_micro
+                   FROM wt)
+       SELECT d.$idCol, d.$sourceCol, $toks AS n_tokens
+       FROM documents d JOIN rates f ON d.$sourceCol = f.src
+       WHERE (($h % 1000000 + 1000000) % 1000000) < f.keep_micro
+       ORDER BY d.$idCol"""
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in id
     * order within a (stratum, shard) and chunked into fixed `seqLen`-token
     * training sequences — the GPT-style packing step that turns a document

@@ -477,19 +477,23 @@ object ExactSubstr {
     * into the rest of a pipeline run.
     */
   private def stagedSpans(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): (DataFrame, DataFrame) = {
+                          k: Int, carry: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val carryCols = carry.map(col)
     val staged = graft.core.Readers.spread(
-        df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
+        df.select(col(idCol).as("id") +: col(textCol).as("text") +: carryCols: _*), col("id"))
       .withColumn("tk", tokens(col("text")))
       .withColumn("n", size(col("tk")).cast("long"))
       .filter(col("n") >= k)
-      .select(col("id"), col("n"),
+      .select(col("id") +: col("n") +:
         transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-          p => md5(array_join(slice(col("tk"), p, lit(k)), " "))).as("hs"))
+          p => md5(array_join(slice(col("tk"), p, lit(k)), " "))).as("hs") +:
+        carryCols: _*)
       .persist()
     val spans = staged
-      .select(col("id"), col("n"), posexplode(col("hs")).as(Seq("pos0", "h")))
-      .select(col("id"), col("n"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+      .select(col("id") +: col("n") +:
+        posexplode(col("hs")).as(Seq("pos0", "h")) +: carryCols: _*)
+      .select(col("id") +: col("n") +: (col("pos0") + 1).cast("long").as("pos") +:
+        col("h") +: carryCols: _*)
     (staged, spans)
   }
 
@@ -551,7 +555,8 @@ object ExactSubstr {
   }
 
   /** The shared interval-union tail of both coverage variants. */
-  private def islandCoverage(dupStarts: DataFrame, k: Int): DataFrame = {
+  private def islandCoverage(dupStarts: DataFrame, k: Int,
+                             carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -562,12 +567,12 @@ object ExactSubstr {
       .withColumn("grp", sum(col("flag")).over(run))
       .groupBy(col("id"), col("grp"))
       .agg(first(col("n")).as("n"),
-        (max(col("pos")) - min(col("pos")) + k).as("ilen"),
-        count(lit(1)).as("nspans"))
+        (max(col("pos")) - min(col("pos")) + k).as("ilen") +:
+          count(lit(1)).as("nspans") +: carry.map(c => first(col(c)).as(c)): _*)
       .groupBy(col("id"))
       .agg(first(col("n")).as("n_tokens"),
-        sum(col("nspans")).as("n_dup_spans"),
-        sum(col("ilen")).as("covered_tokens"))
+        sum(col("nspans")).as("n_dup_spans") +:
+          sum(col("ilen")).as("covered_tokens") +: carry.map(c => first(col(c)).as(c)): _*)
       .withColumn("coverage_micro", expr("(1000000 * covered_tokens) div n_tokens"))
   }
 
@@ -658,5 +663,78 @@ object ExactSubstr {
               CAST(sum(ilen) AS BIGINT) AS covered_tokens,
               (1000000 * CAST(sum(ilen) AS BIGINT)) // CAST(any_value(n) AS BIGINT)
                 AS coverage_micro
+       FROM isl GROUP BY id ORDER BY id"""
+
+  /** Cross-document boilerplate removal — the token-window analogue of
+    * CCNet/RefinedWeb line-level dedup (their corpora carry newline
+    * structure; token text doesn't, so the repetition unit is the k-token
+    * window). A window is BOILERPLATE when it appears in at least `minDocs`
+    * DISTINCT documents of the SAME source: site templates, license
+    * headers, and navigation chrome repeat across a site's pages, and
+    * scoping the threshold to the source keeps a phrase that is merely
+    * common corpus-wide from being stripped out of every document. Returns
+    * one row per affected document: total tokens, boilerplate span count,
+    * removed (interval-union covered) tokens, kept tokens, and the removed
+    * fraction in exact integer micro-units — the numbers a curation
+    * pipeline uses to rewrite the document and to audit how much of a
+    * source is chrome.
+    *
+    * Scale shape (100 TB): identical to [[coverage]] — spans ≈ tokens, the
+    * boilerplate set comes from one map-side-combined groupBy((src, h))
+    * whose `count(DISTINCT id)` is a two-level partial aggregate, and
+    * membership rejoins by (src, h) only. Per-source grouping also bounds
+    * skew: a corpus-wide hot window shuffles to one (src, h) cell per
+    * source rather than one global cell.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  srcCol: String, k: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every repeated window is boilerplate")
+    val (staged, spans) = stagedSpans(df, idCol, textCol, k, carry = Seq(srcCol))
+    val bp = spans.groupBy(col(srcCol), col("h"))
+      .agg(countDistinct(col("id")).as("d"))
+      .filter(col("d") >= minDocs)
+      .select(col(srcCol), col("h"))
+    // each span has exactly one (src, h), so the semi-join duplicates nothing
+    val flagged = spans.join(bp, Seq(srcCol, "h"), "left_semi")
+    materializedThenRelease(
+      islandCoverage(flagged, k, carry = Seq(srcCol))
+        .select(col("id"), col(srcCol),
+          col("n_tokens"), col("n_dup_spans").as("n_bp_spans"),
+          col("covered_tokens").as("removed_tokens"),
+          (col("n_tokens") - col("covered_tokens")).as("kept_tokens"),
+          col("coverage_micro").as("removed_micro")),
+      staged)
+  }
+
+  /** DuckDB twin of [[boilerplate]]. */
+  def duckBoilerplate(table: String, idCol: String, textCol: String,
+                      srcCol: String, k: Int, minDocs: Int): String =
+    s"""WITH toks AS (SELECT $idCol AS id, $srcCol AS src,
+                             ${TextAnalysis.duckTokens(textCol)} AS tk FROM $table),
+       base AS (SELECT id, src, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) >= $k),
+       spans AS (SELECT id, src, n, CAST(p AS BIGINT) AS pos,
+                        md5(array_to_string(tk[p:p+${k - 1}], ' ')) AS h
+                 FROM base, unnest(generate_series(1, CAST(n AS INTEGER) - ${k - 1})) AS t(p)),
+       bp AS (SELECT src, h FROM spans GROUP BY src, h HAVING count(DISTINCT id) >= $minDocs),
+       ds AS (SELECT id, src, n, pos FROM spans JOIN bp USING (src, h)),
+       flagged AS (SELECT id, src, n, pos,
+                          CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w >= $k
+                               THEN 1 ELSE 0 END AS flag
+                   FROM ds WINDOW w AS (PARTITION BY id ORDER BY pos)),
+       grpd AS (SELECT id, src, n, pos,
+                       sum(flag) OVER (PARTITION BY id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+                FROM flagged),
+       isl AS (SELECT id, grp, any_value(src) AS src, any_value(n) AS n,
+                      max(pos) - min(pos) + $k AS ilen, count(*) AS nspans
+               FROM grpd GROUP BY id, grp)
+       SELECT id AS $idCol, any_value(src) AS $srcCol,
+              CAST(any_value(n) AS BIGINT) AS n_tokens,
+              CAST(sum(nspans) AS BIGINT) AS n_bp_spans,
+              CAST(sum(ilen) AS BIGINT) AS removed_tokens,
+              CAST(any_value(n) AS BIGINT) - CAST(sum(ilen) AS BIGINT) AS kept_tokens,
+              (1000000 * CAST(sum(ilen) AS BIGINT)) // CAST(any_value(n) AS BIGINT)
+                AS removed_micro
        FROM isl GROUP BY id ORDER BY id"""
 }

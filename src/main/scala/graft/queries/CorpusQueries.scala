@@ -41,6 +41,27 @@ object CorpusQueries {
           .orderBy("doc_id"),
       oracle = Some(Corpus.duckWeightedMix("doc_id", "source", "text", MixWeights, MixBudget))),
 
+    // temperature-scaled mixing (alpha = 1/2): source share proportional to
+    // isqrt(token total) — small sources up-weighted against the majority,
+    // weights data-derived and fully distributed (no driver state), exact
+    // integer isqrt so neither engine touches libm pow
+    "corpus_mix_temperature" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.temperatureMix(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "source", "text", MixBudget)
+          .orderBy("doc_id"),
+      oracle = Some(Corpus.duckTemperatureMix("doc_id", "source", "text", MixBudget))),
+
+    // per-source adaptive quality gate: each source drops ITS bottom
+    // quartile (data-derived per-domain cut points, fully distributed —
+    // window rank + broadcast threshold join, no driver scalar)
+    "corpus_quality_gate" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.perSourceQualityGate(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "source", "text")
+          .orderBy("doc_id"),
+      oracle = Some(Corpus.duckPerSourceQualityGate("doc_id", "source", "text"))),
+
     // deterministic id-hash train/val/test split with per-split stats: a
     // document's split never changes as the corpus grows
     "corpus_split" -> QueryEntry(

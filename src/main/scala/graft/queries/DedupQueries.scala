@@ -82,6 +82,20 @@ object DedupQueries {
       oracle = Some(ExactSubstr.duckTopSpans("documents", "doc_id", "text",
         SubstrK, topN = 20))),
 
+    // cross-document boilerplate removal (the token-window analogue of
+    // CCNet/RefinedWeb line dedup): windows repeated across >= 2 distinct
+    // documents of the SAME source are template chrome; per-doc removed/
+    // kept token accounting via the shared interval-union tail
+    "dedup_boilerplate" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        ExactSubstr.boilerplate(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          "source", k = 4, minDocs = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      oracle = Some(ExactSubstr.duckBoilerplate("documents", "doc_id", "text",
+        "source", k = 4, minDocs = 2))),
+
     // exact n-gram Jaccard verification of the LSH candidates (the standard
     // candidate-then-verify dedup pipeline; nothing touches O(n^2) pairs)
     "dedup_ngram_jaccard" -> QueryEntry(

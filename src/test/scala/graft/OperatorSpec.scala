@@ -143,6 +143,30 @@ class OperatorSpec extends SparkSpec {
       5L -> (10L, 2L, 9L, 900000L)))
   }
 
+  test("ExactSubstr boilerplate: same-source distinct-doc threshold, cross-source isolation") {
+    val docs = Seq(
+      // site A: docs 1+2 share a 4-token header -> boilerplate (2 distinct docs)
+      (1L, "the same old header plus unique tail one", "siteA"),
+      (2L, "the same old header and another body here", "siteA"),
+      // doc 3 repeats a window WITHIN itself only -> count(DISTINCT id)=1,
+      // NOT boilerplate under the distinct-doc threshold (coverage would flag it)
+      (3L, "w x y z w x y z", "siteA"),
+      // site B carries the SAME header as site A but only once: per-source
+      // scoping means it is NOT boilerplate there
+      (4L, "the same old header but site b only once", "siteB"),
+      (5L, "completely different words in this one document", "siteB")
+    ).toDF("doc_id", "text", "source")
+    val got = ExactSubstr.boilerplate(docs, "doc_id", "text", "source", k = 4, minDocs = 2)
+      .select(col("id"), col("source"), col("n_tokens"), col("n_bp_spans"),
+        col("removed_tokens"), col("kept_tokens"), col("removed_micro"))
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, s, n, b, r, kp, m) => id -> ((s, n, b, r, kp, m)) }.toMap
+    assert(got == Map(
+      1L -> (("siteA", 8L, 1L, 4L, 4L, 500000L)),
+      2L -> (("siteA", 8L, 1L, 4L, 4L, 500000L))),
+      s"got $got")
+  }
+
   test("bloom-prefiltered substring coverage is row-identical to the exact path") {
     val exact = ExactSubstr.coverage(docs, "doc_id", "text", 8)
       .select("id", "n_tokens", "n_dup_spans", "covered_tokens", "coverage_micro")
