@@ -22,6 +22,19 @@ object DedupQueries {
   // Jaccard query side (probe × corpus stays linear in the corpus)
   private val ProbeDocs = 100L
 
+  /** File-source streams need a directory; stage the documents fixture once
+    * per sfDir (the rawEventsDir pattern from EventQueries).
+    */
+  private val rawDocsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def rawDocsDir(sfDir: String): String =
+    rawDocsCache.computeIfAbsent(sfDir, { _ =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory("graft-docraw")
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
   val entries: Map[String, QueryEntry] = Map(
 
     // exact dedup: hash-groupBy, keep the smallest id per distinct text
@@ -43,6 +56,27 @@ object DedupQueries {
         ShingleN, NumPerm, NumBands).orderBy("doc_a", "doc_b"),
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
+
+    // the banding join as ONLINE ingest: the band index lives in keyed
+    // streaming state (the checkpoint IS the index) and each arrival emits
+    // its pairs against prior occupants — replayed over the fixture it must
+    // reproduce exactly the batch join's candidate pair set
+    "dedup_lsh_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.streaming.{EventStreams, IngestStreams}
+        val pairs = IngestStreams.lshCandidates(IngestStreams.bandRows(
+          IngestStreams.readDocuments(spark, rawDocsDir(sfDir)),
+          "doc_id", "text", ShingleN, NumPerm, NumBands))
+        EventStreams.runToBatch(pairs.toDF(),
+          s"dedup_lsh_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+          "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) z
+           ORDER BY doc_a, doc_b""")),
 
     // duplicated-substring coverage (the ExactSubstr dedup family): k-token
     // spans occurring more than once corpus-wide, reported as per-document

@@ -496,4 +496,38 @@ class StreamingSpec extends SparkSpec {
     assert(reach(2) == want("2_click"))
     assert(reach(3) == want("3_purchase"))
   }
+
+  test("streaming LSH band index carries across micro-batches: pair set equals the batch join") {
+    import graft.streaming.IngestStreams
+    // split documents into two id-halves, one file per micro-batch: a
+    // near-dup pair straddling the halves can only be found if batch 1's
+    // bucket occupants survived in state when batch 2's doc arrives
+    val inDir = Files.createTempDirectory("graft-lsh-in")
+    val raw = Readers.fixture(spark, sfDir, "documents")
+    val cut = raw.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lsh-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("doc_id") <= cut), "half0.parquet")
+    stage(raw.filter(col("doc_id") > cut), "half1.parquet")
+    val stream = IngestStreams.lshCandidates(IngestStreams.bandRows(
+      IngestStreams.readDocuments(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+      "doc_id", "text", shingleN = 3, numPerm = 16, numBands = 4))
+    val got = EventStreams.runToBatch(stream.toDF(), "lsh2", OutputMode.Append)
+      .select("doc_a", "doc_b").distinct()
+    val want = graft.operators.MinHashLSH.candidatePairs(
+      raw, "doc_id", "text", shingleN = 3, numPerm = 16, numBands = 4)
+      .select("doc_a", "doc_b")
+    assert(got.count() > 0, "fixture should contain near-dup candidates")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "staged two-batch replay diverged from the batch banding join")
+    // and at least one pair crosses the halves — otherwise this test isn't
+    // actually exercising cross-batch state carry
+    assert(got.filter(col("doc_a") <= cut && col("doc_b") > cut).count() > 0,
+      "no cross-half pair: split did not exercise state carry")
+  }
 }
