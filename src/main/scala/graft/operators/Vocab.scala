@@ -110,6 +110,48 @@ object Vocab {
               md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
        FROM ex GROUP BY term ORDER BY term"""
 
+  /** Per-source out-of-vocabulary rate against the corpus top-`vocabSize`
+    * vocabulary — the coverage audit run before committing to a tokenizer
+    * vocabulary: a source whose OOV rate is high under the candidate vocab
+    * will fragment into byte-fallback pieces and inflate its token bill.
+    * Vocabulary membership is deterministic (count desc, token asc
+    * tie-break) so both engines pick the identical top-N.
+    *
+    * Scale shape (100 TB): the vocabulary is a map-side-combined token
+    * groupBy + TakeOrdered(N) — N rows cross the wire per partition; the
+    * OOV flag is then a broadcast left join at the scan, so the whole audit
+    * is two passes with no wide shuffle of token rows.
+    */
+  def oovRate(docs: DataFrame, idCol: String, srcCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val ex = graft.core.Readers.spread(docs, col(idCol))
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("term"))
+    val vocab = ex.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    ex.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("src"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_micro"))
+  }
+
+  /** DuckDB twin of [[oovRate]] over the `documents` fixture. */
+  def duckOovRate(idCol: String, srcCol: String, textCol: String,
+                  vocabSize: Int): String =
+    s"""WITH ex AS (SELECT $srcCol AS src, unnest(${duckTokens(textCol)}) AS term
+                    FROM documents),
+       vocab AS (SELECT term FROM ex GROUP BY term
+                 ORDER BY count(*) DESC, term ASC LIMIT $vocabSize),
+       flagged AS (SELECT e.src, e.term, v.term AS vt
+                   FROM ex e LEFT JOIN vocab v ON e.term = v.term)
+       SELECT src AS $srcCol, count(*) AS n_tokens,
+              count(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+              (1000000 * count(CASE WHEN vt IS NULL THEN 1 END)) // count(*)
+                AS oov_micro
+       FROM flagged GROUP BY src ORDER BY src"""
+
   // ---------------------------------------------------------------------
   // BPE tokenizer training: k iterations of highest-count adjacent-pair
   // merge over the word-frequency dictionary — the piece between

@@ -794,6 +794,35 @@ object EventQueries {
       oracle = Some(RetentionOracle)),
 
     // top-k users by activity (TakeOrderedAndProject, no full sort)
+    // semi-structured payload projection: the JSON `props` column parsed
+    // with a codegen'd path expression (get_json_object — no UDF, no
+    // driver-side parse) and aggregated per type. Scale shape: the JSON
+    // parse is a per-row scan expression and column pruning reads ONLY
+    // (event_type, props) from the parquet footprint — schema-on-read costs
+    // the scan, never a shuffle of the raw payload
+    "ev_props_extract" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        Readers.fixture(spark, sfDir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            countDistinct(col("k")).as("n_distinct_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k,
+               count(DISTINCT k) AS n_distinct_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events) x
+        GROUP BY event_type ORDER BY event_type""")),
+
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {
         Readers.fixture(spark, sfDir, "events")

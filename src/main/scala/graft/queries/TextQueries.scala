@@ -173,6 +173,19 @@ object TextQueries {
           .orderBy("term"),
       oracle = Some(graft.operators.Vocab.duckInvertedIndex)),
 
+    // per-source OOV rate against the corpus top-20 vocabulary: the
+    // tokenizer-coverage audit (which sources will fragment into fallback
+    // pieces under a candidate vocab) — two passes, broadcast membership
+    "text_oov_rate" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.oovRate(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "source", "text",
+          vocabSize = 20)
+          .withColumnRenamed("src", "source")
+          .orderBy("source"),
+      oracle = Some(graft.operators.Vocab.duckOovRate("doc_id", "source", "text",
+        vocabSize = 20))),
+
     // bigram language-model counts: top-20 bigrams with integer conditional
     // probability P(w2|w1) in micro-units — the count statistics classic LM
     // smoothing starts from. One corpus explode; context counts roll up from
