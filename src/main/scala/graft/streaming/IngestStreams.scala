@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.MinHashLSH
-import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
 
 /** Streaming ingest dedup — the online form of the MinHash-LSH banding join.
   *
@@ -51,11 +50,17 @@ object IngestStreams {
   }
 
   /** Stateless per-arrival banding: tokenize → shingle → MinHash signature →
-    * band hashes, exploded to one row per (doc, band). Uses the per-row HOF
-    * [[MinHashLSH.signature]] rather than the batch explode+groupBy
-    * aggregate form: a groupBy on a stream would itself become stateful, and
-    * the HOF's interpreted-eval cost is paid on delta-sized micro-batches,
-    * not the corpus.
+    * band hashes, one row per (doc, band), computed in plain JVM code via a
+    * typed flatMap. NOT the batch Catalyst forms: the explode+groupBy
+    * aggregate would itself become stateful on a stream, and the per-row
+    * HOF expression CANNOT be persisted on a stream — projection collapse
+    * plus the InferFiltersFromGenerate hazard (see
+    * [[MinHashLSH.signatures]]) re-inlines the interpreted signature
+    * expression into every consumer (measured: 60 s for a 5k-doc replay at
+    * sf0.1, ~20x the whole batch join). Per-arrival imperative hashing is
+    * the honest delta-path shape, computes each digest exactly once, and
+    * [[bandHashesOf]] is pinned hash-identical to the batch SQL expressions
+    * by spec + the oracle equality of the end-to-end pair set.
     */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int, numPerm: Int, numBands: Int): Dataset[BandRow] = {
@@ -64,15 +69,65 @@ object IngestStreams {
     val rowsPerBand = numPerm / numBands
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"),
-        MinHashLSH.signature(
-          shinglesFromTokens(tokens(col(textCol)), shingleN), numPerm).as("sig"))
-      .select(col("id"),
-        posexplode(MinHashLSH.bandHashes(col("sig"), numBands, rowsPerBand))
-          .as(Seq("bandIdx", "bandHash")))
-      .select(col("id"), col("bandIdx").cast("int").as("bandIdx"), col("bandHash"))
-      .as[BandRow]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        bandHashesOf(text, shingleN, numPerm, numBands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (h, b) => BandRow(id, b, h) }
+      }
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(digest: java.security.MessageDigest, s: String): String = {
+    val bytes = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** JVM twin of the batch banding expressions: tokenization is
+    * `split(text, " ")` (trailing empties kept, as Spark's `split` keeps
+    * them), shingles are the k-token windows with the short-doc whole-text
+    * fallback of [[TextAnalysis.shinglesFromTokens]] (duplicates need no
+    * dedup — the min is unaffected), permutation p is the unsigned 32-bit
+    * lane p%4 of md5("{p/4}:shingle") exactly as [[MinHashLSH.permHash]],
+    * and band b hashes its lane minima joined by "|" as decimal strings
+    * exactly as [[MinHashLSH.bandHashes]].
+    */
+  private[streaming] def bandHashesOf(text: String, shingleN: Int, numPerm: Int,
+                                      numBands: Int, rowsPerBand: Int): Seq[String] = {
+    val tk = text.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (tk.length >= shingleN)
+        (0 to tk.length - shingleN).iterator.map(i => tk.slice(i, i + shingleN).mkString(" "))
+      else Iterator(tk.mkString(" "))
+    val nMd5 = numPerm / MinHashLSH.LanesPerMd5
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    for (s <- shingles) {
+      var q = 0
+      while (q < nMd5) {
+        val hex = md5Hex(digest, s"$q:$s")
+        var lane = 0
+        while (lane < MinHashLSH.LanesPerMd5) {
+          val v = java.lang.Long.parseLong(hex.substring(lane * 8, lane * 8 + 8), 16)
+          val p = q * MinHashLSH.LanesPerMd5 + lane
+          if (v < mins(p)) mins(p) = v
+          lane += 1
+        }
+        q += 1
+      }
+    }
+    (0 until numBands).map { b =>
+      val joined = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(mins).mkString("|")
+      md5Hex(digest, joined)
+    }
   }
 
   /** The stateful bucket join: emits each candidate pair at the arrival of

@@ -497,6 +497,29 @@ class StreamingSpec extends SparkSpec {
     assert(reach(3) == want("3_purchase"))
   }
 
+  test("JVM band hashing is hash-identical to the batch Catalyst banding expressions") {
+    import graft.operators.{MinHashLSH, TextAnalysis}
+    import graft.streaming.IngestStreams
+    // the streaming path computes MinHash banding in plain JVM code; any
+    // divergence from the SQL expressions would silently split the online
+    // index from the batch join — pin them cell-for-cell on real fixture
+    // text plus the short-doc fallback edge
+    import spark.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents").limit(30)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((900001L, "one two"), (900002L, "")).toDF("doc_id", "text"))
+    val sqlBands = docs
+      .select(col("doc_id").as("id"),
+        posexplode(MinHashLSH.bandHashes(
+          MinHashLSH.signature(
+            TextAnalysis.shinglesFromTokens(TextAnalysis.tokens(col("text")), 3), 16),
+          4, 4)).as(Seq("bandIdx", "bandHash")))
+      .as[(Long, Int, String)].collect().toSet
+    val jvmBands = IngestStreams.bandRows(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.id, r.bandIdx, r.bandHash)).toSet
+    assert(jvmBands == sqlBands)
+  }
+
   test("streaming LSH band index carries across micro-batches: pair set equals the batch join") {
     import graft.streaming.IngestStreams
     // split documents into two id-halves, one file per micro-batch: a
