@@ -178,6 +178,91 @@ object Multimodal {
        WHERE bit_count(xor(a.ph, b.ph)) <= $maxHamming
        ORDER BY doc_a, doc_b"""
 
+  /** One output row per sampled video frame. */
+  case class FrameRow(doc_id: Long, frame_idx: Long, feat: Array[Long])
+
+  /** Pluggable video decoder boundary — the ffmpeg-shaped seam: a real
+    * implementation seeks to frame f and decodes it; the stub derives a
+    * frame count and per-frame features from the raw bytes. Serializable
+    * for the same reason as [[MediaDecoder]].
+    */
+  trait VideoDecoder extends Serializable {
+    def frameCount(bytes: Array[Byte]): Int
+    /** Feature vector of frame `f` (0-based). */
+    def frameFeature(bytes: Array[Byte], f: Int): Array[Long]
+  }
+
+  /** STUB video decode — deterministic fake (no codec libs in this
+    * container): frame count 2..7 from header byte 3, frame f's 4-lane
+    * feature sums `(byte + 7f) mod 256` over the byte lanes — enough to
+    * make every frame's feature distinct and recomputable by the DuckDB
+    * twin. A real decoder drops in without touching [[sampleFrames]].
+    */
+  object StubVideoDecoder extends VideoDecoder {
+    private def at(bytes: Array[Byte], i: Int): Int =
+      if (i < bytes.length) bytes(i) & 0xff else 0
+    override def frameCount(bytes: Array[Byte]): Int = 2 + at(bytes, 3) % 6
+    override def frameFeature(bytes: Array[Byte], f: Int): Array[Long] = {
+      val feat = new Array[Long](4)
+      var i = 0
+      while (i < bytes.length) {
+        feat(i % 4) += (at(bytes, i) + 7L * f) % 256
+        i += 1
+      }
+      feat
+    }
+  }
+
+  /** Uniform-stride frame sampling: every `everyN`-th frame of each video
+    * becomes one output row (doc id, frame index, feature vector) — the
+    * preprocessing step that turns a video corpus into a frame-level
+    * training table. Decode is per-partition imperative work behind the
+    * [[VideoDecoder]] seam, like [[extractMeta]]; output is
+    * frame-proportional, so downstream operators (dedup over frame
+    * features, ANN over frame embeddings) see an ordinary columnar table.
+    *
+    * Scale shape (100 TB of video): no shuffle — rows explode inside the
+    * partition, and `spark.sql.files.maxPartitionBytes` bounds how many
+    * containers one task holds; a stride of N divides decode cost AND
+    * output volume by N, which is the knob a 100 TB corpus is actually
+    * sampled with.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, everyN: Int,
+                   decoder: VideoDecoder = StubVideoDecoder): DataFrame = {
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val outEnc = Encoders.product[FrameRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          (0 until decoder.frameCount(bytes)).iterator
+            .filter(_ % everyN == 0)
+            .map(f => FrameRow(id, f.toLong, decoder.frameFeature(bytes, f)))
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB twin of stub-decode [[sampleFrames]] over `unhex(md5(text))`
+    * payloads (byte i, 0-based, is hex pair (2i+1, 2i+2)).
+    */
+  def duckFrameSample(table: String, idCol: String, everyN: Int): String =
+    s"""WITH hx AS (SELECT $idCol AS doc_id, md5(text) AS h FROM $table),
+       meta AS (SELECT doc_id, h,
+                  2 + CAST('0x' || substr(h, 7, 2) AS UBIGINT) % 6 AS nf FROM hx),
+       fr AS (SELECT doc_id, h, f FROM (
+                SELECT doc_id, h,
+                       unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS f
+                FROM meta) z
+              WHERE f % $everyN = 0)
+       SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+              array_to_string(list_transform(generate_series(0, 3), l ->
+                CAST(list_sum(list_transform(generate_series(0, 3), m ->
+                  (CAST('0x' || substr(h, 2*(4*m + l) + 1, 2) AS UBIGINT) + 7*f) % 256))
+                  AS BIGINT)), ',') AS feat
+       FROM fr ORDER BY doc_id, frame_idx"""
+
   /** DuckDB twin of [[extractMeta]] over bytes produced as `unhex(md5(text))`:
     * byte i (1-based) is hex pair (2i-1, 2i) of the md5, so every stub field
     * is recomputable from the hex string.

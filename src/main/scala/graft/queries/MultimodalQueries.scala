@@ -28,6 +28,19 @@ object MultimodalQueries {
       },
       oracle = Some(Multimodal.duckMetaSql("documents", "doc_id"))),
 
+    // per-frame video sampling through the decoder seam: every-2nd frame of
+    // each "container" becomes one row (the frame-level training table) —
+    // mapPartitions decode, no shuffle, output divided by the stride
+    "mm_framesample" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("vid"))
+        Multimodal.sampleFrames(docs, "doc_id", "vid", everyN = 2)
+          .withColumn("feat", array_join(col("feat").cast("array<string>"), ","))
+          .orderBy("doc_id", "frame_idx")
+      },
+      oracle = Some(Multimodal.duckFrameSample("documents", "doc_id", everyN = 2))),
+
     // pHash-style near-dup over decoder features: stub-decode → 64-bit
     // rank-hash → SimHash chunk-banded hamming pairs (exact for <= 3 by
     // pigeonhole). Media bytes are the 32-char text prefix so the planted

@@ -272,6 +272,31 @@ class OperatorSpec extends SparkSpec {
     assert(stub.exists(_.getAs[Long]("width") != 1920L))
   }
 
+  test("sampleFrames: stride filter, per-frame rows, decoder seam") {
+    // frame count 2 + bytes(3)%6: payload below pins it to 5 (byte 3 = 0x03)
+    val payload = Array[Byte](0x10, 0x20, 0x30, 0x03, 0x40, 0x50, 0x60, 0x70)
+    val df = Seq((7L, payload)).toDF("doc_id", "vid")
+    val all = Multimodal.sampleFrames(df, "doc_id", "vid", everyN = 1)
+      .select("frame_idx").as[Long].collect().sorted
+    assert(all.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+    val strided = Multimodal.sampleFrames(df, "doc_id", "vid", everyN = 2)
+      .select("frame_idx").as[Long].collect().sorted
+    assert(strided.sameElements(Array(0L, 2L, 4L)))
+    // frame features differ per frame (the 7f rotation) and lane sums match
+    // a hand computation for frame 0: lanes sum bytes i ≡ l (mod 4)
+    val f0 = Multimodal.sampleFrames(df, "doc_id", "vid", everyN = 1)
+      .filter(col("frame_idx") === 0).select("feat").as[Array[Long]].head()
+    assert(f0.toSeq == Seq(0x10L + 0x40L, 0x20L + 0x50L, 0x30L + 0x60L, 0x03L + 0x70L))
+    // decoder seam: a fixed-count decoder replaces the stub with no plumbing change
+    object OneFrame extends Multimodal.VideoDecoder {
+      override def frameCount(bytes: Array[Byte]): Int = 1
+      override def frameFeature(bytes: Array[Byte], f: Int): Array[Long] = Array(99L)
+    }
+    val one = Multimodal.sampleFrames(df, "doc_id", "vid", 1, OneFrame).collect()
+    assert(one.length == 1 &&
+      one.head.getAs[scala.collection.Seq[Long]]("feat").toSeq == Seq(99L))
+  }
+
   test("ImageIoDecoder: real PNG decode — noisy copies pair within hamming<=3, unrelated don't") {
     import java.awt.image.BufferedImage
 
