@@ -30,7 +30,16 @@ object Curate {
       |      --max-substr-coverage int    drop documents whose duplicated
       |                                   8-token-span coverage exceeds this
       |                                   (micro-units, 0..1000000; default off)
+      |      --max-boilerplate int        drop documents whose same-source
+      |                                   boilerplate-window coverage exceeds
+      |                                   this (micro-units; default off)
       |      --min-quality num            quality-score threshold (default 0.45)
+      |      --per-source-quality         replace the global threshold with each
+      |                                   source's own bottom-quartile cut
+      |      --mix-temperature int        after sampling, temperature-mix sources
+      |                                   toward this token budget (share per
+      |                                   source proportional to sqrt of its
+      |                                   token total; default off)
       |      --sample-weighted int        after the quality filter, keep a
       |                                   quality-weighted priority sample of
       |                                   this many documents (deterministic;
@@ -55,6 +64,9 @@ object Curate {
       docsDir: String = "", outDir: String = "",
       decontaminateAgainst: Option[String] = None,
       maxSubstrCoverage: Option[Long] = None,
+      maxBoilerplate: Option[Long] = None,
+      perSourceQuality: Boolean = false,
+      mixTemperature: Option[Long] = None,
       minQuality: Double = 0.45, sampleWeighted: Option[Int] = None,
       trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
       chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
@@ -74,6 +86,8 @@ object Curate {
           case _ => Left(s"expected <documentsDir> <outDir>, got ${positional.size} positional args\n\n$helpText")
         }
         case ("-h" | "--help") :: _ => Left(helpText)
+        case "--per-source-quality" :: tail =>
+          loop(tail, acc.copy(perSourceQuality = true), positional)
         case flag :: value :: tail if flag.startsWith("--") =>
           flag match {
             case "--decontaminate-against" =>
@@ -81,6 +95,14 @@ object Curate {
             case "--max-substr-coverage" =>
               num(flag, value, (_: String).toLongOption)(n =>
                 acc.copy(maxSubstrCoverage = Some(n)))
+                .flatMap(loop(tail, _, positional))
+            case "--max-boilerplate" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(maxBoilerplate = Some(n)))
+                .flatMap(loop(tail, _, positional))
+            case "--mix-temperature" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(mixTemperature = Some(n)))
                 .flatMap(loop(tail, _, positional))
             case "--min-quality" =>
               num(flag, value, (_: String).toDoubleOption)(d => acc.copy(minQuality = d))
@@ -122,6 +144,10 @@ object Curate {
       else if (c.shards < 1) Left(s"--shards must be >= 1, got ${c.shards}")
       else if (c.maxSubstrCoverage.exists(m => m < 0 || m > 1000000))
         Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
+      else if (c.maxBoilerplate.exists(m => m < 0 || m > 1000000))
+        Left(s"--max-boilerplate must be in [0, 1000000], got ${c.maxBoilerplate.get}")
+      else if (c.mixTemperature.exists(_ < 1))
+        Left(s"--mix-temperature must be >= 1, got ${c.mixTemperature.get}")
       else if (c.sampleWeighted.exists(_ < 1))
         Left(s"--sample-weighted must be >= 1, got ${c.sampleWeighted.get}")
       else if (c.chunkTokens.exists(_ < 1))
@@ -173,9 +199,29 @@ object Curate {
       decontaminated.join(heavy, Seq("doc_id"), "left_anti").persist()
     }
 
-    // quality filter (shared scorer — same expression the oracle checks)
-    val quality = substrScreened
-      .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality)
+    // optional same-source boilerplate screen: drop documents dominated by
+    // windows repeated across their source's other documents — the
+    // dedup_boilerplate operator as a gate (finer-grained than the
+    // corpus-wide substring screen: a phrase common across sources survives)
+    val bpScreened = cfg.maxBoilerplate.fold(substrScreened) { maxMicro =>
+      val heavy = graft.operators.ExactSubstr
+        .boilerplate(substrScreened, "doc_id", "text", "source", k = 4, minDocs = 2)
+        .filter(col("removed_micro") > maxMicro)
+        .select(col("id").as("doc_id"))
+      substrScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+    }
+
+    // quality filter (shared scorer — same expression the oracle checks):
+    // one global threshold, or each source's own bottom-quartile cut (the
+    // corpus_quality_gate operator) under --per-source-quality
+    val quality = (if (cfg.perSourceQuality)
+      bpScreened.join(
+        Corpus.perSourceQualityGate(bpScreened, "doc_id", "source", "text")
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    else
+      bpScreened
+        .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality))
       .persist()
 
     // optional quality-weighted downsample (Duffield–Lund–Thorup priority
@@ -183,18 +229,29 @@ object Curate {
     // with the shared quality score, so the budget cut preserves the mix
     // instead of top-k cherry-picking; deterministic across runs
     val qualityCount = quality.count()
-    val sampled = cfg.sampleWeighted.fold(quality) { k =>
+    val sampled0 = cfg.sampleWeighted.fold(quality) { k =>
       Corpus.prioritySample(
           quality.withColumn("q",
             TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")))),
           "doc_id", expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k)
         .drop("q", "w", "priority").persist()
     }
+    // optional temperature-scaled source mix toward a token budget (the
+    // corpus_mix_temperature operator): applied to whatever survived the
+    // earlier gates, so the mix reweights the CURATED corpus
+    val sampled = cfg.mixTemperature.fold(sampled0) { budget =>
+      sampled0.join(
+        Corpus.temperatureMix(sampled0, "doc_id", "source", "text", budget)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi").persist()
+    }
 
     // deterministic split, assigned by (parent) document BEFORE optional
     // chunking: overlapping chunks of one document share text, so letting
     // them straddle train/val/test would leak evaluation data into training
-    val qualityKept = if (cfg.sampleWeighted.isDefined) sampled.count() else qualityCount
+    val qualityKept =
+      if (cfg.sampleWeighted.isDefined || cfg.mixTemperature.isDefined) sampled.count()
+      else qualityCount
     val split = sampled.withColumn("split",
       Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
 
@@ -240,12 +297,15 @@ object Curate {
       "near_deduped" -> nearDeduped.count(),
       "decontaminated" -> decontaminated.count(),
       "substr_screened" -> substrScreened.count(),
+      "boilerplate_screened" -> bpScreened.count(),
       "quality_filtered" -> qualityCount,
       "quality_kept" -> qualityKept,
       "written_units" -> (if (qualityKept == 0) 0L else units.count()),
       "written" -> written)
     (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
-      (if (sampled ne quality) Seq(sampled) else Nil) ++
+      (if (bpScreened ne substrScreened) Seq(bpScreened) else Nil) ++
+      (if (sampled0 ne quality) Seq(sampled0) else Nil) ++
+      (if (sampled ne sampled0) Seq(sampled) else Nil) ++
       (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())
     funnel
   }

@@ -133,6 +133,35 @@ object Sf1Probe {
     timed("incremental_dedup 1x") { incremental(fixture("documents")) }
     timed("incremental_dedup 10x") { incremental(docs10) }
 
+    // -- boilerplate span removal (dedup_boilerplate shape) -----------------
+    // per-copy suffixed tokens keep each copy's within-source repetition; the
+    // (src, h) boilerplate groupBy sees 10x cells of the same per-cell size
+    timed("boilerplate 1x") {
+      ExactSubstr.boilerplate(fixture("documents"), "doc_id", "text",
+        "source", k = 4, minDocs = 2).count()
+    }
+    timed("boilerplate 10x") {
+      ExactSubstr.boilerplate(docs10, "doc_id", "text",
+        "source", k = 4, minDocs = 2).count()
+    }
+
+    // -- streaming LSH ingest (dedup_lsh_stream shape, single-batch replay) --
+    def lshStream(docs: DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sf1-lsh")
+      docs.select("doc_id", "text").coalesce(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      val pairs = graft.streaming.IngestStreams.lshCandidates(
+        graft.streaming.IngestStreams.bandRows(
+          graft.streaming.IngestStreams.readDocuments(spark, dir.toString),
+          "doc_id", "text", 3, 16, 4))
+      graft.streaming.EventStreams.runToBatch(pairs.toDF(),
+        s"sf1_lsh_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+        .select("doc_a", "doc_b").distinct().count()
+    }
+    timed("lsh_stream 1x") { lshStream(fixture("documents")) }
+    timed("lsh_stream 10x") { lshStream(docs10) }
+
     spark.stop()
   }
 }

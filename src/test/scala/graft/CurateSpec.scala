@@ -125,4 +125,55 @@ class CurateSpec extends SparkSpec {
       maxSubstrCoverage = Some(250000L))).toMap
     assert(funnel2("substr_screened") == 8L)
   }
+
+  test("boilerplate screen, per-source quality, and temperature mix gate as configured") {
+    // srcA: three docs share a 4-token header (removed_micro = 4/8 = 500000);
+    // srcB carries the SAME header once (per-source scoping must not flag it)
+    // plus one unique doc; srcC has four docs of strictly increasing length
+    // (distinct quality scores for the per-source quartile cut). Shared
+    // 4-token headers produce Jaccard ~0.2 << 0.5 — invisible to the
+    // near-dup stage, exactly the gap the boilerplate screen covers.
+    def uniq(d: Int, n: Int) = (1 to n).map(i => s"w${d}x$i").mkString(" ")
+    val rows = (1 to 3).map(d => (d.toLong, s"the same old header ${uniq(d, 4)}", "en", "srcA")) ++
+      Seq((4L, s"the same old header ${uniq(4, 8)}", "en", "srcB"),
+        (5L, uniq(5, 12), "en", "srcB")) ++
+      (6 to 9).map(d => (d.toLong, uniq(d, (d - 5) * 10), "en", "srcC"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-bp-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-bp").toString
+
+    // boilerplate screen at 400000 drops exactly srcA's three header docs
+    val fBp = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxBoilerplate = Some(400000L))).toMap
+    assert(fBp("substr_screened") == 9L, "no exact/near dups in this corpus")
+    assert(fBp("boilerplate_screened") == 6L, fBp.toString)
+    // permissive threshold keeps everything (removed_micro tops out at 500000)
+    val fBp2 = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxBoilerplate = Some(500000L))).toMap
+    assert(fBp2("boilerplate_screened") == 9L, fBp2.toString)
+
+    // per-source quartile: only srcC has >= 4 docs, so exactly its shortest
+    // drops (sources with n < 4 threshold at their minimum score and keep all)
+    val fQ = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      perSourceQuality = true)).toMap
+    assert(fQ("quality_filtered") == 8L, fQ.toString)
+
+    // temperature mix: budget sized so every source's keep rate saturates at
+    // 1e6 keeps ALL; the funnel count must equal the operator run directly
+    val docsDF = spark.read.parquet(s"$docsDir/documents.parquet")
+    val fMixAll = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      mixTemperature = Some(10000L))).toMap
+    assert(fMixAll("quality_kept") == 9L, fMixAll.toString)
+    val fMix1 = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      mixTemperature = Some(30L))).toMap
+    val expect = graft.operators.Corpus.temperatureMix(
+      docsDF, "doc_id", "source", "text", 30L).count()
+    assert(fMix1("quality_kept") == expect, s"funnel=${fMix1("quality_kept")} op=$expect")
+  }
 }

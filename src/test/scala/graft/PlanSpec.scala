@@ -291,6 +291,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned fact scan dynamic-prunes from the dim filter (the DPP path)") {
+    // the partition-pruning claim pinned end-to-end: a fact table laid out
+    // with directory partitions, joined on the partition column against a
+    // FILTERED small side, must plan a DynamicPruning subquery on the fact
+    // scan — at 100 TB this is the difference between listing every
+    // partition and touching only the months the dim filter selects
+    import org.apache.spark.sql.functions.{col, crc32, date_format}
+    import graft.core.Readers
+    val wh = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      Readers.fixture(spark, sfDir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("o_month")
+        .option("path", s"$wh/fact").mode("overwrite").saveAsTable("dpp_fact")
+      val nMonths = spark.table("dpp_fact").select("o_month").distinct().count()
+      assert(nMonths > 3, s"fixture spans only $nMonths months; DPP test needs several")
+      // dim: every month tagged, filter selects exactly one tag
+      spark.table("dpp_fact").select("o_month").distinct()
+        .withColumn("tag", (crc32(col("o_month")) % 2).cast("int"))
+        .write.option("path", s"$wh/dim").mode("overwrite").saveAsTable("dpp_dim")
+      // filter on the NON-join column: a filter on o_month itself would
+      // constant-propagate through the join equality and prune STATICALLY —
+      // only a runtime subquery can prune from the tag filter
+      val joined = spark.table("dpp_fact")
+        .join(spark.table("dpp_dim").filter(col("tag") === 1), "o_month")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      // and the pruned plan still computes the right rows
+      val keepMonths = spark.table("dpp_dim").filter(col("tag") === 1)
+        .select("o_month").collect().map(_.getString(0)).toSet
+      val expect = spark.table("dpp_fact")
+        .filter(col("o_month").isin(keepMonths.toSeq: _*)).count()
+      assert(keepMonths.nonEmpty && joined.count() == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dpp_fact")
+      spark.sql("DROP TABLE IF EXISTS dpp_dim")
+    }
+  }
+
   test("prefix-filter Jaccard join stays equi-join — no cartesian, no all-pairs") {
     val plan = physicalPlan("dedup_jaccard_prefix")
     // candidate generation must key on the prefix token (inverted-index
