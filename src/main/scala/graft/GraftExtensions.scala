@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct}
+import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, s"graft_hex_signed64 expects 1 argument, got ${args.length}")
         HexToSignedLong(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      info("graft_nfc"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"graft_nfc expects 1 argument, got ${args.length}")
+        NfcNormalize(args.head)
       }))
   }
 }

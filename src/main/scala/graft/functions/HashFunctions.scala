@@ -41,6 +41,45 @@ object HexToSignedLong {
   def parse(s: UTF8String): Long = java.lang.Long.parseUnsignedLong(s.toString, 16)
 }
 
+/** Unicode NFC normalization as a native codegen expression. Exact dedup
+  * hashes bytes, and the same visible text has many codepoint spellings
+  * (precomposed é vs e + COMBINING ACUTE) — without canonical normalization
+  * a crawler that emits decomposed forms defeats every hash-keyed dedup
+  * stage. Spark ships no normalization function (SPARK-companion libraries
+  * reach for UDFs); this is the custom-Expression path instead — a
+  * `UnaryExpression` over `java.text.Normalizer` with `doGenCode`, so
+  * normalization stays inside whole-stage codegen in the scan-side dedup
+  * hot path. The DuckDB oracle twin is its built-in `nfc_normalize`.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Already-NFC input (the overwhelmingly common case) short-circuits on
+    * the quick-check without allocating.
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column-level helpers shared by the fingerprint modes and the north-star
   * operators. Everything here composes built-in codegen'd functions except
   * [[GraftFunctions.hexToSignedLong]] (custom expression, above).
@@ -50,6 +89,10 @@ object GraftFunctions {
   /** Lift the custom [[HexToSignedLong]] expression to the Column API. */
   def hexToSignedLong(c: Column): Column =
     Bridge.column(HexToSignedLong(Bridge.expression(c)))
+
+  /** Lift the custom [[NfcNormalize]] expression to the Column API. */
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 
   /** `('x'||substr(md5(k),1,16))::bit(64)::bigint` analogue: signed 64-bit
     * value from the first 16 hex chars of `k`'s MD5

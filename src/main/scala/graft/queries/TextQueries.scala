@@ -173,6 +173,55 @@ object TextQueries {
           .orderBy("term"),
       oracle = Some(graft.operators.Vocab.duckInvertedIndex)),
 
+    // Unicode canonicalization ahead of exact dedup: NFC (custom codegen
+    // expression — Spark ships no normalizer) + lowercase + whitespace
+    // collapse, then group by the canonical form. The planted variant rows
+    // (decomposed vs precomposed accents, case, spacing) MUST collapse to
+    // one group each — the spellings that defeat a byte-hash dedup stage;
+    // fixture text rides along to prove the ASCII fast path is unchanged
+    "text_normalize" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val s2 = spark; import s2.implicits._
+        val variants = Seq(
+          (9000001L, "cafe\u0301 menu"),            // e + combining acute
+          (9000002L, "caf\u00e9 menu"),             // precomposed e-acute
+          (9000003L, "CAF\u00c9   MENU"),           // case + inner whitespace
+          (9000004L, " caf\u00e9 menu"),            // leading space
+          (9000005L, "a\u030angstro\u0308m unit"), // a+ring, o+diaeresis
+          (9000006L, "\u00e5ngstr\u00f6m unit"),   // precomposed a-ring, o-diaeresis
+          (9000007L, "plain ascii text")
+        ).toDF("doc_id", "text")
+        val all = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")).unionByName(variants)
+        val canon = graft.functions.GraftFunctions.nfcNormalize(
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        all.select(col("doc_id"), canon.as("canonical"))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("rep_id"))
+          .filter(col("n_variants") > 1)
+          .orderBy("rep_id")
+      },
+      oracle = Some {
+        val vals = Seq(
+          9000001L -> "cafe\u0301 menu",
+          9000002L -> "caf\u00e9 menu",
+          9000003L -> "CAF\u00c9   MENU",
+          9000004L -> " caf\u00e9 menu",
+          9000005L -> "a\u030angstro\u0308m unit",
+          9000006L -> "\u00e5ngstr\u00f6m unit",
+          9000007L -> "plain ascii text")
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        s"""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+            canon AS (SELECT doc_id,
+                nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS canonical
+              FROM all_docs)
+            SELECT canonical, count(*) AS n_variants, min(doc_id) AS rep_id
+            FROM canon GROUP BY canonical HAVING count(*) > 1
+            ORDER BY rep_id"""
+      }),
+
     // per-source OOV rate against the corpus top-20 vocabulary: the
     // tokenizer-coverage audit (which sources will fragment into fallback
     // pieces under a candidate vocab) — two passes, broadcast membership

@@ -25,10 +25,12 @@ class ExtensionsSpec extends SparkSpec {
       val row = s2.sql(
         """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                   graft_int_dot(array(2L, -3L), array(5L, 7L)) AS i,
-                  graft_hex_signed64('ffffffffffffffff') AS h""").head()
+                  graft_hex_signed64('ffffffffffffffff') AS h,
+                  graft_nfc('cafe\u0301') AS n""").head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getLong(1) == -11L)
       assert(row.getLong(2) == -1L)
+      assert(row.getString(3) == "caf\u00e9", "NFC must compose e + combining acute")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
