@@ -62,6 +62,24 @@ object CorpusQueries {
           .orderBy("doc_id"),
       oracle = Some(Corpus.duckPerSourceQualityGate("doc_id", "source", "text"))),
 
+    // the quality audit as CONTINUOUS ingest state: per-source running
+    // (docs, tokens, integer-micro quality sum) maintained in complete mode
+    // — one counter row per source forever; quality floors to micro-units
+    // per document before summation, so batch boundaries cannot perturb the
+    // running sum and the drain equals the batch aggregate bit for bit
+    "corpus_quality_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.streaming.{EventStreams, IngestStreams}
+        val stream = IngestStreams.runningSourceQuality(
+          IngestStreams.readDocuments(spark, DedupQueries.rawDocsDir(sfDir)),
+          "source", "text")
+        EventStreams.runToBatch(stream,
+          s"corpus_q_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+          .orderBy("source")
+      },
+      oracle = Some(graft.streaming.IngestStreams.duckSourceQuality("source", "text"))),
+
     // deterministic id-hash train/val/test split with per-split stats: a
     // document's split never changes as the corpus grows
     "corpus_split" -> QueryEntry(

@@ -144,6 +144,37 @@ object IngestStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(emitPairs)
   }
 
+  /** Continuous per-source corpus quality: running (docs, tokens, summed
+    * quality in integer micro-units) per source — the ingest-side monitor
+    * that catches a source going bad (a crawler regression, a spam wave)
+    * BATCHES after it starts, not at the next nightly job. State is one
+    * counter row per source forever (complete-mode aggregate); quality is
+    * floored to micro-units per document BEFORE summation so the running sum
+    * is exact integer arithmetic — batch boundaries cannot perturb it, and
+    * the drained table equals the batch aggregate bit for bit.
+    */
+  def runningSourceQuality(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tk = graft.operators.TextAnalysis.tokens(col(textCol))
+    val qMicro = floor(graft.operators.TextAnalysis.qualityScore(tk) * 1000000).cast("long")
+    docs
+      .select(col(srcCol).as("source"), size(tk).cast("long").as("n_tok"), qMicro.as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("qm")).as("quality_sum_micro"))
+  }
+
+  /** Shared batch/stream oracle of [[runningSourceQuality]]. */
+  def duckSourceQuality(srcCol: String, textCol: String): String = {
+    val tk = graft.operators.TextAnalysis.duckTokens(textCol)
+    val q = graft.operators.TextAnalysis.duckQualityScore("tk")
+    s"""WITH toks AS (SELECT $srcCol AS source, $tk AS tk FROM documents)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+              CAST(sum(CAST(floor(($q) * 1000000) AS BIGINT)) AS BIGINT)
+                AS quality_sum_micro
+       FROM toks GROUP BY source ORDER BY source"""
+  }
+
   private def emitPairs(key: (Int, String), rows: Iterator[BandRow],
                         state: GroupState[List[Long]]): Iterator[CandidatePair] = {
     val existing = state.getOption.getOrElse(Nil)

@@ -520,6 +520,50 @@ class StreamingSpec extends SparkSpec {
     assert(jvmBands == sqlBands)
   }
 
+  test("streaming LSH band index survives a restart: the checkpoint IS the index") {
+    import graft.streaming.IngestStreams
+    // run 1 ingests the first id-half and stops; run 2 (fresh query, same
+    // checkpoint) ingests only the second half. Cross-half pairs can only
+    // appear if run 2 restored run 1's bucket occupants from the checkpoint
+    // — the property that lets a production ingest resume without re-reading
+    // or re-signing the corpus
+    val inDir = Files.createTempDirectory("graft-lshckpt-in")
+    val ckpt = Files.createTempDirectory("graft-lshckpt-meta").toString
+    val outDir = Files.createTempDirectory("graft-lshckpt-out").toString
+    val raw = Readers.fixture(spark, sfDir, "documents")
+    val cut = raw.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lshckpt-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(col("doc_id") <= cut), "half0.parquet")
+    def start() = IngestStreams.lshCandidates(IngestStreams.bandRows(
+        IngestStreams.readDocuments(spark, inDir.toString),
+        "doc_id", "text", 3, 16, 4)).toDF()
+      .writeStream.outputMode(OutputMode.Append).format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    stage(raw.filter(col("doc_id") > cut), "half1.parquet")
+    val q2 = start()
+    q2.processAllAvailable()
+    val readRows = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    val half1Docs = raw.filter(col("doc_id") > cut).count()
+    assert(readRows == half1Docs,
+      s"restart re-read input: $readRows rows vs new-half $half1Docs")
+    val got = spark.read.parquet(outDir).select("doc_a", "doc_b").distinct()
+    val want = graft.operators.MinHashLSH.candidatePairs(
+      raw, "doc_id", "text", 3, 16, 4).select("doc_a", "doc_b")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "restarted ingest diverged from the batch banding join")
+    assert(got.filter(col("doc_a") <= cut && col("doc_b") > cut).count() > 0,
+      "no cross-half pair: restart did not exercise restored state")
+  }
+
   test("streaming LSH band index carries across micro-batches: pair set equals the batch join") {
     import graft.streaming.IngestStreams
     // split documents into two id-halves, one file per micro-batch: a
