@@ -231,7 +231,7 @@ object Corpus {
     * exact — so the temperature weights below never depend on float
     * rounding agreement between engines.
     */
-  private def isqrtSql(x: String): String =
+  private[graft] def isqrtSql(x: String): String =
     s"""(CASE WHEN (CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1)
                  * (CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1) <= $x
               THEN CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT) + 1

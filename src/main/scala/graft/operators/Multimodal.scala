@@ -244,6 +244,64 @@ object Multimodal {
       .toDF()
   }
 
+  /** One output row per audio analysis window. */
+  case class AudioWindow(doc_id: Long, window_idx: Long, energy: Long)
+
+  /** Windowed audio energy over an opaque PCM-ish binary column: window w
+    * covers bytes [w·stride, w·stride + width) and its energy is the sum of
+    * squared zero-centered samples (byte − 128)² — the RMS-shaped feature a
+    * real audio front-end computes per hop, silence/voice detection's first
+    * signal. Integer throughout, so the DuckDB twin recomputes it exactly.
+    * The "decode" here is byte-as-sample — the clearly-marked stand-in for
+    * a real PCM decode (no codec libs in this container); the per-window
+    * shape, stride/width knobs, and mapPartitions batch plumbing are the
+    * real pipeline, exactly as [[sampleFrames]] for video.
+    *
+    * Scale shape: identical to [[sampleFrames]] — shuffle-free partition
+    * work, output rows = ceil(bytes/stride) per clip, bounded by
+    * `maxPartitionBytes` per task.
+    */
+  def audioEnergy(df: DataFrame, idCol: String, binCol: String,
+                  width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1, s"width=$width stride=$stride must be >= 1")
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val outEnc = Encoders.product[AudioWindow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nWin = math.max((bytes.length + stride - 1) / stride, 0)
+          (0 until nWin).iterator.map { w =>
+            var e = 0L
+            var i = w * stride
+            val end = math.min(i + width, bytes.length)
+            while (i < end) {
+              val s = (bytes(i) & 0xff) - 128L
+              e += s * s
+              i += 1
+            }
+            AudioWindow(id, w.toLong, e)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB twin of [[audioEnergy]] over `unhex(md5(text))` payloads
+    * (16 bytes per doc; byte i, 0-based, is hex pair (2i+1, 2i+2)).
+    */
+  def duckAudioEnergy(table: String, idCol: String, width: Int, stride: Int): String =
+    s"""WITH hx AS (SELECT $idCol AS doc_id, md5(text) AS h FROM $table),
+       win AS (SELECT doc_id, h, unnest(generate_series(0, CAST(ceil(16.0 / $stride) AS INTEGER) - 1)) AS w
+               FROM hx)
+       SELECT doc_id, CAST(w AS BIGINT) AS window_idx,
+              CAST(list_sum(list_transform(
+                generate_series(w*$stride, least(w*$stride + $width, 16) - 1), i ->
+                  (CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT) - 128)
+                    * (CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT) - 128)))
+                AS BIGINT) AS energy
+       FROM win ORDER BY doc_id, window_idx"""
+
   /** DuckDB twin of stub-decode [[sampleFrames]] over `unhex(md5(text))`
     * payloads (byte i, 0-based, is hex pair (2i+1, 2i+2)).
     */

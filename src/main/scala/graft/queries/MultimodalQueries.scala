@@ -41,6 +41,20 @@ object MultimodalQueries {
       },
       oracle = Some(Multimodal.duckFrameSample("documents", "doc_id", everyN = 2))),
 
+    // windowed audio energy (hop stride 4, window 6 over the 16-byte
+    // payloads): per-window sum of squared centered samples — the
+    // silence/voice-detection feature, byte-as-sample stub decode with the
+    // real per-window plumbing
+    "mm_audio_energy" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
+        Multimodal.audioEnergy(docs, "doc_id", "pcm", width = 6, stride = 4)
+          .orderBy("doc_id", "window_idx")
+      },
+      oracle = Some(Multimodal.duckAudioEnergy("documents", "doc_id",
+        width = 6, stride = 4))),
+
     // pHash-style near-dup over decoder features: stub-decode → 64-bit
     // rank-hash → SimHash chunk-banded hamming pairs (exact for <= 3 by
     // pigeonhole). Media bytes are the 32-char text prefix so the planted

@@ -297,6 +297,21 @@ class OperatorSpec extends SparkSpec {
       one.head.getAs[scala.collection.Seq[Long]]("feat").toSeq == Seq(99L))
   }
 
+  test("audioEnergy: window/stride coverage and exact per-window sums") {
+    // 6 bytes, width 4, stride 3 -> windows [0,4) and [3,6): the overlap and
+    // the short tail window both must compute exactly
+    val pcm = Array[Byte](128.toByte, 130.toByte, 126.toByte, 128.toByte, 138.toByte, 118.toByte)
+    val df = Seq((3L, pcm)).toDF("doc_id", "pcm")
+    val got = Multimodal.audioEnergy(df, "doc_id", "pcm", width = 4, stride = 3)
+      .select("window_idx", "energy").as[(Long, Long)].collect().toMap
+    // w0: (0)^2 + (2)^2 + (-2)^2 + (0)^2 = 8 ; w1: (0)^2 + (10)^2 + (-10)^2 = 200
+    assert(got == Map(0L -> 8L, 1L -> 200L), got.toString)
+    // empty payload produces zero windows, not a crash
+    val empty = Multimodal.audioEnergy(
+      Seq((4L, Array.empty[Byte])).toDF("doc_id", "pcm"), "doc_id", "pcm", 4, 3)
+    assert(empty.count() == 0L)
+  }
+
   test("ImageIoDecoder: real PNG decode — noisy copies pair within hamming<=3, unrelated don't") {
     import java.awt.image.BufferedImage
 

@@ -27,6 +27,26 @@ class PropertySpec extends SparkSpec {
   private def samples(k: Int): Seq[List[(Int, String, Double)]] =
     (0 until k).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("isqrt SQL fix-up is exact on random longs, perfect squares, and their neighbors") {
+    // the temperature-mix weights lean on floor(sqrt(double)) being within
+    // ±1 of true isqrt below 2^52 and the CASE fix-up closing the gap; test
+    // random values plus the adversarial band (k², k²±1 — exactly where a
+    // misrounded double sqrt crosses an integer boundary)
+    val rnd = new scala.util.Random(7)
+    val randoms = List.fill(300)(math.abs(rnd.nextLong()) % (1L << 52))
+    val squares = (0 until 100).map(_ => math.abs(rnd.nextLong()) % (1L << 26))
+      .flatMap(k => Seq(k * k, math.max(k * k - 1, 0), k * k + 1))
+    val xs = (randoms ++ squares ++ Seq(0L, 1L, 2L, 3L, (1L << 52) - 1)).distinct
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = xs.toDF("x")
+      .select(col("x"), expr(graft.operators.Corpus.isqrtSql("x")).as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (x, s) =>
+      val exact = java.math.BigInteger.valueOf(x).sqrt().longValueExact()
+      assert(s == exact, s"isqrt($x): got $s want $exact")
+    }
+  }
+
   test("priority sampling equals a plain-Scala reference on random weighted sets") {
     // independent reimplementation of the Duffield–Lund–Thorup key (md5 →
     // first 8 hex chars → unsigned 32-bit → ·2²⁰ integral-div weight) and
