@@ -192,11 +192,17 @@ object Curate {
     // k-token spans that repeat elsewhere in the surviving corpus (license
     // blocks, boilerplate) — the ExactSubstr operator dedup_substring gates
     val substrScreened = cfg.maxSubstrCoverage.fold(decontaminated) { maxMicro =>
-      val heavy = graft.operators.ExactSubstr
+      // coverage() returns a persisted frame: materialize the screened set,
+      // then release it — otherwise the per-doc coverage table stays pinned
+      // in executor memory for the rest of the pipeline run
+      val cov = graft.operators.ExactSubstr
         .coverage(decontaminated, "doc_id", "text", k = 8)
-        .filter(col("coverage_micro") > maxMicro)
+      val heavy = cov.filter(col("coverage_micro") > maxMicro)
         .select(col("id").as("doc_id"))
-      decontaminated.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = decontaminated.join(heavy, Seq("doc_id"), "left_anti").persist()
+      out.count()
+      cov.unpersist(blocking = false)
+      out
     }
 
     // optional same-source boilerplate screen: drop documents dominated by
@@ -204,11 +210,15 @@ object Curate {
     // dedup_boilerplate operator as a gate (finer-grained than the
     // corpus-wide substring screen: a phrase common across sources survives)
     val bpScreened = cfg.maxBoilerplate.fold(substrScreened) { maxMicro =>
-      val heavy = graft.operators.ExactSubstr
+      // same materialize-then-release as the substring screen above
+      val bp = graft.operators.ExactSubstr
         .boilerplate(substrScreened, "doc_id", "text", "source", k = 4, minDocs = 2)
-        .filter(col("removed_micro") > maxMicro)
+      val heavy = bp.filter(col("removed_micro") > maxMicro)
         .select(col("id").as("doc_id"))
-      substrScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = substrScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+      out.count()
+      bp.unpersist(blocking = false)
+      out
     }
 
     // quality filter (shared scorer — same expression the oracle checks):

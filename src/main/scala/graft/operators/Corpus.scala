@@ -196,12 +196,16 @@ object Corpus {
     val scored = docs.select(col(idCol).as("id"), col(sourceCol).as("src"),
       TextAnalysis.qualityScore(TextAnalysis.tokens(col(textCol))).as("q"))
     val w = Window.partitionBy(col("src")).orderBy(col("q"), col("id"))
-    val ranked = scored
+    val bySrc = Window.partitionBy(col("src"))
+    // the threshold attaches as a THIRD window over the same partitioning
+    // (max of the one q at the threshold rank) rather than a self-join:
+    // a join back to `scored` would re-evaluate the unpersisted
+    // tokenize+score scan a second time — this shape scores the corpus once
+    scored
       .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("src"))))
-    val thresholds = ranked.filter(col("rn") === expr("cnt div 4") + 1)
-      .select(col("src").as("tsrc"), col("q").as("thr"))
-    scored.join(broadcast(thresholds), col("src") === col("tsrc"))
+      .withColumn("cnt", count(lit(1)).over(bySrc))
+      .withColumn("thr",
+        max(when(col("rn") === expr("cnt div 4") + 1, col("q"))).over(bySrc))
       .filter(col("q") >= col("thr"))
       .select(col("id").as(idCol), col("src").as(sourceCol),
         col("q").as("quality_score"))
@@ -218,11 +222,13 @@ object Corpus {
                       row_number() OVER (PARTITION BY src ORDER BY q, id) AS rn,
                       count(*) OVER (PARTITION BY src) AS cnt
                     FROM scored),
-         thr AS (SELECT src, q AS thr FROM ranked WHERE rn = cnt // 4 + 1)
-       SELECT s.id AS $idCol, s.src AS $sourceCol, s.q AS quality_score
-       FROM scored s JOIN thr t ON s.src = t.src
-       WHERE s.q >= t.thr
-       ORDER BY s.id"""
+         thr AS (SELECT id, src, q,
+                   max(CASE WHEN rn = cnt // 4 + 1 THEN q END)
+                     OVER (PARTITION BY src) AS thr
+                 FROM ranked)
+       SELECT id AS $idCol, src AS $sourceCol, q AS quality_score
+       FROM thr WHERE q >= thr
+       ORDER BY id"""
   }
 
   /** Exact integer square root as a SQL expression shared by both engines:
@@ -256,9 +262,11 @@ object Corpus {
     * map-side-combined groupBy (#sources rows), the weight-sum folds in a
     * single-row cross join, and docs pick up their keep rate through a
     * broadcast join — no driver state at any corpus size. The keep-rate
-    * arithmetic runs in DECIMAL(38,0): at 100 TB (~1e14 tokens) the
-    * intermediate `budget * w * 1e6` reaches ~1e27, past BIGINT but well
-    * inside 38 digits.
+    * arithmetic runs as BigInt over the sources-sized frame: at 100 TB
+    * (~1e14 tokens) the intermediate `budget * w * 1e6` reaches ~1e27,
+    * past every 64-bit path (including Spark's `div`, which truncates its
+    * intermediate quotient to BIGINT and wraps — see the note at the
+    * computation).
     */
   def temperatureMix(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      sourceCol: String, textCol: String, budgetTokens: Long)
@@ -268,11 +276,23 @@ object Corpus {
     val totals = docs.groupBy(col(sourceCol).as("src")).agg(sum(toks).as("t"))
       .withColumn("w", expr(isqrtSql("t")))
     val wsum = totals.agg(sum(col("w")).as("wsum"))
+    // keep-rate arithmetic runs as BigInt in a typed map over the
+    // #sources-row frame: Spark SQL's `div` truncates its INTERMEDIATE
+    // quotient to BIGINT, so `budget*w*1e6 div wsum` silently wraps around
+    // 9.2e18 — reached at ~1e13 budget tokens — even when the decimal
+    // product itself is fine; BigInt floor-divides the same two steps the
+    // DuckDB HUGEINT twin does, exactly, at any corpus size (the frame is
+    // sources-sized, so the row-at-a-time map costs nothing)
+    val s2 = docs.sparkSession
+    import s2.implicits._
     val rates = totals.crossJoin(broadcast(wsum))
-      .withColumn("keep_micro",
-        expr(s"least(1000000L, cast(cast($budgetTokens as decimal(38,0)) * w" +
-          " * 1000000 div wsum div t as bigint))"))
-      .select(col("src"), col("keep_micro"))
+      .select(col("src"), col("t"), col("w"), col("wsum"))
+      .as[(String, Long, Long, Long)]
+      .map { case (src, t, w, ws) =>
+        val km = BigInt(budgetTokens) * w * 1000000 / ws / t
+        (src, km.min(1000000).toLong)
+      }
+      .toDF("src", "keep_micro")
     docs.join(broadcast(rates), col(sourceCol) === col("src"))
       .filter(pmod(GraftFunctions.md5Signed64(col(idCol).cast("string")),
         lit(1000000L)) < col("keep_micro"))

@@ -793,7 +793,6 @@ object EventQueries {
       },
       oracle = Some(RetentionOracle)),
 
-    // top-k users by activity (TakeOrderedAndProject, no full sort)
     // semi-structured payload projection: the JSON `props` column parsed
     // with a codegen'd path expression (get_json_object — no UDF, no
     // driver-side parse) and aggregated per type. Scale shape: the JSON
@@ -823,6 +822,7 @@ object EventQueries {
               FROM events) x
         GROUP BY event_type ORDER BY event_type""")),
 
+    // top-k users by activity (TakeOrderedAndProject, no full sort)
     "ev_topk_users" -> QueryEntry(
       fn = (spark, sfDir) => {
         Readers.fixture(spark, sfDir, "events")

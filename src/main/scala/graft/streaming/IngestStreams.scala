@@ -66,10 +66,18 @@ object IngestStreams {
                shingleN: Int, numPerm: Int, numBands: Int): Dataset[BandRow] = {
     require(numPerm % numBands == 0,
       s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
+    require(numPerm % MinHashLSH.LanesPerMd5 == 0,
+      s"numPerm=$numPerm must be a multiple of ${MinHashLSH.LanesPerMd5} " +
+        "(the batch signature path rejects it too; here trailing lanes would " +
+        "silently band as uninitialized values)")
     val rowsPerBand = numPerm / numBands
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // null text drops, matching the batch path (Catalyst null propagation
+    // drops null-text docs before the explode) — without the filter one
+    // poison row would kill the query and every restart replaying it
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         bandHashesOf(text, shingleN, numPerm, numBands, rowsPerBand)
           .iterator.zipWithIndex.map { case (h, b) => BandRow(id, b, h) }

@@ -24,6 +24,19 @@ object Sf1Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.drop(1).headOption.getOrElse("/tmp/sf1probe")
+    // optional: replication factor (default 10) and a comma-list family
+    // filter — `... 100 boilerplate,lsh_stream` stages ×100 docs and runs
+    // only the text families (the ×100 point is a state-size probe; the
+    // join-heavy families would dominate the wall-clock without adding
+    // information)
+    val mult = args.drop(2).headOption.map(a => a.toIntOption.getOrElse(
+      sys.error(s"third arg is the replication factor (an integer), got '$a' — " +
+        "the family filter goes fourth: Sf1Probe <sfDir> <workDir> [mult] [families]")))
+      .getOrElse(10)
+    val onlyFamilies: Option[Set[String]] =
+      args.drop(3).headOption.map(_.split(",").toSet)
+    def enabled(name: String): Boolean =
+      onlyFamilies.forall(fs => fs.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,16 +48,17 @@ object Sf1Probe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Long): Unit = if (enabled(name)) {
+      val label = name.replace("10x", s"${mult}x")
       val t0 = System.nanoTime()
       val n = f
-      println(f"[sf1] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      println(f"[sf1] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
     }
 
     def fixture(t: String): DataFrame = graft.core.Readers.fixture(spark, sfDir, t)
 
     // -- staging ------------------------------------------------------------
-    val copies = spark.range(10).select(col("id").cast("int").as("copy"))
+    val copies = spark.range(mult).select(col("id").cast("int").as("copy"))
     val keyOff = 100000000L
 
     def staged(name: String)(make: => DataFrame): DataFrame = {
@@ -53,7 +67,7 @@ object Sf1Probe {
       spark.read.parquet(path)
     }
 
-    val docs10 = staged("documents_x10") {
+    lazy val docs10 = staged(s"documents_x$mult") {
       fixture("documents").crossJoin(broadcast(copies))
         .select((col("doc_id") + col("copy") * keyOff).as("doc_id"),
           // per-copy token suffix: kills cross-copy shingle/span matches,
@@ -61,7 +75,7 @@ object Sf1Probe {
           regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1c"), col("copy"))).as("text"),
           col("lang"), col("source"), col("n_chars"))
     }
-    val emb10 = staged("embeddings_x10") {
+    lazy val emb10 = staged(s"embeddings_x$mult") {
       fixture("embeddings").crossJoin(broadcast(copies))
         .select((col("vec_id") + col("copy") * keyOff).as("vec_id"),
           transform(col("embedding"), (v, i) =>
@@ -69,18 +83,19 @@ object Sf1Probe {
             .as("embedding"),
           col("label"))
     }
-    val orders10 = staged("orders_x10") {
+    lazy val orders10 = staged(s"orders_x$mult") {
       fixture("orders").crossJoin(broadcast(copies))
         .select((col("o_orderkey") + col("copy") * keyOff).as("o_orderkey"),
           (col("o_custkey") + col("copy") * keyOff).as("o_custkey"))
     }
-    val li10 = staged("lineitem_x10") {
+    lazy val li10 = staged(s"lineitem_x$mult") {
       fixture("lineitem").crossJoin(broadcast(copies))
         .select((col("l_orderkey") + col("copy") * keyOff).as("l_orderkey"),
           (col("l_suppkey") + col("copy") * keyOff).as("l_suppkey"))
     }
-    println(s"[sf1] staged: docs=${docs10.count()} emb=${emb10.count()} " +
-      s"orders=${orders10.count()} lineitem=${li10.count()}")
+    if (onlyFamilies.isEmpty)
+      println(s"[sf1] staged: docs=${docs10.count()} emb=${emb10.count()} " +
+        s"orders=${orders10.count()} lineitem=${li10.count()}")
 
     // -- pagerank (q_pagerank shape: affinity graph from lineitem ⋈ orders) --
     def pagerank(li: DataFrame, o: DataFrame): Long = {

@@ -56,6 +56,19 @@ class CorpusSpec extends SparkSpec {
     assert(half.exceptAll(again).isEmpty)
   }
 
+  test("temperature mix keep rate survives 100 TB-scale budgets (no 64-bit wrap)") {
+    import spark.implicits._
+    // budget 1e14 with w/wsum ~ 1/3: the old decimal-`div` path wrapped the
+    // intermediate quotient (~3e19 > Long.MAX) and silently dropped most
+    // documents; the BigInt path must saturate keep_micro at 1e6 and keep all
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"a$i").mkString(" "), "en", "srcA"),
+      (2L, (1 to 400).map(i => s"b$i").mkString(" "), "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Corpus.temperatureMix(docs, "doc_id", "source", "text", 100000000000000L)
+    assert(kept.count() == 2, "a saturating budget must keep every document")
+  }
+
   test("priority sampling is weight-biased, exact-k, and partitioning-invariant") {
     import spark.implicits._
     val docs = Readers.fixture(spark, sfDir, "documents")
