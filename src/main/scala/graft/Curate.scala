@@ -33,6 +33,8 @@ object Curate {
       |      --max-boilerplate int        drop documents whose same-source
       |                                   boilerplate-window coverage exceeds
       |                                   this (micro-units; default off)
+      |      --keep-best                  near-dup clusters keep their highest-
+      |                                   quality member instead of the minimum id
       |      --min-quality num            quality-score threshold (default 0.45)
       |      --per-source-quality         replace the global threshold with each
       |                                   source's own bottom-quartile cut
@@ -65,6 +67,7 @@ object Curate {
       decontaminateAgainst: Option[String] = None,
       maxSubstrCoverage: Option[Long] = None,
       maxBoilerplate: Option[Long] = None,
+      keepBest: Boolean = false,
       perSourceQuality: Boolean = false,
       mixTemperature: Option[Long] = None,
       minQuality: Double = 0.45, sampleWeighted: Option[Int] = None,
@@ -88,6 +91,8 @@ object Curate {
         case ("-h" | "--help") :: _ => Left(helpText)
         case "--per-source-quality" :: tail =>
           loop(tail, acc.copy(perSourceQuality = true), positional)
+        case "--keep-best" :: tail =>
+          loop(tail, acc.copy(keepBest = true), positional)
         case flag :: value :: tail if flag.startsWith("--") =>
           flag match {
             case "--decontaminate-against" =>
@@ -172,12 +177,23 @@ object Curate {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").persist()
 
-    // near-dup dedup: LSH candidates → connected components → keep the
-    // representative (minimum id) of each cluster
+    // near-dup dedup: LSH candidates → connected components → keep one
+    // representative per cluster: minimum id by default, or the
+    // highest-quality member under --keep-best (the dedup_best_rep rule —
+    // dropping duplicates shouldn't also drop the best-written copy)
     val pairs = MinHashLSH.candidatePairs(exact, "doc_id", "text", 3, 16, 4)
       .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
-    val dropNear = DedupClusters.components(pairs)
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val comp = DedupClusters.components(pairs)
+    val dropNear =
+      if (!cfg.keepBest) comp.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        comp.join(exact.select(col("doc_id"),
+            TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("q")), "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))))
+          .filter(col("rn") > 1).select("doc_id")
+      }
     val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti").persist()
 
     // optional eval-set decontamination (broadcast trigram semi-join)

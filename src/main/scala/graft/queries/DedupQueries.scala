@@ -372,6 +372,49 @@ object DedupQueries {
             "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
            WHERE est_jaccard >= 0.5"""))),
 
+    // quality-aware representative selection: instead of the min-id
+    // convention, each near-dup cluster keeps its HIGHEST-QUALITY member
+    // (ties on id) — the dedup a curation pipeline actually wants: dropping
+    // duplicates shouldn't also drop the best-written copy. One window over
+    // cluster_id after the components join; the quality score is the shared
+    // scorer, so the choice is oracle-exact
+    "dedup_best_rep" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+          ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        val comp = graft.operators.DedupClusters.components(pairs)
+        val scored = docs.select(col("doc_id"),
+          qualityScore(tokens(col("text"))).as("q"))
+        comp.join(scored, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster_id"))
+              .orderBy(col("q").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("rep_id"),
+            col("q").as("quality_score"))
+          .orderBy("cluster_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis._
+        val compSql = graft.operators.DedupClusters.duckComponents(
+          s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+             WHERE est_jaccard >= 0.5""")
+        s"""WITH comp AS ($compSql),
+           scored AS (SELECT doc_id, ${duckQualityScore(duckTokens("text"))} AS q
+                      FROM documents),
+           j AS (SELECT c.cluster_id, c.doc_id, s.q,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY s.q DESC, c.doc_id) AS rn
+                 FROM comp c JOIN scored s USING (doc_id))
+           SELECT cluster_id, doc_id AS rep_id, q AS quality_score
+           FROM j WHERE rn = 1 ORDER BY cluster_id"""
+      }),
+
     // end-to-end curated corpus: drop non-representative near-dup cluster
     // members, keep quality_score >= 0.45 — the full pipeline in one query
     "corpus_curated" -> QueryEntry(

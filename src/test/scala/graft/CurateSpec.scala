@@ -176,4 +176,28 @@ class CurateSpec extends SparkSpec {
       docsDF, "doc_id", "source", "text", 30L).count()
     assert(fMix1("quality_kept") == expect, s"funnel=${fMix1("quality_kept")} op=$expect")
   }
+
+  test("--keep-best picks the higher-quality near-dup, min-id default keeps the lower id") {
+    // two near-identical docs (one token differs -> Jaccard ~0.9 > 0.5):
+    // doc 2 is longer so it scores higher quality; default keeps doc 1
+    // (cluster representative = min id), --keep-best keeps doc 2
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$base endA", "en", "s0"),
+      (2L, s"$base endB plus extra distinct tail tokens here now", "en", "s0"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "), "en", "s0"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-kb-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    def kept(cfg: Curate.Config): Set[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("graft-curate-kb").toString
+      Curate.run(spark, cfg.copy(docsDir = docsDir, outDir = out))
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    }
+    val minId = kept(Curate.Config(minQuality = 0.0))
+    val best = kept(Curate.Config(minQuality = 0.0, keepBest = true))
+    assert(minId.contains(1L) && !minId.contains(2L), minId.toString)
+    assert(best.contains(2L) && !best.contains(1L), best.toString)
+    assert(minId.contains(3L) && best.contains(3L), "singleton doc must survive both")
+  }
 }
