@@ -80,6 +80,35 @@ object CorpusQueries {
       },
       oracle = Some(graft.streaming.IngestStreams.duckSourceQuality("source", "text"))),
 
+    // decontamination as ingest-time ALERTS: a streamed training doc sharing
+    // a trigram with the (static) eval slice emits one alert row the batch
+    // it arrives — state bounded by contaminated docs only; replayed over
+    // the fixture the alert set equals the batch contaminated-id list
+    "corpus_contamination_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.streaming.{EventStreams, IngestStreams}
+        val evalDocs = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("doc_id") % 100 === 7)
+        val stream = IngestStreams.contaminationAlerts(
+          IngestStreams.readDocuments(spark, DedupQueries.rawDocsDir(sfDir))
+            .filter(col("doc_id") % 100 =!= 7),
+          evalDocs, "doc_id", "text", shingleN = 3)
+        EventStreams.runToBatch(stream,
+          s"corpus_ct_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckShinglesExpr, duckTokens}
+        s"""WITH toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM documents),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
+           train_sh AS (SELECT id, unnest(sh) AS shingle FROM shs WHERE id % 100 <> 7)
+           SELECT DISTINCT id AS doc_id FROM train_sh
+           WHERE shingle IN (SELECT shingle FROM eval_sh)
+           ORDER BY doc_id"""
+      }),
+
     // deterministic id-hash train/val/test split with per-split stats: a
     // document's split never changes as the corpus grows
     "corpus_split" -> QueryEntry(

@@ -152,6 +152,30 @@ object IngestStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(emitPairs)
   }
 
+  /** Ingest-time contamination alerts: each arriving document whose word
+    * shingles intersect a STATIC eval-suite shingle set emits one alert row
+    * — the stream-static form of [[graft.operators.Corpus.contaminatedIds]]
+    * that catches eval data the batch it arrives instead of at the next
+    * nightly decontamination run. The eval set is a static frame (Spark
+    * broadcasts it under the join threshold exactly as in batch); the only
+    * state is the streaming `dropDuplicates` on alert ids, bounded by the
+    * number of CONTAMINATED documents — in a healthy pipeline, near zero.
+    */
+  def contaminationAlerts(docs: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
+    val evalShingles = evalDocs
+      .withColumn("tk", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+      .distinct()
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(shinglesFromTokens(tokens(col(textCol)), shingleN)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
   /** Continuous per-source corpus quality: running (docs, tokens, summed
     * quality in integer micro-units) per source — the ingest-side monitor
     * that catches a source going bad (a crawler regression, a spam wave)
