@@ -291,6 +291,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate screen is equi-joins on (src, h) — no all-pairs product") {
+    val plan = physicalPlan("dedup_boilerplate")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("temperature mix attaches keep rates through broadcast joins") {
+    // the single-row wsum fold crossJoins a broadcast 1-row frame (planned
+    // as a broadcast nested loop of one row — fine); the doc-side rate
+    // attach must be a BroadcastHashJoin, never a shuffle of the corpus
+    val plan = physicalPlan("corpus_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a #sources-row join:\n$plan")
+  }
+
+  test("best-rep selection joins components to scores without a cartesian") {
+    val plan = physicalPlan("dedup_best_rep")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("partitioned fact scan dynamic-prunes from the dim filter (the DPP path)") {
     // the partition-pruning claim pinned end-to-end: a fact table laid out
     // with directory partitions, joined on the partition column against a
