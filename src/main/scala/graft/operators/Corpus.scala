@@ -133,8 +133,11 @@ object Corpus {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val keepMicro = weights.map { case (s, w) =>
       val total = totals.getOrElse(s, 0L)
+      // BigInt, not Long: budget * w * 1e6 passes 9.2e18 at ~1e12 budget
+      // tokens (the temperatureMix wrap, driver-side flavor)
       s -> (if (total == 0L) 0L
-            else math.min(1000000L, budgetTokens * w * 1000000L / weightSum / total))
+            else (BigInt(budgetTokens) * w * 1000000 / weightSum / total)
+              .min(1000000).toLong)
     }
     val thresh = keepMicro.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
       case (acc, (s, m)) => when(col(sourceCol) === s, lit(m)).otherwise(acc)
@@ -145,8 +148,8 @@ object Corpus {
   }
 
   /** DuckDB twin of [[weightedMix]]: totals, fractions, and predicate all in
-    * SQL — `//` floor division matches the Scala `Long` division on the
-    * non-negative operands involved.
+    * SQL — HUGEINT `//` floor division matches the Scala BigInt division on
+    * the non-negative operands involved.
     */
   def duckWeightedMix(idCol: String, sourceCol: String, textCol: String,
                       weights: Map[String, Int], budgetTokens: Long): String = {
@@ -159,8 +162,8 @@ object Corpus {
     s"""WITH tot AS (SELECT $sourceCol AS src, CAST(sum($toks) AS BIGINT) AS t
                      FROM documents GROUP BY 1),
          frac AS (SELECT src,
-                    least(1000000, CAST($budgetTokens AS BIGINT) * ($wCase)
-                      * CAST(1000000 AS BIGINT) // $weightSum // t) AS keep_micro
+                    least(1000000, CAST(CAST($budgetTokens AS HUGEINT) * ($wCase)
+                      * 1000000 // $weightSum // t AS BIGINT)) AS keep_micro
                   FROM (SELECT t, src, src AS $sourceCol FROM tot) x)
        SELECT d.$idCol, d.$sourceCol, $toks AS n_tokens
        FROM documents d JOIN frac f ON d.$sourceCol = f.src

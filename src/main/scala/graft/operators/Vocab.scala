@@ -52,6 +52,9 @@ object Vocab {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
+      // documented bound: 1e6·tf·n_docs must fit 64 bits — holds to ~1e8
+      // docs at 1e4 within-doc term counts; a larger corpus moves the
+      // weight to 128-bit on both engines (HUGEINT / decimal-floor)
       .select(col("doc_id"), col("term"),
         expr("(1000000 * tf * n_docs) div (df * len)").as("tfidf_micro"))
     val w = Window.partitionBy(col("doc_id"))

@@ -209,6 +209,9 @@ object AnalyticsQueries {
         val freq = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
         val tot = freq.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
         freq.crossJoin(broadcast(tot))
+          // documented bound: 1e6·n·n_keys must fit 64 bits — a hot key of
+          // 1e9 rows against 1e3 distinct keys is fine; a wider key space
+          // over a 100 TB column moves skew_micro to 128-bit on both engines
           .select(col("l_suppkey"), col("n"),
             expr("(1000000 * n) div total").as("share_micro"),
             expr("(1000000 * n * n_keys) div total").as("skew_micro"))

@@ -363,7 +363,13 @@ object TextQueries {
           .join(left, "w1").join(right, "w2")
           .crossJoin(broadcast(total))
           // floor(floor(x/a)/b) = floor(x/(a*b)) for positive integers, so
-          // the chained div is the exact lift without the a*b product
+          // the chained div is the exact lift without the a*b product.
+          // Documented bound (the WitnessBase convention): 1e6·n_pair·t must
+          // fit 64 bits — holds through ~3e12 corpus bigrams with n_pair ≤
+          // 1e6·t/1e6; past that (and for the output itself, which reaches
+          // 1e6·T for a singleton-marginal pair) the computation moves to
+          // 128-bit (DuckDB HUGEINT / Spark decimal with explicit floor),
+          // traded here for the fixture-exact 64-bit oracle parity
           .select(col("w1"), col("w2"), col("n_pair"),
             expr("((1000000 * n_pair * t) div n_left) div n_right").as("lift_micro"))
           .orderBy(col("lift_micro").desc, col("w1").asc, col("w2").asc)
