@@ -260,6 +260,87 @@ object Graph {
     s"WITH ${(head +: steps).mkString(",\n")}\nSELECT node, level FROM v$maxDepth"
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k, over
+    * undirected CANONICAL edges (a < b, deduplicated) — the cohesive-subgraph
+    * primitive beside [[triangles]] (local density) and [[pageRank]]
+    * (centrality). Curation reads it as a farm detector: an account or
+    * domain that survives a high-k peel sits inside a tightly interlinked
+    * cluster (link farms, engagement rings), where organic nodes fall out
+    * after a round or two of cascade.
+    *
+    * Peeling shape: each round computes degrees (one map-side-combined
+    * aggregate over both edge endpoints), keeps nodes with deg ≥ k, and
+    * semi-joins the edge list down to edges whose BOTH endpoints survive.
+    * Removal cascades — dropping a node lowers its neighbors' degrees — so
+    * rounds repeat until an edge-count fixpoint (the count doubles as the
+    * one action per round, the BFS lesson). Per-round cost is two shuffles
+    * of the CURRENT edge set, which only shrinks; convergence needs at most
+    * as many rounds as the longest removal cascade. A non-convergence past
+    * `maxRounds` throws loudly (the oracle unrolls exactly `maxRounds`
+    * identity-stable stages, so an early Spark exit cannot drift from it).
+    *
+    * Returns (node, deg): the k-core members with their within-core degree
+    * — exact small integers, structurally hash-comparable across engines.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = edges.select(col("a"), col("b")).persist()
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = curCount == 0L
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge in $maxRounds rounds — raise maxRounds " +
+            "(both engines unroll the same bound, so a silent early stop is not an option)")
+      val keep = degrees(cur).filter(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist()
+      val nextCount = next.count()
+      cur.unpersist(blocking = false)
+      // edge-count fixpoint == degree fixpoint: an unchanged edge set means
+      // every endpoint already had deg >= k, so the next keep-set is total
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+    }
+    val result = degrees(cur).persist()
+    result.count()
+    cur.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB twin of [[kCore]] as `maxRounds` unrolled peel stages (identity
+    * once the fixpoint is reached, so Spark's early exit cannot drift).
+    * `edgesSql` must select canonical (a, b).
+    */
+  def duckKCoreSql(edgesSql: String, k: Int, maxRounds: Int = 16): String = {
+    // MATERIALIZED: DuckDB inlines plain CTEs, and every round references
+    // its predecessor three times — un-materialized, the chain re-expands
+    // 3^rounds (the recorded MMR-twin lesson)
+    val head = s"e0 AS MATERIALIZED ($edgesSql)"
+    val steps = (1 to maxRounds).map { i =>
+      s"""d$i AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) n
+           GROUP BY node),
+         k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+                 WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))"""
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         SELECT a AS node FROM e$maxRounds UNION ALL SELECT b FROM e$maxRounds) n
+       GROUP BY node"""
+  }
+
   /** DuckDB twin of [[pageRank]] as unrolled CTE stages (the KMeans-twin
     * pattern): `edgesSql` must select (src, dst). Returns the CTE chain and
     * the name of the final rank relation.

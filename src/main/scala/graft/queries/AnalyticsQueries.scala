@@ -529,6 +529,37 @@ object AnalyticsQueries {
         graft.operators.Graph.duckTrianglesSql(edgesSql) + "\nORDER BY t1, t2, t3"
       }),
 
+    // k-core peel over the co-click affinity graph (same edge family as
+    // q_triangles, 4 h window so the fixture graph is sparse enough to
+    // cascade): nodes surviving a degree-2 peel sit in tightly interlinked
+    // click clusters — the engagement-ring / link-farm screen beside
+    // triangles (density) and PageRank (centrality). Iterative semi-join
+    // peeling with an edge-count fixpoint, one action per round (see
+    // operators/Graph.kCore); oracle unrolls the same bounded peel stages
+    "q_kcore" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val edges = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 14400000000L)
+          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+        graft.operators.Graph.kCore(edges, k = 2).orderBy("node")
+      },
+      oracle = Some {
+        val edgesSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 14400000000"""
+        graft.operators.Graph.duckKCoreSql(edgesSql, k = 2) + "\nORDER BY node"
+      }),
+
     // semi/anti join surfaces as an explicit query: customer segments split
     // by order existence — the left_semi side never materializes order
     // columns, the left_anti is the NOT-IN scale shape (both shuffle only

@@ -562,6 +562,30 @@ class OperatorSpec extends SparkSpec {
     assert(multi == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)), s"multi=$multi")
   }
 
+  test("kCore: cascading peel, within-core degrees, loud non-convergence") {
+    // triangle {1,2,3} plus a pendant path 3-4-5: the path peels in a
+    // CASCADE (5 leaves first, which drops 4 to degree 1), leaving the
+    // triangle as the 2-core with within-core degree 2 everywhere
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val core2 = Graph.kCore(g.toDF("a", "b"), k = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(core2 == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"core2=$core2")
+    // no 3-core exists: the peel must terminate on the empty fixpoint
+    assert(Graph.kCore(g.toDF("a", "b"), k = 3).count() == 0L)
+    // K4 is its own 3-core (nothing peels on the first round)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val core3 = Graph.kCore(k4.toDF("a", "b"), k = 3)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(core3 == (1L to 4L).map((_, 3L)), s"core3=$core3")
+    // a cascade longer than maxRounds must throw, not silently stop early
+    // (the oracle unrolls exactly maxRounds stages): an 8-chain peels one
+    // node per end per round, needing 4 rounds to empty
+    val chain = (1L to 7L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Graph.kCore(chain.toDF("a", "b"), k = 2, maxRounds = 2).count()
+    }
+  }
+
   test("rerankExact of the complete pair set reproduces exact topK") {
     // the identity that makes two-stage retrieval trustworthy: rerank is
     // exact-cosine rankTopK over whatever pairs it is given, so given ALL
