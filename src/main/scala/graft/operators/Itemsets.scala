@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining at pair granularity — association rules over
+  * (basket, item) co-occurrence, the market-basket primitive ("customers who
+  * bought X also bought Y") and, over (document, shingle) baskets, the
+  * co-occurrence backbone of collocation mining. Output per frequent
+  * unordered pair: support, both single-item supports, directional
+  * confidences, and lift, all in exact integer micro-units.
+  *
+  * Scale shape: the only quadratic step is the per-basket self-join, and it
+  * runs AFTER the apriori prune — an item below `minSupport` cannot appear
+  * in a frequent pair (support is anti-monotone), so infrequent items are
+  * semi-joined out of the baskets first. On a heavy-tailed item catalog
+  * that prune is the difference between pairing every basket's full
+  * contents and pairing only the frequent head; the per-basket pair
+  * fan-out is then bounded by (frequent items per basket)². Everything
+  * else is map-side-combined aggregates and broadcastable joins (the
+  * 1-row basket count, the frequent-item side).
+  *
+  * Integer discipline: all counts are positive, so Spark's `div` and
+  * DuckDB's `//` agree. Confidence is `pair_n·unit div n_item` ≤ `unit`.
+  * Lift is computed two-step — `(conf_ab · n_baskets) div n_b` — which
+  * bounds every intermediate by `n_baskets·unit`, safe through ~9·10¹²
+  * baskets at micro units (one-step `pair_n·n_baskets·unit` would wrap
+  * three orders of magnitude earlier); the cost is one extra truncation,
+  * identical on both engines by construction.
+  */
+object Itemsets {
+
+  /** Frequent pairs with association stats over `baskets` (basket, item) —
+    * rows are deduplicated here, so callers may pass raw multi-occurrence
+    * data. Pairs and single items below `minSupport` are dropped.
+    */
+  def pairRules(baskets: DataFrame, minSupport: Long, unit: Long = 1000000L): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
+    require(unit >= 1, s"unit=$unit must be >= 1")
+    val b = baskets.select(col("basket"), col("item")).distinct().persist()
+    val nB = b.select(count_distinct(col("basket")).as("n_baskets"))
+    // apriori prune: support is anti-monotone, so only items that are
+    // frequent alone can participate in a frequent pair
+    val freq = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minSupport).persist()
+    val fb = b.join(freq.select(col("item")), Seq("item"), "left_semi").persist()
+    val pairs = fb.select(col("basket"), col("item").as("item_a"))
+      .join(fb.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    val result = pairs
+      .join(freq.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+      .join(freq.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("pair_n"), col("n_a"), col("n_b"),
+        expr(s"pair_n * ${unit}L div n_a").as("conf_ab_micro"),
+        expr(s"pair_n * ${unit}L div n_b").as("conf_ba_micro"),
+        expr(s"(pair_n * ${unit}L div n_a) * n_baskets div n_b").as("lift_micro"))
+      .persist()
+    result.count()
+    b.unpersist(blocking = false)
+    freq.unpersist(blocking = false)
+    fb.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB twin of [[pairRules]]: `basketsSql` selects (basket, item), raw
+    * (the twin deduplicates like the operator). Same prune, same pair join,
+    * same two-step integer lift.
+    */
+  def duckPairRules(basketsSql: String, minSupport: Long, unit: Long = 1000000L): String =
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT basket, item FROM ($basketsSql) AS b0),
+       nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+       freq AS MATERIALIZED (SELECT item, count(*) AS n_item FROM b
+                             GROUP BY item HAVING count(*) >= $minSupport),
+       fb AS MATERIALIZED (SELECT basket, item FROM b
+                           WHERE item IN (SELECT item FROM freq)),
+       p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_n
+             FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+             GROUP BY 1, 2 HAVING count(*) >= $minSupport)
+       SELECT item_a, item_b, CAST(pair_n AS BIGINT) AS pair_n,
+              CAST(fa.n_item AS BIGINT) AS n_a, CAST(fb2.n_item AS BIGINT) AS n_b,
+              CAST(pair_n * $unit // fa.n_item AS BIGINT) AS conf_ab_micro,
+              CAST(pair_n * $unit // fb2.n_item AS BIGINT) AS conf_ba_micro,
+              CAST((pair_n * $unit // fa.n_item) * nb.n_baskets // fb2.n_item AS BIGINT) AS lift_micro
+       FROM p JOIN freq fa ON fa.item = p.item_a
+              JOIN freq fb2 ON fb2.item = p.item_b
+              CROSS JOIN nb"""
+}

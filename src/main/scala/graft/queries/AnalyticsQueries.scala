@@ -560,6 +560,28 @@ object AnalyticsQueries {
         graft.operators.Graph.duckKCoreSql(edgesSql, k = 2) + "\nORDER BY node"
       }),
 
+    // association rules at pair granularity (market-basket): brands bought
+    // together in one order, with integer-micro confidence and lift — the
+    // "customers who bought X also bought Y" primitive. The apriori
+    // semi-join prune runs before the only quadratic step (the per-basket
+    // pair self-join); see operators/Itemsets for the two-step lift that
+    // stays in 64 bits through ~9e12 baskets
+    "q_assoc_rules" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val p = graft.core.Readers.fixture(spark, sfDir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        graft.operators.Itemsets.pairRules(baskets, minSupport = 400L)
+          .orderBy("item_a", "item_b")
+      },
+      oracle = Some(graft.operators.Itemsets.duckPairRules(
+        """SELECT l_orderkey AS basket, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey""",
+        minSupport = 400L) + "\nORDER BY item_a, item_b")),
+
     // semi/anti join surfaces as an explicit query: customer segments split
     // by order existence — the left_semi side never materializes order
     // columns, the left_anti is the NOT-IN scale shape (both shuffle only

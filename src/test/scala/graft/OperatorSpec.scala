@@ -586,6 +586,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pairRules: hand-computed supports, apriori prune, dedup of raw rows") {
+    // 4 baskets: {x,y} {x,y} {x,z} {y} plus a duplicated (1,x) row the
+    // operator must dedupe; z has support 1 and must be pruned before
+    // pairing (so (x,z) never reaches the pair join even though it co-occurs)
+    val rows = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"))
+    val got = Itemsets.pairRules(rows.toDF("basket", "item"), minSupport = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // x: 3 baskets, y: 3 baskets, pair (x,y): 2, n_baskets: 4
+    // conf_xy = 2e6 div 3 = 666666; lift = (666666 * 4) div 3 = 888888
+    assert(got == Seq(("x", "y", 2L, 3L, 3L, 666666L, 666666L, 888888L)), s"got=$got")
+    // raising minSupport past the pair count empties the output
+    assert(Itemsets.pairRules(rows.toDF("basket", "item"), minSupport = 3L).count() == 0L)
+  }
+
   test("rerankExact of the complete pair set reproduces exact topK") {
     // the identity that makes two-stage retrieval trustworthy: rerank is
     // exact-cosine rankTopK over whatever pairs it is given, so given ALL
