@@ -333,6 +333,23 @@ object VerifierQueries {
       oracle = Some(digestSql(Fixtures.fingerprintTables, TestModes.Stats, cfg))
     ),
 
+    // per-column profile (our extension, one step up from stats mode): row /
+    // null / exact-distinct counts plus the modal value — the human-readable
+    // data-quality report over the SAME canonical projection the fingerprint
+    // modes hash, so a drift flagged by pv_stats is drilled down here
+    // without changing comparison rules (see core/Profile for the
+    // one-stacked-aggregate scale shape)
+    "pv_profile" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val target = ParquetTarget("t", sfDir)
+        val schema = OracleSql.schemas("orders")
+        Profile.profile(target.read(spark, "orders"), schema,
+          schema.fieldNames.toSeq).orderBy("col_name")
+      },
+      oracle = Some(Profile.duckProfile("orders", OracleSql.schemas("orders"),
+        OracleSql.schemas("orders").fieldNames.toSeq) + "\nORDER BY col_name")
+    ),
+
     // A1+O1+P1/P2/P3: full-mode fingerprints
     "pv_full_small" -> QueryEntry(
       fn = (spark, sfDir) => digestDf(spark, sfDir, smallTables, TestModes.Full, cfg),

@@ -176,4 +176,19 @@ class FingerprintSpec extends SparkSpec {
     val includeOnly = Fingerprints.fullDigest(base, spec.copy(includeColumns = Seq("id", "s")), cfg)
     assert(includeOnly == withS)
   }
+
+  test("profile: nulls, exact distincts, deterministic mode, all-null column") {
+    val rows = Seq[(java.lang.Long, String, String)](
+      (1L, "a", null), (2L, "b", null), (3L, "a", null), (4L, null, null))
+    val df = rows.toDF("id", "s", "z")
+    val got = Profile.profile(df, df.schema, Seq("id", "s", "z"))
+      .as[(String, Long, Long, Long, Option[String], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    // id: unique -> distinct 4, mode ties break on smallest canonical value
+    assert(got(0) == ("id", 4L, 0L, 4L, Some("1"), Some(1L)), s"id=${got(0)}")
+    // s: 'a' twice beats 'b'; one null
+    assert(got(1) == ("s", 4L, 1L, 2L, Some("a"), Some(2L)), s"s=${got(1)}")
+    // z: all null -> no mode at all, not a '' mode
+    assert(got(2) == ("z", 4L, 4L, 0L, None, None), s"z=${got(2)}")
+  }
 }
