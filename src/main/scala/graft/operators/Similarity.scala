@@ -887,4 +887,52 @@ object Similarity {
          FROM scored) AS t
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** Per-dimension embedding statistics — the embedding-quality screen run
+    * BEFORE any ANN index is trained: a dimension whose min≈max is dead
+    * (wasted code space for PQ / int8 quantization), a dimension whose
+    * second moment dwarfs the rest dominates every unnormalized distance,
+    * and a drifting per-dimension mean between two snapshots flags an
+    * encoder change that silently invalidates a persisted index (the same
+    * refuse-a-mismatched-read rationale as the band-index parameter guard).
+    *
+    * Integer discipline: each element floor-quantizes to micro units for
+    * sum/min/max and (independently, from the raw double) to milli units
+    * for the second moment — `floor`, not `round`, the [[withQuantized]]
+    * rule, so both engines agree bit-for-bit and sums are exactly
+    * associative. Bounds: for unit-scale embeddings (|x| ≲ 1) both
+    * `sum_micro` and `sumsq_milli` grow as ~10⁶·n per dimension — safe in
+    * 64 bits through ~10¹² rows; larger corpora shard the sum by id range
+    * and merge (the partials are plain integer adds).
+    *
+    * Scale shape: one posexplode (column-pruned to the vector) into a
+    * single map-side-combined aggregate keyed by the ~dims-sized dimension
+    * id — no join, no window, one narrow shuffle of dims×partitions
+    * partial rows.
+    */
+  def dimStats(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000d).as("q"),
+        floor(col("x").cast("double") * 1000d).as("m"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_micro"),
+        min(col("q")).as("min_micro"),
+        max(col("q")).as("max_micro"),
+        sum(col("m") * col("m")).as("sumsq_milli"))
+
+  /** DuckDB twin of [[dimStats]] over a named table (0-based dims like
+    * Spark's posexplode).
+    */
+  def duckDimStats(table: String, vecCol: String = "embedding"): String =
+    s"""SELECT i - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+          CAST(min(CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS min_micro,
+          CAST(max(CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS max_micro,
+          CAST(sum(CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sumsq_milli
+        FROM $table, unnest(generate_series(1, len($vecCol))) AS t(i)
+        GROUP BY dim"""
 }

@@ -225,6 +225,17 @@ object SimilarityQueries {
       oracle = Some(Similarity.duckDensityOutliers(
         NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
 
+    // per-dimension embedding stats: the quality screen run before training
+    // any quantizer — dead dimensions (min≈max), scale-dominant dimensions
+    // (outsized second moment), and snapshot-over-snapshot mean drift (an
+    // encoder change that invalidates persisted indexes). One posexplode
+    // into one dims-keyed map-side-combined aggregate; all figures are
+    // floor-quantized exact integers (see Similarity.dimStats for bounds)
+    "sim_dim_stats" -> QueryEntry(
+      fn = (spark, sfDir) => Similarity.dimStats(
+        Readers.fixture(spark, sfDir, "embeddings")).orderBy("dim"),
+      oracle = Some(Similarity.duckDimStats("embeddings") + "\nORDER BY dim")),
+
     // MMR diversified re-rank: greedy lambda-weighted relevance-vs-redundancy
     // selection (7/10) of 8 from the exact top-20 shortlist — the
     // retrieval-side dedup that keeps a RAG context / hard-negative batch

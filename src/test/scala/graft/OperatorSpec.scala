@@ -601,6 +601,21 @@ class OperatorSpec extends SparkSpec {
     assert(Itemsets.pairRules(rows.toDF("basket", "item"), minSupport = 3L).count() == 0L)
   }
 
+  test("dimStats: hand-computed floor-quantized moments, negative values") {
+    // exact binary fractions so float->double widening is identity; the
+    // negative lane pins floor (toward -inf), not truncation
+    val vecs = Seq(
+      (1L, Array(0.25f, -0.5f)),
+      (2L, Array(0.75f, 1.5f)))
+    val got = Similarity.dimStats(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // dim 0: q = 250000, 750000 -> sum 1e6; m = 250, 750 -> sumsq 625000
+    // dim 1: q = -500000, 1500000 -> sum 1e6; m = -500, 1500 -> sumsq 2500000
+    assert(got == Seq(
+      (0L, 2L, 1000000L, 250000L, 750000L, 625000L),
+      (1L, 2L, 1000000L, -500000L, 1500000L, 2500000L)), s"got=$got")
+  }
+
   test("rerankExact of the complete pair set reproduces exact topK") {
     // the identity that makes two-stage retrieval trustworthy: rerank is
     // exact-cosine rankTopK over whatever pairs it is given, so given ALL
