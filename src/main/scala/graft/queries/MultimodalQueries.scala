@@ -72,6 +72,26 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
         maxHamming = graft.operators.SimHash.MaxHamming))),
 
+    // end-to-end image near-dup GROUPS: the pHash hamming pairs closed into
+    // connected components — what an image dedup actually ships (keep one
+    // representative per cluster), composing the multimodal feature path
+    // with the same size-aware clustering the text dedup family uses.
+    // Pair volume stays banded (SimHash pigeonhole buckets, never all-pairs)
+    "mm_phash_clusters" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).cast("binary").as("img"))
+        val ph = Multimodal.extractMeta(docs, "doc_id", "img")
+          .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+        val pairs = graft.operators.SimHash.nearPairs(ph, "id", "ph")
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
+      },
+      oracle = Some(graft.operators.DedupClusters.duckComponents(
+        s"""SELECT doc_a, doc_b FROM (${Multimodal.duckPhashPairs(
+            "documents", "doc_id", "text",
+            maxHamming = graft.operators.SimHash.MaxHamming)}) AS pp"""))),
+
     // resize + frame-sample, expression path (hex-pair parsing via conv):
     // aspect-preserving resize to max dim 64, every-4th-byte "frame" sample
     "mm_transform" -> QueryEntry(
