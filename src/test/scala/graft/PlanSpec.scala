@@ -356,4 +356,55 @@ class PlanSpec extends SparkSpec {
     // equi-join); only the brute-force ORACLE is allowed to touch all pairs
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("association rules: apriori-pruned basket pairs stay equi-join, map-side counts") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    val li = Readers.fixture(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val p = Readers.fixture(spark, sfDir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(org.apache.spark.sql.functions.broadcast(p),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    val df = graft.operators.Itemsets.pairRules(baskets, minSupport = 5L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only permitted product is the broadcast of the 1-row basket count;
+    // the pair step itself must be a basket-keyed equi-join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("k-core peel round is semi-joins + a partial-combined degree count") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val core = graft.operators.Graph.kCore(edges, k = 2)
+    val plan = core.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("profiler is one stacked aggregate pair — no join back to the base table") {
+    val plan = physicalPlan("pv_profile")
+    // figures and mode both derive from the persisted (col_name, value)
+    // counts frame — visible as InMemoryTableScans on BOTH consumers — so
+    // the base table feeds exactly one Generate+aggregate chain (plan-text
+    // scan counting is unreliable under AQE's initial-plan copies; the
+    // cache reuse is the structural witness)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("InMemoryTableScan \\[col_name".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("dim stats is a single narrow aggregate — no join, no window, no global sort") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    val df = graft.operators.Similarity.dimStats(
+      Readers.fixture(spark, sfDir, "embeddings").limit(100))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    val sorts = df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }
+    assert(sorts.isEmpty, s"dimStats plans a global Sort: $sorts")
+  }
 }
