@@ -99,6 +99,14 @@ object EventQueries {
         FROM act JOIN coh USING (user_id)
         GROUP BY cohort_us, offset_days ORDER BY cohort_us, offset_days"""
 
+  /** Shared batch-and-stream oracle for the co-occurrence twins. */
+  private lazy val CooccurOracle = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b ORDER BY type_a, type_b"""
+
   /** Shared batch-and-stream oracle for the funnel twins. */
   private lazy val FunnelOracle = """
         WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -755,6 +763,41 @@ object EventQueries {
           .select(col("stage"), col("n_users")).orderBy("stage")
       },
       oracle = Some(FunnelOracle)),
+
+    // behavior co-occurrence: users exhibiting BOTH event types, per
+    // unordered type pair — the pair-support half of q_assoc_rules with
+    // basket = user (the vocabulary is the event-type enum, so the pair
+    // space is bounded and the apriori prune is moot). Distinct (user,
+    // type) first — one narrow shuffle — then a user-keyed equi-join whose
+    // per-user fan-out is bounded by |type vocabulary|²
+    "ev_cooccur" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ut = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some(CooccurOracle)),
+
+    // streaming twin: per-user type-set state; a (pair, user) emits exactly
+    // when the second type is FIRST seen, so the drained append output is
+    // the distinct pair-user set regardless of micro-batch splits and a
+    // plain count over it equals the batch query (shared oracle). State is
+    // one type set per user — vocabulary-bounded
+    "ev_cooccur_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val stream = graft.streaming.EventStreams.cooccurHits(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        graft.streaming.EventStreams.runToBatch(stream.toDF(),
+          s"ev_cooccur_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_users"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some(CooccurOracle)),
 
     // cohort retention: users grouped by first-activity day, counted per
     // day-offset of later activity — the classic triangle matrix. Distinct

@@ -178,6 +178,51 @@ object EventStreams {
         })
   }
 
+  case class CooccurState(seen: Seq[String])
+  case class CooccurHit(type_a: String, type_b: String, user_id: Long)
+
+  /** Stateful behavior co-occurrence via flatMapGroupsWithState — the
+    * streaming twin of the pair-support half of
+    * [[graft.operators.Itemsets.pairRules]] with basket = user: a pair
+    * (type_a < type_b) emits for a user exactly when the SECOND of the two
+    * types is first observed, so each (pair, user) row appears once no
+    * matter how arrivals split across micro-batches, and a plain batch
+    * count over the drained output equals the batch pair-support query.
+    * Per-user state is the set of distinct types seen — bounded by the
+    * event-type vocabulary (single digits here; a production schema caps it
+    * the same way funnel stages are enumerable). Within a micro-batch,
+    * incoming types fold in sorted order, making emission deterministic
+    * under equal timestamps (output content is order-independent anyway —
+    * the set of pairs a user eventually emits depends only on the type SET).
+    */
+  def cooccurHits(events: DataFrame): Dataset[CooccurHit] = {
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val stateEnc = Encoders.product[CooccurState]
+    implicit val outEnc = Encoders.product[CooccurHit]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String)],
+         state: GroupState[CooccurState]) => {
+          val incoming = rows.map(_._2).toSeq.distinct.sorted
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CooccurHit]
+          incoming.foreach { t =>
+            if (!seen.contains(t)) {
+              seen.foreach { o =>
+                val (a, b) = if (o < t) (o, t) else (t, o)
+                out += CooccurHit(a, b, user)
+              }
+              seen = seen :+ t
+            }
+          }
+          state.update(CooccurState(seen))
+          out.iterator
+        })
+  }
+
   case class RetentionState(cohort_us: Long, seen: Seq[Long])
   case class RetentionHit(cohort_us: Long, offset_days: Long, user_id: Long)
 

@@ -160,6 +160,54 @@ object Sf1Probe {
         "source", k = 4, minDocs = 2).count()
     }
 
+    // -- association rules (q_assoc_rules shape) ----------------------------
+    // baskets scale 10x while the item vocabulary stays constant — the
+    // realistic transactions-grow-catalog-doesn't shape: supports scale with
+    // mult (minSupport scales to keep selectivity fixed), the pair space and
+    // the broadcastable frequent-item side do not
+    lazy val li10p = staged(s"lineitem_pk_x$mult") {
+      fixture("lineitem").crossJoin(broadcast(copies))
+        .select((col("l_orderkey") + col("copy") * keyOff).as("l_orderkey"),
+          col("l_partkey"))
+    }
+    def assoc(li: DataFrame, minSupport: Long): Long = {
+      val p = fixture("part").select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.operators.Itemsets.pairRules(baskets, minSupport).count()
+    }
+    timed("assoc_rules 1x") {
+      assoc(fixture("lineitem").select("l_orderkey", "l_partkey"), 400L)
+    }
+    timed("assoc_rules 10x") { assoc(li10p, 400L * mult) }
+
+    // -- k-core peel (q_kcore shape) ----------------------------------------
+    // per-copy user AND item offsets stage 10 disjoint copies of the click
+    // graph: the peel's per-round shuffles see 10x edges with identical
+    // cascade depth — the linear-in-edges claim, isolated from graph-shape
+    // drift
+    lazy val clicks10 = staged(s"clicks_x$mult") {
+      fixture("events").filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("m"),
+          unix_micros(col("ts")).as("ts_us"))
+        .crossJoin(broadcast(copies))
+        .select((col("user_id") + col("copy") * keyOff).as("user_id"),
+          (col("m") + col("copy") * keyOff).as("m"), col("ts_us"))
+    }
+    def kcore(clicks: DataFrame): Long = {
+      val edges = graft.operators.RangeJoin.withinIntervalPairs(
+          clicks, "user_id", "m", "ts_us", tolerance = 14400000000L)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      Graph.kCore(edges, k = 2).count()
+    }
+    timed("kcore 1x") { kcore(
+      fixture("events").filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("m"),
+          unix_micros(col("ts")).as("ts_us"))) }
+    timed("kcore 10x") { kcore(clicks10) }
+
     // -- streaming LSH ingest (dedup_lsh_stream shape, single-batch replay) --
     def lshStream(docs: DataFrame): Long = {
       val dir = java.nio.file.Files.createTempDirectory("graft-sf1-lsh")

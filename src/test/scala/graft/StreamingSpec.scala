@@ -497,6 +497,37 @@ class StreamingSpec extends SparkSpec {
     assert(reach(3) == want("3_purchase"))
   }
 
+  test("co-occurrence pairs emit exactly once across micro-batches (two-file staged arrival)") {
+    // split the fixture by time so a user's first type lands in batch 1 and
+    // a co-occurring second type in batch 2: the pair must emit in batch 2
+    // (state carried) and ONLY there (no re-emission of settled pairs) —
+    // the drained count then equals the batch co-occurrence query
+    val inDir = Files.createTempDirectory("graft-cooccur-in")
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cooccur-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val stream = EventStreams.cooccurHits(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+    val drained = EventStreams.runToBatch(stream.toDF(), "cooccur2", OutputMode.Append)
+    // exactly-once: no (pair, user) row may appear twice across the batches
+    assert(drained.count() == drained.distinct().count(),
+      "a settled pair re-emitted after the batch boundary")
+    val got = drained.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = SparkEntry.queries("ev_cooccur")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, "staged two-batch replay diverged from the batch pair support")
+  }
+
   test("JVM band hashing is hash-identical to the batch Catalyst banding expressions") {
     import graft.operators.{MinHashLSH, TextAnalysis}
     import graft.streaming.IngestStreams
