@@ -888,6 +888,83 @@ object Similarity {
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Exact lexical top-k by shingle Jaccard — the sparse/lexical half of
+    * hybrid retrieval: each query document's shingle set scores every
+    * corpus document by integer-micro Jaccard (the dedup_ngram_jaccard
+    * formula, proven engine-parous) and keeps k by the same deterministic
+    * windowed rank as [[topK]]. `shingles` is the (id, sh) frame from
+    * [[graft.operators.MinHashLSH.shingled]] — shared with the dedup
+    * pipeline so hybrid search never re-tokenizes. Broadcast the (small)
+    * query side; the scan side spreads for CPU parallelism like [[topK]].
+    */
+  def textJaccardTopK(shingles: DataFrame, queryPred: Column, k: Int,
+                      unit: Long = 1000000L): DataFrame = {
+    val q = shingles.filter(queryPred)
+      .select(col("id").as("query_id"), col("sh").as("qsh"))
+    val n = graft.core.Readers.spread(
+      shingles.select(col("id").as("neighbor_id"), col("sh").as("nsh")),
+      col("neighbor_id"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(s"size(array_intersect(nsh, qsh)) * ${unit}L div size(array_union(nsh, qsh))")
+          .as("jac_micro"))
+    rankTopK(scored, "jac_micro", k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.): merge N per-query rankings
+    * into one by summing `unit div (kConst + rank)` per appearance — the
+    * standard hybrid-search combiner (dense ANN ranking + lexical ranking),
+    * robust because it reads only RANKS, never the incomparable scores.
+    * Division is integer with every operand positive, so both engines
+    * truncate identically; each contribution is ≤ unit/(kConst+1) and a
+    * document appears in at most N rankings, so sums stay far inside 64
+    * bits for any real N.
+    *
+    * Scale shape: a union of the (already small, k·|queries|-sized)
+    * ranking frames into one map-side-combined sum keyed on (query,
+    * neighbor) — no join at all — then the [[topK]] windowed rank over
+    * ≤ N·k rows per query.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kConst: Long = 60L,
+              unit: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse of zero rankings")
+    require(kConst >= 1, s"kConst=$kConst must be >= 1")
+    val u = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val scored = u
+      .select(col("query_id"), col("neighbor_id"),
+        expr(s"${unit}L div ($kConst + rank)").as("c"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("c")).as("rrf_micro"))
+    rankTopK(scored, "rrf_micro", k)
+  }
+
+  /** DuckDB twin of [[rrfFuse]]: each ranking SQL must yield
+    * (query_id, neighbor_id, rank). MATERIALIZED — the fuse reads each
+    * ranking once but DuckDB would otherwise inline the (expensive)
+    * ranking subqueries into the union arms.
+    */
+  def duckRrfFuse(rankingSqls: Seq[String], k: Int, kConst: Long = 60L,
+                  unit: Long = 1000000L): String = {
+    val ctes = rankingSqls.zipWithIndex.map { case (sql, i) =>
+      s"rk$i AS MATERIALIZED ($sql)"
+    }
+    val arms = rankingSqls.indices.map { i =>
+      s"SELECT query_id, neighbor_id, $unit // ($kConst + rank) AS c FROM rk$i"
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       u AS (${arms.mkString("\nUNION ALL\n")}),
+       f AS (SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+             FROM u GROUP BY query_id, neighbor_id)
+       SELECT query_id, neighbor_id, rrf_micro, rank FROM (
+         SELECT query_id, neighbor_id, rrf_micro,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM f) AS t
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Per-dimension embedding statistics — the embedding-quality screen run
     * BEFORE any ANN index is trained: a dimension whose min≈max is dead
     * (wasted code space for PQ / int8 quantization), a dimension whose

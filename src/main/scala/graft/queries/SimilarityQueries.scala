@@ -225,6 +225,43 @@ object SimilarityQueries {
       oracle = Some(Similarity.duckDensityOutliers(
         NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
 
+    // hybrid retrieval via reciprocal-rank fusion: the dense cosine top-20
+    // and the lexical shingle-Jaccard top-20 (documents and embeddings
+    // share ids) fused by RRF into a final top-10 — the standard
+    // dense+sparse search combiner, reading only RANKS so the two score
+    // scales never need calibrating. The fuse is a union + one narrow
+    // aggregate over k-by-|queries|-sized frames (no join); see
+    // Similarity.rrfFuse
+    "sim_rrf_hybrid" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.MinHashLSH
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val dense = Similarity.topK(e.filter(col("vec_id") < 8), e, 20)
+          .select("query_id", "neighbor_id", "rank")
+        val sh = MinHashLSH.shingled(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", 3)
+        val lex = Similarity.textJaccardTopK(sh, col("id") < 8, 20)
+          .select("query_id", "neighbor_id", "rank")
+        Similarity.rrfFuse(Seq(dense, lex), k = K)
+          .select("query_id", "neighbor_id", "rrf_micro", "rank")
+      },
+      oracle = Some {
+        import graft.operators.MinHashLSH
+        val denseSql = topkOracle(20)
+        val jac = "len(list_intersect(n.sh, q.sh)) * 1000000 // " +
+          "len(list_distinct(list_concat(n.sh, q.sh)))"
+        val lexSql =
+          s"""WITH ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", 3)}
+             SELECT query_id, neighbor_id, rank FROM (
+               SELECT q.id AS query_id, n.id AS neighbor_id,
+                      CAST(row_number() OVER (PARTITION BY q.id
+                        ORDER BY $jac DESC, n.id ASC) AS BIGINT) AS rank
+               FROM shs q JOIN shs n ON n.id <> q.id
+               WHERE q.id < 8) AS t
+             WHERE rank <= 20"""
+        Similarity.duckRrfFuse(Seq(denseSql, lexSql), k = K)
+      }),
+
     // per-dimension embedding stats: the quality screen run before training
     // any quantizer — dead dimensions (min≈max), scale-dominant dimensions
     // (outsized second moment), and snapshot-over-snapshot mean drift (an

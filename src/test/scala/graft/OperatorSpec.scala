@@ -616,6 +616,19 @@ class OperatorSpec extends SparkSpec {
       (1L, 2L, 1000000L, -500000L, 1500000L, 2500000L)), s"got=$got")
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank sums, doc in one list only") {
+    // A ranks (n1, n2); B ranks (n2, n3). kConst=60:
+    // n1 = 1e6/61 = 16393; n2 = 1e6/62 + 1e6/61 = 16129 + 16393 = 32522;
+    // n3 = 16129 — n2 wins on presence in BOTH lists despite no #1 in A
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 3)
+      .select("query_id", "neighbor_id", "rrf_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, 32522L, 1L), (1L, 10L, 16393L, 2L), (1L, 30L, 16129L, 3L)), s"got=$got")
+  }
+
   test("rerankExact of the complete pair set reproduces exact topK") {
     // the identity that makes two-stage retrieval trustworthy: rerank is
     // exact-cosine rankTopK over whatever pairs it is given, so given ALL
