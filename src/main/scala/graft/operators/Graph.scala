@@ -288,7 +288,13 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    var cur = edges.select(col("a"), col("b")).persist()
+    // localCheckpoint, NOT persist: each round references `cur` THREE times
+    // (both arms of the degree union + the edge filter), so the ANALYZED
+    // plan would grow 3^rounds — the mmrRerank lesson; persist caches data
+    // but Catalyst still re-analyzes the full logical tree per action. The
+    // eager checkpoint truncates lineage AND doubles as the one
+    // materializing action per round (its count is then cache-local).
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(true)
     var curCount = cur.count()
     var rounds = 0
     var converged = curCount == 0L
@@ -303,19 +309,15 @@ object Graph {
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .persist()
+        .localCheckpoint(true)
       val nextCount = next.count()
-      cur.unpersist(blocking = false)
       // edge-count fixpoint == degree fixpoint: an unchanged edge set means
       // every endpoint already had deg >= k, so the next keep-set is total
       converged = nextCount == curCount
       cur = next
       curCount = nextCount
     }
-    val result = degrees(cur).persist()
-    result.count()
-    cur.unpersist(blocking = false)
-    result
+    degrees(cur)
   }
 
   /** DuckDB twin of [[kCore]] as `maxRounds` unrolled peel stages (identity

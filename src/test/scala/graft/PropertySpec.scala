@@ -77,6 +77,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pairRules equals a plain-Scala reference on random basket sets") {
+    // independent reimplementation of support / confidence / two-step lift
+    // (same truncating integer divisions) over random (basket, item) rows
+    // with duplicates — locks the dedup, the apriori prune (a prune bug
+    // would SHOW here as a missing or extra frequent pair), and the exact
+    // integer arithmetic the DuckDB twin also reimplements
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.choose(1L, 8L)
+        it <- Gen.oneOf("a", "b", "c", "d", "e")
+      } yield (b, it))
+    } yield rows
+    (0 until 5).foreach { i =>
+      val raw = gen.apply(Gen.Parameters.default, Seed(91L + i)).get
+      val minSupport = 2L
+      val rows = raw.distinct
+      val nB = rows.map(_._1).distinct.size.toLong
+      val itemN = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val freq = itemN.filter(_._2 >= minSupport)
+      val byBasket = rows.filter(r => freq.contains(r._2)).groupBy(_._1)
+      val pairN = byBasket.values.flatMap { rs =>
+        val its = rs.map(_._2).sorted
+        for (x <- its; y <- its if x < y) yield (x, y)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= minSupport)
+      val want = pairN.toSeq.map { case ((a, b), pn) =>
+        val (na, nb2) = (freq(a), freq(b))
+        (a, b, pn, na, nb2, pn * 1000000L / na, pn * 1000000L / nb2,
+          (pn * 1000000L / na) * nB / nb2)
+      }.sorted
+      val got = graft.operators.Itemsets.pairRules(raw.toDF("basket", "item"), minSupport)
+        .as[(String, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == want, s"sample $i diverged: got=$got want=$want")
+    }
+  }
+
+  test("kCore equals a plain-Scala peel on random graphs") {
+    val gen = for {
+      n <- Gen.choose(3, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.filter(e => e._1 != e._2).distinct
+    def refPeel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var e = edges
+      var stable = false
+      while (!stable) {
+        val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val e2 = e.filter(p => keep(p._1) && keep(p._2))
+        stable = e2.size == e.size
+        e = e2
+      }
+      e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    (0 until 5).foreach { i =>
+      val edges = gen.apply(Gen.Parameters.default, Seed(53L + i)).get
+      if (edges.nonEmpty) (2 to 3).foreach { k =>
+        val got = graft.operators.Graph.kCore(edges.toDF("a", "b"), k)
+          .as[(Long, Long)].collect().toMap
+        val want = refPeel(edges, k)
+        assert(got == want, s"sample $i k=$k diverged: got=$got want=$want")
+      }
+    }
+  }
+
   test("full digest is invariant under row order") {
     for (rows <- samples(8)) {
       val a = Fingerprints.fullDigest(rows.toDF("id", "s", "d"), spec, cfg)
