@@ -250,6 +250,47 @@ object AnalyticsQueries {
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // robust-statistics winsorization in integer cents: per-group p05/p95
+    // bounds (exact-percentile path of operators.Quantiles, floored to
+    // cents so everything downstream is 64-bit integer — no float sum, no
+    // decimal-rounding divergence), then clip counts + the clipped sum.
+    // The bounds frame is groups-sized and broadcast; the clamp is one
+    // scan. Outlier-robust aggregates are the data-quality twin of
+    // q_quantiles (cents sums bound: ~1e13 at sf1, document-scale corpora
+    // shard + merge like the dim-stats partials)
+    "q_winsorize" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val b = graft.operators.Quantiles.grouped(li, "l_returnflag", "cents",
+            Seq("lo" -> 0.05, "hi" -> 0.95))
+          .select(col("l_returnflag"), floor(col("lo")).cast("long").as("lo_c"),
+            floor(col("hi")).cast("long").as("hi_c"))
+        li.join(broadcast(b), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cents") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_low"),
+            sum(when(col("cents") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_high"),
+            sum(least(greatest(col("cents"), col("lo_c")), col("hi_c")))
+              .as("sum_winsorized_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT l_returnflag,
+                          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM lineitem),
+        b AS (SELECT l_returnflag,
+                     CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo_c,
+                     CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi_c
+              FROM c GROUP BY l_returnflag)
+        SELECT c.l_returnflag, count(*) AS n,
+               CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+               CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+               CAST(sum(least(greatest(cents, lo_c), hi_c)) AS BIGINT) AS sum_winsorized_cents
+        FROM c JOIN b USING (l_returnflag)
+        GROUP BY c.l_returnflag ORDER BY c.l_returnflag""")),
+
     // KMV distinct sketch vs exact, per key column: the mergeable
     // approx-distinct whose integer estimator IS cross-engine comparable
     // (unlike HLL's floats) — the 100 TB countDistinct stand-in, oracle-gated

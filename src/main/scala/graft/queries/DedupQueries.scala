@@ -372,6 +372,39 @@ object DedupQueries {
             "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
            WHERE est_jaccard >= 0.5"""))),
 
+    // cluster-size histogram over the same components — the dedup ops
+    // dashboard figure: how much of the corpus sits in 2-doc pairs vs
+    // 100-doc template farms decides whether keep-one dedup suffices or a
+    // farm-level screen (q_kcore) is needed. Sizes log2-bucket via
+    // `length(bin(n)) - 1` — integer-exact on both engines, no libm log.
+    // Two tiny aggregations after the components frame (clusters-sized)
+    "dedup_cluster_sizes" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val pairs = MinHashLSH.candidatePairs(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        graft.operators.DedupClusters.components(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy((length(bin(col("sz"))) - 1).cast("long").as("log2_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+          .orderBy("log2_size")
+      },
+      oracle = Some {
+        val comp = graft.operators.DedupClusters.duckComponents(
+          s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+             WHERE est_jaccard >= 0.5""")
+        s"""WITH sizes AS (
+              SELECT cluster_id, count(*) AS sz FROM ($comp) AS comp
+              GROUP BY cluster_id)
+           SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS log2_size,
+                  CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(sum(sz) AS BIGINT) AS n_docs
+           FROM sizes GROUP BY log2_size ORDER BY log2_size"""
+      }),
+
     // quality-aware representative selection: instead of the min-id
     // convention, each near-dup cluster keeps its HIGHEST-QUALITY member
     // (ties on id) — the dedup a curation pipeline actually wants: dropping
