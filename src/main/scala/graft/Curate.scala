@@ -35,6 +35,9 @@ object Curate {
       |                                   this (micro-units; default off)
       |      --keep-best                  near-dup clusters keep their highest-
       |                                   quality member instead of the minimum id
+      |      --max-cluster-size int       drop near-dup clusters LARGER than this
+      |                                   wholesale, representative included — the
+      |                                   template-farm screen (default off)
       |      --min-quality num            quality-score threshold (default 0.45)
       |      --per-source-quality         replace the global threshold with each
       |                                   source's own bottom-quartile cut
@@ -68,6 +71,7 @@ object Curate {
       maxSubstrCoverage: Option[Long] = None,
       maxBoilerplate: Option[Long] = None,
       keepBest: Boolean = false,
+      maxClusterSize: Option[Long] = None,
       perSourceQuality: Boolean = false,
       mixTemperature: Option[Long] = None,
       minQuality: Double = 0.45, sampleWeighted: Option[Int] = None,
@@ -100,6 +104,10 @@ object Curate {
             case "--max-substr-coverage" =>
               num(flag, value, (_: String).toLongOption)(n =>
                 acc.copy(maxSubstrCoverage = Some(n)))
+                .flatMap(loop(tail, _, positional))
+            case "--max-cluster-size" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(maxClusterSize = Some(n)))
                 .flatMap(loop(tail, _, positional))
             case "--max-boilerplate" =>
               num(flag, value, (_: String).toLongOption)(n =>
@@ -151,6 +159,8 @@ object Curate {
         Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
       else if (c.maxBoilerplate.exists(m => m < 0 || m > 1000000))
         Left(s"--max-boilerplate must be in [0, 1000000], got ${c.maxBoilerplate.get}")
+      else if (c.maxClusterSize.exists(_ < 2))
+        Left(s"--max-cluster-size must be >= 2 (every near-dup cluster has at least 2 members), got ${c.maxClusterSize.get}")
       else if (c.mixTemperature.exists(_ < 1))
         Left(s"--mix-temperature must be >= 1, got ${c.mixTemperature.get}")
       else if (c.sampleWeighted.exists(_ < 1))
@@ -184,7 +194,7 @@ object Curate {
     val pairs = MinHashLSH.candidatePairs(exact, "doc_id", "text", 3, 16, 4)
       .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
     val comp = DedupClusters.components(pairs)
-    val dropNear =
+    val dropNearBase =
       if (!cfg.keepBest) comp.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       else {
         import org.apache.spark.sql.expressions.Window
@@ -194,6 +204,18 @@ object Curate {
             Window.partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))))
           .filter(col("rn") > 1).select("doc_id")
       }
+    // --max-cluster-size: a cluster wider than the cap is a template farm —
+    // its REPRESENTATIVE is as synthetic as its members, so the whole
+    // cluster drops (dedup_cluster_sizes is the histogram that picks the
+    // cap). Cluster sizes are a clusters-sized aggregate of the components
+    // frame; the drop set unions with the representative rule
+    val dropNear = cfg.maxClusterSize.fold(dropNearBase) { maxSz =>
+      val farms = comp.join(
+        comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxSz).select("cluster_id"),
+        Seq("cluster_id"), "left_semi").select("doc_id")
+      dropNearBase.unionByName(farms).distinct()
+    }
     val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti").persist()
 
     // optional eval-set decontamination (broadcast trigram semi-join)

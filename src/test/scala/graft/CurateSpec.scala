@@ -200,4 +200,34 @@ class CurateSpec extends SparkSpec {
     assert(best.contains(2L) && !best.contains(1L), best.toString)
     assert(minId.contains(3L) && best.contains(3L), "singleton doc must survive both")
   }
+
+  test("--max-cluster-size drops wide near-dup clusters wholesale, keeps narrow ones") {
+    // a 4-doc near-dup clique (template farm), a 2-doc near-dup pair, and a
+    // singleton: with the cap at 3 the farm drops ENTIRELY (representative
+    // included), the pair keeps its min-id representative, the singleton
+    // survives; without the cap the farm keeps its representative
+    val farm = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val pair = (1 to 40).map(i => s"pair$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$farm endA", "en", "s0"), (2L, s"$farm endB", "en", "s0"),
+      (3L, s"$farm endC", "en", "s0"), (4L, s"$farm endD", "en", "s0"),
+      (5L, s"$pair endA", "en", "s0"), (6L, s"$pair endB", "en", "s0"),
+      (7L, (1 to 30).map(i => s"other$i").mkString(" "), "en", "s0"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-farm-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    def kept(cfg: Curate.Config): Set[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("graft-curate-farm").toString
+      Curate.run(spark, cfg.copy(docsDir = docsDir, outDir = out))
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    }
+    val capped = kept(Curate.Config(minQuality = 0.0, maxClusterSize = Some(3L)))
+    assert(capped == Set(5L, 7L), capped.toString)
+    val uncapped = kept(Curate.Config(minQuality = 0.0))
+    assert(uncapped == Set(1L, 5L, 7L), uncapped.toString)
+    // flag surface: parse + the >= 2 guard
+    assert(Curate.parse(Seq("--max-cluster-size", "8", "in", "out"))
+      .toOption.get.maxClusterSize.contains(8L))
+    assert(Curate.parse(Seq("--max-cluster-size", "1", "in", "out")).isLeft)
+  }
 }
