@@ -279,6 +279,46 @@ object CorpusQueries {
           .orderBy("shard", "pos"),
       oracle = Some(Corpus.duckShuffle(seed = 7, nShards = 4))),
 
+    // balanced source interleave: a deterministic round-robin training
+    // order ACROSS sources — where corpus_shuffle randomizes globally (a
+    // skewed mix can still produce long single-source runs), interleave
+    // pins consecutive positions to rotate through the source list, the
+    // data-ordering recipe for mixing-sensitive training. Per-source order
+    // is the md5 shuffle hash; position = (per-source rank - 1) × #sources
+    // + source index, collision-free by construction. One window partitioned
+    // by source (narrow: rank only) + a broadcast source-index join
+    "corpus_interleave" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), col("source"))
+        val srcW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))
+        val srcIdx = docs.select(col("source")).distinct()
+          .withColumn("src_idx", row_number().over(srcW).cast("long") - 1)
+        val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+        val perSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.withColumn("rank", row_number().over(perSrc).cast("long"))
+          .join(broadcast(srcIdx), Seq("source"))
+          .crossJoin(broadcast(nSrc))
+          .select(((col("rank") - 1) * col("n_src") + col("src_idx")).as("position"),
+            col("doc_id"), col("source"))
+          .orderBy("position")
+      },
+      oracle = Some("""
+        WITH src AS (SELECT source,
+                            CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
+                     FROM (SELECT DISTINCT source FROM documents) s),
+        n AS (SELECT count(*) AS n_src FROM src),
+        ranked AS (SELECT doc_id, source,
+                          CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+                   FROM documents)
+        SELECT (rank - 1) * n.n_src + src.src_idx AS position, doc_id, ranked.source
+        FROM ranked JOIN src ON src.source = ranked.source CROSS JOIN n
+        ORDER BY position""")),
+
     // RAG-style overlapping chunking: 32-token windows, stride 24 (8-token
     // overlap), final chunk short — the retrieval prep step; zero shuffle
     "corpus_chunk" -> QueryEntry(

@@ -764,6 +764,41 @@ object EventQueries {
       },
       oracle = Some(FunnelOracle)),
 
+    // point-in-time state snapshot (the SCD2 / time-travel reconstruction
+    // primitive): each user's LAST event at or before the cut instant
+    // becomes their reconstructed state — the "what did the table look like
+    // at T" query a change-log table answers without storing snapshots.
+    // One user-keyed window (the latest-record-per-key compaction shape,
+    // same as a CDC upsert-merge); ties break on (ts, event_id) so replayed
+    // logs reconstruct identically. Money doubles go to integer cents via
+    // the decimal cast (the q1 convention)
+    "ev_state_at" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cutUs = 1705276800000000L // 2024-01-15T00:00Z, mid-fixture
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .filter(col("ts_us") <= cutUs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("state_type"),
+            col("value_cents").as("state_value_cents"), col("ts_us").as("state_ts_us"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_type AS state_type, value_cents AS state_value_cents,
+               ts_us AS state_ts_us
+        FROM (SELECT user_id, event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+                     epoch_us(ts) AS ts_us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE epoch_us(ts) <= 1705276800000000) AS t
+        WHERE rn = 1 ORDER BY user_id""")),
+
     // behavior co-occurrence: users exhibiting BOTH event types, per
     // unordered type pair — the pair-support half of q_assoc_rules with
     // basket = user (the vocabulary is the event-type enum, so the pair
