@@ -357,6 +357,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("selective shuffle join injects a runtime bloom filter on the big side") {
+    // the row-group-skipping sibling of the DPP pin: when the build side of
+    // a shuffle join is selective, Spark's runtime filter should stamp a
+    // BloomFilterMightContain predicate onto the probe-side scan — at
+    // 100 TB that's the difference between shuffling every lineitem row and
+    // shuffling only rows whose key can possibly join. Broadcast is
+    // disabled and the injection thresholds dropped to fixture scale; the
+    // assertion is on the PLAN (the feature wiring), values re-checked
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions.col
+      import graft.core.Readers
+      val li = Readers.fixture(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val sel = Readers.fixture(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 100000.0).select("o_orderkey")
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"), plan)
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("association rules: apriori-pruned basket pairs stay equi-join, map-side counts") {
     import org.apache.spark.sql.functions.col
     import graft.core.Readers
