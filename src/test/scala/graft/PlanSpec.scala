@@ -392,6 +392,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("footer-stats aggregate pushdown: min/max/count answered from parquet metadata") {
+    // the pv_stats scale note pinned for real: a bare min/max/count over a
+    // parquet scan can be answered from row-group FOOTER statistics without
+    // decoding a single data page (the V2 read path) — at 100 TB the stats
+    // screen then costs a metadata pass, not a table scan
+    val conf = spark.conf
+    val saved = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // parquet must leave the V1 list for the V2 pushdown rule to apply
+      conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      import org.apache.spark.sql.functions.{col, count, max, min}
+      val agg = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(col("o_orderkey")))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan)
+      val r = agg.head()
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(2) > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("association rules: apriori-pruned basket pairs stay equi-join, map-side counts") {
     import org.apache.spark.sql.functions.col
     import graft.core.Readers
