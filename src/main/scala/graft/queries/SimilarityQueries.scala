@@ -225,6 +225,65 @@ object SimilarityQueries {
       oracle = Some(Similarity.duckDensityOutliers(
         NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
 
+    // easy-negative sampling: per query, m deterministic pseudo-random
+    // non-neighbors (md5 hash order over the pair key) drawn from OUTSIDE
+    // the exact top-k — the contrastive-batch complement of
+    // sim_hard_negatives (a batch needs both: hard negatives carry the
+    // gradient, easy negatives anchor the margin). Exact cosine is then
+    // computed ONLY for the m×|queries| picked pairs (point lookups by id,
+    // the rerankExact principle). Reproducible across runs and engines by
+    // construction — sampling is a hash, not an RNG
+    "sim_easy_negatives" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val top = Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val cand = e.select(col("vec_id").as("neighbor_id"))
+          .crossJoin(broadcast(
+            e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .join(top, Seq("query_id", "neighbor_id"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(md5(concat(col("query_id").cast("string"), lit(":"),
+            col("neighbor_id").cast("string"))), col("neighbor_id"))
+        val picks = cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+        val vecs = e.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        picks
+          .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn")), "query_id")
+          .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+            col("nrm").as("nn")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn"))
+              .as("cos_micro"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(
+        s"""WITH top AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (${topkOracle(K)}) AS tk),
+           picks AS (
+             SELECT query_id, neighbor_id, rank FROM (
+               SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                      CAST(row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+                                     CAST(n.vec_id AS VARCHAR)), n.vec_id) AS BIGINT) AS rank
+               FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+               WHERE q.vec_id < 8
+                 AND NOT EXISTS (SELECT 1 FROM top t
+                                 WHERE t.query_id = q.vec_id
+                                   AND t.neighbor_id = n.vec_id)) AS r
+             WHERE rank <= $K)
+           SELECT p.query_id, p.neighbor_id,
+                  ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} AS cos_micro,
+                  p.rank
+           FROM picks p JOIN embeddings a ON a.vec_id = p.query_id
+                        JOIN embeddings b ON b.vec_id = p.neighbor_id
+           ORDER BY p.query_id, p.rank""")),
+
     // hybrid retrieval via reciprocal-rank fusion: the dense cosine top-20
     // and the lexical shingle-Jaccard top-20 (documents and embeddings
     // share ids) fused by RRF into a final top-10 — the standard
