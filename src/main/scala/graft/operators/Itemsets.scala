@@ -30,20 +30,44 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
+  /** Baskets holding more than this many FREQUENT items are dropped whole:
+    * one bot basket touching a 100k-item catalog would alone emit ~5·10⁹
+    * pairs into the aggregate — per-basket fan-out is quadratic and AQE
+    * cannot split a single basket's fan-out. The cap is a data-quality
+    * stance, not just a guard: a basket that wide carries no co-purchase
+    * signal. Mirrored in the DuckDB twin so the oracle cannot drift when
+    * it fires; firing is logged.
+    */
+  val MaxBasketItems: Long = 1000L
+
   /** Frequent pairs with association stats over `baskets` (basket, item) —
     * rows are deduplicated here, so callers may pass raw multi-occurrence
-    * data. Pairs and single items below `minSupport` are dropped.
+    * data. Pairs and single items below `minSupport` are dropped; baskets
+    * wider than `maxBasketItems` (counted AFTER the apriori prune) drop
+    * whole, logged.
     */
-  def pairRules(baskets: DataFrame, minSupport: Long, unit: Long = 1000000L): DataFrame = {
+  def pairRules(baskets: DataFrame, minSupport: Long, unit: Long = 1000000L,
+                maxBasketItems: Long = MaxBasketItems): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
     require(unit >= 1, s"unit=$unit must be >= 1")
+    require(maxBasketItems >= 2, s"maxBasketItems=$maxBasketItems must be >= 2")
     val b = baskets.select(col("basket"), col("item")).distinct().persist()
     val nB = b.select(count_distinct(col("basket")).as("n_baskets"))
     // apriori prune: support is anti-monotone, so only items that are
     // frequent alone can participate in a frequent pair
     val freq = b.groupBy("item").agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minSupport).persist()
-    val fb = b.join(freq.select(col("item")), Seq("item"), "left_semi").persist()
+    val fbAll = b.join(freq.select(col("item")), Seq("item"), "left_semi")
+    val wide = fbAll.groupBy("basket").agg(count(lit(1)).as("n_in_basket"))
+      .filter(col("n_in_basket") > maxBasketItems)
+      .select(col("basket")).persist()
+    val nWide = wide.count()
+    if (nWide > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"pairRules: dropped $nWide baskets wider than maxBasketItems=" +
+          s"$maxBasketItems frequent items (quadratic fan-out guard)")
+    val fb = fbAll.join(wide, Seq("basket"), "left_anti").persist()
+    wide.unpersist(blocking = false)
     val pairs = fb.select(col("basket"), col("item").as("item_a"))
       .join(fb.select(col("basket"), col("item").as("item_b")), Seq("basket"))
       .filter(col("item_a") < col("item_b"))
@@ -66,16 +90,21 @@ object Itemsets {
   }
 
   /** DuckDB twin of [[pairRules]]: `basketsSql` selects (basket, item), raw
-    * (the twin deduplicates like the operator). Same prune, same pair join,
-    * same two-step integer lift.
+    * (the twin deduplicates like the operator). Same prune, same wide-basket
+    * drop, same pair join, same two-step integer lift.
     */
-  def duckPairRules(basketsSql: String, minSupport: Long, unit: Long = 1000000L): String =
+  def duckPairRules(basketsSql: String, minSupport: Long, unit: Long = 1000000L,
+                    maxBasketItems: Long = MaxBasketItems): String =
     s"""WITH b AS MATERIALIZED (SELECT DISTINCT basket, item FROM ($basketsSql) AS b0),
        nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
        freq AS MATERIALIZED (SELECT item, count(*) AS n_item FROM b
                              GROUP BY item HAVING count(*) >= $minSupport),
-       fb AS MATERIALIZED (SELECT basket, item FROM b
-                           WHERE item IN (SELECT item FROM freq)),
+       fb0 AS MATERIALIZED (SELECT basket, item FROM b
+                            WHERE item IN (SELECT item FROM freq)),
+       fb AS MATERIALIZED (SELECT basket, item FROM fb0
+                           WHERE basket NOT IN (
+                             SELECT basket FROM fb0 GROUP BY basket
+                             HAVING count(*) > $maxBasketItems)),
        p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_n
              FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
              GROUP BY 1, 2 HAVING count(*) >= $minSupport)

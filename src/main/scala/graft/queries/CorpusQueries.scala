@@ -125,6 +125,50 @@ object CorpusQueries {
               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
            FROM documents GROUP BY 1 ORDER BY split""")),
 
+    // split-leakage audit: distinct 8-token spans shared ACROSS the
+    // train/val/test boundary — the measured form of the contamination
+    // claim the split design makes (parent-assigned chunk splits, dedup
+    // before splitting). A span in both train and test is literal eval
+    // leakage; this query counts them per split pair so the pipeline's
+    // "no leakage" is a NUMBER a nightly run watches, not an argument.
+    // Shape: one tokenize+shingle pass, distinct (split, span), then a
+    // span-keyed self-join of the (far smaller) distinct frame
+    "corpus_split_leakage" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        // shingles staged as an attribute BEFORE the generate (the
+        // InferFiltersFromGenerate lesson), behind a persist barrier so the
+        // self-join's two arms read one materialized distinct frame
+        val sh = Readers.fixture(spark, sfDir, "documents")
+          .select(Corpus.splitAssign(col("doc_id"), TrainPct, ValPct).as("split"),
+            graft.operators.TextAnalysis.shinglesFromTokens(
+              graft.operators.TextAnalysis.tokens(col("text")), 8).as("sh"))
+        // persisted, not unpersisted here: both self-join arms and the
+        // caller's final action read it; the harness clears caches between
+        // queries (the shingled-stage convention)
+        val spans = sh.select(col("split"), explode(col("sh")).as("span"))
+          .distinct().persist()
+        spans.select(col("split").as("split_a"), col("span"))
+          .join(spans.select(col("split").as("split_b"), col("span")), Seq("span"))
+          .filter(col("split_a") < col("split_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_shared_spans"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some {
+        val toks =
+          s"""toks AS (SELECT doc_id, ${graft.operators.TextAnalysis.duckTokens("text")} AS tk
+                FROM documents)"""
+        val spanSql =
+          s"""SELECT DISTINCT ${Corpus.duckSplitAssign("doc_id", TrainPct, ValPct)} AS split,
+                unnest(${graft.operators.TextAnalysis.duckShinglesExpr("tk", 8)}) AS span
+             FROM toks"""
+        s"""WITH $toks, spans AS MATERIALIZED ($spanSql)
+           SELECT a.split AS split_a, b.split AS split_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_spans
+           FROM spans a JOIN spans b ON a.span = b.span AND a.split < b.split
+           GROUP BY split_a, split_b ORDER BY split_a, split_b"""
+      }),
+
     // stratified downsampling: each language keeps a deterministic 1/rate
     // hash-sample of its documents
     "corpus_sample_stratified" -> QueryEntry(

@@ -601,6 +601,23 @@ class OperatorSpec extends SparkSpec {
     assert(Itemsets.pairRules(rows.toDF("basket", "item"), minSupport = 3L).count() == 0L)
   }
 
+  test("pairRules: wide-basket guard drops the mega-basket, narrow pairs survive") {
+    // basket 1 holds 4 frequent items (over the cap of 3) -> drops WHOLE,
+    // so (x, y) counts only baskets 2 and 3; with the cap raised to 4 the
+    // mega-basket contributes again and (x, y) rises to 3 (its z/w pairs
+    // stay below the pair-level min support either way)
+    val rows = (Seq("x", "y", "z", "w").map((1L, _))
+      ++ Seq((2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"), (4L, "z"), (5L, "w")))
+    def pairs(cap: Long): Map[(String, String), Long] =
+      Itemsets.pairRules(rows.toDF("basket", "item"), minSupport = 2L,
+          maxBasketItems = cap)
+        .select("item_a", "item_b", "pair_n")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs(3L) == Map(("x", "y") -> 2L), pairs(3L).toString)
+    assert(pairs(4L) == Map(("x", "y") -> 3L), pairs(4L).toString)
+  }
+
   test("dimStats: hand-computed floor-quantized moments, negative values") {
     // exact binary fractions so float->double widening is identity; the
     // negative lane pins floor (toward -inf), not truncation
