@@ -965,6 +965,60 @@ object Similarity {
        WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Nearest-centroid assignment as a pure per-row EXPRESSION over a
+    * driver-collected centroid list — the streaming-safe form of
+    * [[assignRanked]]'s `rn = 1` (windows are illegal on unbounded streams;
+    * an argmax over k literal centroids is stateless and codegen-friendly).
+    * Tie-break matches assignRanked exactly: max over (cos, -cent_id)
+    * structs picks the highest cosine, then the SMALLEST centroid id.
+    * The centroid list is index-sized (k × dims floats), the standard
+    * broadcast-as-literals shape for a trained coarse quantizer.
+    */
+  def assignCellExpr(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    require(cents.nonEmpty, "assignCellExpr with zero centroids")
+    val scored = cents.map { case (id, cv) =>
+      val cvLit = typedLit(cv)
+      struct(
+        cosineScaledWithNorms(emb, cvLit, norm(emb), norm(cvLit)).as("c"),
+        lit(-id).as("negid"))
+    }
+    (array_max(array(scored: _*)).getField("negid") * -1L).as("cell")
+  }
+
+  /** Cell-occupancy counts under [[assignCellExpr]] against the
+    * deterministic sampled centroids — the IVF index-health monitor: a
+    * cell whose share drifts after ingest says the quantizer no longer fits
+    * the data and the index needs re-training (the same
+    * refuse-stale-parameters rationale as the band-index guard, but as a
+    * WATCHED number instead of a hard failure). Output is k rows.
+    */
+  def cellOccupancy(vectors: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame =
+    vectors.select(assignCellExpr(col("embedding"), cents).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Driver-side centroid fetch for [[assignCellExpr]] — k × dims floats,
+    * the trained-index artifact a deployment would load from its registry.
+    */
+  def collectCentroids(vectors: DataFrame, numCentroids: Int): Seq[(Long, Array[Float])] =
+    sampleCentroids(vectors, numCentroids).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** DuckDB twin of [[cellOccupancy]] over the sampled-centroid index. */
+  def duckCellOccupancy(numCentroids: Int): String =
+    s"""WITH cent AS MATERIALIZED (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $numCentroids),
+       best AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT e.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${duckCosineScaled("e.embedding", "c.cv")} DESC,
+                             c.cent_id ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c) AS r
+         WHERE rn = 1)
+       SELECT cent_id AS cell, CAST(count(*) AS BIGINT) AS n
+       FROM best GROUP BY cell ORDER BY cell"""
+
   /** Per-dimension embedding statistics — the embedding-quality screen run
     * BEFORE any ANN index is trained: a dimension whose min≈max is dead
     * (wasted code space for PQ / int8 quantization), a dimension whose

@@ -20,6 +20,19 @@ object SimilarityQueries {
   private val Nprobe = 4
   private lazy val planeMatrix = Similarity.planes(NumPlanes, Dims)
 
+  /** File-source streams need a directory; stage the embeddings fixture
+    * once per sfDir (the rawDocsDir pattern from DedupQueries).
+    */
+  private val rawEmbCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def rawEmbDir(sfDir: String): String =
+    rawEmbCache.computeIfAbsent(sfDir, { _ =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory("graft-embraw")
+      Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), dir.resolve("embeddings.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
   /** Shared oracle for sim_topk AND the ground-truth side of sim_ann_recall —
     * one string so recall is measured against exactly the gated baseline.
     * (Parameterized by k so the MMR shortlist reuses the identical text.)
@@ -224,6 +237,37 @@ object SimilarityQueries {
         .orderBy("vec_id"),
       oracle = Some(Similarity.duckDensityOutliers(
         NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
+
+    // IVF index-health monitor, batch form: per-cell occupancy under the
+    // sampled-centroid coarse quantizer, computed by the streaming-safe
+    // argmax EXPRESSION (no window) so batch and stream share one
+    // assignment path. Occupancy drift after ingest = re-train signal
+    "sim_cell_occupancy" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        Similarity.cellOccupancy(e, Similarity.collectCentroids(e, NumCentroids))
+          .orderBy("cell")
+      },
+      oracle = Some(Similarity.duckCellOccupancy(NumCentroids))),
+
+    // streaming twin: arriving vectors assigned by the SAME expression
+    // (stateless per row — a window would be illegal on the stream), cell
+    // counts as a complete-mode aggregate whose state is exactly k rows
+    // forever. The online half of the monitor: batch says what the index
+    // looked like at train time, the stream says what ingest is doing to it
+    "sim_cell_occupancy_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val cents = Similarity.collectCentroids(e, NumCentroids)
+        val stream = graft.streaming.IngestStreams.readDocuments(
+          spark, rawEmbDir(sfDir))
+        val counts = Similarity.cellOccupancy(stream, cents)
+        graft.streaming.EventStreams.runToBatch(counts,
+          s"sim_cells_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+          .orderBy("cell")
+      },
+      oracle = Some(Similarity.duckCellOccupancy(NumCentroids))),
 
     // easy-negative sampling: per query, m deterministic pseudo-random
     // non-neighbors (md5 hash order over the pair key) drawn from OUTSIDE

@@ -633,6 +633,21 @@ class OperatorSpec extends SparkSpec {
       (1L, 2L, 1000000L, -500000L, 1500000L, 2500000L)), s"got=$got")
   }
 
+  test("assignCellExpr (streaming-safe argmax) equals assignRanked's home cell") {
+    // the windowed and the expression assignment must agree EVERYWHERE,
+    // ties included, or the streaming occupancy monitor silently drifts
+    // from the batch index it watches
+    val e = emb.limit(150)
+    val cents = Similarity.collectCentroids(e, 8)
+    val viaExpr = e.select(col("vec_id"),
+        Similarity.assignCellExpr(col("embedding"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val viaRank = Similarity.assignRanked(e, Similarity.sampleCentroids(e, 8))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaRank)
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank sums, doc in one list only") {
     // A ranks (n1, n2); B ranks (n2, n3). kConst=60:
     // n1 = 1e6/61 = 16393; n2 = 1e6/62 + 1e6/61 = 16129 + 16393 = 32522;
