@@ -131,27 +131,41 @@ object CorpusQueries {
     // before splitting). A span in both train and test is literal eval
     // leakage; this query counts them per split pair so the pipeline's
     // "no leakage" is a NUMBER a nightly run watches, not an argument.
-    // Shape: one tokenize+shingle pass, distinct (split, span), then a
-    // span-keyed self-join of the (far smaller) distinct frame
+    // Shape: NO self-join — the split enum is closed, so one span-keyed
+    // map-side-combined aggregate folds each span to three membership
+    // flags and a 1-row aggregate counts the pair overlaps (the first cut
+    // distinct+self-joined the span frame and measured 18 s at sf0.1;
+    // this form is one shuffle of (span, partial-flags))
     "corpus_split_leakage" -> QueryEntry(
       fn = (spark, sfDir) => {
-        // shingles staged as an attribute BEFORE the generate (the
-        // InferFiltersFromGenerate lesson), behind a persist barrier so the
-        // self-join's two arms read one materialized distinct frame
-        val sh = Readers.fixture(spark, sfDir, "documents")
-          .select(Corpus.splitAssign(col("doc_id"), TrainPct, ValPct).as("split"),
-            graft.operators.TextAnalysis.shinglesFromTokens(
-              graft.operators.TextAnalysis.tokens(col("text")), 8).as("sh"))
-        // persisted, not unpersisted here: both self-join arms and the
-        // caller's final action read it; the harness clears caches between
-        // queries (the shingled-stage convention)
-        val spans = sh.select(col("split"), explode(col("sh")).as("span"))
-          .distinct().persist()
-        spans.select(col("split").as("split_a"), col("span"))
-          .join(spans.select(col("split").as("split_b"), col("span")), Seq("span"))
-          .filter(col("split_a") < col("split_b"))
-          .groupBy("split_a", "split_b")
-          .agg(count(lit(1)).as("n_shared_spans"))
+        // the shared shingle stage, NOT an inline expression: the first cut
+        // passed tokens(text) straight into the shingle HOF and measured
+        // 17 s at sf0.1 — a HOF lambda re-evaluates its argument expression
+        // per element (8 re-tokenizations per span), the staged-array
+        // lesson; shingled() also carries the persist barrier the attribute
+        // explode needs (InferFiltersFromGenerate)
+        val sh = graft.operators.MinHashLSH.shingled(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", 8)
+          .select(Corpus.splitAssign(col("id"), TrainPct, ValPct).as("split"),
+            col("sh"))
+        val flags = sh.select(col("split"), explode(col("sh")).as("span"))
+          .groupBy(col("span")).agg(
+            max(when(col("split") === "train", 1L).otherwise(0L)).as("has_train"),
+            max(when(col("split") === "val", 1L).otherwise(0L)).as("has_val"),
+            max(when(col("split") === "test", 1L).otherwise(0L)).as("has_test"))
+        val totals = flags.agg(
+          sum(col("has_test") * col("has_train")).as("test_train"),
+          sum(col("has_test") * col("has_val")).as("test_val"),
+          sum(col("has_train") * col("has_val")).as("train_val"))
+        totals.select(explode(array(
+            struct(lit("test").as("split_a"), lit("train").as("split_b"),
+              col("test_train").as("n_shared_spans")),
+            struct(lit("test").as("split_a"), lit("val").as("split_b"),
+              col("test_val").as("n_shared_spans")),
+            struct(lit("train").as("split_a"), lit("val").as("split_b"),
+              col("train_val").as("n_shared_spans")))).as("r"))
+          .select(col("r.split_a"), col("r.split_b"), col("r.n_shared_spans"))
+          .filter(col("n_shared_spans") > 0)
           .orderBy("split_a", "split_b")
       },
       oracle = Some {
