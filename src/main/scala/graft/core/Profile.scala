@@ -72,9 +72,12 @@ object Profile {
                   tsPrecision: String = "milliseconds"): String = {
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     cols.map { c =>
-      val v = Canon.duckSqlRaw(c, byName(c), tsPrecision)
+      val dt = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"profile column '$c' not in schema ${schema.fieldNames.mkString(", ")}"))
+      val v = Canon.duckSqlRaw(c, dt, tsPrecision)
       val s = s"(SELECT $v AS v FROM $table)"
-      s"""SELECT '$c' AS col_name,
+      val lbl = c.replace("'", "''") // SQL string-literal escape for the label
+      s"""SELECT '$lbl' AS col_name,
             (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
             (SELECT CAST(count(*) - count(v) AS BIGINT) FROM $s sc) AS n_null,
             (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM $s sd) AS n_distinct,

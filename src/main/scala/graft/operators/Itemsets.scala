@@ -67,7 +67,6 @@ object Itemsets {
         s"pairRules: dropped $nWide baskets wider than maxBasketItems=" +
           s"$maxBasketItems frequent items (quadratic fan-out guard)")
     val fb = fbAll.join(wide, Seq("basket"), "left_anti").persist()
-    wide.unpersist(blocking = false)
     val pairs = fb.select(col("basket"), col("item").as("item_a"))
       .join(fb.select(col("basket"), col("item").as("item_b")), Seq("basket"))
       .filter(col("item_a") < col("item_b"))
@@ -86,6 +85,7 @@ object Itemsets {
     b.unpersist(blocking = false)
     freq.unpersist(blocking = false)
     fb.unpersist(blocking = false)
+    wide.unpersist(blocking = false)
     result
   }
 
@@ -101,10 +101,14 @@ object Itemsets {
                              GROUP BY item HAVING count(*) >= $minSupport),
        fb0 AS MATERIALIZED (SELECT basket, item FROM b
                             WHERE item IN (SELECT item FROM freq)),
+       wide AS (SELECT basket FROM fb0 GROUP BY basket
+                HAVING count(*) > $maxBasketItems),
+       -- NOT EXISTS, not NOT IN: a NULL basket in the wide set would make
+       -- NOT IN three-valued-NULL every row (empty twin) where Spark's
+       -- left_anti drops only the matching baskets
        fb AS MATERIALIZED (SELECT basket, item FROM fb0
-                           WHERE basket NOT IN (
-                             SELECT basket FROM fb0 GROUP BY basket
-                             HAVING count(*) > $maxBasketItems)),
+                           WHERE NOT EXISTS (SELECT 1 FROM wide w
+                                             WHERE w.basket = fb0.basket)),
        p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_n
              FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
              GROUP BY 1, 2 HAVING count(*) >= $minSupport)

@@ -947,6 +947,7 @@ object Similarity {
     */
   def duckRrfFuse(rankingSqls: Seq[String], k: Int, kConst: Long = 60L,
                   unit: Long = 1000000L): String = {
+    require(rankingSqls.nonEmpty, "duckRrfFuse of zero rankings")
     val ctes = rankingSqls.zipWithIndex.map { case (sql, i) =>
       s"rk$i AS MATERIALIZED ($sql)"
     }

@@ -347,8 +347,12 @@ object CorpusQueries {
     // by source (narrow: rank only) + a broadcast source-index join
     "corpus_interleave" -> QueryEntry(
       fn = (spark, sfDir) => {
+        // NULL sources excluded on BOTH engines: Spark windows order NULLS
+        // FIRST where DuckDB defaults NULLS LAST, so one NULL source would
+        // silently shift every real source's index between the twins
         val docs = Readers.fixture(spark, sfDir, "documents")
           .select(col("doc_id"), col("source"))
+          .filter(col("source").isNotNull)
         val srcW = org.apache.spark.sql.expressions.Window
           .orderBy(col("source"))
         val srcIdx = docs.select(col("source")).distinct()
@@ -365,14 +369,15 @@ object CorpusQueries {
           .orderBy("position")
       },
       oracle = Some("""
-        WITH src AS (SELECT source,
-                            CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
-                     FROM (SELECT DISTINCT source FROM documents) s),
+        WITH d AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+        src AS (SELECT source,
+                       CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
+                FROM (SELECT DISTINCT source FROM d) s),
         n AS (SELECT count(*) AS n_src FROM src),
         ranked AS (SELECT doc_id, source,
                           CAST(row_number() OVER (PARTITION BY source
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
-                   FROM documents)
+                   FROM d)
         SELECT (rank - 1) * n.n_src + src.src_idx AS position, doc_id, ranked.source
         FROM ranked JOIN src ON src.source = ranked.source CROSS JOIN n
         ORDER BY position""")),
