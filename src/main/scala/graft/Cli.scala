@@ -25,6 +25,7 @@ case class CliConfig(
     merkleBuckets: Int = 1024,
     merkleSnapshots: String = "",
     parquetSchema: String = VerifyRun.SchemaName,
+    profile: Boolean = false,
     sparseMod: Int = 10,
     tests: Seq[String] = Seq(TestModes.Full),
     tzPrecision: String = "milliseconds",
@@ -68,6 +69,7 @@ object Cli {
       |      --merkle-buckets int        bucket count for --merkle-snapshots vectors; must stay constant across runs of one snapshot dir (default 1024)
       |      --merkle-snapshots string   incremental re-verification: diff each table's Merkle bucket vector against the previous run's snapshot under this directory, report drifted buckets, then refresh the snapshot
       |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
+      |      --profile                   on mismatch, also print a per-column profile (rows/nulls/exact distincts/modal value over the canonical projection) of each target's copy of every inconsistent table
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount,stats) (default [full])
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
@@ -93,6 +95,7 @@ object Cli {
       case ("-h" | "--help") :: _ => Left(helpText)
       case "--hash-primary-keys" :: tail => loop(tail, acc.copy(hashPrimaryKeys = true))
       case "--drill-down" :: tail => loop(tail, acc.copy(drillDown = true))
+      case "--profile" :: tail => loop(tail, acc.copy(profile = true))
       case flag :: value :: tail if flag.startsWith("--") || flag == "-t" =>
         flag match {
           case "--aliases"         => loop(tail, acc.copy(aliases = csv(value)))
@@ -219,6 +222,7 @@ object Cli {
     VerifyRun.renderAsciiTable(VerifyRun.pivotReport(results, vcfg.modes), vcfg.modes, out)
     val bad = VerifyRun.inconsistencies(results, targets.size)
     if (cfg.drillDown) drillDown(spark, cfg, plans, results, bad, out)
+    if (cfg.profile) profileTables(spark, cfg, plans, bad, out)
     if (bad.isEmpty) 0 else 1
   }
 
@@ -305,6 +309,39 @@ object Cli {
           dw <- workOf(dPlan, schema, table)
         } diffPair(refTarget, refWork, dt, dw, s"ref=${refTarget.name}, dissenter=${dt.name}")
       }
+    }
+    out.flush()
+  }
+
+  /** `--profile`: for each inconsistent table, print every target's
+    * per-column profile ([[graft.core.Profile]]) — the "what does the data
+    * actually look like" triage step after the row/column diffs: a null
+    * burst, a collapsed distinct count, or a shifted modal value names the
+    * upstream fault (lost partition, default-filled column, double-load)
+    * faster than row-level diffs can. Columns respect the run's
+    * include/exclude filters; failures are contained per table like the
+    * fingerprint run (X3).
+    */
+  private def profileTables(spark: SparkSession, cfg: CliConfig,
+                            plans: Seq[(Target, Seq[VerifyRun.TableWork])],
+                            bad: org.apache.spark.sql.DataFrame, out: Writer): Unit = {
+    val badTables = bad.select("schema", "table").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    if (badTables.isEmpty) return
+    for {
+      (target, works) <- plans
+      w <- works.sortBy(_.table)
+      if badTables.contains((w.schema.toLowerCase, w.table.toLowerCase))
+    } scala.util.Try {
+      val df = target.read(spark, w.readName)
+      val cols = df.schema.fieldNames.filter(w.spec.validColumn).toSeq
+      val prof = graft.core.Profile.profile(df, df.schema, cols,
+        cfg.verifyConfig.tsPrecision).orderBy("col_name")
+      out.write(s"\nprofile: ${w.schema}.${w.table} (target=${target.name})\n")
+      VerifyRun.renderTable(prof, prof.columns.toSeq, out)
+    }.recover { case e =>
+      out.write(s"\nprofile: ${w.schema}.${w.table} (target=${target.name}) " +
+        s"failed: ${e.getMessage}\n")
     }
     out.flush()
   }

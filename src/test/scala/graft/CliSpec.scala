@@ -38,6 +38,7 @@ class CliSpec extends SparkSpec {
       |      --merkle-buckets int        bucket count for --merkle-snapshots vectors; must stay constant across runs of one snapshot dir (default 1024)
       |      --merkle-snapshots string   incremental re-verification: diff each table's Merkle bucket vector against the previous run's snapshot under this directory, report drifted buckets, then refresh the snapshot
       |      --parquet-schema string     schema name parquet targets present as, for pairing with a live engine's schema (default "main")
+      |      --profile                   on mismatch, also print a per-column profile (rows/nulls/exact distincts/modal value over the canonical projection) of each target's copy of every inconsistent table
       |      --sparse-mod int            only check every Nth row (with --tests=sparse) (default 10)
       |  -t, --tests strings             tests to use for verification (comma separated, options: full,bookend,sparse,rowcount,stats) (default [full])
       |      --tz-precision string       precision level to use when comparing timestamps (default "milliseconds")
@@ -77,7 +78,7 @@ class CliSpec extends SparkSpec {
       .withColumn("n_name", when(col("n_nationkey") === 3,
         concat(col("n_name"), lit("X"))).otherwise(col("n_name")))
       .write.parquet(s"$tmp/nation.parquet")
-    val cfg = Cli.parse(Seq("--tests", "full", "--drill-down",
+    val cfg = Cli.parse(Seq("--tests", "full", "--drill-down", "--profile",
       "--include-tables", "region,nation", "--aliases", "a,b", sfDir, tmp)).toOption.get
     val sw = new StringWriter()
     assert(Cli.run(spark, cfg, sw) == 1)
@@ -86,6 +87,13 @@ class CliSpec extends SparkSpec {
     assert(o.contains("drill-down columns: main.nation") && o.contains("n_name"), o)
     // the value-changed nation row is `differs`, attributed to exactly n_name
     assert(!o.contains("n_regionkey X") && o.contains("differs"), o)
+    // --profile: both targets' copies of both bad tables profiled; the
+    // perturbed target's region dropped key 2, so its n_rows differs and
+    // the distinct count of the unique key tracks it
+    assert(o.contains("profile: main.region (target=a)")
+      && o.contains("profile: main.region (target=b)")
+      && o.contains("profile: main.nation (target=b)"), o)
+    assert(o.contains("r_regionkey") && o.contains("N_DISTINCT"), o)
   }
 
   test("--drill-down with three targets diffs the dissenter against the majority reference") {
