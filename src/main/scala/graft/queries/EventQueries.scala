@@ -799,6 +799,37 @@ object EventQueries {
               FROM events WHERE epoch_us(ts) <= 1705276800000000) AS t
         WHERE rn = 1 ORDER BY user_id""")),
 
+    // streaming twin of ev_state_at: the snapshot as a continuously
+    // maintained keyed state (one fixed record per user, replay-proof —
+    // see EventStreams.latestStates); the drained update stream compacts
+    // to the batch snapshot by max-(ts, event_id) per user (shared oracle)
+    "ev_state_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cutUs = 1705276800000000L
+        val stream = graft.streaming.EventStreams.latestStates(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)), cutUs)
+        val drained = graft.streaming.EventStreams.runToBatch(stream.toDF(),
+          s"ev_state_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("state_ts_us").desc, col("event_id").desc)
+        drained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("state_type"), col("state_value_cents"),
+            col("state_ts_us"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_type AS state_type, value_cents AS state_value_cents,
+               ts_us AS state_ts_us
+        FROM (SELECT user_id, event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+                     epoch_us(ts) AS ts_us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE epoch_us(ts) <= 1705276800000000) AS t
+        WHERE rn = 1 ORDER BY user_id""")),
+
     // behavior co-occurrence: users exhibiting BOTH event types, per
     // unordered type pair — the pair-support half of q_assoc_rules with
     // basket = user (the vocabulary is the event-type enum, so the pair

@@ -178,6 +178,46 @@ object EventStreams {
         })
   }
 
+  case class LatestState(user_id: Long, state_type: String,
+                         state_value_cents: Long, state_ts_us: Long, event_id: Long)
+
+  /** Streaming twin of the point-in-time snapshot (ev_state_at): per-user
+    * latest-event state maintained as keyed state — the continuously-
+    * maintained materialized view a CDC upsert stream compacts to. Each
+    * micro-batch with arrivals for a user emits that user's CURRENT state
+    * (update semantics); the drained output's max-(ts, event_id) row per
+    * user equals the batch snapshot at the cut. State is one fixed-size
+    * record per user; arrivals at or before the already-held (ts, event_id)
+    * are ignored, so replays and out-of-order batches cannot regress the
+    * view. Events after `cutUs` are filtered BEFORE the state machine —
+    * the snapshot contract, not an eviction policy.
+    */
+  def latestStates(events: DataFrame, cutUs: Long): Dataset[LatestState] = {
+    // one implicit serves both the state and the output (same type)
+    implicit val stateEnc = Encoders.product[LatestState]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .filter(col("ts_us") <= cutUs)
+      .as[(Long, String, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, Long, Long)],
+         state: GroupState[LatestState]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { case (_, tpe, cents, ts, eid) =>
+            if (cur == null || ts > cur.state_ts_us
+              || (ts == cur.state_ts_us && eid > cur.event_id))
+              cur = LatestState(user, tpe, cents, ts, eid)
+          }
+          state.update(cur)
+          Iterator(cur)
+        })
+  }
+
   case class CooccurState(seen: Seq[String])
   case class CooccurHit(type_a: String, type_b: String, user_id: Long)
 

@@ -528,6 +528,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "staged two-batch replay diverged from the batch pair support")
   }
 
+  test("latest-state view carries across micro-batches and compacts to the batch snapshot") {
+    // time-split halves: a user's newer event lands in batch 2 and must
+    // OVERWRITE the state emitted in batch 1; the drained update stream's
+    // per-user max-(ts, event_id) row then equals ev_state_at
+    val inDir = Files.createTempDirectory("graft-state-in")
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutArrivalUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-state-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(unix_micros(col("ts")) <= cutArrivalUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutArrivalUs), "half1.parquet")
+    val snapshotCutUs = 1705276800000000L
+    val stream = EventStreams.latestStates(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+      snapshotCutUs)
+    val drained = EventStreams.runToBatch(stream.toDF(), "state2", OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("state_ts_us").desc, col("event_id").desc)
+    val got = drained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "state_type", "state_value_cents", "state_ts_us")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val want = SparkEntry.queries("ev_state_at")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "staged two-batch state view diverged from the batch snapshot")
+  }
+
   test("JVM band hashing is hash-identical to the batch Catalyst banding expressions") {
     import graft.operators.{MinHashLSH, TextAnalysis}
     import graft.streaming.IngestStreams
