@@ -349,6 +349,84 @@ object Graph {
        GROUP BY node"""
   }
 
+  /** Neighbor-Jaccard similarity per EDGE over undirected canonical edges
+    * (a < b, deduplicated): for each existing edge, the Jaccard overlap of
+    * its endpoints' neighborhoods — |N(a)∩N(b)| / |N(a)∪N(b)| in integer
+    * micro-units. The structural link-prediction / tie-strength primitive
+    * beside [[triangles]] (global density) and [[kCore]] (cohesion):
+    * curation reads a high-Jaccard edge as a redundant or templated link
+    * (two accounts clicking near-identical item sets, two domains with
+    * near-identical link profiles), a low-Jaccard edge as a bridge.
+    *
+    * Scale shape: common-neighbor counts are exactly per-edge triangle
+    * counts, so the computation IS [[triangles]] (degree-oriented,
+    * O(m^1.5) wedges, equi-joins only) followed by an explode of each
+    * triangle into its three edges and one map-side-combined count — no
+    * new join shapes, no per-node neighbor-set materialization (the naive
+    * N(a)∩N(b) set intersection would shuffle full adjacency lists and
+    * fan out O(deg²) at hubs). Jaccard denominator da + db − common is
+    * exact: deg counts distinct neighbors because edges are canonical and
+    * deduplicated, and common ≤ min(da, db) − 1 keeps it ≥ 2 (no division
+    * guard needed). All arithmetic is 64-bit integer `div` — bit-identical
+    * across engines, the house no-libm discipline.
+    *
+    * Returns (a, b, common, jac_micro) — one row per input edge, edges
+    * with no shared neighbor scoring 0.
+    */
+  def nodeSimilarity(edges: DataFrame, unit: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("a"), col("b")).persist()
+    val tri = triangles(e) // returns persisted (t1 < t2 < t3)
+    val triEdges = tri.select(col("t1").as("a"), col("t2").as("b"))
+      .unionAll(tri.select(col("t1").as("a"), col("t3").as("b")))
+      .unionAll(tri.select(col("t2").as("a"), col("t3").as("b")))
+    val common = triEdges.groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val result = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(common, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        expr(s"coalesce(common, 0L) * $unit div (da + db - coalesce(common, 0L))")
+          .as("jac_micro"))
+      .persist()
+    result.count()
+    tri.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB twin of [[nodeSimilarity]]: `edgesSql` must select canonical
+    * (a, b). Same degree orientation, triangle closure, per-edge explode,
+    * and integer micro-Jaccard.
+    */
+  def duckNodeSimilaritySql(edgesSql: String, unit: Long = 1000000L): String =
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       deg AS (SELECT node, count(*) AS deg FROM (
+                 SELECT a AS node FROM e UNION ALL SELECT b FROM e) n GROUP BY node),
+       o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                         THEN e.a ELSE e.b END AS src,
+                    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                         THEN e.b ELSE e.a END AS dst
+             FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+       tri AS (SELECT least(w.src, w.v) AS t1,
+                      w.src + w.v + w.w - least(w.src, w.v) - greatest(w.src, w.w) AS t2,
+                      greatest(w.src, w.w) AS t3
+               FROM (SELECT o1.src, o1.dst AS v, o2.dst AS w
+                     FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst) w
+               WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.v AND e.b = w.w)),
+       te AS (SELECT t1 AS a, t2 AS b FROM tri
+              UNION ALL SELECT t1, t3 FROM tri
+              UNION ALL SELECT t2, t3 FROM tri),
+       cm AS (SELECT a, b, count(*) AS common FROM te GROUP BY a, b)
+       SELECT a, b, common, jac_micro FROM (
+         SELECT e.a AS a, e.b AS b, CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+                CAST(coalesce(cm.common, 0) * $unit
+                     // (da.deg + db.deg - coalesce(cm.common, 0)) AS BIGINT) AS jac_micro
+         FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+         LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b) q"""
+
   /** DuckDB twin of [[pageRank]] as unrolled CTE stages (the KMeans-twin
     * pattern): `edgesSql` must select (src, dst). Returns the CTE chain and
     * the name of the final rank relation.

@@ -601,6 +601,38 @@ object AnalyticsQueries {
         graft.operators.Graph.duckKCoreSql(edgesSql, k = 2) + "\nORDER BY node"
       }),
 
+    // neighbor-Jaccard similarity per co-click edge (same 30-min affinity
+    // graph as q_triangles): |N(a)∩N(b)| / |N(a)∪N(b)| in integer micro-
+    // units — tie-strength / link-prediction; curation reads a high-Jaccard
+    // edge as templated behavior (near-identical click profiles), a low one
+    // as a bridge. Common-neighbor counts ARE per-edge triangle counts, so
+    // the plan is the degree-oriented triangle enumeration + one explode +
+    // one map-side-combined count (see operators/Graph.nodeSimilarity) —
+    // never a per-node adjacency-set intersection
+    "q_node_similarity" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val edges = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+        graft.operators.Graph.nodeSimilarity(edges).orderBy("a", "b")
+      },
+      oracle = Some {
+        val edgesSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 1800000000"""
+        graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
+      }),
+
     // association rules at pair granularity (market-basket): brands bought
     // together in one order, with integer-micro confidence and lift — the
     // "customers who bought X also bought Y" primitive. The apriori

@@ -544,6 +544,28 @@ class OperatorSpec extends SparkSpec {
     assert(got.distinct == got)
   }
 
+  test("nodeSimilarity: per-edge neighbor Jaccard equals the naive set intersection") {
+    // K4 on {1..4}, a pendant 4-5 (zero overlap — 5's only neighbor is 4),
+    // and a hub 0 wired to 1..4 (pushes the high-degree orientation path)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ (4L, 5L)) ++ (1L to 4L).map(i => (0L, i))
+    val got = Graph.nodeSimilarity(edges.toDF("a", "b"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // naive reference: adjacency sets, common = |N(a)∩N(b)|,
+    // jac = common * 1e6 div (|N(a)| + |N(b)| - common)
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val want = edges.map { case (a, b) =>
+      val c = (adj(a) intersect adj(b)).size.toLong
+      (a, b, c, c * 1000000L / (adj(a).size + adj(b).size - c))
+    }.sorted
+    assert(got == want, s"got=$got\nwant=$want")
+    // spot checks: edge (1,2) inside K4+hub — common {0,3,4}, degrees 4+4,
+    // union 5 → 3e6 div 5; pendant (4,5) shares nothing → 0
+    assert(got.contains((1L, 2L, 3L, 600000L)))
+    assert(got.contains((4L, 5L, 0L, 0L)))
+  }
+
   test("bfs levels: minimum hop distance, early exit, unreachable absent") {
     // chain 1->2->3->4->5 plus a shortcut 1->4 (min beats the long path),
     // a cycle edge 3->1 (revisits must not lower a settled level), and an
