@@ -154,6 +154,82 @@ object TextQueries {
            SELECT shingle, count(*) AS df FROM ex
            GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 20""")),
 
+    // vocabulary-growth (Heaps-law) curve: cumulative distinct token types
+    // vs cumulative token occurrences at log2 checkpoints of the doc_id
+    // ingestion order — the corpus-health plot that tells whether a crawl
+    // is still finding new vocabulary or re-crawling itself (a flattening
+    // curve at constant dedup rate means saturation). Checkpoints are
+    // log-spaced, so the cumsum window sees at most 64 rows at ANY corpus
+    // size; a type's first appearance is one map-side-combined min over
+    // its (distinct-per-doc) postings — never a global sort of the corpus.
+    // bit-length (length(bin(x))) stands in for floor(log2)+1 on both
+    // engines: pure integer, no libm
+    "text_vocab_growth" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+          .withColumn("bucket", length(bin(col("doc_id") + 1)).cast("long"))
+        val perBucket = docs.groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("n_tokens"))
+        val firstSeen = docs
+          .select(col("bucket"), explode(array_distinct(col("tk"))).as("term"))
+          .groupBy("term").agg(min(col("bucket")).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBucket.join(firstSeen, Seq("bucket"), "left_outer")
+          .select(col("bucket"), col("n_docs"), col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("cum_types", sum(col("new_types")).over(w))
+          .orderBy("bucket")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH docs AS (SELECT doc_id, length(bin(doc_id + 1)) AS bucket, $tk AS tk
+                          FROM documents),
+           pb AS (SELECT bucket, count(*) AS n_docs,
+                         CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+                  FROM docs GROUP BY bucket),
+           fs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+                    SELECT t.term, min(d.bucket) AS bucket
+                    FROM docs d, unnest(list_distinct(d.tk)) AS t(term)
+                    GROUP BY t.term) f GROUP BY bucket)
+           SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+                  coalesce(fs.new_types, 0) AS new_types,
+                  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+                  CAST(sum(coalesce(fs.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_types
+           FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+           ORDER BY pb.bucket"""
+      }),
+
+    // Zipf frequency spectrum: distinct token types and occurrence mass per
+    // log2 corpus-frequency band — the vocabulary-shape audit behind
+    // tokenizer sizing (how much mass the head captures, how heavy the
+    // hapax tail is; a natural corpus is Zipfian, a template farm is not).
+    // Two map-side-combined hash aggregates (term → tf, then lg(tf) →
+    // counts); the spectrum itself is ≤64 rows at any corpus size
+    "text_freq_spectrum" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val tf = docs.select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+        tf.groupBy(length(bin(col("tf"))).cast("long").as("freq_band"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("mass"))
+          .orderBy("freq_band")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH tf AS (SELECT t.term, count(*) AS tf
+                        FROM documents d, unnest($tk) AS t(term) GROUP BY t.term)
+           SELECT CAST(length(bin(tf)) AS BIGINT) AS freq_band,
+                  count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS mass
+           FROM tf GROUP BY freq_band ORDER BY freq_band"""
+      }),
+
     // top-3 terms per document by integer TF-IDF (reciprocal-df weighting in
     // pure 64-bit integer arithmetic — see graft.operators.Vocab for the
     // parity rationale): explode → two hash-aggs → term join → window rank

@@ -144,6 +144,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth and frequency spectrum tie back to corpus totals") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    val totalTypes = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().count()
+    val growth = SparkEntry.queries("text_vocab_growth")(spark, sfDir).collect()
+    assert(growth.nonEmpty)
+    // checkpoints are log2-spaced: at most bit-length(max doc_id + 1) rows
+    assert(growth.length <= 64)
+    // cumulative columns are monotone and end exactly at the corpus totals
+    val cumTok = growth.map(_.getAs[Long]("cum_tokens"))
+    val cumTyp = growth.map(_.getAs[Long]("cum_types"))
+    assert(cumTok.sameElements(cumTok.sorted) && cumTyp.sameElements(cumTyp.sorted))
+    assert(cumTok.last == totalTokens && cumTyp.last == totalTypes,
+      s"cum (${cumTok.last}, ${cumTyp.last}) vs totals ($totalTokens, $totalTypes)")
+    // the spectrum partitions the same totals: Σ n_terms = |vocab|, Σ mass = tokens
+    val spec = SparkEntry.queries("text_freq_spectrum")(spark, sfDir).collect()
+    assert(spec.map(_.getAs[Long]("n_terms")).sum == totalTypes)
+    assert(spec.map(_.getAs[Long]("mass")).sum == totalTokens)
+  }
+
   test("k-means: every vector lands in a surviving cluster; centroids refine") {
     val vecs = Readers.fixture(spark, sfDir, "embeddings")
     val n = vecs.count()
