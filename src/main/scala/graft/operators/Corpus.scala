@@ -375,6 +375,66 @@ object Corpus {
        FROM c GROUP BY stratum, shard, cum_before // $seqLen
        ORDER BY stratum, shard, seq_id"""
 
+  /** Length-bucketed batching audit: assign each document to its
+    * power-of-two token-length bucket (floor `minCap`, ceiling `capTokens`
+    * with truncation counted, the usual tokenizer max-length contract) and
+    * report per-bucket document count, real token mass, truncation count,
+    * and padding waste in integer micro-units — the figure that decides a
+    * training job's bucket boundaries (pad-to-bucket-cap wastes
+    * `cap·n_docs − Σ eff_tokens` slots; a single global pad-to-max wastes
+    * vastly more; this table quantifies the trade per bucket).
+    *
+    * Scale shape: one scan-parallel map-side-combined aggregate; output is
+    * ≤ log2(capTokens) rows at ANY corpus size. The power-of-two cap is
+    * pure integer on both engines: `1 << bitlen(x − 1)` (bit length via
+    * `length(bin(·))` — no libm log2, the house discipline).
+    */
+  def lengthBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minCap: Int = 16,
+                    capTokens: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(minCap >= 2 && Integer.bitCount(minCap) == 1,
+      s"minCap=$minCap must be a power of two >= 2")
+    require(capTokens >= minCap && Integer.bitCount(capTokens) == 1,
+      s"capTokens=$capTokens must be a power of two >= minCap=$minCap")
+    val nTok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val base = docs.select(
+      col(idCol).as("id"), nTok.as("n_tok"),
+      least(nTok, lit(capTokens.toLong)).as("eff"))
+    // raw' = clamp(eff, minCap, capTokens) >= minCap >= 2, so bitlen(raw'-1)
+    // is well-defined and cap = 2^bitlen(raw'-1) is the next power of two
+    // SQL shiftleft: the Scala functions.shiftleft only takes a literal
+    // shift amount, the expression form accepts a column
+    val capped = base.withColumn("cap",
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(length(bin(greatest(eff, ${minCap}L) - 1)) AS INT))"))
+    capped.groupBy(col("cap").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_tok") > capTokens.toLong, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("eff")).as("eff_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("n_tokens"), col("n_truncated"),
+        expr("(bucket_cap * n_docs - eff_tokens) * 1000000 div (bucket_cap * n_docs)")
+          .as("waste_micro"))
+      .orderBy("bucket_cap")
+  }
+
+  /** DuckDB twin of [[lengthBuckets]] over the `documents` fixture. */
+  def duckLengthBuckets(minCap: Int = 16, capTokens: Int = 1024): String =
+    s"""WITH base AS (SELECT doc_id,
+              CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tok
+            FROM documents),
+       e AS (SELECT doc_id, n_tok, least(n_tok, $capTokens) AS eff FROM base),
+       c AS (SELECT doc_id, n_tok, eff,
+                    (CAST(1 AS BIGINT) << length(bin(greatest(eff, $minCap) - 1))) AS cap
+             FROM e),
+       g AS (SELECT cap AS bucket_cap, count(*) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN n_tok > $capTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+                    CAST(sum(eff) AS BIGINT) AS eff_tokens
+             FROM c GROUP BY cap)
+       SELECT bucket_cap, n_docs, n_tokens, n_truncated,
+              (bucket_cap * n_docs - eff_tokens) * 1000000 // (bucket_cap * n_docs) AS waste_micro
+       FROM g ORDER BY bucket_cap"""
+
   /** Overlapping-window document chunking — the retrieval/RAG preparation
     * step (and the long-document remedy for embedding models with a context
     * cap): each document splits into `chunkTokens`-token windows advancing by

@@ -327,6 +327,16 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // length-bucketed batching audit: power-of-two token-length buckets
+    // with per-bucket padding waste in integer micro-units — the
+    // pad-to-bucket-cap vs pad-to-max trade quantified (see
+    // operators/Corpus.lengthBuckets; one aggregate, ≤ log2(cap) rows out)
+    "corpus_length_buckets" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        Corpus.lengthBuckets(Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", minCap = 16, capTokens = 1024),
+      oracle = Some(Corpus.duckLengthBuckets(minCap = 16, capTokens = 1024))),
+
     // epoch-seeded deterministic training-order shuffle: reproducible
     // pseudo-random permutation, sharded FIRST so the ordering window
     // parallelizes per shard (never one global-order partition)

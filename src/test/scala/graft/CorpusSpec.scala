@@ -144,6 +144,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lengthBuckets: hand-computed caps, truncation, and waste") {
+    import spark.implicits._
+    // token counts: 3 ("a b c"), 16 (exactly the floor cap), 17 (next
+    // bucket 32), 40 (bucket 64 via minCap=16/cap=64... actually 40 → 64),
+    // and 70 tokens with capTokens=64 → truncated into the 64 bucket
+    def doc(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq((1L, doc(3)), (2L, doc(16)), (3L, doc(17)), (4L, doc(40)),
+      (5L, doc(70))).toDF("doc_id", "text")
+    val got = Corpus.lengthBuckets(docs, "doc_id", "text", minCap = 16, capTokens = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 16: docs 1+2 (eff 3, 16) → waste (32-19)e6 div 32
+    // bucket 32: doc 3 (eff 17) → waste 15e6 div 32
+    // bucket 64: docs 4+5 (eff 40, 64; doc 5 truncated) → waste (128-104)e6 div 128
+    val want = Seq(
+      (16L, 2L, 19L, 0L, (32L - 19L) * 1000000L / 32L),
+      (32L, 1L, 17L, 0L, 15L * 1000000L / 32L),
+      (64L, 2L, 110L, 1L, (128L - 104L) * 1000000L / 128L))
+    assert(got == want, s"got=$got")
+  }
+
   test("vocab growth and frequency spectrum tie back to corpus totals") {
     val docs = Readers.fixture(spark, sfDir, "documents")
     val totalTokens = docs
