@@ -107,6 +107,20 @@ object EventQueries {
         FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY type_a, type_b ORDER BY type_a, type_b"""
 
+  /** Shared batch-and-stream oracle for the transition-matrix twins. */
+  private lazy val TransitionsOracle = """
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        steps AS (SELECT event_type AS from_type,
+                         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+                  FROM ev),
+        pairs AS (SELECT from_type, to_type, count(*) AS n FROM steps
+                  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+                   FROM pairs GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n, p.n * 1000000 // t.row_total AS p_micro
+        FROM pairs p JOIN totals t ON p.from_type = t.from_type
+        ORDER BY p.from_type, p.to_type"""
+
   /** Shared batch-and-stream oracle for the funnel twins. */
   private lazy val FunnelOracle = """
         WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -326,6 +340,59 @@ object EventQueries {
         FROM scored WHERE hour_us < last_hour ORDER BY hour_us, event_type""")),
 
     // gap-based sessionization: a >30min silence starts a new session
+    // behavior transition matrix (first-order Markov): count of each
+    // (from_type → to_type) step in every user's time-ordered event
+    // sequence, with the row-conditional probability in integer micro-units
+    // — the sequence prior behind funnel design and bot screens (organic
+    // users mix transitions; scripted traffic shows near-deterministic
+    // rows). One narrow per-user window (type, ts, id only — hub users
+    // bound partition width, not corpus size), one map-side-combined pair
+    // count, then the row totals join on the ≤|types|² aggregate — the
+    // division is integer `div`, last, on both engines
+    "ev_transitions" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val steps = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("to_type"))
+        val pairs = steps.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("row_total"))
+        pairs.join(totals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div row_total").as("p_micro"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some(TransitionsOracle)),
+
+    // streaming twin of ev_transitions: constant-size per-user state (the
+    // last event only); each micro-batch chains behind the carried last
+    // event, so the boundary-straddling step is emitted exactly once (see
+    // streaming/EventStreams.transitionSteps). The drained steps fold
+    // through the same pair-count + row-total arithmetic as the batch query
+    "ev_transitions_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val steps = graft.streaming.EventStreams.transitionSteps(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)))
+        val pairs = graft.streaming.EventStreams.runToBatch(steps.toDF(),
+          s"ev_transitions_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+        // row totals via a window, not the batch twin's self-join: a join
+        // of a MemorySink view against its own aggregate trips Catalyst's
+        // conflicting-attribute check, and the drained pair frame is
+        // ≤ |types|² rows — window cost is nil
+        pairs.withColumn("row_total", sum(col("n")).over(
+            Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div row_total").as("p_micro"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some(TransitionsOracle)),
+
     "ev_sessionize" -> QueryEntry(
       fn = (spark, sfDir) => {
         val ev = Readers.fixture(spark, sfDir, "events")

@@ -263,6 +263,46 @@ object EventStreams {
         })
   }
 
+  case class TransitionState(ts_us: Long, event_id: Long, tpe: String)
+  case class TransitionStep(from_type: String, to_type: String, user_id: Long)
+
+  /** Stateful per-user transition steps via flatMapGroupsWithState: the
+    * streaming twin of ev_transitions' windowed lead(). Per-user state is
+    * the LAST event only — (ts, id, type), constant size — and each
+    * micro-batch sorts its own rows by the same unique (ts_us, event_id)
+    * key the batch window orders by, chains them behind the carried last
+    * event, and emits one step per consecutive pair. A user's steps are
+    * identical however arrivals split across micro-batches (the carry is
+    * exactly the boundary-straddling pair), under the event-time arrival
+    * contract the sessionizer documents; a drained groupBy count over the
+    * output equals the batch pair counts row-for-row.
+    */
+  def transitionSteps(events: DataFrame): Dataset[TransitionStep] = {
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    implicit val stateEnc = Encoders.product[TransitionState]
+    implicit val outEnc = Encoders.product[TransitionStep]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TransitionState]) => {
+          val batch = rows.map { case (_, ts, id, t) => (ts, id, t) }
+            .toArray.sortBy(r => (r._1, r._2))
+          val chain = state.getOption.map(s => (s.ts_us, s.event_id, s.tpe))
+            .toArray ++ batch
+          if (chain.nonEmpty) {
+            val last = chain.last
+            state.update(TransitionState(last._1, last._2, last._3))
+          }
+          chain.iterator.sliding(2).withPartial(false)
+            .map { case Seq(a, b) => TransitionStep(a._3, b._3, user) }
+        })
+  }
+
   case class RetentionState(cohort_us: Long, seen: Seq[Long])
   case class RetentionHit(cohort_us: Long, offset_days: Long, user_id: Long)
 

@@ -528,6 +528,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "staged two-batch replay diverged from the batch pair support")
   }
 
+  test("transition steps chain across micro-batches (two-file staged arrival)") {
+    // time-split halves: a user's boundary-straddling step (last event of
+    // batch 1 → first event of batch 2) must emit exactly once, from the
+    // carried last-event state; total steps then tie out to n_events −
+    // n_users and the pair counts equal the batch window query
+    val inDir = Files.createTempDirectory("graft-trans-in")
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-trans-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val stream = EventStreams.transitionSteps(
+      EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+    val drained = EventStreams.runToBatch(stream.toDF(), "trans2", OutputMode.Append)
+    // every event except each user's first contributes exactly one step
+    val nEvents = raw.count()
+    val nUsers = raw.select(col("user_id")).distinct().count()
+    assert(drained.count() == nEvents - nUsers,
+      s"steps ${drained.count()} != events $nEvents - users $nUsers")
+    val got = drained.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = SparkEntry.queries("ev_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, "staged two-batch replay diverged from the batch transition counts")
+  }
+
   test("latest-state view carries across micro-batches and compacts to the batch snapshot") {
     // time-split halves: a user's newer event lands in batch 2 and must
     // OVERWRITE the state emitted in batch 1; the drained update stream's
