@@ -393,6 +393,57 @@ object EventQueries {
       },
       oracle = Some(TransitionsOracle)),
 
+    // session path mining: the top-20 most common session-opening paths
+    // (first 4 event types per session, '>'-joined) — the navigation-
+    // pattern primitive behind funnel DESIGN (ev_funnel checks a chosen
+    // path; this surfaces which paths exist to check). Same gap-rule
+    // sessionization as ev_sessionize, a rank filter caps every session's
+    // contribution at 4 rows (hub sessions bound nothing), the path
+    // assembles per session from a ≤4-element sorted array, and the final
+    // count is map-side-combined with a TakeOrdered top-k — no global sort
+    "ev_session_paths" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sessions = ev
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+              || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySession = Window.partitionBy(col("user_id"), col("session_idx"))
+          .orderBy(col("ts_us"), col("event_id"))
+        sessions
+          .withColumn("rk", row_number().over(bySession))
+          .filter(col("rk") <= 4)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("rk"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id, event_id, event_type, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        ranked AS (SELECT user_id, session_idx, event_type,
+          row_number() OVER (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id) AS rk
+          FROM numbered),
+        paths AS (SELECT user_id, session_idx,
+          string_agg(event_type, '>' ORDER BY rk) AS path
+          FROM ranked WHERE rk <= 4 GROUP BY user_id, session_idx)
+        SELECT path, count(*) AS n_sessions FROM paths
+        GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""")),
+
     "ev_sessionize" -> QueryEntry(
       fn = (spark, sfDir) => {
         val ev = Readers.fixture(spark, sfDir, "events")
