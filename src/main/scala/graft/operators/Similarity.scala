@@ -463,6 +463,87 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.intDotProduct(a, b)
 
+  /** Johnson–Lindenstrauss signed random projection: embed each vector into
+    * `signs.length` dimensions as `p_j = Σ_i sign(j,i) · q_i` over the
+    * micro-quantized input (`q_i = floor(v_i · scale)`) — the dimension-
+    * reduction sketch between LSH (1 bit per plane, [[lshBucket]]) and PQ
+    * (codebook cells): distances survive approximately (the JL lemma — the
+    * ±1 "database-friendly" variant, Achlioptas 2001), so a 16-dim integer
+    * sketch can pre-rank or pre-cluster before any exact pass touches the
+    * full vectors. At 100 TB the sketch is what moves: 16×8 bytes per
+    * vector instead of 64×4 floats, computed scan-parallel in one codegen
+    * projection (each output dim is one [[intDot]] against a ±1 literal).
+    *
+    * Quantize-then-project keeps every step after the per-element
+    * `floor(v·scale)` in exact 64-bit integers — projections, L2² sketch
+    * distances, and rankings are then bit-identical across engines
+    * (|p_j| ≤ dims · max|q|, nowhere near overflow). The sign matrix is
+    * the deterministic MD5 generator already used for LSH ([[planes]]),
+    * embedded as literals in BOTH engines' plans.
+    */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+                signs: Seq[Seq[Int]], scale: Long = 1000L): DataFrame = {
+    // normalize BEFORE quantizing: unit-vector L2² is monotone with cosine
+    // (‖a−b‖² = 2 − 2·cos), so the sketch ranking targets the same order
+    // as the exact cosine baseline; without it the sketch would rank raw
+    // L2, which disagrees with cosine whenever magnitudes vary. Zero-norm
+    // vectors quantize to all-zero (the duckCosineScaled guard's twin).
+    // The norm is staged as a column first — a HOF lambda re-evaluates its
+    // argument expressions per element (the recorded staged-array lesson)
+    val staged0 = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val qv = when(col("__n") === 0,
+        transform(col("__v"), _ => lit(0L)))
+      .otherwise(transform(col("__v"),
+        x => floor(x.cast("double") * scale / col("__n")).cast("long")))
+    val staged = staged0.select(col("vec_id"), qv.as("qv"))
+    val projCols = signs.map { row =>
+      intDot(col("qv"), array(row.map(x => lit(x.toLong)): _*))
+    }
+    staged.select(col("vec_id"), array(projCols: _*).as("jl"))
+  }
+
+  /** Exact integer dot for DuckDB lists (the [[intDot]] twin — BIGINT
+    * arithmetic, ascending fold).
+    */
+  def duckIntDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[jlProject]] over the `embeddings` fixture. */
+  def duckJlProject(signs: Seq[Seq[Int]], scale: Long = 1000L): String = {
+    val projs = signs.map { row =>
+      val litArr = row.map(x => s"CAST($x AS BIGINT)").mkString("[", ", ", "]")
+      duckIntDot("qv", litArr)
+    }.mkString("[", ",\n              ", "]")
+    s"""SELECT vec_id, $projs AS jl
+       FROM (SELECT vec_id,
+               CASE WHEN ${duckNorm("embedding")} = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * $scale
+                                      / ${duckNorm("embedding")}) AS BIGINT))
+               END AS qv
+             FROM embeddings) qz"""
+  }
+
+  /** Top-k by SMALLEST integer L2² distance in JL-sketch space: the
+    * pre-ranking read path of [[jlProject]]. Same broadcast + windowed-rank
+    * shape as [[topK]], ranking on the negated distance (ties by id).
+    */
+  def jlTopK(queries: DataFrame, neighbors: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("jl").as("qjl"))
+    val n = graft.core.Readers.spread(neighbors, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("jl").as("njl"))
+    val diff = zip_with(col("qjl"), col("njl"), (a, b) => a - b)
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", diff)
+      .select(col("query_id"), col("neighbor_id"),
+        (-intDot(col("__d"), col("__d"))).as("neg_d2"))
+    rankTopK(scored, "neg_d2", k)
+  }
+
   /** Exact top-k under int8 quantization: the memory-bandwidth scale path —
     * the scan side moves 8-bit codes (4× less traffic than float32, 8× less
     * than the widened doubles) and scoring is pure integer arithmetic.
