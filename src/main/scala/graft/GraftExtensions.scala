@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct, NfcNormalize}
+import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct, IntL2Squared, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_int_dot"),
       info("graft_int_dot"),
       binary("graft_int_dot", IntDotProduct.apply) _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_int_l2sq"),
+      info("graft_int_l2sq"),
+      binary("graft_int_l2sq", IntL2Squared.apply) _))
     ext.injectFunction((
       new FunctionIdentifier("graft_hex_signed64"),
       info("graft_hex_signed64"),

@@ -178,6 +178,77 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "graft_int_dot"
 }
 
+/** Integer squared-L2 distance over two `array<long>` columns (the
+  * JL-sketch ranking hot path): `Σ (a_i − b_i)²` with exact 64-bit
+  * accumulation in one tight codegen loop — one expression where the HOF
+  * form (`aggregate(zip_with(...))` on a staged diff array) materializes an
+  * intermediate array per row and evaluates interpreted. Sketch components
+  * are |p| ≤ dims · scale (≈ 2¹⁶ here), so the squared terms sit ~2³²,
+  * far from overflow at any plausible sketch width.
+  */
+case class IntL2Squared(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // NULL-element semantics match the HOF form this replaces: any NULL
+  // element → NULL result (SQL-reachable via graft_int_l2sq)
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left) || elemNullable(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_int_l2sq: mismatched vector lengths ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      sum += d * d; i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val sum = ctx.freshName("sum")
+      val checks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (checks.isEmpty) ""
+        else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      s"""
+         if ($a.numElements() != $b.numElements()) {
+           throw new IllegalArgumentException(
+             "graft_int_l2sq: mismatched vector lengths " + $a.numElements() + " vs " + $b.numElements());
+         }
+         int $n = $a.numElements();
+         long $sum = 0L;
+         for (int $i = 0; $i < $n; $i++) {
+           $nullGuard
+           long $d = $a.getLong($i) - $b.getLong($i);
+           $sum += $d * $d;
+         }
+         if (!${ev.isNull}) { ${ev.value} = $sum; }
+       """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntL2Squared =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_int_l2sq"
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -186,4 +257,8 @@ object VectorFunctions {
   /** Column API for [[IntDotProduct]]. */
   def intDotProduct(a: Column, b: Column): Column =
     Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[IntL2Squared]]. */
+  def intL2Squared(a: Column, b: Column): Column =
+    Bridge.column(IntL2Squared(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -535,12 +535,14 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("jl").as("qjl"))
     val n = graft.core.Readers.spread(neighbors, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("jl").as("njl"))
-    val diff = zip_with(col("qjl"), col("njl"), (a, b) => a - b)
+    // native codegen L2² (graft.functions.IntL2Squared): one tight loop
+    // per pair — the zip_with-diff + intDot HOF form it replaces allocated
+    // an intermediate array per pair and evaluated interpreted
     val scored = n.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__d", diff)
       .select(col("query_id"), col("neighbor_id"),
-        (-intDot(col("__d"), col("__d"))).as("neg_d2"))
+        (-graft.functions.VectorFunctions.intL2Squared(col("qjl"), col("njl")))
+          .as("neg_d2"))
     rankTopK(scored, "neg_d2", k)
   }
 

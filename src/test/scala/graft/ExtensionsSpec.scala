@@ -25,12 +25,14 @@ class ExtensionsSpec extends SparkSpec {
       val row = s2.sql(
         """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                   graft_int_dot(array(2L, -3L), array(5L, 7L)) AS i,
+                  graft_int_l2sq(array(2L, -3L), array(5L, 7L)) AS l2,
                   graft_hex_signed64('ffffffffffffffff') AS h,
                   graft_nfc('cafe\u0301') AS n""").head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getLong(1) == -11L)
-      assert(row.getLong(2) == -1L)
-      assert(row.getString(3) == "caf\u00e9", "NFC must compose e + combining acute")
+      assert(row.getLong(2) == 109L) // 9 + 100
+      assert(row.getLong(3) == -1L)
+      assert(row.getString(4) == "caf\u00e9", "NFC must compose e + combining acute")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -83,6 +85,32 @@ class ExtensionsSpec extends SparkSpec {
     val df = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
     val e = intercept[Exception] {
       df.select(graft.functions.VectorFunctions.intDotProduct(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("IntL2Squared equals the interpreted HOF reference and handles NULLs/ragged") {
+    val vecs = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 6L, 8L)),    // 9+16+25 = 50
+      (Seq(-5L, 7L), Seq(5L, -7L)),          // 100+196 = 296
+      (Seq.empty[Long], Seq.empty[Long]),    // 0
+      (Seq(3L), Seq(3L)))                    // 0
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.intL2Squared(col("a"), col("b"))).as[Long].collect()
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(50L, 296L, 0L, 0L) && got.toSeq == hof.toSeq, got.toSeq)
+    // NULL element → NULL result, matching the HOF fold
+    val withNull = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.intL2Squared(col("a"), col("b")))
+    assert(withNull.head().isNullAt(0))
+    // ragged inputs must throw, not truncate
+    val ragged = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(graft.functions.VectorFunctions.intL2Squared(col("a"), col("b"))).head()
     }
     assert(e.getMessage != null)
   }
