@@ -165,6 +165,38 @@ object Sketches {
       .join(broadcast(counters), Seq("d", "b"))
       .groupBy(col("key")).agg(min(col("c")).as("cms_count"))
 
+  /** Join-size estimate as the CMS inner product (the AMS sketch estimator,
+    * Alon-Matias-Szegedy '96 via Cormode-Muthukrishnan '05 §4.2): for two
+    * counter tables over the SAME (depth, width, hash family),
+    * `est = min_d Σ_b cA[d][b]·cB[d][b]` — each lane's inner product equals
+    * `Σ_k f_A(k)·f_B(k)` (the exact equi-join output size) plus only
+    * non-negative collision cross-terms, so the estimate is ONE-SIDED like
+    * the point query: `exact ≤ est ≤ exact + ‖f_A‖₁·‖f_B‖₁/width` per lane,
+    * and the min over lanes tightens it.
+    *
+    * This is the shuffle-planning primitive at 100 TB: whether A⋈B explodes
+    * (skewed hot keys multiply) is answered from two broadcast-sized
+    * sketches — depth·width counters each, buildable in one narrow
+    * aggregate per side, mergeable per shard — WITHOUT running the join.
+    * The estimate join itself touches ≤ 2·depth·width counter rows.
+    */
+  def cmsInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame =
+    countersA.select(col("d"), col("b"), col("c").as("ca"))
+      .join(broadcast(countersB.select(col("d"), col("b"), col("c").as("cb"))),
+        Seq("d", "b"))
+      .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+
+  /** The counter-build half of [[duckCms]] as a standalone SELECT — shared
+    * by the point-estimate twin and the join-size twin so the two engines
+    * can never disagree on the hash family.
+    */
+  def duckCmsCountersSql(table: String, keySql: String, depth: Int, width: Int): String =
+    (0 until depth).map(i =>
+      s"SELECT $i AS d, ${MinHashLSH.duckPermHash(s"CAST($keySql AS VARCHAR)", i)} % $width AS b, " +
+        s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 2")
+      .mkString(" UNION ALL ")
+
   /** DuckDB twin CTEs for [[cmsCounters]] + [[cmsEstimates]] over the keys of
     * `keysCte` (a CTE name with a `keySql` column): unrolled per-lane UNION
     * ALL, same md5 lanes, same min-over-depth.
@@ -173,9 +205,7 @@ object Sketches {
               depth: Int, width: Int): String = {
     def lane(src: String, i: Int) =
       s"${MinHashLSH.duckPermHash(s"CAST($src AS VARCHAR)", i)} % $width"
-    val counters = (0 until depth).map(i =>
-      s"SELECT $i AS d, ${lane(keySql, i)} AS b, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 2")
-      .mkString(" UNION ALL ")
+    val counters = duckCmsCountersSql(table, keySql, depth, width)
     val lanes = (0 until depth).map(i =>
       s"SELECT $keyCol, $i AS d, ${lane(keyCol, i)} AS b FROM $keysCte")
       .mkString(" UNION ALL ")

@@ -302,6 +302,46 @@ object AnalyticsQueries {
     // answer ANY cross-segment overlap later without rescanning; the exact
     // column is the one-shuffle flag-aggregate (full-outer on distinct keys)
     // run here only because the fixture makes it cheap
+    // join-size estimation from two CMS sketches (the AMS inner-product
+    // estimator — see operators/Sketches.cmsInnerProduct): |orders ⋈
+    // lineitem| predicted from two broadcast-sized counter tables, next to
+    // the exact join count for error context. The 100 TB story: the
+    // broadcast-vs-shuffle (and skew-blowup) decision for a planned join
+    // answered from per-shard-mergeable kilobyte sketches WITHOUT running
+    // the join; the estimate is one-sided (est ≥ exact, collision
+    // cross-terms only add), over by ≤ ‖A‖₁·‖B‖₁/width per lane
+    "q_join_size_cms" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val (depth, width) = (4, 65536)
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"))
+        val l = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"))
+        val est = Sketches.cmsInnerProduct(
+          Sketches.cmsCounters(o, col("o_orderkey"), depth, width),
+          Sketches.cmsCounters(l, col("l_orderkey"), depth, width))
+        val exact = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("exact_join"))
+        est.crossJoin(exact)
+          .select(col("est_join"), col("exact_join"),
+            expr("(est_join - exact_join) * 1000000 div exact_join").as("over_micro"))
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        val (depth, width) = (4, 65536)
+        s"""WITH ca AS (${Sketches.duckCmsCountersSql("orders", "o_orderkey", depth, width)}),
+             cb AS (${Sketches.duckCmsCountersSql("lineitem", "l_orderkey", depth, width)}),
+             ip AS (SELECT a.d, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+                    FROM ca a JOIN cb b ON a.d = b.d AND a.b = b.b GROUP BY a.d),
+             est AS (SELECT min(ip) AS est_join FROM ip),
+             ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+           SELECT est_join, exact_join,
+                  (est_join - exact_join) * 1000000 // exact_join AS over_micro
+           FROM est, ex"""
+      }),
+
     "q_segment_overlap_kmv" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.Sketches

@@ -100,4 +100,26 @@ class SketchSpec extends SparkSpec {
     assert(joined.forall { case (n, c) => c >= n },
       s"CMS underestimated: ${joined.filter { case (n, c) => c < n }.take(3).mkString(",")}")
   }
+
+  test("CMS inner product brackets the exact join size: exact <= est <= L1·L1") {
+    import graft.operators.Sketches
+    val (depth, width) = (4, 4096)
+    val ev = Readers.fixture(spark, sfDir, "events")
+    val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val b = ev.filter(col("event_type") === "view").select(col("user_id"))
+    val est = Sketches.cmsInnerProduct(
+      Sketches.cmsCounters(a, col("user_id"), depth, width),
+      Sketches.cmsCounters(b, col("user_id"), depth, width))
+      .head().getLong(0)
+    val exact = a.join(b, "user_id").count()
+    val (l1a, l1b) = (a.count(), b.count())
+    // lower bound is structural (collision cross-terms only ADD); upper is
+    // the certain Σ cA·cB <= (Σ cA)(Σ cB) envelope, no probability involved
+    assert(est >= exact, s"inner product underestimated: $est < $exact")
+    assert(est <= l1a * l1b, s"inner product exceeded the L1 envelope: $est > ${l1a * l1b}")
+    // a wide sketch on this fixture should sit well inside the envelope —
+    // a broken hash family (all lanes colliding) would pin est at L1·L1
+    assert(est <= exact + (l1a * l1b) / width * 4,
+      s"est $est implausibly loose vs exact $exact (bound ${exact + (l1a * l1b) / width * 4})")
+  }
 }
