@@ -327,6 +327,47 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // dedup-rate-by-quality calibration: exact-duplicate rate per quality
+    // decile — the cross-check that decides whether a quality threshold
+    // doubles as a cheap dedup proxy (low-quality bands are usually the
+    // duplicated ones; a flat curve says run the full dedup regardless).
+    // One md5 hash-aggregate marks dup groups, one broadcast-sized decile
+    // aggregate summarizes; the band expression floors the SAME composite
+    // score the curation pipeline thresholds, so the calibration reads on
+    // the deployed filter, not a lookalike
+    "corpus_dup_by_quality" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"),
+            least(floor(qualityScore(tokens(col("text"))) * 10).cast("long"), lit(9L))
+              .as("band"))
+        val groups = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val flagged = docs.withColumn("h", md5(col("text")))
+          .join(groups, "h")
+        flagged.groupBy("band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n") > 1L, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("band"), col("n_docs"), col("n_dup"),
+            expr("n_dup * 1000000 div n_docs").as("dup_micro"))
+          .orderBy("band")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckTokens}
+        s"""WITH toks AS (SELECT doc_id, text, ${duckTokens("text")} AS tk FROM documents),
+           banded AS (SELECT doc_id, text,
+                             least(CAST(floor((${duckQualityScore("tk")}) * 10) AS BIGINT), 9) AS band
+                      FROM toks),
+           g AS (SELECT md5(text) AS h, count(*) AS n FROM banded GROUP BY md5(text))
+           SELECT band, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                  CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000000 // count(*) AS dup_micro
+           FROM banded b JOIN g ON md5(b.text) = g.h
+           GROUP BY band ORDER BY band"""
+      }),
+
     // length-bucketed batching audit: power-of-two token-length buckets
     // with per-bucket padding waste in integer micro-units — the
     // pad-to-bucket-cap vs pad-to-max trade quantified (see

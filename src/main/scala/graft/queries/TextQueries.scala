@@ -154,6 +154,43 @@ object TextQueries {
            SELECT shingle, count(*) AS df FROM ex
            GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 20""")),
 
+    // per-document novelty: the fraction of a doc's distinct 3-shingles
+    // first seen in THIS doc (by doc_id ingestion order) — the doc-level
+    // boilerplate/recrawl signal beside the corpus-level vocab-growth
+    // curve: a novelty collapse inside a source flags template churn
+    // before any pairwise dedup runs. First appearance is one map-side-
+    // combined min per shingle; the join back is shingle-keyed; nothing
+    // pairwise, nothing quadratic
+    "text_novelty" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+          .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), 3)).as("sh"))
+        val staged = docs.persist()
+        val firstSeen = staged.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+        val out = staged.join(firstSeen, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 1000000 div n_shingles").as("novelty_micro"))
+          .orderBy("doc_id")
+        out
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           shs AS (SELECT doc_id, unnest(${duckShinglesExpr("tk", 3)}) AS sh FROM toks),
+           fs AS (SELECT sh, min(doc_id) AS first_doc FROM shs GROUP BY sh)
+           SELECT s.doc_id, count(*) AS n_shingles,
+                  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000000 // count(*) AS novelty_micro
+           FROM shs s JOIN fs f ON s.sh = f.sh
+           GROUP BY s.doc_id ORDER BY s.doc_id"""
+      }),
+
     // vocabulary-growth (Heaps-law) curve: cumulative distinct token types
     // vs cumulative token occurrences at log2 checkpoints of the doc_id
     // ingestion order — the corpus-health plot that tells whether a crawl

@@ -208,6 +208,42 @@ object Sf1Probe {
           unix_micros(col("ts")).as("ts_us"))) }
     timed("kcore 10x") { kcore(clicks10) }
 
+    // -- neighbor-Jaccard tie strength (q_node_similarity shape) ------------
+    // same disjoint-copy click graph as kcore: the triangle enumeration and
+    // per-edge explode see mult× edges with an identical degree profile —
+    // the O(m^1.5)-worst-case / linear-here claim, isolated from shape drift
+    def nodeSim(clicks: DataFrame): Long = {
+      val edges = graft.operators.RangeJoin.withinIntervalPairs(
+          clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      val r = Graph.nodeSimilarity(edges)
+      val n = r.count()
+      r.unpersist(blocking = false)
+      n
+    }
+    timed("node_sim 1x") { nodeSim(
+      fixture("events").filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("m"),
+          unix_micros(col("ts")).as("ts_us"))) }
+    timed("node_sim 10x") { nodeSim(clicks10) }
+
+    // -- JL sketch shortlist + exact rerank (sim_jl_recall shape) -----------
+    // probes stay 8 per run (vec_id % keyOff < 8 matches each copy's probe
+    // block in the staged input — same convention as ivfpq): the scan side
+    // grows mult×, the shortlist and rerank stay shortlist-bound
+    def jlRerank(e: DataFrame): Long = {
+      val signs = Similarity.planes(32, 64)
+      val proj = Similarity.jlProject(e, "vec_id", "embedding", signs).persist()
+      val shortlist = Similarity.jlTopK(
+        proj.filter(col("vec_id") % keyOff < 8), proj, 50)
+      val n = Similarity.rerankExact(shortlist, e, 10).count()
+      proj.unpersist(blocking = false)
+      n
+    }
+    timed("jl_rerank 1x") { jlRerank(fixture("embeddings")) }
+    timed("jl_rerank 10x") { jlRerank(emb10) }
+
     // -- streaming LSH ingest (dedup_lsh_stream shape, single-batch replay) --
     def lshStream(docs: DataFrame): Long = {
       val dir = java.nio.file.Files.createTempDirectory("graft-sf1-lsh")

@@ -189,6 +189,26 @@ class CorpusSpec extends SparkSpec {
     assert(spec.map(_.getAs[Long]("mass")).sum == totalTokens)
   }
 
+  test("novelty and dup-by-quality tie back to corpus structure") {
+    import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val nov = SparkEntry.queries("text_novelty")(spark, sfDir).collect()
+    assert(nov.length == docs.count())
+    // the earliest doc's shingles are all first appearances by construction
+    val first = nov.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_micro") == 1000000L)
+    nov.foreach(r => assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles")))
+    // every distinct shingle is novel exactly once: Σ n_novel = |shingles|
+    val distinctShingles = docs
+      .select(explode(shinglesFromTokens(tokens(col("text")), 3)).as("sh"))
+      .distinct().count()
+    assert(nov.map(_.getAs[Long]("n_novel")).sum == distinctShingles)
+    // dup-by-quality partitions the corpus; dup counts stay within bands
+    val dup = SparkEntry.queries("corpus_dup_by_quality")(spark, sfDir).collect()
+    assert(dup.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    dup.foreach(r => assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs")))
+  }
+
   test("k-means: every vector lands in a surviving cluster; centroids refine") {
     val vecs = Readers.fixture(spark, sfDir, "embeddings")
     val n = vecs.count()
