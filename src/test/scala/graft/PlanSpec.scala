@@ -174,6 +174,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan) // closing edge is a semi-join
   }
 
+  test("node similarity stays equi-join: triangle closure + count, no adjacency cartesian") {
+    val plan = physicalPlan("q_node_similarity")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("LeftSemi"), plan) // the closing-edge semi-join survives
+  }
+
+  test("JL recall broadcasts the probe sketches and reranks only the shortlist") {
+    val plan = physicalPlan("sim_jl_recall")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("join-size estimate joins two broadcast-sized counter tables, never the raw sides") {
+    val plan = physicalPlan("q_join_size_cms")
+    // the sketch-side join must be broadcast (counters are depth·width rows);
+    // the single permitted nested-loop is the 1-row × 1-row (est, exact)
+    // scalar combine — a second one would mean a raw-side blowup
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nlj = "BroadcastNestedLoop".r.findAllIn(plan).size
+    assert(nlj <= 1, s"$nlj nested-loop joins (only the scalar combine is allowed):\n$plan")
+  }
+
   test("PQ rerank scores only the shortlist: raw-vector side joins a BROADCAST pair set") {
     val plan = physicalPlan("sim_pq_rerank")
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(25).mkString("\n"))

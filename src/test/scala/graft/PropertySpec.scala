@@ -147,6 +147,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nodeSimilarity equals a plain-Scala set intersection on random graphs") {
+    val gen = for {
+      n <- Gen.choose(3, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.filter(e => e._1 != e._2).distinct
+    def ref(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      edges.map { case (a, b) =>
+        val c = (adj(a) intersect adj(b)).size.toLong
+        (a, b, c, c * 1000000L / (adj(a).size + adj(b).size - c))
+      }.sorted
+    }
+    (0 until 5).foreach { i =>
+      val edges = gen.apply(Gen.Parameters.default, Seed(97L + i)).get
+      if (edges.nonEmpty) {
+        val got = graft.operators.Graph.nodeSimilarity(edges.toDF("a", "b"))
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(got == ref(edges), s"sample $i diverged: got=$got want=${ref(edges)}")
+      }
+    }
+  }
+
   test("full digest is invariant under row order") {
     for (rows <- samples(8)) {
       val a = Fingerprints.fullDigest(rows.toDF("id", "s", "d"), spec, cfg)
