@@ -327,6 +327,57 @@ object CorpusQueries {
           "doc_id", "text", "lang", seqLen = 512, nShards = 4),
       oracle = Some(Corpus.duckPackSequences(seqLen = 512, nShards = 4))),
 
+    // token-budget allocation: greedily fill a fixed training-token budget
+    // from the highest-quality sources down (the "what do we train on if
+    // we can only afford B tokens" decision as a query). Per-source figures
+    // are one map-side-combined aggregate; the greedy fill is a cumsum
+    // window over the ≤|sources| aggregate rows (bounded at any corpus
+    // size); quality is floored to integer micro BEFORE averaging so the
+    // ranking is engine-exact. NULL sources are excluded on both engines
+    // (the corpus_interleave window-order parity rule)
+    "corpus_budget_mix" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val budget = 10000L
+        val perSrc = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("source").isNotNull)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+            sum(floor(qualityScore(tokens(col("text"))) * 1e6).cast("long")).as("qsum"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("qsum div n_docs").as("q_avg_micro"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("q_avg_micro").desc, col("source").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        perSrc
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("q_avg_micro"),
+            greatest(lit(0L), least(col("n_tokens"), lit(budget) - col("cum_before")))
+              .as("alloc_tokens"))
+          .orderBy(col("q_avg_micro").desc, col("source").asc)
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckTokens}
+        val budget = 10000L
+        s"""WITH toks AS (SELECT source, ${duckTokens("text")} AS tk FROM documents
+                          WHERE source IS NOT NULL),
+           per AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+                          CAST(sum(CAST(floor((${duckQualityScore("tk")}) * 1e6) AS BIGINT)) AS BIGINT)
+                            // count(*) AS q_avg_micro
+                   FROM toks GROUP BY source),
+           c AS (SELECT source, n_docs, n_tokens, q_avg_micro,
+                        CAST(COALESCE(sum(n_tokens) OVER (
+                          ORDER BY q_avg_micro DESC, source ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                          AS cum_before
+                 FROM per)
+           SELECT source, n_docs, n_tokens, q_avg_micro,
+                  greatest(0, least(n_tokens, $budget - cum_before)) AS alloc_tokens
+           FROM c ORDER BY q_avg_micro DESC, source ASC"""
+      }),
+
     // dedup-rate-by-quality calibration: exact-duplicate rate per quality
     // decile — the cross-check that decides whether a quality threshold
     // doubles as a cheap dedup proxy (low-quality bands are usually the

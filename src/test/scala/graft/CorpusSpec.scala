@@ -189,6 +189,25 @@ class CorpusSpec extends SparkSpec {
     assert(spec.map(_.getAs[Long]("mass")).sum == totalTokens)
   }
 
+  test("budget mix: greedy fill is exact, ordered, and conserves the budget") {
+    val rows = SparkEntry.queries("corpus_budget_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val budget = 10000L
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val q = rows.map(_.getAs[Long]("q_avg_micro"))
+    // rows arrive in fill order (quality desc): allocation is a prefix —
+    // full sources, at most one partial, then zeros; total ≤ budget and
+    // equals budget unless the whole corpus fits
+    assert(q.sameElements(q.sorted.reverse))
+    alloc.zip(toks).foreach { case (a, t) => assert(a >= 0 && a <= t) }
+    val firstPartial = alloc.zip(toks).indexWhere { case (a, t) => a < t }
+    if (firstPartial >= 0)
+      assert(alloc.drop(firstPartial + 1).forall(_ == 0L),
+        "allocation continued past the budget cut")
+    assert(alloc.sum == math.min(budget, toks.sum), s"allocated ${alloc.sum}")
+  }
+
   test("novelty and dup-by-quality tie back to corpus structure") {
     import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
     val docs = Readers.fixture(spark, sfDir, "documents")
