@@ -287,6 +287,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** Audio fingerprint matching (the constellation/landmark shape — Wang
+    * 2003): quantize each clip's energy windows into (window, band)
+    * landmarks, join clips through the landmark INVERTED INDEX (an
+    * equi-join keyed on the landmark — never clip×clip), and keep pairs
+    * sharing ≥ `minShared` landmarks. The audio twin of the pHash banded
+    * hamming join: candidate generation is bucket-local (fan-out bounded by
+    * landmark-bucket width, tunable via `bandDiv` granularity and window
+    * count), the vote count is one map-side-combined aggregate.
+    *
+    * On the synthetic md5-derived fixture payloads only EXACT duplicate
+    * texts produce fully matching landmark sequences, so the spec can pin
+    * the output against the exact-dup pair set — the matching plumbing
+    * (landmark extraction → inverted index → pair vote) is the real
+    * pipeline; a production deployment swaps the byte-as-sample decode for
+    * a PCM front-end and widens the landmark space.
+    */
+  def audioFingerprintPairs(df: DataFrame, idCol: String, binCol: String,
+                            width: Int, stride: Int, bandDiv: Long,
+                            minShared: Int): DataFrame = {
+    require(bandDiv >= 1, s"bandDiv=$bandDiv must be >= 1")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val lm = audioEnergy(df, idCol, binCol, width, stride)
+      .select(col("doc_id"), col("window_idx"),
+        expr(s"energy div $bandDiv").as("band"))
+    lm.as("x").join(lm.as("y"),
+        col("x.window_idx") === col("y.window_idx") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[audioFingerprintPairs]] over `unhex(md5(text))`
+    * payloads (the [[duckAudioEnergy]] staging).
+    */
+  def duckAudioFingerprintPairs(table: String, idCol: String, width: Int,
+                                stride: Int, bandDiv: Long, minShared: Int): String =
+    s"""WITH en AS (${duckAudioEnergy(table, idCol, width, stride)}),
+       lm AS (SELECT doc_id, window_idx, energy // $bandDiv AS band FROM en)
+       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       FROM lm x JOIN lm y
+         ON x.window_idx = y.window_idx AND x.band = y.band AND x.doc_id < y.doc_id
+       GROUP BY x.doc_id, y.doc_id
+       HAVING count(*) >= $minShared"""
+
   /** DuckDB twin of [[audioEnergy]] over `unhex(md5(text))` payloads
     * (16 bytes per doc; byte i, 0-based, is hex pair (2i+1, 2i+2)).
     */

@@ -55,6 +55,26 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckAudioEnergy("documents", "doc_id",
         width = 6, stride = 4))),
 
+    // audio fingerprint matching: (window, energy-band) landmarks joined
+    // through the landmark inverted index, pairs kept at >= 3 shared of 4
+    // (see operators/Multimodal.audioFingerprintPairs — candidate
+    // generation is landmark-bucket-local, never clip x clip). Identical
+    // payloads land at n_shared = 4 (pinned by spec on planted dups);
+    // 3-of-4 survivors on the pseudorandom fixture payloads are the
+    // documented collision floor of the deliberately small landmark space
+    // (4 windows x 64 bands here — production widens both)
+    "mm_audio_fingerprint" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
+        Multimodal.audioFingerprintPairs(docs, "doc_id", "pcm",
+            width = 6, stride = 4, bandDiv = 1024L, minShared = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(Multimodal.duckAudioFingerprintPairs("documents", "doc_id",
+        width = 6, stride = 4, bandDiv = 1024L, minShared = 3) +
+        "\nORDER BY doc_a, doc_b")),
+
     // pHash-style near-dup over decoder features: stub-decode → 64-bit
     // rank-hash → SimHash chunk-banded hamming pairs (exact for <= 3 by
     // pigeonhole). Media bytes are the 32-char text prefix so the planted

@@ -332,6 +332,26 @@ class OperatorSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("audioFingerprintPairs: planted duplicates vote 4-of-4, threshold filters noise") {
+    // three clips of 16 bytes: a and b identical (every landmark matches),
+    // c shares a's first window but diverges after — at minShared=4 only
+    // the planted duplicate survives; at 1 the (a,c) single-landmark
+    // collision also appears (the inverted-index candidate, pre-vote)
+    val base = Array.tabulate[Byte](16)(i => ((i * 37 + 40) & 0xff).toByte)
+    // window 0 covers bytes [0,6) (width 6, stride 4): diverge from byte 6
+    // so exactly that landmark is shared
+    val c = base.clone(); (6 until 16).foreach(i => c(i) = ((c(i) + 90) & 0xff).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, c)).toDF("doc_id", "pcm")
+    def pairs(minShared: Int) =
+      Multimodal.audioFingerprintPairs(df, "doc_id", "pcm",
+          width = 6, stride = 4, bandDiv = 1024L, minShared = minShared)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(pairs(4) == Seq((1L, 2L, 4L)), s"got=${pairs(4)}")
+    val loose = pairs(1)
+    assert(loose.contains((1L, 2L, 4L)) && loose.exists(p => p._1 == 1L && p._2 == 3L),
+      s"got=$loose")
+  }
+
   test("ImageIoDecoder: real PNG decode — noisy copies pair within hamming<=3, unrelated don't") {
     import java.awt.image.BufferedImage
 
