@@ -120,6 +120,43 @@ object AnalyticsQueries {
     // ONE pass — Spark expands grouping sets map-side (partial agg per set),
     // so the plan is a single scan + one shuffle regardless of set count.
     // grouping_id disambiguates rolled-up NULLs from (absent here) real NULLs
+    // explicit GROUPING SETS (the third grouping shape beside rollup and
+    // cube): exactly the (flag, status), (flag), and (priority) panels in
+    // ONE scan — the Expand operator emits one copy per set, partials stay
+    // map-side-combined; the ad-hoc dashboard shape that would otherwise
+    // run three scans + a union
+    "q_grouping_sets" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .createOrReplaceTempView("li_o_gs")
+        spark.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 coalesce(o_orderpriority, 'ALL') AS prio,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 count(*) AS n,
+                 CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+                      + grouping(o_orderpriority) AS BIGINT) AS gid
+          FROM li_o_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                  (o_orderpriority))
+          ORDER BY gid, rf, ls, prio""")
+      },
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (o_orderpriority))
+        ORDER BY gid, rf, ls, prio""")),
+
     "q_rollup_pricing" -> QueryEntry(
       fn = (spark, sfDir) => {
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
