@@ -340,6 +340,55 @@ object EventQueries {
         FROM scored WHERE hour_us < last_hour ORDER BY hour_us, event_type""")),
 
     // gap-based sessionization: a >30min silence starts a new session
+    // RFM segmentation: per-user recency (days since last purchase vs the
+    // corpus horizon), frequency (purchase count), monetary (integer-cent
+    // spend — the winsorize cents discipline, no double summation), each
+    // banded 1-3 by fixed thresholds, rolled up to segment populations.
+    // The lifecycle-marketing primitive; also the curation shape for
+    // "contributor tiers" on UGC sources. One narrow per-user aggregate +
+    // a 1-row horizon broadcast; the segment rollup is ≤27 cells
+    "ev_rfm_segments" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val p = Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val horizon = p.agg(max(col("ts_us")).as("horizon_us"))
+        val perUser = p.groupBy("user_id")
+          .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("f"),
+            sum(col("cents")).as("cents"))
+          .crossJoin(horizon)
+          .select(col("user_id"),
+            expr(s"3 - least((horizon_us - last_us) div ${7 * DayUs}, 2L)").as("r_score"),
+            (lit(1L) + when(col("f") >= 3, 1L).otherwise(0L)
+              + when(col("f") >= 10, 1L).otherwise(0L)).as("f_score"),
+            (lit(1L) + when(col("cents") >= 5000L, 1L).otherwise(0L)
+              + when(col("cents") >= 20000L, 1L).otherwise(0L)).as("m_score"))
+        perUser.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+        h AS (SELECT max(ts_us) AS horizon_us FROM p),
+        u AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS f,
+                     CAST(sum(cents) AS BIGINT) AS cents
+              FROM p GROUP BY user_id),
+        s AS (SELECT u.user_id,
+                     3 - least((h.horizon_us - u.last_us) // ${7 * 86400000000L}, 2) AS r_score,
+                     1 + CASE WHEN u.f >= 3 THEN 1 ELSE 0 END
+                       + CASE WHEN u.f >= 10 THEN 1 ELSE 0 END AS f_score,
+                     1 + CASE WHEN u.cents >= 5000 THEN 1 ELSE 0 END
+                       + CASE WHEN u.cents >= 20000 THEN 1 ELSE 0 END AS m_score
+              FROM u, h)
+        SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score, count(*) AS n_users
+        FROM s GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score""")),
+
     // behavior transition matrix (first-order Markov): count of each
     // (from_type → to_type) step in every user's time-ordered event
     // sequence, with the row-conditional probability in integer micro-units

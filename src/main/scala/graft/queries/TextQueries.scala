@@ -191,6 +191,83 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // language-ID confusion matrix: heuristic prediction vs the fixture's
+    // lang label, with row-conditional accuracy in integer micro-units —
+    // the evaluation harness for the langid filter itself (a curation
+    // pipeline that filters on predicted language needs this table to know
+    // what the filter DOES to each true class). One scan + a ≤|langs|²
+    // aggregate; the row-total join is broadcast-sized
+    "text_langid_confusion" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val langs = graft.operators.TextAnalysis.langs
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val scores = langs.map(l => l -> langScore(col("tk"), l)).toMap
+        val preds = docs.select(col("lang"), predictedLang(scores).as("pred_lang"))
+        val cells = preds.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("lang").agg(sum(col("n")).as("row_total"))
+        cells.join(totals, Seq("lang"))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            expr("n * 1000000 div row_total").as("p_micro"))
+          .orderBy("lang", "pred_lang")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        val score = (l: String) => duckLangScore(tk, l)
+        s"""WITH preds AS (SELECT lang, ${duckPredictedLang(score)} AS pred_lang
+                           FROM documents),
+           cells AS (SELECT lang, pred_lang, count(*) AS n FROM preds
+                     GROUP BY lang, pred_lang),
+           totals AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_total
+                      FROM cells GROUP BY lang)
+           SELECT c.lang, c.pred_lang, c.n, c.n * 1000000 // t.row_total AS p_micro
+           FROM cells c JOIN totals t ON c.lang = t.lang
+           ORDER BY c.lang, c.pred_lang"""
+      }),
+
+    // incremental novelty on ingest: the delta batch scored against the
+    // corpus-so-far's persisted distinct-shingle index — the daily-ingest
+    // twin of text_novelty, same O(delta + index-probe) shape as
+    // dedup_incremental (the corpus text is never re-read; at scale the
+    // index probe takes the bloom-prefilter path corpus_decontaminate_bloom
+    // already demonstrates). Novelty here is vs the INDEX: shingles first
+    // seen anywhere in the delta count as novel even if another delta doc
+    // also has them — the per-batch "how much new material arrived" figure
+    "text_novelty_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cut = 400L
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val index = docs.filter(col("doc_id") < cut)
+          .select(explode(shinglesFromTokens(col("tk"), 3)).as("sh")).distinct()
+          .withColumn("seen", lit(1L))
+        val delta = docs.filter(col("doc_id") >= cut)
+          .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), 3)).as("sh"))
+        delta.join(index, Seq("sh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 1000000 div n_shingles").as("novelty_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           idx AS (SELECT DISTINCT unnest(${duckShinglesExpr("tk", 3)}) AS sh
+                   FROM toks WHERE doc_id < 400),
+           delta AS (SELECT doc_id, unnest(${duckShinglesExpr("tk", 3)}) AS sh
+                     FROM toks WHERE doc_id >= 400)
+           SELECT d.doc_id, count(*) AS n_shingles,
+                  CAST(sum(CASE WHEN i.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                  CAST(sum(CASE WHEN i.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000000 // count(*) AS novelty_micro
+           FROM delta d LEFT JOIN idx i ON d.sh = i.sh
+           GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
     // vocabulary-growth (Heaps-law) curve: cumulative distinct token types
     // vs cumulative token occurrences at log2 checkpoints of the doc_id
     // ingestion order — the corpus-health plot that tells whether a crawl
