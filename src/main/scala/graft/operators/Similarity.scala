@@ -67,16 +67,36 @@ object Similarity {
     when(na * nb === 0, 0L)
       .otherwise(floor(dot(a, b) / (na * nb) * 1e6).cast("long"))
 
-  /** The shared top-k tail: windowed rank per query over a scored pair frame
-    * with the deterministic (score desc, neighbor id asc) tiebreak — every
-    * top-k variant in this file ends in exactly this shape, so a tie-break or
-    * rank-type change lands in one place.
+  /** The shared top-k tail: top `k` per query over a (query_id, neighbor_id,
+    * score) frame with the deterministic (score desc, neighbor id asc)
+    * tiebreak — every top-k variant in this file ends in exactly this shape,
+    * so a tie-break or rank-type change lands in one place.
+    *
+    * Implemented as a PARTIAL-AGGREGATING bounded heap (Catalyst's
+    * `CollectTopK`, the aggregate behind SQL's own top-k rewrites), not a
+    * window rank: the window form shuffles EVERY scored pair to its query's
+    * partition and sorts the full partition before discarding all but k,
+    * while the aggregate form keeps a k-element heap per query per input
+    * partition and shuffles only those partials — at a 100 TB scan with
+    * thousands of candidates per query, the shuffle shrinks from
+    * |candidates| to |queries|·k. Selection key is the (score, −id) struct,
+    * so the k LARGEST under lexicographic order are exactly score-desc with
+    * ties to the SMALLER id, and the eval emits them already sorted — rank
+    * is the array position. Output rows, columns, and ordering are
+    * bit-identical to the window form (pinned by the equivalence spec).
     */
   private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    import org.apache.spark.sql.graftbridge.Bridge
+    val pair = struct(col(scoreCol), (-col("neighbor_id")).as("__nid"))
+    val topk = Bridge.column(
+      new CollectTopK(Bridge.expression(pair), k, false).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(topk.as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("query_id"),
+        (-col("__p.__nid")).as("neighbor_id"),
+        col(s"__p.$scoreCol").as(scoreCol),
+        (col("__pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -93,6 +93,25 @@ class OperatorSpec extends SparkSpec {
     assert(ivfMin >= 100000L && ivfMean >= 300000L, s"ivf recall regressed: $byMethod")
   }
 
+  test("top-k aggregate keeps the window semantics: score desc, ties to the smaller id") {
+    // neighbors 10..13 are identical vectors (equal cosine to the query —
+    // a 4-way tie) and 20 is near-orthogonal: ranks must run 10,11,12,13
+    // by id, then 20, exactly as the windowed (score desc, id asc) rank did
+    val v = Seq.fill(4)(1.0f)
+    val ortho = Seq(1.0f, -1.0f, 1.0f, -1.0f)
+    val vecs = ((1L, v) +: (10L to 13L).map(i => (i, v)) :+ (20L, ortho))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.topK(vecs.filter(col("vec_id") === 1L), vecs, k = 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (20L, 5L)), got)
+    // and the plan is a partial-combining aggregate, not a window-sort of
+    // every scored pair
+    val plan = Similarity.topK(vecs.filter(col("vec_id") === 1L), vecs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_top_k") || plan.contains("CollectTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("JL sketch: projection is integer-exact and rerank recall holds its floor") {
     // the projection must be pure integers (the quantize-then-project
     // contract) and bit-stable: two runs produce identical sketches
