@@ -397,6 +397,66 @@ object Graph {
     result
   }
 
+  /** Link prediction by common-neighbor count: the top `topN` NON-adjacent
+    * pairs sharing the most neighbors — the "accounts that behave like an
+    * existing cluster but aren't linked yet" recommendation/screen, the
+    * open-wedge complement of [[nodeSimilarity]] (which scores existing
+    * edges).
+    *
+    * Open wedges CANNOT reuse the triangle degree orientation: a common
+    * neighbor c of (v, w) is only enumerated there when c precedes both v
+    * and w in the orientation order — guaranteed for triangles (the minimal
+    * vertex centers an enumerated wedge; the closing edge completes it) but
+    * not for open pairs, which the oriented form silently undercounts. So
+    * this enumerates wedges at EVERY center — O(Σ deg²), a hub blowup —
+    * bounded by `maxCenterDeg`: centers wider than the cap are excluded
+    * wholesale (Σ_{deg≤D} deg² ≤ D·m, so the wedge count is linear in edges
+    * at fixed cap). That is also the right SEMANTICS for curation: a
+    * 100k-degree hub says nothing about any specific pair (the wide-basket
+    * fan-out guard's rationale, applied to graphs); the cap is mirrored in
+    * the oracle, so a capped run can never silently drift.
+    *
+    * Returns (a, b, common) for non-edges, common desc / a asc / b asc,
+    * limited to `topN` (TakeOrdered — no global sort materializes).
+    */
+  def linkPrediction(edges: DataFrame, maxCenterDeg: Int, topN: Int): DataFrame = {
+    require(maxCenterDeg >= 2, s"maxCenterDeg=$maxCenterDeg must be >= 2")
+    require(topN >= 1, s"topN=$topN must be >= 1")
+    val e = edges.select(col("a"), col("b")).persist()
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("c"), col("a").as("n")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    val capped = adj.join(deg.filter(col("deg") <= maxCenterDeg), Seq("c"))
+    val wedges = capped.select(col("c"), col("n").as("v"))
+      .join(capped.select(col("c"), col("n").as("w")), Seq("c"))
+      .filter(col("v") < col("w"))
+    val common = wedges.groupBy(col("v").as("a"), col("w").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val result = common.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("common").desc, col("a").asc, col("b").asc)
+      .limit(topN)
+      .persist()
+    result.count()
+    e.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB twin of [[linkPrediction]]: `edgesSql` must select canonical
+    * (a, b). Same degree cap, full wedge enumeration, anti-join, top-N.
+    */
+  def duckLinkPredictionSql(edgesSql: String, maxCenterDeg: Int, topN: Int): String =
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       adj AS (SELECT a AS c, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+       capped AS (SELECT adj.c, adj.n FROM adj JOIN deg ON adj.c = deg.c
+                  WHERE deg.deg <= $maxCenterDeg),
+       w AS (SELECT x.n AS a, y.n AS b FROM capped x JOIN capped y
+             ON x.c = y.c AND x.n < y.n),
+       cm AS (SELECT a, b, count(*) AS common FROM w GROUP BY a, b)
+       SELECT cm.a, cm.b, cm.common FROM cm
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cm.a AND e.b = cm.b)
+       ORDER BY cm.common DESC, cm.a ASC, cm.b ASC LIMIT $topN"""
+
   /** DuckDB twin of [[nodeSimilarity]]: `edgesSql` must select canonical
     * (a, b). Same degree orientation, triangle closure, per-edge explode,
     * and integer micro-Jaccard.

@@ -710,6 +710,35 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // link prediction over the co-click graph: top non-adjacent user pairs
+    // by common-neighbor count (hub centers excluded by the degree cap —
+    // see operators/Graph.linkPrediction for why open wedges cannot reuse
+    // the triangle orientation and why the cap is also the right
+    // semantics) — the "same cluster, not yet linked" screen
+    "q_link_prediction" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val edges = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+        graft.operators.Graph.linkPrediction(edges, maxCenterDeg = 30, topN = 20)
+      },
+      oracle = Some {
+        val edgesSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 1800000000"""
+        graft.operators.Graph.duckLinkPredictionSql(edgesSql, maxCenterDeg = 30, topN = 20)
+      }),
+
     // association rules at pair granularity (market-basket): brands bought
     // together in one order, with integer-micro confidence and lift — the
     // "customers who bought X also bought Y" primitive. The apriori

@@ -625,6 +625,23 @@ class OperatorSpec extends SparkSpec {
     assert(got.contains((4L, 5L, 0L, 0L)))
   }
 
+  test("linkPrediction: open-wedge counts, edges excluded, hub cap drops wide centers") {
+    // path 1-2-3 plus 1-4, 3-4: non-edge (1,3) has common {2,4}; (2,4) has
+    // {1,3}; edges themselves must not appear
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+    val got = Graph.linkPrediction(g.toDF("a", "b"), maxCenterDeg = 30, topN = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)), s"got=$got")
+    // a hub center wider than the cap contributes no wedges: star 0-{1..5}
+    // with cap 4 yields nothing (the only common neighbors route through 0)
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(Graph.linkPrediction(star.toDF("a", "b"), maxCenterDeg = 4, topN = 10)
+      .count() == 0L)
+    // and with the cap raised the star's leaf pairs all score 1
+    assert(Graph.linkPrediction(star.toDF("a", "b"), maxCenterDeg = 5, topN = 100)
+      .count() == 10L) // C(5,2)
+  }
+
   test("bfs levels: minimum hop distance, early exit, unreachable absent") {
     // chain 1->2->3->4->5 plus a shortcut 1->4 (min beats the long path),
     // a cycle edge 3->1 (revisits must not lower a settled level), and an
