@@ -616,6 +616,53 @@ class StreamingSpec extends SparkSpec {
     assert(jvmBands == sqlBands)
   }
 
+  test("foreachBatch upsert snapshot: versioned merge is restart-safe and replay-idempotent") {
+    val inDir = Files.createTempDirectory("graft-snap-in")
+    val ckpt = Files.createTempDirectory("graft-snap-meta").toString
+    val outDir = Files.createTempDirectory("graft-snap-out").toString
+    val raw = Readers.fixture(spark, sfDir, "events")
+    val cutUs = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-snap-half").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inDir.resolve(name))
+    }
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half0.parquet")
+    def start() = EventStreams.snapshotUpsertQuery(
+      EventStreams.readEvents(spark, inDir.toString), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val v1 = EventStreams.latestSnapshotVersion(outDir)
+    assert(v1.nonEmpty, "no snapshot version written by run 1")
+    // run 2: fresh query, same checkpoint, only the new file arrives —
+    // its merge must land ON TOP of run 1's snapshot
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half1.parquet")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val vLast = EventStreams.latestSnapshotVersion(outDir).get
+    assert(vLast > v1.get, s"restart did not advance the snapshot: $vLast vs $v1")
+    val got = spark.read.parquet(s"$outDir/v$vLast")
+    // batch truth: latest (ts, event_id) record per user over ALL events
+    val want = raw
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("s"))
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"), col("s.event_type"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "snapshot diverged from the batch latest-state view")
+    // replay idempotence (the foreachBatch at-least-once contract): merging
+    // the final batch AGAIN under the same batch id must rewrite v<last>
+    // with identical content — versioning absorbs the duplicate delivery
+    val replayRows = raw.filter(unix_micros(col("ts")) > cutUs)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    EventStreams.mergeSnapshot(replayRows, outDir, vLast)
+    val replayed = spark.read.parquet(s"$outDir/v$vLast")
+    assert(replayed.except(want).isEmpty && want.except(replayed).isEmpty,
+      "batch replay changed the snapshot — the merge is not idempotent")
+  }
+
   test("streaming LSH band index survives a restart: the checkpoint IS the index") {
     import graft.streaming.IngestStreams
     // run 1 ingests the first id-half and stops; run 2 (fresh query, same
