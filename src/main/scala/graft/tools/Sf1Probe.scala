@@ -244,6 +244,35 @@ object Sf1Probe {
     timed("jl_rerank 1x") { jlRerank(fixture("embeddings")) }
     timed("jl_rerank 10x") { jlRerank(emb10) }
 
+    // -- CMS join-size estimate (q_join_size_cms shape) ----------------------
+    // disjoint-copy keys: the exact join grows mult× and so does the
+    // estimate; the SKETCH state stays depth·width regardless — the
+    // constant-state claim, measured. Estimate remains one-sided (>= exact)
+    // at every scale by construction.
+    // width scales WITH the data (the AMS sizing rule: per-lane collision
+    // error is ‖A‖₁·‖B‖₁/width, so holding RELATIVE error needs width ∝
+    // the L1 product): measured at fixed 64k width the overestimate grew
+    // 3.3× → 24× from 1× to 10× data; with width ∝ mult it stays ~3×
+    // while the sketch remains kilobytes against terabytes
+    def joinSize(o: DataFrame, l: DataFrame, width: Int): Long = {
+      import graft.operators.Sketches
+      val depth = 4
+      val est = Sketches.cmsInnerProduct(
+        Sketches.cmsCounters(o, col("o_orderkey"), depth, width),
+        Sketches.cmsCounters(l, col("l_orderkey"), depth, width))
+        .head().getLong(0)
+      val exact = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      require(est >= exact, s"CMS inner product underestimated: $est < $exact")
+      println(f"[sf1]   join_size est=$est exact=$exact over=${est.toDouble / exact}%.3f")
+      est
+    }
+    timed("join_size 1x") { joinSize(
+      fixture("orders").select(col("o_orderkey")),
+      fixture("lineitem").select(col("l_orderkey")), 65536) }
+    timed("join_size 10x") { joinSize(
+      orders10.select(col("o_orderkey")), li10.select(col("l_orderkey")),
+      65536 * mult) }
+
     // -- streaming LSH ingest (dedup_lsh_stream shape, single-batch replay) --
     def lshStream(docs: DataFrame): Long = {
       val dir = java.nio.file.Files.createTempDirectory("graft-sf1-lsh")
