@@ -57,6 +57,44 @@ object DedupQueries {
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
 
+    // near-dup threshold tuning curve: candidate pairs per n_matching level
+    // (the native resolution of a 16-perm sketch) with the cumulative
+    // pairs-at-or-above count — the table that picks the est_jaccard
+    // threshold graft-curate's near-dup gate runs at (a cliff in the curve
+    // separates true near-dups from banding noise). One ≤numPerm+1-row
+    // aggregate over the shared candidate generation; the cumsum window is
+    // bounded by the same
+    "dedup_threshold_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = MinHashLSH.candidatePairs(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          ShingleN, NumPerm, NumBands)
+        val w = Window.orderBy(col("n_matching").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs.groupBy(col("n_matching"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("est_jaccard_micro",
+            expr(s"n_matching * 1000000 div $NumPerm"))
+          .withColumn("cum_pairs_at_or_above", sum(col("n_pairs")).over(w))
+          .select(col("n_matching"), col("est_jaccard_micro"),
+            col("n_pairs"), col("cum_pairs_at_or_above"))
+          .orderBy(col("n_matching").desc)
+      },
+      oracle = Some {
+        val inner = MinHashLSH.duckCandidatePairs(
+          "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)
+        s"""WITH cand AS ($inner),
+           bands AS (SELECT n_matching, count(*) AS n_pairs FROM cand
+                     GROUP BY n_matching)
+           SELECT n_matching, n_matching * 1000000 // $NumPerm AS est_jaccard_micro,
+                  n_pairs,
+                  CAST(sum(n_pairs) OVER (ORDER BY n_matching DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_pairs_at_or_above
+           FROM bands ORDER BY n_matching DESC"""
+      }),
+
     // the banding join as ONLINE ingest: the band index lives in keyed
     // streaming state (the checkpoint IS the index) and each arrival emits
     // its pairs against prior occupants — replayed over the fixture it must
