@@ -760,6 +760,57 @@ object EventQueries {
                CAST(sum(credit_micro) AS BIGINT) AS credit_micro
         FROM credited GROUP BY click_id ORDER BY click_id""")),
 
+    // time-decay attribution: the third credit rule beside last-touch and
+    // linear — each purchase's 1e6 micro-credit splits across its
+    // in-window clicks weighted 2^(−age), with age in 10-minute buckets so
+    // the weights are exact powers of two (1 << (5 − bucket) over the 1 h
+    // window — no exp(), the no-libm discipline; integral division leaves
+    // the remainder unassigned exactly like the linear rule). Same
+    // interval-join shape as ev_attribution_multi; the weight normalizer
+    // is one window sum per purchase
+    "ev_attribution_decay" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_us"))
+        val touches = c.join(p, Seq("user_id"))
+          .filter(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= AttributionUs)
+          .select(col("click_id"), col("purchase_id"),
+            // least-clamp: an age of exactly AttributionUs lands in bucket 6
+            // and 5 − 6 would be a NEGATIVE shift (Java masks it to << 63,
+            // DuckDB differs — a silent cross-engine divergence at the
+            // window boundary); bucket 5+ decays to weight 1
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(5 - least((p_us - c_us) div 600000000, 5L) AS INT))")
+              .as("w"))
+        touches
+          .withColumn("credit_micro", expr("1000000 * w DIV sum(w) OVER " +
+            "(PARTITION BY purchase_id)"))
+          .groupBy(col("click_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("credit_micro")).as("credit_micro"))
+          .orderBy("click_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        touches AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                 (CAST(1 AS BIGINT) << CAST(5 - least((p.ts_us - c.ts_us) // 600000000, 5) AS INTEGER)) AS w
+          FROM ev c JOIN ev p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts_us >= c.ts_us AND p.ts_us - c.ts_us <= $AttributionUs),
+        credited AS (
+          SELECT click_id,
+                 1000000 * w // sum(w) OVER (PARTITION BY purchase_id) AS credit_micro
+          FROM touches)
+        SELECT click_id, count(*) AS n_purchases,
+               CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY click_id ORDER BY click_id""")),
+
     // the same attribution as a STREAM-STREAM interval join (the one major
     // Structured Streaming operator class the other ev_*_stream queries don't
     // cover): watermarks on both sides + the time-bound join condition give
