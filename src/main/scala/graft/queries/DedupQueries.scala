@@ -57,6 +57,62 @@ object DedupQueries {
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
 
+    // dedup savings report: per source, how many documents and characters
+    // the exact + near-dup gates would remove — the "what does dedup buy
+    // us, and from which sources" figure that justifies the pipeline's cost
+    // (a source with 40% savings is a recrawl; one at 2% doesn't need the
+    // near-dup pass daily). Composes the same md5 groups and LSH components
+    // the curate CLI runs; chars are summed as 64-bit integers
+    "corpus_dedup_savings" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), coalesce(col("source"), lit("(none)")).as("source"),
+            col("n_chars"))
+        val texts = Readers.fixture(spark, sfDir, "documents")
+        val exactDrop = texts
+          .join(texts.groupBy(md5(col("text")).as("h"))
+              .agg(min(col("doc_id")).as("keep")),
+            md5(col("text")) === col("h") && col("doc_id") =!= col("keep"), "left_semi")
+          .select("doc_id")
+        val pairs = MinHashLSH.candidatePairs(texts, "doc_id", "text",
+            ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        val nearDrop = graft.operators.DedupClusters.components(pairs)
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        val dropped = exactDrop.unionByName(nearDrop).distinct()
+          .withColumn("is_dropped", lit(1L))
+        docs.join(dropped, Seq("doc_id"), "left_outer")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(when(col("is_dropped").isNotNull, col("n_chars")).otherwise(0L))
+              .as("chars_dropped"))
+          .select(col("source"), col("n_docs"), col("n_dropped"),
+            col("chars_total"), col("chars_dropped"),
+            expr("chars_dropped * 1000000 div chars_total").as("savings_micro"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val cand = s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+            "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+           WHERE est_jaccard >= 0.5"""
+        s"""WITH ex AS (SELECT doc_id FROM documents
+                        WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents
+                                             GROUP BY md5(text))),
+           nd AS (SELECT doc_id FROM (${graft.operators.DedupClusters.duckComponents(cand)}) q
+                  WHERE doc_id <> cluster_id),
+           dropped AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM nd)
+           SELECT coalesce(source, '(none)') AS source, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+                  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+                    * 1000000 // CAST(sum(n_chars) AS BIGINT) AS savings_micro
+           FROM documents doc LEFT JOIN dropped d ON doc.doc_id = d.doc_id
+           GROUP BY coalesce(source, '(none)') ORDER BY source"""
+      }),
+
     // near-dup threshold tuning curve: candidate pairs per n_matching level
     // (the native resolution of a 16-perm sketch) with the cumulative
     // pairs-at-or-above count — the table that picks the est_jaccard

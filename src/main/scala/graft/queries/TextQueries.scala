@@ -191,6 +191,32 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // tokenizer fertility by language: BPE-ish pieces per whitespace word
+    // in integer micro-units — the cross-lingual tokenizer-cost figure
+    // (a language at 2× fertility pays 2× the context budget per word;
+    // the standard argument for vocabulary rebalancing). One scan-parallel
+    // aggregate over the same piece pattern text_tokens counts
+    "text_fertility" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val pieces = size(expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)")).cast("long")
+        val words = size(tokens(col("text"))).cast("long")
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(pieces).as("n_pieces"), sum(words).as("n_words"))
+          .select(col("lang"), col("n_docs"), col("n_pieces"), col("n_words"),
+            expr("n_pieces * 1000000 div n_words").as("fertility_micro"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        s"""SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '$piecePattern'))) AS BIGINT) AS n_pieces,
+             CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS n_words,
+             CAST(sum(len(regexp_extract_all(lower(text), '$piecePattern'))) AS BIGINT)
+               * 1000000 // CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS fertility_micro
+           FROM documents GROUP BY lang ORDER BY lang""")),
+
     // language-ID confusion matrix: heuristic prediction vs the fixture's
     // lang label, with row-conditional accuracy in integer micro-units —
     // the evaluation harness for the langid filter itself (a curation
