@@ -960,6 +960,54 @@ object EventQueries {
       },
       oracle = Some(FunnelOracle)),
 
+    // funnel conversion timing: per transition (signup→click,
+    // click→purchase), how many users converted and the p50/p90 latency in
+    // integer microseconds — the stage-cost companion to ev_funnel's
+    // counts (a funnel that converts slowly is a different problem from
+    // one that doesn't convert). Same gated min-ts stage frames; the
+    // percentile rides Quantiles.grouped, so the exact→approx scale
+    // degrade and its log line come for free
+    "ev_funnel_timing" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val s = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+        val c = ev.filter(col("event_type") === "click").join(s, "user_id")
+          .filter(col("ts_us") > col("s_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c.join(s, "user_id"), "user_id")
+          .filter(col("ts_us") > col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+        val lags = c.join(s, "user_id")
+          .select(lit("1_signup_to_click").as("step"), (col("c_us") - col("s_us")).as("lag_us"))
+          .unionByName(p.join(c, "user_id")
+            .select(lit("2_click_to_purchase").as("step"), (col("p_us") - col("c_us")).as("lag_us")))
+        graft.operators.Quantiles.grouped(lags, "step", "lag_us",
+            Seq("p50_us" -> 0.5, "p90_us" -> 0.9))
+          .orderBy("step")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts_us) AS c_us FROM ev e JOIN s USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us > s.s_us GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts_us) AS p_us FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id),
+        lags AS (
+          SELECT '1_signup_to_click' AS step, c.c_us - s.s_us AS lag_us
+          FROM c JOIN s USING (user_id)
+          UNION ALL
+          SELECT '2_click_to_purchase', p.p_us - c.c_us
+          FROM p JOIN c USING (user_id))
+        SELECT step,
+               quantile_cont(lag_us, 0.5) AS p50_us,
+               quantile_cont(lag_us, 0.9) AS p90_us,
+               count(*) AS n
+        FROM lags GROUP BY step ORDER BY step""")),
+
     // streaming funnel: the three join+agg stages become a per-user
     // (stage, gate-ts) state machine — 16 bytes of state per user vs three
     // user-keyed shuffles, the standard batch→stream funnel rewrite; strict
@@ -1082,6 +1130,43 @@ object EventQueries {
           .orderBy("type_a", "type_b")
       },
       oracle = Some(CooccurOracle)),
+
+    // cohort value (LTV triangle): purchase cents per (cohort day, day
+    // offset) — the revenue companion to ev_retention's activity counts
+    // (retention says users came back; this says what coming back was
+    // worth). Integer cents via the winsorize decimal discipline; cohort
+    // assignment is the same |users|-sized min-day aggregate
+    "ev_cohort_value" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"),
+            unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+            col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val coh = ev.select(col("user_id"), col("day_us")).distinct()
+          .groupBy(col("user_id")).agg(min(col("day_us")).as("cohort_us"))
+        ev.filter(col("event_type") === "purchase")
+          .join(coh, "user_id")
+          .groupBy(col("cohort_us"),
+            expr(s"(day_us - cohort_us) div $DayUs").as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            sum(col("cents")).as("cents"))
+          .orderBy("cohort_us", "offset_days")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+                           event_type,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+        coh AS (SELECT user_id, min(day_us) AS cohort_us
+                FROM (SELECT DISTINCT user_id, day_us FROM ev) a GROUP BY user_id)
+        SELECT cohort_us, (day_us - cohort_us) // 86400000000 AS offset_days,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM ev JOIN coh USING (user_id)
+        WHERE event_type = 'purchase'
+        GROUP BY cohort_us, offset_days ORDER BY cohort_us, offset_days""")),
 
     // cohort retention: users grouped by first-activity day, counted per
     // day-offset of later activity — the classic triangle matrix. Distinct

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.functions._
 
 import graft.QueryEntry
@@ -540,6 +542,43 @@ object SimilarityQueries {
                     (1000000 * coalesce(jh.n_hits, 0)) // $K AS recall_micro
              FROM eq LEFT JOIN jh ON jh.query_id = eq.query_id)
            ORDER BY method, query_id"""
+      }),
+
+    // IVF nprobe tuning curve: mean recall@10 at nprobe 1/2/4 in one table
+    // — the cost-recall trade made visible (each nprobe step scans
+    // proportionally more cells; the curve says where it stops paying).
+    // The sibling of dedup_threshold_curve on the similarity side; exact
+    // ground truth is the shared gated baseline
+    "sim_nprobe_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val nQ = exact.select("query_id").distinct().count()
+        Seq(1, 2, 4).map { np =>
+          val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, np)
+          val hits = exact.select("query_id", "neighbor_id")
+            .join(ivf.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          (np.toLong, hits, hits * 1000000L / (K * nQ))
+        }.pipe { rows =>
+          val spark2 = spark; import spark2.implicits._
+          rows.toDF("nprobe", "n_hits", "mean_recall_micro")
+        }.orderBy("nprobe")
+      },
+      oracle = Some {
+        val variants = Seq(1, 2, 4).map { np =>
+          s"""SELECT CAST($np AS BIGINT) AS nprobe,
+                CAST((SELECT count(*) FROM exact e
+                      JOIN (${Similarity.duckIvfTopK(K, NumCentroids, "q.vec_id < 8", np)}) a
+                        USING (query_id, neighbor_id)) AS BIGINT) AS n_hits"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH exact AS ($TopkOracle),
+             eq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM exact),
+             v AS ($variants)
+           SELECT v.nprobe, v.n_hits,
+                  v.n_hits * 1000000 // ($K * eq.nq) AS mean_recall_micro
+           FROM v, eq ORDER BY v.nprobe"""
       }),
 
     "sim_ann_recall" -> QueryEntry(
