@@ -378,6 +378,65 @@ object CorpusQueries {
            FROM c ORDER BY q_avg_micro DESC, source ASC"""
       }),
 
+    // epoch repetition plan: extend the greedy budget fill with the
+    // standard ≤4-epoch repetition rule (repeating data beyond ~4 epochs
+    // stops helping — the data-constrained scaling result): each source,
+    // in quality order, takes up to 4 × its tokens from the remaining
+    // budget, whole epochs first; the fractional tail epoch is reported in
+    // micro-units. Same bounded-window shape as corpus_budget_mix with a
+    // 4× ceiling per source; all integer
+    "corpus_epoch_plan" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val budget = 30000L
+        val maxEpochs = 4L
+        val perSrc = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("source").isNotNull)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+            sum(floor(qualityScore(tokens(col("text"))) * 1e6).cast("long")).as("qsum"))
+          .select(col("source"), col("n_tokens"),
+            expr("qsum div n_docs").as("q_avg_micro"),
+            (col("n_tokens") * maxEpochs).as("cap_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("q_avg_micro").desc, col("source").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        perSrc
+          .withColumn("cum_before", coalesce(sum(col("cap_tokens")).over(w), lit(0L)))
+          .select(col("source"), col("n_tokens"), col("q_avg_micro"),
+            greatest(lit(0L), least(col("cap_tokens"), lit(budget) - col("cum_before")))
+              .as("alloc_tokens"))
+          .select(col("source"), col("n_tokens"), col("q_avg_micro"), col("alloc_tokens"),
+            expr("alloc_tokens div n_tokens").as("full_epochs"),
+            expr("(alloc_tokens % n_tokens) * 1000000 div n_tokens").as("tail_epoch_micro"))
+          .orderBy(col("q_avg_micro").desc, col("source").asc)
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckTokens}
+        val budget = 30000L
+        s"""WITH toks AS (SELECT source, ${duckTokens("text")} AS tk FROM documents
+                          WHERE source IS NOT NULL),
+           per AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+                          CAST(sum(CAST(floor((${duckQualityScore("tk")}) * 1e6) AS BIGINT)) AS BIGINT)
+                            // count(*) AS q_avg_micro,
+                          CAST(sum(len(tk)) * 4 AS BIGINT) AS cap_tokens
+                   FROM toks GROUP BY source),
+           c AS (SELECT source, n_tokens, q_avg_micro, cap_tokens,
+                        CAST(COALESCE(sum(cap_tokens) OVER (
+                          ORDER BY q_avg_micro DESC, source ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                          AS cum_before
+                 FROM per),
+           a AS (SELECT source, n_tokens, q_avg_micro,
+                        greatest(0, least(cap_tokens, $budget - cum_before)) AS alloc_tokens
+                 FROM c)
+           SELECT source, n_tokens, q_avg_micro, alloc_tokens,
+                  alloc_tokens // n_tokens AS full_epochs,
+                  (alloc_tokens % n_tokens) * 1000000 // n_tokens AS tail_epoch_micro
+           FROM a ORDER BY q_avg_micro DESC, source ASC"""
+      }),
+
     // dedup-rate-by-quality calibration: exact-duplicate rate per quality
     // decile — the cross-check that decides whether a quality threshold
     // doubles as a cheap dedup proxy (low-quality bands are usually the
@@ -417,6 +476,32 @@ object CorpusQueries {
                     * 1000000 // count(*) AS dup_micro
            FROM banded b JOIN g ON md5(b.text) = g.h
            GROUP BY band ORDER BY band"""
+      }),
+
+    // per-source token-length quantiles: p50/p90 document length by source
+    // — the figure that picks each source's chunking and sequence budget
+    // (a source of tweets and a source of papers should not share a
+    // seqLen). Rides Quantiles.grouped, so the exact→approx_percentile
+    // scale degrade and its warning log apply unchanged
+    "corpus_length_quantiles" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.tokens
+        val lens = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("source").isNotNull)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
+        graft.operators.Quantiles.grouped(lens, "source", "len",
+            Seq("p50_tokens" -> 0.5, "p90_tokens" -> 0.9))
+          .orderBy("source")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.duckTokens
+        s"""SELECT source,
+             quantile_cont(len, 0.5) AS p50_tokens,
+             quantile_cont(len, 0.9) AS p90_tokens,
+             count(*) AS n
+           FROM (SELECT source, CAST(len(${duckTokens("text")}) AS BIGINT) AS len
+                 FROM documents WHERE source IS NOT NULL) l
+           GROUP BY source ORDER BY source"""
       }),
 
     // length-bucketed batching audit: power-of-two token-length buckets

@@ -434,6 +434,35 @@ object DedupQueries {
            FROM documents ORDER BY doc_id""")),
 
     // SimHash near-dup pairs via pigeonhole chunk buckets (== brute force)
+    // SimHash hamming tuning curve: near-pairs per hamming distance with
+    // the cumulative pairs-at-or-under count — the 64-bit-sketch sibling
+    // of dedup_threshold_curve (pick the k in "hamming <= k" from the
+    // cliff, not from folklore). ≤4 rows out of the pigeonhole-banded pair
+    // generation
+    "dedup_hamming_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val withSh = SimHash.simhashDf(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
+        val pairs = SimHash.nearPairs(withSh, "id", "simhash")
+        val w = Window.orderBy(col("hamming").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cum_pairs_at_or_under", sum(col("n_pairs")).over(w))
+          .orderBy("hamming")
+      },
+      oracle = Some(
+        s"""WITH sh AS (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents),
+           p AS (SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           g AS (SELECT hamming, count(*) AS n_pairs FROM p GROUP BY hamming)
+           SELECT hamming, n_pairs,
+                  CAST(sum(n_pairs) OVER (ORDER BY hamming ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_pairs_at_or_under
+           FROM g ORDER BY hamming""")),
+
     "dedup_simhash_pairs" -> QueryEntry(
       fn = (spark, sfDir) => {
         val withSh = SimHash.simhashDf(

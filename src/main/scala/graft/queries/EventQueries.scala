@@ -1131,6 +1131,45 @@ object EventQueries {
       },
       oracle = Some(CooccurOracle)),
 
+    // DAU/WAU stickiness: per day, distinct daily actives, distinct
+    // trailing-7-day actives, and their ratio in integer micro-units — the
+    // engagement headline metric. The trailing window is a banded
+    // day-range join of the |users|·|days| distinct-activity frame against
+    // the tiny day list (broadcast), then one countDistinct per day —
+    // never a per-user window over the full event log
+    "ev_dau_wau" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val act = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"),
+            unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+          .distinct()
+        val days = act.select(col("day_us").as("d")).distinct()
+        val dau = act.groupBy(col("day_us")).agg(countDistinct(col("user_id")).as("dau"))
+        val wau = act.join(broadcast(days),
+            col("day_us") <= col("d") && col("day_us") > col("d") - 7L * DayUs)
+          .groupBy(col("d").as("day_us"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day_us")
+          .select(col("day_us"), col("dau"), col("wau"),
+            expr("dau * 1000000 div wau").as("stickiness_micro"))
+          .orderBy("day_us")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+                     FROM events),
+        days AS (SELECT DISTINCT day_us AS d FROM act),
+        dau AS (SELECT day_us, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                FROM act GROUP BY day_us),
+        wau AS (SELECT d AS day_us, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                FROM act JOIN days
+                  ON act.day_us <= days.d AND act.day_us > days.d - 604800000000
+                GROUP BY d)
+        SELECT dau.day_us, dau.dau, wau.wau,
+               dau.dau * 1000000 // wau.wau AS stickiness_micro
+        FROM dau JOIN wau ON dau.day_us = wau.day_us
+        ORDER BY dau.day_us""")),
+
     // cohort value (LTV triangle): purchase cents per (cohort day, day
     // offset) — the revenue companion to ev_retention's activity counts
     // (retention says users came back; this says what coming back was

@@ -544,6 +544,61 @@ object SimilarityQueries {
            ORDER BY method, query_id"""
       }),
 
+    // JL sketch-width tuning curve: mean shortlist-rerank recall@10 at 8/
+    // 16/32 sketch dims — the dimension-vs-recall trade as a table (the
+    // JL lemma says distortion ~ 1/sqrt(dims); this measures where the
+    // curve crosses the recall the pipeline needs). Third tuning curve
+    // beside dedup_threshold_curve and sim_nprobe_curve
+    "sim_jl_dims_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val nQ = exact.select("query_id").distinct().count()
+        Seq(8, 16, 32).map { d =>
+          val proj = Similarity.jlProject(e, "vec_id", "embedding",
+            Similarity.planes(d, Dims)).persist()
+          val shortlist = Similarity.jlTopK(proj.filter(col("vec_id") < 8), proj, 5 * K)
+          val rr = Similarity.rerankExact(shortlist, e, K)
+          val hits = exact.select("query_id", "neighbor_id")
+            .join(rr.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          proj.unpersist(blocking = false)
+          (d.toLong, hits, hits * 1000000L / (K * nQ))
+        }.pipe { rows =>
+          val spark2 = spark; import spark2.implicits._
+          rows.toDF("jl_dims", "n_hits", "mean_recall_micro")
+        }.orderBy("jl_dims")
+      },
+      oracle = Some {
+        val d2 = "list_reduce(list_transform(generate_series(1, len(q.jl)), " +
+          "i -> (q.jl[i] - n.jl[i]) * (q.jl[i] - n.jl[i])), (x, y) -> x + y)"
+        def variant(d: Int) = {
+          val shortlistSql =
+            s"""SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY d2 ASC, neighbor_id ASC) AS srank
+                 FROM (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                              $d2 AS d2
+                       FROM (${Similarity.duckJlProject(Similarity.planes(d, Dims))}) q
+                       JOIN (${Similarity.duckJlProject(Similarity.planes(d, Dims))}) n
+                         ON n.vec_id <> q.vec_id
+                       WHERE q.vec_id < 8) sc) rk
+               WHERE srank <= ${5 * K}"""
+          s"""SELECT CAST($d AS BIGINT) AS jl_dims,
+                CAST((SELECT count(*) FROM exact e
+                      JOIN (${Similarity.duckRerankExact(shortlistSql, K)}) a
+                        USING (query_id, neighbor_id)) AS BIGINT) AS n_hits"""
+        }
+        s"""WITH exact AS ($TopkOracle),
+             eq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM exact),
+             v AS (${Seq(8, 16, 32).map(variant).mkString("\nUNION ALL\n")})
+           SELECT v.jl_dims, v.n_hits,
+                  v.n_hits * 1000000 // ($K * eq.nq) AS mean_recall_micro
+           FROM v, eq ORDER BY v.jl_dims"""
+      }),
+
     // IVF nprobe tuning curve: mean recall@10 at nprobe 1/2/4 in one table
     // — the cost-recall trade made visible (each nprobe step scans
     // proportionally more cells; the curve says where it stops paying).
