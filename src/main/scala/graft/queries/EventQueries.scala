@@ -216,6 +216,78 @@ object EventQueries {
            ORDER BY ex.event_type"""
       }),
 
+    // approximate DAU from mergeable HLL registers, batch side: per day,
+    // exact distinct users next to the 256-register estimate — at 100 TB
+    // the exact per-day countDistinct is a user-cardinality shuffle per
+    // day, while the registers are 256 rows per day, mergeable across
+    // shards and days (the WAU of any window is a register-wise max —
+    // no re-scan). Register fold reuses the integer-exact estimator
+    "ev_dau_hll" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val spark2 = spark; import spark2.implicits._
+        import graft.operators.Sketches
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+        val regs = graft.streaming.EventStreams.runningHll(ev, "day_us", "user_id")
+          .select(col("day_us"), col("m_rho").cast("int"))
+          .as[(Long, Int)].collect().groupBy(_._1)
+        val exact = ev.groupBy(col("day_us"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .as[(Long, Long)].collect().toMap
+        regs.toSeq.map { case (d, rs) =>
+          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
+        }.toDF("day_us", "exact_users", "hll_users").orderBy("day_us")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""WITH est AS (${Sketches.duckHllByGroup("events",
+              "epoch_us(date_trunc('day', ts))", "user_id")}),
+           ex AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                         count(DISTINCT user_id) AS exact_users
+                  FROM events GROUP BY 1)
+           SELECT ex.day_us, ex.exact_users, est.est AS hll_users
+           FROM ex JOIN est ON est.grp = ex.day_us
+           ORDER BY ex.day_us"""
+      }),
+
+    // the same daily-actives registers maintained BY the stream (complete
+    // mode, state = |days| × 256 register rows regardless of event count);
+    // drained registers fold through the same integer estimator, so the
+    // result equals ev_dau_hll row for row (shared oracle shape)
+    "ev_dau_hll_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val spark2 = spark; import spark2.implicits._
+        import graft.operators.Sketches
+        val stream = graft.streaming.EventStreams.runningHll(
+          graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
+            .withColumn("day_us", unix_micros(date_trunc("day", col("ts")))),
+          "day_us", "user_id")
+        val regs = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_dau_hll_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+          .select(col("day_us"), col("m_rho").cast("int"))
+          .as[(Long, Int)].collect().groupBy(_._1)
+        val exact = Readers.fixture(spark, sfDir, "events")
+          .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+          .groupBy(col("day_us"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .as[(Long, Long)].collect().toMap
+        regs.toSeq.map { case (d, rs) =>
+          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
+        }.toDF("day_us", "exact_users", "hll_users").orderBy("day_us")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        s"""WITH est AS (${Sketches.duckHllByGroup("events",
+              "epoch_us(date_trunc('day', ts))", "user_id")}),
+           ex AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                         count(DISTINCT user_id) AS exact_users
+                  FROM events GROUP BY 1)
+           SELECT ex.day_us, ex.exact_users, est.est AS hll_users
+           FROM ex JOIN est ON est.grp = ex.day_us
+           ORDER BY ex.day_us"""
+      }),
+
     // continuous stats mode: the pv_stats fingerprint maintained by the
     // stream (state = one count/min/max triple per column); must equal the
     // batch stats digest of the whole fixture once the stream drains
