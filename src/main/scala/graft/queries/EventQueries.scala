@@ -250,6 +250,54 @@ object EventQueries {
            ORDER BY ex.day_us"""
       }),
 
+    // WAU from MERGED daily registers: the claim "any trailing window is a
+    // register-wise max — no rescan" executed as a query. Per-day register
+    // tables (256 rows/day) join the broadcast day list over the trailing
+    // 7 days, merge by max per (day, register), and fold through the same
+    // integer estimator; exact trailing distinct sits beside it for error
+    // context. At 100 TB this is THE wau shape: the raw log is touched
+    // once (to build daily registers); every window after that is
+    // sketch-sized arithmetic
+    "ev_wau_hll" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val spark2 = spark; import spark2.implicits._
+        import graft.operators.Sketches
+        val DayUs = 86400000000L
+        val act = Readers.fixture(spark, sfDir, "events")
+          .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+        val dayRegs = graft.streaming.EventStreams.runningHll(act, "day_us", "user_id")
+        val days = act.select(col("day_us").as("d")).distinct()
+        val merged = dayRegs.join(broadcast(days),
+            col("day_us") <= col("d") && col("day_us") > col("d") - 7L * DayUs)
+          .groupBy(col("d"), col("reg")).agg(max(col("m_rho")).as("m_rho"))
+          .select(col("d"), col("m_rho").cast("int"))
+          .as[(Long, Int)].collect().groupBy(_._1)
+        val exact = act.join(broadcast(days),
+            col("day_us") <= col("d") && col("day_us") > col("d") - 7L * DayUs)
+          .groupBy(col("d")).agg(countDistinct(col("user_id")).as("exact_wau"))
+          .as[(Long, Long)].collect().toMap
+        merged.toSeq.map { case (d, rs) =>
+          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
+        }.toDF("day_us", "exact_wau", "hll_wau").orderBy("day_us")
+      },
+      oracle = Some {
+        import graft.operators.Sketches
+        // the grouped-HLL twin over the day-range-joined activity: the
+        // register merge IS a max over the union of each window's rows, so
+        // running the estimator on the joined frame is the same arithmetic
+        s"""WITH act AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+                        FROM events),
+           days AS (SELECT DISTINCT day_us AS d FROM act),
+           win AS (SELECT days.d, act.user_id
+                   FROM act JOIN days
+                     ON act.day_us <= days.d AND act.day_us > days.d - 604800000000),
+           est AS (${Sketches.duckHllByGroup("win", "d", "user_id")}),
+           ex AS (SELECT d, count(DISTINCT user_id) AS exact_wau FROM win GROUP BY d)
+           SELECT ex.d AS day_us, ex.exact_wau, est.est AS hll_wau
+           FROM ex JOIN est ON est.grp = ex.d
+           ORDER BY ex.d"""
+      }),
+
     // the same daily-actives registers maintained BY the stream (complete
     // mode, state = |days| × 256 register rows regardless of event count);
     // drained registers fold through the same integer estimator, so the

@@ -674,6 +674,44 @@ object TextQueries {
           .orderBy("doc_id"),
       oracle = Some(graft.operators.Vocab.duckBpeSegment(iters = 4))),
 
+    // BPE compression audit: corpus fertility before merges (character
+    // pieces per word — BPE's starting point) vs after the 4 trained
+    // merges, and the micro fraction of pieces the merges eliminated —
+    // the "is this vocabulary earning its size" figure per merge budget.
+    // Character pieces per word fall out of length arithmetic (chars minus
+    // the spaces), no second tokenization pass; the BPE side reuses the
+    // persisted segment fold
+    "text_bpe_fertility" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val seg = graft.operators.Vocab.bpeSegment(docs, "doc_id", "text", iters = 4)
+        val bpe = seg.agg(sum(col("n_pieces")).as("n_bpe_pieces"))
+        val base = docs.select(
+            size(tokens(col("text"))).cast("long").as("w"),
+            (length(col("text")).cast("long") - (size(tokens(col("text"))) - 1)).as("c"))
+          .agg(sum(col("w")).as("n_words"), sum(col("c")).as("n_char_pieces"))
+        base.crossJoin(bpe)
+          .select(col("n_words"), col("n_char_pieces"), col("n_bpe_pieces"),
+            expr("n_char_pieces * 1000000 div n_words").as("fert_char_micro"),
+            expr("n_bpe_pieces * 1000000 div n_words").as("fert_bpe_micro"),
+            expr("(n_char_pieces - n_bpe_pieces) * 1000000 div n_char_pieces")
+              .as("saved_micro"))
+      },
+      oracle = Some(
+        s"""WITH seg AS (SELECT sum(n_pieces) AS n_bpe_pieces
+                         FROM (${graft.operators.Vocab.duckBpeSegment(iters = 4)}) s),
+           base AS (SELECT CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS n_words,
+                           CAST(sum(length(text) - (len(${duckTokens("text")}) - 1)) AS BIGINT)
+                             AS n_char_pieces
+                    FROM documents)
+           SELECT base.n_words, base.n_char_pieces,
+                  CAST(seg.n_bpe_pieces AS BIGINT) AS n_bpe_pieces,
+                  base.n_char_pieces * 1000000 // base.n_words AS fert_char_micro,
+                  CAST(seg.n_bpe_pieces AS BIGINT) * 1000000 // base.n_words AS fert_bpe_micro,
+                  (base.n_char_pieces - CAST(seg.n_bpe_pieces AS BIGINT)) * 1000000
+                    // base.n_char_pieces AS saved_micro
+           FROM base, seg""")),
+
     // winnowing-style bottom-k fingerprint over char 8-grams
     "text_fingerprint" -> QueryEntry(
       fn = (spark, sfDir) => {
