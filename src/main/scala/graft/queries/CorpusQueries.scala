@@ -378,6 +378,39 @@ object CorpusQueries {
            FROM c ORDER BY q_avg_micro DESC, source ASC"""
       }),
 
+    // cross-source overlap matrix: distinct 3-shingles shared per source
+    // pair — the "which sources are recrawls of each other" planning table
+    // that decides where cross-source dedup must run (the within-source
+    // case is dedup_boilerplate's). Per-shingle source lists explode into
+    // pairs INSIDE the shingle group (fan-out ≤ |sources|² per shingle,
+    // |sources| bounded), one map-side count — never a doc×doc or
+    // source×source corpus join
+    "corpus_source_overlap" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
+        val shingleSources = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("source").isNotNull)
+          .withColumn("tk", tokens(col("text")))
+          .select(col("source"), explode(shinglesFromTokens(col("tk"), 3)).as("sh"))
+          .distinct()
+        shingleSources.as("x").join(shingleSources.as("y"),
+            col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckShinglesExpr, duckTokens}
+        s"""WITH toks AS (SELECT source, ${duckTokens("text")} AS tk FROM documents
+                          WHERE source IS NOT NULL),
+           ss AS (SELECT DISTINCT source, unnest(${duckShinglesExpr("tk", 3)}) AS sh
+                  FROM toks)
+           SELECT x.source AS source_a, y.source AS source_b,
+                  count(*) AS n_shared_shingles
+           FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+           GROUP BY x.source, y.source ORDER BY source_a, source_b"""
+      }),
+
     // epoch repetition plan: extend the greedy budget fill with the
     // standard ≤4-epoch repetition rule (repeating data beyond ~4 epochs
     // stops helping — the data-constrained scaling result): each source,

@@ -460,6 +460,24 @@ object EventQueries {
         FROM scored WHERE hour_us < last_hour ORDER BY hour_us, event_type""")),
 
     // gap-based sessionization: a >30min silence starts a new session
+    // user-activity spectrum: users per log2 event-count band (the Zipf
+    // shape of engagement — organic traffic is heavy-tailed; a spike in a
+    // high band is a bot cohort). The events-side twin of
+    // text_freq_spectrum: two map-side-combined aggregates, ≤64 rows out
+    "ev_activity_spectrum" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val perUser = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        perUser.groupBy(length(bin(col("n_events"))).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        SELECT CAST(length(bin(n)) AS BIGINT) AS band,
+               count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+        FROM u GROUP BY band ORDER BY band""")),
+
     // RFM segmentation: per-user recency (days since last purchase vs the
     // corpus horizon), frequency (purchase count), monetary (integer-cent
     // spend — the winsorize cents discipline, no double summation), each

@@ -55,6 +55,58 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckAudioEnergy("documents", "doc_id",
         width = 6, stride = 4))),
 
+    // video scene-change detection: consecutive-frame feature deltas per
+    // clip (L1 over the 4-lane stub features), cuts counted above a fixed
+    // threshold — the shot-boundary primitive that decides which frames
+    // deserve expensive per-frame models. The frame walk is the same
+    // shuffle-free mapPartitions decode as mm_framesample; the delta is a
+    // narrow per-clip window ordered by frame index (frames per clip bound
+    // the partition, not corpus size)
+    "mm_scene_changes" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("vid"))
+        val frames = Multimodal.sampleFrames(docs, "doc_id", "vid", everyN = 1)
+        val byClip = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        frames
+          .withColumn("prev", lag(col("feat"), 1).over(byClip))
+          .withColumn("delta",
+            when(col("prev").isNull, lit(null))
+              .otherwise(aggregate(zip_with(col("feat"), col("prev"),
+                (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("delta") > 100L, 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+        meta AS (SELECT doc_id, h,
+                   2 + CAST('0x' || substr(h, 7, 2) AS UBIGINT) % 6 AS nf FROM hx),
+        fr AS (SELECT doc_id, h,
+                      unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS f
+               FROM meta),
+        feats AS (SELECT doc_id, f,
+                    list_transform(generate_series(0, 3), l ->
+                      CAST(list_sum(list_transform(generate_series(0, 3), m ->
+                        (CAST('0x' || substr(h, 2*(4*m + l) + 1, 2) AS UBIGINT) + 7*f) % 256))
+                        AS BIGINT)) AS feat
+                  FROM fr),
+        deltas AS (SELECT doc_id, f, feat,
+                     lag(feat) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+                   FROM feats),
+        d2 AS (SELECT doc_id,
+                 CASE WHEN prev IS NULL THEN NULL
+                      ELSE list_sum(list_transform(generate_series(1, 4),
+                             i -> abs(feat[i] - prev[i]))) END AS delta
+               FROM deltas)
+        SELECT doc_id, count(*) AS n_frames,
+               CAST(sum(CASE WHEN delta > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+               CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+        FROM d2 GROUP BY doc_id ORDER BY doc_id""")),
+
     // audio fingerprint matching: (window, energy-band) landmarks joined
     // through the landmark inverted index, pairs kept at >= 3 shared of 4
     // (see operators/Multimodal.audioFingerprintPairs — candidate
