@@ -710,6 +710,34 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // argmin join (TPC-H Q2's min-cost-supplier shape on this schema): per
+    // part, the supplier offering the lowest lineitem price — ONE
+    // map-side-combinable min over a (price, suppkey) struct, not a window
+    // sort (lexicographic struct min is deterministic on the suppkey tie
+    // and partial-aggregates; the windowed row_number form the oracle uses
+    // shuffles and sorts every row per part). The 100 TB argmin recipe
+    "q_argmin_supplier" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        li.groupBy(col("l_partkey"))
+          .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"),
+            count(lit(1)).as("n_offers"))
+          .select(col("l_partkey"),
+            col("m.l_suppkey").as("cheapest_supp"),
+            col("m.l_extendedprice").as("min_price"),
+            col("n_offers"))
+          .orderBy("l_partkey")
+      },
+      oracle = Some("""
+        SELECT l_partkey, cheapest_supp, min_price, n_offers FROM (
+          SELECT l_partkey, l_suppkey AS cheapest_supp,
+                 l_extendedprice AS min_price,
+                 count(*) OVER (PARTITION BY l_partkey) AS n_offers,
+                 row_number() OVER (PARTITION BY l_partkey
+                   ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+          FROM lineitem) t
+        WHERE rn = 1 ORDER BY l_partkey""")),
+
     // link prediction over the co-click graph: top non-adjacent user pairs
     // by common-neighbor count (hub centers excluded by the degree cap —
     // see operators/Graph.linkPrediction for why open wedges cannot reuse

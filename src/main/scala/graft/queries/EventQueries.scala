@@ -631,6 +631,61 @@ object EventQueries {
         SELECT path, count(*) AS n_sessions FROM paths
         GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""")),
 
+    // conversion rate by opening path: ev_session_paths' top paths scored
+    // by whether the SESSION went on to purchase — the table that turns
+    // path mining into funnel design (a common path with 2% conversion and
+    // a rare one with 40% point at different fixes). Same sessionization
+    // and rank cap; the purchase flag is a per-session max, no second scan
+    "ev_conversion_by_path" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sessions = ev
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+              || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySession = Window.partitionBy(col("user_id"), col("session_idx"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val perSession = sessions
+          .withColumn("rk", row_number().over(bySession))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(concat_ws(">", transform(
+              array_sort(collect_list(when(col("rk") <= 4,
+                struct(col("rk"), col("event_type"))))),
+              x => x.getField("event_type"))).as("path"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        perSession.groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+          .withColumn("cvr_micro", expr("n_converted * 1000000 div n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id, event_id, event_type, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        ranked AS (SELECT user_id, session_idx, event_type, ts_us, event_id,
+          row_number() OVER (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id) AS rk
+          FROM numbered),
+        per_session AS (SELECT user_id, session_idx,
+          string_agg(CASE WHEN rk <= 4 THEN event_type END, '>' ORDER BY rk) AS path,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+          FROM ranked GROUP BY user_id, session_idx)
+        SELECT path, count(*) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               CAST(sum(converted) AS BIGINT) * 1000000 // count(*) AS cvr_micro
+        FROM per_session GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT 20""")),
+
     "ev_sessionize" -> QueryEntry(
       fn = (spark, sfDir) => {
         val ev = Readers.fixture(spark, sfDir, "events")
