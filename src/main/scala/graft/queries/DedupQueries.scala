@@ -373,6 +373,50 @@ object DedupQueries {
     // candidate pair, how many shingles are shared and the first three in
     // lexicographic order as a witness. Same persisted shingle stage; the
     // witness slice is deterministic (binary-collated sort on both engines)
+    // sketch calibration: per sketch match level, the MEAN exact Jaccard of
+    // the candidate pairs that scored there (integer micro) — closes the
+    // tuning loop the threshold curve opens (the curve says how many pairs
+    // each cut keeps; this says how real they are). Exact Jaccard is
+    // computed ONLY for the banded candidates (pair-bounded, the
+    // pair_explain join), then one ≤numPerm+1-row aggregate
+    "dedup_sketch_calibration" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+          .select("doc_a", "doc_b", "n_matching")
+        pairs
+          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("n_matching"),
+            expr("""size(array_intersect(sh_a, sh_b)) * 1000000L
+                    div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))""")
+              .as("jac_micro"))
+          .groupBy(col("n_matching"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("jac_sum"))
+          .select(col("n_matching"),
+            expr(s"n_matching * 1000000 div $NumPerm").as("est_jaccard_micro"),
+            col("n_pairs"),
+            expr("jac_sum div n_pairs").as("mean_exact_jaccard_micro"))
+          .orderBy(col("n_matching").desc)
+      },
+      oracle = Some(
+        s"""WITH cand AS (SELECT doc_a, doc_b, n_matching FROM (${MinHashLSH.duckCandidatePairs(
+              "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS c),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)},
+           j AS (SELECT cand.n_matching,
+                        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+                          // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                          AS jac_micro
+                 FROM cand JOIN shs a ON a.id = cand.doc_a
+                           JOIN shs b ON b.id = cand.doc_b),
+           g AS (SELECT n_matching, count(*) AS n_pairs,
+                        CAST(sum(jac_micro) AS BIGINT) AS jac_sum
+                 FROM j GROUP BY n_matching)
+           SELECT n_matching, n_matching * 1000000 // $NumPerm AS est_jaccard_micro,
+                  n_pairs, jac_sum // n_pairs AS mean_exact_jaccard_micro
+           FROM g ORDER BY n_matching DESC""")),
+
     "dedup_pair_explain" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
