@@ -460,6 +460,66 @@ object EventQueries {
         FROM scored WHERE hour_us < last_hour ORDER BY hour_us, event_type""")),
 
     // gap-based sessionization: a >30min silence starts a new session
+    // composed bot screen: per user, the three behavioral signals the
+    // other queries expose separately — transition determinism (share of
+    // the user's most common type→type step), event rate (mean inter-event
+    // gap over the activity span), and type diversity — folded into one
+    // integer scorecard with a conservative flag (high determinism AND
+    // machine-fast cadence AND enough events to matter). Scripted traffic
+    // is near-deterministic and metronomic; organic users are neither.
+    // One narrow per-user window (the ev_transitions shape) + two
+    // user-keyed aggregates
+    "ev_bot_score" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val steps = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+        val topPair = steps
+          .groupBy(col("user_id"), col("event_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("top_pair_n"), sum(col("n")).as("n_trans"))
+        val base = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+        base.join(topPair, Seq("user_id"), "left_outer")
+          .filter(col("n_trans").isNotNull)
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            expr("top_pair_n * 1000000 div n_trans").as("determinism_micro"),
+            expr("span_us div n_trans").as("mean_gap_us"))
+          .withColumn("is_bot",
+            col("determinism_micro") >= 800000L && col("mean_gap_us") < 600000000L
+              && col("n_events") >= 10L)
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        steps AS (SELECT user_id, event_type AS from_type,
+                         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+                  FROM ev),
+        pairs AS (SELECT user_id, from_type, to_type, count(*) AS n FROM steps
+                  WHERE to_type IS NOT NULL GROUP BY user_id, from_type, to_type),
+        tp AS (SELECT user_id, CAST(max(n) AS BIGINT) AS top_pair_n,
+                      CAST(sum(n) AS BIGINT) AS n_trans
+               FROM pairs GROUP BY user_id),
+        base AS (SELECT user_id, count(*) AS n_events,
+                        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                        max(ts_us) - min(ts_us) AS span_us
+                 FROM ev GROUP BY user_id)
+        SELECT b.user_id, b.n_events, b.n_types,
+               tp.top_pair_n * 1000000 // tp.n_trans AS determinism_micro,
+               b.span_us // tp.n_trans AS mean_gap_us,
+               (tp.top_pair_n * 1000000 // tp.n_trans >= 800000
+                AND b.span_us // tp.n_trans < 600000000
+                AND b.n_events >= 10) AS is_bot
+        FROM base b JOIN tp ON b.user_id = tp.user_id
+        ORDER BY b.user_id""")),
+
     // user-activity spectrum: users per log2 event-count band (the Zipf
     // shape of engagement — organic traffic is heavy-tailed; a spike in a
     // high band is a bot cohort). The events-side twin of
@@ -504,6 +564,57 @@ object EventQueries {
             (lit(1L) + when(col("cents") >= 5000L, 1L).otherwise(0L)
               + when(col("cents") >= 20000L, 1L).otherwise(0L)).as("m_score"))
         perUser.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+        h AS (SELECT max(ts_us) AS horizon_us FROM p),
+        u AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS f,
+                     CAST(sum(cents) AS BIGINT) AS cents
+              FROM p GROUP BY user_id),
+        s AS (SELECT u.user_id,
+                     3 - least((h.horizon_us - u.last_us) // ${7 * 86400000000L}, 2) AS r_score,
+                     1 + CASE WHEN u.f >= 3 THEN 1 ELSE 0 END
+                       + CASE WHEN u.f >= 10 THEN 1 ELSE 0 END AS f_score,
+                     1 + CASE WHEN u.cents >= 5000 THEN 1 ELSE 0 END
+                       + CASE WHEN u.cents >= 20000 THEN 1 ELSE 0 END AS m_score
+              FROM u, h)
+        SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score, count(*) AS n_users
+        FROM s GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score""")),
+
+    // RFM as a stream: the per-user (last_ts, count, cents) triple
+    // maintained by a complete-mode aggregation — three longs of state per
+    // user, the same figure the batch query computes in one pass; drained
+    // state folds through the identical banding, so the segment table
+    // equals ev_rfm_segments row for row (shared oracle). The horizon is
+    // the drained maximum, exactly as the batch side's 1-row broadcast
+    "ev_rfm_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val stream = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("f"),
+            sum(col("cents")).as("cents"))
+        val perUser = graft.streaming.EventStreams.runToBatch(stream,
+          s"ev_rfm_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        val horizon = perUser.agg(max(col("last_us")).as("horizon_us"))
+        perUser.crossJoin(broadcast(horizon))
+          .select(col("user_id"),
+            expr(s"3 - least((horizon_us - last_us) div ${7 * DayUs}, 2L)").as("r_score"),
+            (lit(1L) + when(col("f") >= 3, 1L).otherwise(0L)
+              + when(col("f") >= 10, 1L).otherwise(0L)).as("f_score"),
+            (lit(1L) + when(col("cents") >= 5000L, 1L).otherwise(0L)
+              + when(col("cents") >= 20000L, 1L).otherwise(0L)).as("m_score"))
+          .groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_users"))
           .orderBy("r_score", "f_score", "m_score")
       },
