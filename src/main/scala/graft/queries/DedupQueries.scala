@@ -373,6 +373,64 @@ object DedupQueries {
     // candidate pair, how many shingles are shared and the first three in
     // lexicographic order as a witness. Same persisted shingle stage; the
     // witness slice is deterministic (binary-collated sort on both engines)
+    // banding-configuration curve: candidate volume and relative recall for
+    // (bands, rows-per-band) ∈ {(2,8), (4,4), (8,2)} at the same 16-perm
+    // sketch — the S-curve trade (more bands → more candidates → more
+    // recall) measured instead of quoted. Ground truth is the union of all
+    // three configs' candidates VERIFIED at exact Jaccard ≥ 0.5 (labelled
+    // relative recall — a pair no config banded together is invisible, the
+    // honest limit of any banding sweep short of all-pairs). Shingle stage
+    // shared and persisted once across the three configs
+    "dedup_bands_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val spark2 = spark; import spark2.implicits._
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val configs = Seq(2, 4, 8)
+        val cands = configs.map { b =>
+          b -> MinHashLSH.candidatePairsFromShingles(sh, NumPerm, b)
+            .select("doc_a", "doc_b").persist()
+        }
+        val union = cands.map(_._2).reduce(_ unionByName _).distinct()
+        val truePairs = union
+          .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .filter(expr("""size(array_intersect(sh_a, sh_b)) * 2 >=
+                          size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"""))
+          .select("doc_a", "doc_b").persist()
+        val nTrue = truePairs.count()
+        val rows = cands.map { case (b, c) =>
+          val nCand = c.count()
+          val hits = truePairs.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
+          (b.toLong, nCand, hits, if (nTrue == 0) 0L else hits * 1000000L / nTrue)
+        }
+        cands.foreach(_._2.unpersist(blocking = false))
+        truePairs.unpersist(blocking = false)
+        rows.toDF("bands", "n_candidates", "n_true_found", "rel_recall_micro")
+          .orderBy("bands")
+      },
+      oracle = Some {
+        def cand(b: Int) = s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+          "documents", "doc_id", "text", ShingleN, NumPerm, b)}) c$b"""
+        s"""WITH u AS (${Seq(2, 4, 8).map(cand).mkString(" UNION ")}),
+           ${MinHashLSH.duckShingleCte("documents", "doc_id", "text", ShingleN)},
+           tp AS (SELECT u.doc_a, u.doc_b
+                  FROM u JOIN shs a ON a.id = u.doc_a JOIN shs b ON b.id = u.doc_b
+                  WHERE len(list_intersect(a.sh, b.sh)) * 2 >=
+                        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+           nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp),
+           v AS (${Seq(2, 4, 8).map(b =>
+             s"""SELECT CAST($b AS BIGINT) AS bands,
+                   CAST((SELECT count(*) FROM (${cand(b)}) x) AS BIGINT) AS n_candidates,
+                   CAST((SELECT count(*) FROM tp JOIN (${cand(b)}) y
+                         USING (doc_a, doc_b)) AS BIGINT) AS n_true_found""")
+             .mkString("\nUNION ALL\n")})
+           SELECT v.bands, v.n_candidates, v.n_true_found,
+                  CASE WHEN nt.n = 0 THEN 0
+                       ELSE v.n_true_found * 1000000 // nt.n END AS rel_recall_micro
+           FROM v, nt ORDER BY v.bands"""
+      }),
+
     // sketch calibration: per sketch match level, the MEAN exact Jaccard of
     // the candidate pairs that scored there (integer micro) — closes the
     // tuning loop the threshold curve opens (the curve says how many pairs

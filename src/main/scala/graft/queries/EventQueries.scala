@@ -520,6 +520,33 @@ object EventQueries {
         FROM base b JOIN tp ON b.user_id = tp.user_id
         ORDER BY b.user_id""")),
 
+    // hour-of-day seasonality: events per (hour-of-day, type) with the
+    // share of that type's daily cycle in micro-units — the load/seasonal
+    // profile behind anomaly baselines and capacity planning (and, for
+    // corpus work, "when does the human traffic happen" vs metronomic
+    // bots). One scan aggregate, ≤ 24·|types| rows
+    "ev_hour_of_day" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(hour(col("ts")).cast("long").as("hod"), col("event_type"))
+        val cells = ev.groupBy(col("hod"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+        cells.join(totals, "event_type")
+          .select(col("hod"), col("event_type"), col("n"),
+            expr("n * 1000000 div total").as("share_micro"))
+          .orderBy("hod", "event_type")
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        totals AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+                   FROM cells GROUP BY event_type)
+        SELECT c.hod, c.event_type, c.n, c.n * 1000000 // t.total AS share_micro
+        FROM cells c JOIN totals t ON c.event_type = t.event_type
+        ORDER BY c.hod, c.event_type""")),
+
     // user-activity spectrum: users per log2 event-count band (the Zipf
     // shape of engagement — organic traffic is heavy-tailed; a spike in a
     // high band is a bot cohort). The events-side twin of

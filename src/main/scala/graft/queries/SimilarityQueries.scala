@@ -544,6 +544,59 @@ object SimilarityQueries {
            ORDER BY method, query_id"""
       }),
 
+    // LSH probe-radius tuning curve: mean recall@10 at hamming probe radius
+    // 0/1/2 (1, 9, 37 buckets probed of 256) — the multi-probe trade
+    // measured: each radius step multiplies the candidate scan, the curve
+    // says when the buckets stop paying. Fourth tuning curve in the family
+    "sim_radius_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val nQ = exact.select("query_id").distinct().count()
+        Seq(0, 1, 2).map { r =>
+          val ann = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K,
+            planeMatrix, probeRadius = r)
+          val hits = exact.select("query_id", "neighbor_id")
+            .join(ann.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          (r.toLong, Similarity.probeMasks(NumPlanes, r).length.toLong,
+            hits, hits * 1000000L / (K * nQ))
+        }.pipe { rows =>
+          val spark2 = spark; import spark2.implicits._
+          rows.toDF("radius", "n_buckets_probed", "n_hits", "mean_recall_micro")
+        }.orderBy("radius")
+      },
+      oracle = Some {
+        def annSql(r: Int) = {
+          val bucket = Similarity.duckLshBucket("embedding", planeMatrix)
+          val probeList = Similarity.probeMasks(NumPlanes, r)
+            .map(m => s"xor(bucket, CAST($m AS BIGINT))").mkString(", ")
+          s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+               qp AS (SELECT vec_id, embedding, unnest([$probeList]) AS bucket
+                      FROM b WHERE vec_id < 8)
+             SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                      CAST(row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                                 n.vec_id ASC) AS BIGINT) AS rank
+               FROM qp q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id) t
+             WHERE rank <= $K"""
+        }
+        val variants = Seq(0, 1, 2).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS radius,
+                CAST(${Similarity.probeMasks(NumPlanes, r).length} AS BIGINT) AS n_buckets_probed,
+                CAST((SELECT count(*) FROM exact e JOIN (${annSql(r)}) a
+                      USING (query_id, neighbor_id)) AS BIGINT) AS n_hits"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH exact AS ($TopkOracle),
+             eq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM exact),
+             v AS ($variants)
+           SELECT v.radius, v.n_buckets_probed, v.n_hits,
+                  v.n_hits * 1000000 // ($K * eq.nq) AS mean_recall_micro
+           FROM v, eq ORDER BY v.radius"""
+      }),
+
     // JL sketch-width tuning curve: mean shortlist-rerank recall@10 at 8/
     // 16/32 sketch dims — the dimension-vs-recall trade as a table (the
     // JL lemma says distortion ~ 1/sqrt(dims); this measures where the
