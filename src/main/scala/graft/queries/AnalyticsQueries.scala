@@ -710,6 +710,38 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // spend quartiles via ntile: customers bucketed into 4 equal-count
+    // tiers by total order value (integer cents), per-tier population and
+    // spend — the "who funds the business" table and the remaining window
+    // primitive (ntile) the registry didn't yet exercise. The global
+    // ordering is |customers|-sized (not order rows); ntile ties resolve
+    // by the order-by key alone, so the cents sort carries o_custkey as a
+    // deterministic tiebreak on both engines
+    "q_ntile_customers" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val spend = o.groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("o_custkey").asc)
+        spend.withColumn("tier", ntile(4).over(w).cast("long"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
+            min(col("cents")).as("tier_floor_cents"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH spend AS (SELECT o_custkey,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY o_custkey),
+        tiers AS (SELECT o_custkey, cents,
+                         CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS tier
+                  FROM spend)
+        SELECT tier, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(min(cents) AS BIGINT) AS tier_floor_cents
+        FROM tiers GROUP BY tier ORDER BY tier""")),
+
     // argmin join (TPC-H Q2's min-cost-supplier shape on this schema): per
     // part, the supplier offering the lowest lineitem price — ONE
     // map-side-combinable min over a (price, suppkey) struct, not a window

@@ -378,6 +378,38 @@ object CorpusQueries {
            FROM c ORDER BY q_avg_micro DESC, source ASC"""
       }),
 
+    // shard balance audit: token mass per training shard under the
+    // epoch-shuffle sharding, with each shard's signed deviation from the
+    // mean in micro-units — the skew figure that decides whether the
+    // sharder needs salting (a +20% shard is the straggler at every
+    // epoch). One aggregate over the shard assignment; deviation uses the
+    // 1-row total broadcast
+    "corpus_shard_balance" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.tokens
+        val nShards = 8
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select((col("doc_id") % nShards).as("shard"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+        val per = docs.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val tot = per.agg(sum(col("n_tokens")).as("total"))
+        per.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            expr(s"(n_tokens * $nShards - total) * 1000000 div total").as("dev_micro"))
+          .orderBy("shard")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.duckTokens
+        s"""WITH per AS (SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+                              CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1),
+           tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+           SELECT per.shard, per.n_docs, per.n_tokens,
+                  (per.n_tokens * 8 - tot.total) * 1000000 // tot.total AS dev_micro
+           FROM per, tot ORDER BY per.shard"""
+      }),
+
     // cross-source overlap matrix: distinct 3-shingles shared per source
     // pair — the "which sources are recrawls of each other" planning table
     // that decides where cross-source dedup must run (the within-source

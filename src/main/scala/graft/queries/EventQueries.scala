@@ -520,6 +520,43 @@ object EventQueries {
         FROM base b JOIN tp ON b.user_id = tp.user_id
         ORDER BY b.user_id""")),
 
+    // audience overlap: Jaccard of user sets per event-type pair in
+    // integer micro-units — which behaviors share an audience (feeds both
+    // funnel design and the co-occurrence priors). Pairs form INSIDE each
+    // user's distinct type set (fan-out ≤ |types|² per user), one
+    // map-side count; set sizes join broadcast — never a type×type scan
+    "ev_audience_overlap" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ut = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val pairs = ut.as("x").join(ut.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        pairs
+          .join(sizes.select(col("event_type").as("type_a"), col("n_users").as("na")), "type_a")
+          .join(sizes.select(col("event_type").as("type_b"), col("n_users").as("nb")), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            expr("n_both * 1000000 div (na + nb - n_both)").as("jaccard_micro"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        pairs AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                         count(*) AS n_both
+                  FROM ut x JOIN ut y
+                    ON x.user_id = y.user_id AND x.event_type < y.event_type
+                  GROUP BY 1, 2),
+        sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                  FROM ut GROUP BY event_type)
+        SELECT p.type_a, p.type_b, p.n_both,
+               p.n_both * 1000000 // (a.n_users + b.n_users - p.n_both) AS jaccard_micro
+        FROM pairs p JOIN sizes a ON a.event_type = p.type_a
+                     JOIN sizes b ON b.event_type = p.type_b
+        ORDER BY p.type_a, p.type_b""")),
+
     // hour-of-day seasonality: events per (hour-of-day, type) with the
     // share of that type's daily cycle in micro-units — the load/seasonal
     // profile behind anomaly baselines and capacity planning (and, for
