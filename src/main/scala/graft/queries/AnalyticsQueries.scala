@@ -710,6 +710,34 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // year-over-year growth: revenue cents per order year with the YoY
+    // delta in micro-units (lag over the ≤|years| aggregate — the window
+    // touches a handful of rows however large the fact table); first year
+    // reports NULL growth rather than a fake zero
+    "q_yearly_growth" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val perYear = o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .as("cents"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("yr"))
+        perYear
+          .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .select(col("yr"), col("n_orders"), col("cents"),
+            expr("(cents - prev_cents) * 1000000 div prev_cents").as("yoy_micro"))
+          .orderBy("yr")
+      },
+      oracle = Some("""
+        WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                          count(*) AS n_orders,
+                          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1)
+        SELECT yr, n_orders, cents,
+               (cents - lag(cents) OVER (ORDER BY yr)) * 1000000
+                 // lag(cents) OVER (ORDER BY yr) AS yoy_micro
+        FROM y ORDER BY yr""")),
+
     // spend quartiles via ntile: customers bucketed into 4 equal-count
     // tiers by total order value (integer cents), per-tier population and
     // spend — the "who funds the business" table and the remaining window

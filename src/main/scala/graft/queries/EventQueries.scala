@@ -520,6 +520,29 @@ object EventQueries {
         FROM base b JOIN tp ON b.user_id = tp.user_id
         ORDER BY b.user_id""")),
 
+    // per-type value quantiles: p50/p90 of the event value in integer
+    // cents per event type — the spend/latency distribution by behavior
+    // class, riding Quantiles.grouped so the exact→approx scale degrade
+    // applies (the hottest TYPE gates the mode, not total rows)
+    "ev_value_quantiles" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        graft.operators.Quantiles.grouped(ev, "event_type", "cents",
+            Seq("p50_cents" -> 0.5, "p90_cents" -> 0.9))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+               quantile_cont(cents, 0.5) AS p50_cents,
+               quantile_cont(cents, 0.9) AS p90_cents,
+               count(*) AS n
+        FROM (SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events) c
+        GROUP BY event_type ORDER BY event_type""")),
+
     // audience overlap: Jaccard of user sets per event-type pair in
     // integer micro-units — which behaviors share an audience (feeds both
     // funnel design and the co-occurrence priors). Pairs form INSIDE each

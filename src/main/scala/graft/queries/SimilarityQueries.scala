@@ -544,6 +544,29 @@ object SimilarityQueries {
            ORDER BY method, query_id"""
       }),
 
+    // embedding norm histogram: vectors per 0.5-wide norm band (floored
+    // micro norms — one multiply+floor per row, deterministic IEEE) — the
+    // scale-spread screen beside sim_dim_stats' per-dimension moments: a
+    // wide spread says normalize before any dot-product index; a spike at
+    // zero says dead vectors reached the index
+    "sim_norm_bands" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        e.select(floor(Similarity.norm(col("embedding")) * 1e6).cast("long").as("nm"))
+          .groupBy(expr("nm div 500000").as("band"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("nm")).as("min_norm_micro"),
+            max(col("nm")).as("max_norm_micro"))
+          .orderBy("band")
+      },
+      oracle = Some {
+        val nm = s"CAST(floor(${Similarity.duckNorm("embedding")} * 1e6) AS BIGINT)"
+        s"""WITH n AS (SELECT $nm AS nm FROM embeddings)
+           SELECT nm // 500000 AS band, count(*) AS n_vecs,
+                  CAST(min(nm) AS BIGINT) AS min_norm_micro,
+                  CAST(max(nm) AS BIGINT) AS max_norm_micro
+           FROM n GROUP BY band ORDER BY band"""
+      }),
+
     // LSH probe-radius tuning curve: mean recall@10 at hamming probe radius
     // 0/1/2 (1, 9, 37 buckets probed of 256) — the multi-probe trade
     // measured: each radius step multiplies the candidate scan, the curve
