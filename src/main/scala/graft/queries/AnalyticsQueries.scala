@@ -710,6 +710,44 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // correlated-aggregate shape (decorrelated): customers whose total
+    // spend exceeds twice their NATION's mean per-customer spend — the
+    // classic "compare each row to its group's aggregate" query, expressed
+    // as a group-aggregate join (what a correlated subquery decorrelates
+    // to; Catalyst plans one shuffle per aggregate + a broadcast of the
+    // ≤|nations| totals). The comparison cross-multiplies instead of
+    // dividing, so it is EXACT integer — no average is ever materialized
+    "q_above_nation_avg" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val c = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val spend = o.select(col("o_custkey"), cents.as("cents"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cust_cents"))
+        val nation = spend.groupBy(col("c_nationkey"))
+          .agg(sum(col("cust_cents")).as("nat_cents"), count(lit(1)).as("n_cust"))
+        spend.join(broadcast(nation), "c_nationkey")
+          // cust_cents > 2 · nat_cents/n_cust  ⇔  cust_cents·n_cust > 2·nat_cents
+          .filter(col("cust_cents") * col("n_cust") > lit(2L) * col("nat_cents"))
+          .select(col("c_nationkey"), col("o_custkey"), col("n_orders"), col("cust_cents"))
+          .orderBy("c_nationkey", "o_custkey")
+      },
+      oracle = Some("""
+        WITH spend AS (SELECT c_nationkey, o_custkey, count(*) AS n_orders,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cust_cents
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_nationkey, o_custkey),
+        nation AS (SELECT c_nationkey, CAST(sum(cust_cents) AS BIGINT) AS nat_cents,
+                          CAST(count(*) AS BIGINT) AS n_cust
+                   FROM spend GROUP BY c_nationkey)
+        SELECT s.c_nationkey, s.o_custkey, s.n_orders, s.cust_cents
+        FROM spend s JOIN nation n ON s.c_nationkey = n.c_nationkey
+        WHERE s.cust_cents * n.n_cust > 2 * n.nat_cents
+        ORDER BY s.c_nationkey, s.o_custkey""")),
+
     // year-over-year growth: revenue cents per order year with the YoY
     // delta in micro-units (lag over the ≤|years| aggregate — the window
     // touches a handful of rows however large the fact table); first year

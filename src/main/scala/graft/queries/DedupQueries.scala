@@ -373,6 +373,36 @@ object DedupQueries {
     // candidate pair, how many shingles are shared and the first three in
     // lexicographic order as a witness. Same persisted shingle stage; the
     // witness slice is deterministic (binary-collated sort on both engines)
+    // exact-duplicate family sizes: md5 text groups histogrammed by log2
+    // family width — the exact-dup companion of dedup_cluster_sizes (a
+    // fat family is a syndication feed or a template, and it is also the
+    // wasted-storage figure: bytes beyond one copy per family)
+    "dedup_exact_sizes" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val fams = Readers.fixture(spark, sfDir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+            max(col("n_chars")).as("one_copy_chars"))
+        // size-1 families stay in as band 0 (the uniques row): the table
+        // must profile any corpus, including one with no exact dups —
+        // otherwise a dedup-clean fixture degenerates to zero rows and the
+        // query goes vacuous
+        fams
+          .groupBy((length(bin(col("sz"))) - 1).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_families"), sum(col("sz")).as("n_docs"),
+            sum(col("chars") - col("one_copy_chars")).as("wasted_chars"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH fams AS (SELECT md5(text) AS h, count(*) AS sz,
+                             CAST(sum(n_chars) AS BIGINT) AS chars,
+                             CAST(max(n_chars) AS BIGINT) AS one_copy_chars
+                      FROM documents GROUP BY md5(text))
+        SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS band,
+               count(*) AS n_families, CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(chars - one_copy_chars) AS BIGINT) AS wasted_chars
+        FROM fams GROUP BY band ORDER BY band""")),
+
     // banding-configuration curve: candidate volume and relative recall for
     // (bands, rows-per-band) ∈ {(2,8), (4,4), (8,2)} at the same 16-perm
     // sketch — the S-curve trade (more bands → more candidates → more
