@@ -710,6 +710,45 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // trailing 7-day moving revenue: the RANGE-frame window (value-based
+    // bounds over day offsets — the one frame type rowsBetween can't
+    // express when days are missing: a gap must shrink the window, not
+    // slide it). Daily cents first (≤|days| rows — the window never sees
+    // the fact table), then sum/count over RANGE 6 days preceding;
+    // the mean stays integer `div`
+    "q_moving_revenue" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val daily = o.groupBy(unix_micros(
+            date_trunc("day", col("o_orderdate").cast("timestamp"))).as("day_us"))
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+        val DayUs = 86400000000L
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day_us"))
+          .rangeBetween(-6L * DayUs, 0L)
+        daily
+          .withColumn("cents_7d", sum(col("cents")).over(w))
+          .withColumn("days_in_window", count(lit(1)).over(w))
+          .select(col("day_us"), col("cents"), col("cents_7d"),
+            col("days_in_window"),
+            expr("cents_7d div days_in_window").as("mean_daily_cents"))
+          .orderBy("day_us")
+      },
+      oracle = Some("""
+        WITH daily AS (SELECT epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))) AS day_us,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY 1)
+        SELECT day_us, cents,
+               CAST(sum(cents) OVER (ORDER BY day_us
+                 RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d,
+               CAST(count(*) OVER (ORDER BY day_us
+                 RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_window,
+               CAST(sum(cents) OVER (ORDER BY day_us
+                 RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 // count(*) OVER (ORDER BY day_us
+                 RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS mean_daily_cents
+        FROM daily ORDER BY day_us""")),
+
     // correlated-aggregate shape (decorrelated): customers whose total
     // spend exceeds twice their NATION's mean per-customer spend — the
     // classic "compare each row to its group's aggregate" query, expressed

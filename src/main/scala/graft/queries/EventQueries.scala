@@ -580,6 +580,32 @@ object EventQueries {
                      JOIN sizes b ON b.event_type = p.type_b
         ORDER BY p.type_a, p.type_b""")),
 
+    // inter-event gap spectrum: successive-event gaps per user, bucketed
+    // into log2 second bands — the cadence histogram behind ev_bot_score's
+    // mean (a metronomic script is a spike in one band; organic users
+    // spread). Same narrow per-user window as the transition family; the
+    // spectrum is ≤64 rows
+    "ev_gap_spectrum" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        ev.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+          .filter(col("gap_us").isNotNull)
+          .select(length(bin(greatest(expr("gap_us div 1000000"), lit(1L))))
+            .cast("long").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_gaps"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) AS gap_us
+                   FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events) e)
+        SELECT CAST(length(bin(greatest(gap_us // 1000000, 1))) AS BIGINT) AS band,
+               count(*) AS n_gaps
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY band ORDER BY band""")),
+
     // hour-of-day seasonality: events per (hour-of-day, type) with the
     // share of that type's daily cycle in micro-units — the load/seasonal
     // profile behind anomaly baselines and capacity planning (and, for

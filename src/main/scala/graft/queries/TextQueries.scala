@@ -191,6 +191,38 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // hapax ratio by source: share of each source's vocabulary that occurs
+    // exactly once WITHIN that source — the per-source freshness signal
+    // (a template farm has almost no hapax; a natural corpus runs ~40-60%)
+    // that makes the corpus-wide frequency spectrum actionable per source.
+    // Two map-side-combined aggregates over (source, term)
+    "text_hapax_ratio" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val tf = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .filter(col("source").isNotNull)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        tf.groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_types"), col("n_hapax"),
+            expr("n_hapax * 1000000 div n_types").as("hapax_micro"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH tf AS (SELECT source, t.term, count(*) AS tf
+                        FROM documents d, unnest($tk) AS t(term)
+                        WHERE source IS NOT NULL
+                        GROUP BY source, t.term)
+           SELECT source, count(*) AS n_types,
+                  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000000 // count(*) AS hapax_micro
+           FROM tf GROUP BY source ORDER BY source"""
+      }),
+
     // tokenizer fertility by language: BPE-ish pieces per whitespace word
     // in integer micro-units — the cross-lingual tokenizer-cost figure
     // (a language at 2× fertility pays 2× the context budget per word;
