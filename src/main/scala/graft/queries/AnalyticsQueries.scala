@@ -710,6 +710,40 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // Pareto check: revenue share of the top spending quintile — "do 20%
+    // of customers fund 80%" as one row (share in micro-units, integer
+    // division last). ntile over the |customers| aggregate; the share is
+    // two conditional sums
+    "q_pareto_revenue" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val spend = o.groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("o_custkey").asc)
+        spend.withColumn("tier", ntile(5).over(w))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_top"),
+            sum(col("cents")).as("total_cents"),
+            sum(when(col("tier") === 1, col("cents")).otherwise(0L)).as("top_cents"))
+          .select(col("n_customers"), col("n_top"), col("total_cents"), col("top_cents"),
+            expr("top_cents * 1000000 div total_cents").as("top_share_micro"))
+      },
+      oracle = Some("""
+        WITH spend AS (SELECT o_custkey,
+                              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY o_custkey),
+        t AS (SELECT cents, ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS tier
+              FROM spend)
+        SELECT count(*) AS n_customers,
+               CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN tier = 1 THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+               CAST(sum(CASE WHEN tier = 1 THEN cents ELSE 0 END) AS BIGINT)
+                 * 1000000 // CAST(sum(cents) AS BIGINT) AS top_share_micro
+        FROM t""")),
+
     // trailing 7-day moving revenue: the RANGE-frame window (value-based
     // bounds over day offsets — the one frame type rowsBetween can't
     // express when days are missing: a gap must shrink the window, not

@@ -580,6 +580,43 @@ object EventQueries {
                      JOIN sizes b ON b.event_type = p.type_b
         ORDER BY p.type_a, p.type_b""")),
 
+    // activity streaks (gaps-and-islands): each user's longest run of
+    // consecutive active days, histogrammed by streak length — the
+    // retention-adjacent figure DAU can't see (the same DAU can be one
+    // cohort streaking or many churning). The island key is the classic
+    // day-index-minus-row-number constant; everything is a narrow per-user
+    // window over the |users|·|days| distinct-activity frame
+    "ev_activity_streaks" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val act = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"),
+            expr(s"unix_micros(date_trunc('day', ts)) div $DayUs").as("day_idx"))
+          .distinct()
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+        val streaks = act
+          .withColumn("island", col("day_idx") - row_number().over(byUser))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id")).agg(max(col("len")).as("longest"))
+        streaks.groupBy(col("longest").as("streak_days"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("streak_days")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx
+                     FROM events),
+        isl AS (SELECT user_id, day_idx,
+                       day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS island
+                FROM act),
+        runs AS (SELECT user_id, island, count(*) AS len
+                 FROM isl GROUP BY user_id, island),
+        longest AS (SELECT user_id, CAST(max(len) AS BIGINT) AS streak_days
+                    FROM runs GROUP BY user_id)
+        SELECT streak_days, count(*) AS n_users
+        FROM longest GROUP BY streak_days ORDER BY streak_days""")),
+
     // inter-event gap spectrum: successive-event gaps per user, bucketed
     // into log2 second bands — the cadence histogram behind ev_bot_score's
     // mean (a metronomic script is a spike in one band; organic users
