@@ -580,6 +580,56 @@ object EventQueries {
                      JOIN sizes b ON b.event_type = p.type_b
         ORDER BY p.type_a, p.type_b""")),
 
+    // cart abandonment by day: sessions with a click but no purchase,
+    // per day of session start — the conversion-funnel complement at
+    // session granularity (ev_funnel counts users; this localizes WHEN
+    // the drop-offs happen). Reuses the gap-rule session frame; flags are
+    // per-session maxes, the day rollup is a ≤|days| aggregate
+    "ev_cart_abandonment" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sessions = ev
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+              || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val perSession = sessions
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(expr("min(ts_us) div 86400000000").as("day_idx"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+        perSession.filter(col("clicked") === 1L)
+          .groupBy(col("day_idx"))
+          .agg(count(lit(1)).as("n_click_sessions"),
+            sum(when(col("purchased") === 0L, 1L).otherwise(0L)).as("n_abandoned"))
+          .withColumn("abandon_micro", expr("n_abandoned * 1000000 div n_click_sessions"))
+          .orderBy("day_idx")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id, event_type, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        per_session AS (SELECT user_id, session_idx,
+          min(ts_us) // 86400000000 AS day_idx,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+          FROM numbered GROUP BY user_id, session_idx)
+        SELECT day_idx, count(*) AS n_click_sessions,
+               CAST(sum(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+               CAST(sum(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // count(*) AS abandon_micro
+        FROM per_session WHERE clicked = 1
+        GROUP BY day_idx ORDER BY day_idx""")),
+
     // activity streaks (gaps-and-islands): each user's longest run of
     // consecutive active days, histogrammed by streak length — the
     // retention-adjacent figure DAU can't see (the same DAU can be one

@@ -144,6 +144,36 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
         maxHamming = graft.operators.SimHash.MaxHamming))),
 
+    // pHash hamming tuning curve: image near-pairs per hamming distance
+    // with the cumulative at-or-under count — the image-side sibling of
+    // dedup_hamming_curve (pick the pHash match threshold from the cliff);
+    // ≤ MaxHamming+1 rows out of the pigeonhole-banded pair generation
+    "mm_phash_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).cast("binary").as("img"))
+        val ph = Multimodal.extractMeta(docs, "doc_id", "img")
+          .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+        val pairs = graft.operators.SimHash.nearPairs(ph, "id", "ph")
+        val w = Window.orderBy(col("hamming").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cum_pairs_at_or_under", sum(col("n_pairs")).over(w))
+          .orderBy("hamming")
+      },
+      oracle = Some {
+        val inner = Multimodal.duckPhashPairs("documents", "doc_id", "text",
+          maxHamming = graft.operators.SimHash.MaxHamming)
+        s"""WITH p AS ($inner),
+           g AS (SELECT hamming, count(*) AS n_pairs FROM p GROUP BY hamming)
+           SELECT hamming, n_pairs,
+                  CAST(sum(n_pairs) OVER (ORDER BY hamming ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_pairs_at_or_under
+           FROM g ORDER BY hamming"""
+      }),
+
     // end-to-end image near-dup GROUPS: the pHash hamming pairs closed into
     // connected components — what an image dedup actually ships (keep one
     // representative per cluster), composing the multimodal feature path

@@ -191,6 +191,53 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // vocabulary distance between sources: L1 distance of term-share
+    // vectors over the corpus top-50 terms, per source pair, in micro-units
+    // — which sources write alike (merge their tokenizer budgets) and
+    // which don't. Restricting to the top-k head keeps the vector bounded
+    // (the tail is Zipf noise); shares are integer micro; the pair frame
+    // is ≤|sources|²·k narrow rows. NULL sources excluded as usual
+    "text_source_vocab_l1" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .filter(col("source").isNotNull)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+        val staged = docs.persist()
+        val top = staged.groupBy("term").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term").asc).limit(50)
+          .select("term")
+        val st = staged.join(broadcast(top), "term")
+          .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        val totals = st.groupBy("source").agg(sum(col("n")).as("tot"))
+        val shares = st.join(totals, "source")
+          .select(col("source"), col("term"), expr("n * 1000000 div tot").as("share"))
+        shares.as("x").join(shares.as("y"),
+            col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .agg(sum(abs(col("x.share") - col("y.share"))).as("l1_micro"),
+            count(lit(1)).as("n_common_terms"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH ex AS (SELECT source, t.term
+                        FROM documents d, unnest($tk) AS t(term)
+                        WHERE source IS NOT NULL),
+           top AS (SELECT term FROM (SELECT term, count(*) AS tf FROM ex GROUP BY term
+                   ORDER BY tf DESC, term ASC LIMIT 50) h),
+           st AS (SELECT source, ex.term, count(*) AS n
+                  FROM ex JOIN top ON ex.term = top.term GROUP BY source, ex.term),
+           tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM st GROUP BY source),
+           sh AS (SELECT st.source, st.term, st.n * 1000000 // tot.tot AS share
+                  FROM st JOIN tot ON st.source = tot.source)
+           SELECT x.source AS source_a, y.source AS source_b,
+                  CAST(sum(abs(x.share - y.share)) AS BIGINT) AS l1_micro,
+                  count(*) AS n_common_terms
+           FROM sh x JOIN sh y ON x.term = y.term AND x.source < y.source
+           GROUP BY x.source, y.source ORDER BY source_a, source_b"""
+      }),
+
     // hapax ratio by source: share of each source's vocabulary that occurs
     // exactly once WITHIN that source — the per-source freshness signal
     // (a template farm has almost no hapax; a natural corpus runs ~40-60%)
