@@ -580,6 +580,82 @@ object EventQueries {
                      JOIN sizes b ON b.event_type = p.type_b
         ORDER BY p.type_a, p.type_b""")),
 
+    // peak concurrency (sweep line in SQL): the maximum number of user
+    // sessions simultaneously open, per day — the capacity figure behind
+    // provisioning. Session intervals come from the gap rule; each emits
+    // a +1 at start and −1 at end(+1µs), the running sum over the global
+    // (ts, delta) order is the live count, and the per-day max folds it.
+    // The sweep's window is over 2·|sessions| narrow rows — not events —
+    // ordered once; ties break (ts, delta asc) so a back-to-back
+    // end/start at the same instant never overcounts
+    "ev_peak_concurrency" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sessions = ev
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+              || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+        val deltas = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
+          .unionByName(sessions.select((col("e_us") + 1).as("t"), lit(-1L).as("d")))
+        val sweep = Window.orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("live", sum(col("d")).over(sweep))
+          .groupBy(expr("t div 86400000000").as("day_idx"))
+          .agg(max(col("live")).as("peak_concurrent"))
+          .orderBy("day_idx")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        sessions AS (SELECT user_id, session_idx, min(ts_us) AS s_us, max(ts_us) AS e_us
+                     FROM numbered GROUP BY user_id, session_idx),
+        deltas AS (SELECT s_us AS t, 1 AS d FROM sessions
+                   UNION ALL SELECT e_us + 1, -1 FROM sessions),
+        sweep AS (SELECT t, CAST(sum(d) OVER (ORDER BY t, d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+                  FROM deltas)
+        SELECT t // 86400000000 AS day_idx, CAST(max(live) AS BIGINT) AS peak_concurrent
+        FROM sweep GROUP BY day_idx ORDER BY day_idx""")),
+
+    // new vs returning actives: per day, users whose FIRST-ever activity
+    // is that day vs users coming back — the growth-vs-retention split of
+    // the DAU line. Cohort day is the |users|-sized min aggregate
+    "ev_new_vs_returning" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val act = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"),
+            unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+          .distinct()
+        val coh = act.groupBy(col("user_id")).agg(min(col("day_us")).as("cohort_us"))
+        act.join(coh, "user_id")
+          .groupBy(col("day_us"))
+          .agg(sum(when(col("day_us") === col("cohort_us"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("day_us") =!= col("cohort_us"), 1L).otherwise(0L)).as("n_returning"))
+          .orderBy("day_us")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+                     FROM events),
+        coh AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)
+        SELECT day_us,
+               CAST(sum(CASE WHEN day_us = cohort_us THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN day_us <> cohort_us THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        FROM act JOIN coh USING (user_id)
+        GROUP BY day_us ORDER BY day_us""")),
+
     // cart abandonment by day: sessions with a click but no purchase,
     // per day of session start — the conversion-funnel complement at
     // session granularity (ev_funnel counts users; this localizes WHEN
