@@ -583,10 +583,12 @@ object EventQueries {
     // peak concurrency (sweep line in SQL): the maximum number of user
     // sessions simultaneously open, per day — the capacity figure behind
     // provisioning. Session intervals come from the gap rule; each emits
-    // a +1 at start and −1 at end(+1µs), the running sum over the global
-    // (ts, delta) order is the live count, and the per-day max folds it.
-    // The sweep's window is over 2·|sessions| narrow rows — not events —
-    // ordered once; ties break (ts, delta asc) so a back-to-back
+    // a +1 at start and −1 at end(+1µs); the live count is a PARTITIONED
+    // sweep — cumsum within each day plus that day's carry-in (the sum of
+    // every prior day's deltas, a ≤|days| broadcast) — so no global-order
+    // single-partition window ever materializes: each day's 2·|sessions|
+    // deltas sort inside their own partition, the cross-day state is one
+    // number per day. Ties break (ts, delta asc) so a back-to-back
     // end/start at the same instant never overcounts
     "ev_peak_concurrency" -> QueryEntry(
       fn = (spark, sfDir) => {
@@ -603,12 +605,20 @@ object EventQueries {
           .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
         val deltas = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
           .unionByName(sessions.select((col("e_us") + 1).as("t"), lit(-1L).as("d")))
-        val sweep = Window.orderBy(col("t"), col("d"))
+          .withColumn("day_idx", expr("t div 86400000000"))
+        val dayTotals = deltas.groupBy(col("day_idx")).agg(sum(col("d")).as("day_d"))
+        val carryW = Window.orderBy(col("day_idx"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = dayTotals
+          .withColumn("carry", coalesce(sum(col("day_d")).over(carryW), lit(0L)))
+          .select(col("day_idx"), col("carry"))
+        val sweep = Window.partitionBy(col("day_idx")).orderBy(col("t"), col("d"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         deltas
-          .withColumn("live", sum(col("d")).over(sweep))
-          .groupBy(expr("t div 86400000000").as("day_idx"))
-          .agg(max(col("live")).as("peak_concurrent"))
+          .withColumn("live_in_day", sum(col("d")).over(sweep))
+          .join(broadcast(carries), "day_idx")
+          .groupBy(col("day_idx"))
+          .agg(max(col("live_in_day") + col("carry")).as("peak_concurrent"))
           .orderBy("day_idx")
       },
       oracle = Some(s"""
