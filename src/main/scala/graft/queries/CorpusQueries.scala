@@ -378,6 +378,87 @@ object CorpusQueries {
            FROM c ORDER BY q_avg_micro DESC, source ASC"""
       }),
 
+    // curation waterfall: the whole pipeline's per-gate survivor counts in
+    // one table — input → exact dedup → near-dup components → eval
+    // decontamination → quality floor — the chart every curation review
+    // starts from (each row names the gate that paid for its cut). The
+    // gates are exactly the operators graft-curate chains, composed here
+    // with cumulative semantics (each stage filters the previous stage's
+    // survivors); token mass rides along so the cut is visible in budget
+    // terms, not just documents
+    "corpus_waterfall" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis.{qualityScore, tokens}
+        val spark2 = spark; import spark2.implicits._
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .withColumn("n_tok", size(tokens(col("text"))).cast("long")).persist()
+        def stat(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), sum(col("n_tok"))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        // gate 1: exact dedup (keep min doc_id per md5 text)
+        val keep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val exact = docs.join(keep, Seq("doc_id"), "left_semi").persist()
+        // gate 2: near-dup components over the survivors, keep cluster min
+        val pairs = graft.operators.MinHashLSH.candidatePairs(
+            exact, "doc_id", "text", 3, 16, 4)
+          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        val nearDrop = graft.operators.DedupClusters.components(pairs)
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        val near = exact.join(nearDrop, Seq("doc_id"), "left_anti").persist()
+        // gate 3: decontaminate against the held-out eval slice
+        val isEval = col("doc_id") % 100 === 7
+        val contaminated = Corpus.contaminatedIds(
+          near.filter(!isEval), near.filter(isEval), "doc_id", "text", shingleN = 3)
+        val decon = near.filter(!isEval)
+          .join(contaminated, Seq("doc_id"), "left_anti").persist()
+        // gate 4: quality floor (the shared scorer, the curate default)
+        val quality = decon.filter(qualityScore(tokens(col("text"))) >= 0.45)
+        val rows = Seq(
+          ("0_input", stat(docs)), ("1_exact_dedup", stat(exact)),
+          ("2_near_dedup", stat(near)), ("3_decontaminated", stat(decon)),
+          ("4_quality", stat(quality)))
+          .map { case (s, (n, t)) => (s, n, t) }
+        docs.unpersist(blocking = false); exact.unpersist(blocking = false)
+        near.unpersist(blocking = false); decon.unpersist(blocking = false)
+        rows.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckQualityScore, duckShinglesExpr, duckTokens}
+        val cand = s"""SELECT doc_a, doc_b FROM (${graft.operators.MinHashLSH.duckCandidatePairs(
+            "ex_docs", "doc_id", "text", 3, 16, 4)}) AS cc
+           WHERE est_jaccard >= 0.5"""
+        s"""WITH base AS (SELECT doc_id, text,
+                                CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tok
+                         FROM documents),
+           keepmin AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           ex_docs AS (SELECT d.* FROM documents d JOIN keepmin k ON d.doc_id = k.doc_id),
+           ex AS (SELECT b.* FROM base b JOIN keepmin k ON b.doc_id = k.doc_id),
+           ndrop AS (SELECT doc_id
+                     FROM (${graft.operators.DedupClusters.duckComponents(cand)}) q
+                     WHERE doc_id <> cluster_id),
+           nr AS (SELECT ex.* FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+           toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM nr),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
+           train_sh AS (SELECT id, unnest(sh) AS shingle FROM shs WHERE id % 100 <> 7),
+           contaminated AS (SELECT DISTINCT id FROM train_sh
+                            WHERE shingle IN (SELECT shingle FROM eval_sh)),
+           dc AS (SELECT nr.* FROM nr
+                  WHERE doc_id % 100 <> 7
+                    AND doc_id NOT IN (SELECT id FROM contaminated)),
+           ql AS (SELECT dc.* FROM dc,
+                       (SELECT doc_id AS qid, ${duckTokens("text")} AS tk FROM dc) t
+                  WHERE t.qid = dc.doc_id AND (${duckQualityScore("t.tk")}) >= 0.45)
+           SELECT '0_input' AS stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+           UNION ALL SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM ex
+           UNION ALL SELECT '2_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM nr
+           UNION ALL SELECT '3_decontaminated', count(*), CAST(sum(n_tok) AS BIGINT) FROM dc
+           UNION ALL SELECT '4_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM ql
+           ORDER BY stage"""
+      }),
+
     // shard balance audit: token mass per training shard under the
     // epoch-shuffle sharding, with each shard's signed deviation from the
     // mean in micro-units — the skew figure that decides whether the
