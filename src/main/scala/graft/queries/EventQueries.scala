@@ -806,6 +806,34 @@ object EventQueries {
         FROM cells c JOIN totals t ON c.event_type = t.event_type
         ORDER BY c.hod, c.event_type""")),
 
+    // top-percentile event share: what fraction of the event volume the
+    // top 1% most active users generate — the concentration headline the
+    // activity spectrum implies but doesn't state (high concentration is
+    // either a power-user product or a bot problem; the spectrum bands
+    // disambiguate). ntile over the |users| aggregate
+    "ev_top_user_share" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val perUser = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("user_id").asc)
+        perUser.withColumn("pct", ntile(100).over(w))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n")).as("n_events"),
+            sum(when(col("pct") === 1, col("n")).otherwise(0L)).as("top1_events"))
+          .select(col("n_users"), col("n_events"), col("top1_events"),
+            expr("top1_events * 1000000 div n_events").as("top1_share_micro"))
+      },
+      oracle = Some("""
+        WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        t AS (SELECT user_id, n, ntile(100) OVER (ORDER BY n DESC, user_id ASC) AS pct
+              FROM u)
+        SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN pct = 1 THEN n ELSE 0 END) AS BIGINT) AS top1_events,
+               CAST(sum(CASE WHEN pct = 1 THEN n ELSE 0 END) AS BIGINT)
+                 * 1000000 // CAST(sum(n) AS BIGINT) AS top1_share_micro
+        FROM t""")),
+
     // user-activity spectrum: users per log2 event-count band (the Zipf
     // shape of engagement — organic traffic is heavy-tailed; a spike in a
     // high band is a bot cohort). The events-side twin of

@@ -191,6 +191,48 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // rank correlation between length and quality (Spearman, integer):
+    // rho_micro = 1e6 − 6e6·Σd² div n(n²−1) over row-number ranks with a
+    // deterministic doc_id tiebreak (the tie-correction-free variant — both
+    // engines rank identically, so the statistic is exact integer). Answers
+    // "is the quality score just a length proxy" before anyone thresholds
+    // it. Global ranks are two |docs| sorts — fine for a one-row statistic
+    // at audit cadence; a 100 TB run computes it on a hash sample (the
+    // numerator overflows past n≈16k anyway, documented hard bound; the
+    // fixture is far inside it and both engines would diverge, not agree,
+    // beyond it)
+    "text_len_quality_spearman" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len"),
+            qualityScore(tokens(col("text"))).as("q"))
+        val byLen = Window.orderBy(col("len").asc, col("doc_id").asc)
+        val byQ = Window.orderBy(col("q").asc, col("doc_id").asc)
+        val ranked = scored
+          .withColumn("rl", row_number().over(byLen).cast("long"))
+          .withColumn("rq", row_number().over(byQ).cast("long"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum((col("rl") - col("rq")) * (col("rl") - col("rq"))).as("d2"))
+          .select(col("n"), col("d2"),
+            expr("1000000 - 6000000 * d2 div (n * (n * n - 1))").as("rho_micro"))
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH scored AS (SELECT doc_id, CAST(len($tk) AS BIGINT) AS len,
+                                   ${duckQualityScore(tk)} AS q
+                            FROM documents),
+           ranked AS (SELECT doc_id,
+                             CAST(row_number() OVER (ORDER BY len ASC, doc_id ASC) AS BIGINT) AS rl,
+                             CAST(row_number() OVER (ORDER BY q ASC, doc_id ASC) AS BIGINT) AS rq
+                      FROM scored)
+           SELECT count(*) AS n,
+                  CAST(sum((rl - rq) * (rl - rq)) AS BIGINT) AS d2,
+                  1000000 - 6000000 * CAST(sum((rl - rq) * (rl - rq)) AS BIGINT)
+                    // (count(*) * (count(*) * count(*) - 1)) AS rho_micro
+           FROM ranked"""
+      }),
+
     // vocabulary distance between sources: L1 distance of term-share
     // vectors over the corpus top-50 terms, per source pair, in micro-units
     // — which sources write alike (merge their tokenizer budgets) and
