@@ -666,6 +666,51 @@ object EventQueries {
         FROM act JOIN coh USING (user_id)
         GROUP BY day_us ORDER BY day_us""")),
 
+    // session duration quantiles: p50/p90 session length (first→last
+    // event) per session-size band (single-event sessions excluded — their
+    // duration is definitionally zero and would drown the median). Rides
+    // Quantiles.grouped for the exact→approx degrade; the band keeps the
+    // table readable (duration scales with event count; mixing them hides
+    // the long-tail browse sessions)
+    "ev_session_quantiles" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sess = ev
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > SessionGapUs
+              || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_ev"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+          .filter(col("n_ev") > 1)
+          .select(length(bin(col("n_ev"))).cast("long").as("size_band"), col("dur_us"))
+        graft.operators.Quantiles.grouped(sess, "size_band", "dur_us",
+            Seq("p50_us" -> 0.5, "p90_us" -> 0.9))
+          .orderBy("size_band")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+                 OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new FROM ev),
+        numbered AS (SELECT user_id, ts_us,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        sess AS (SELECT user_id, session_idx, count(*) AS n_ev,
+                        max(ts_us) - min(ts_us) AS dur_us
+                 FROM numbered GROUP BY user_id, session_idx)
+        SELECT CAST(length(bin(n_ev)) AS BIGINT) AS size_band,
+               quantile_cont(dur_us, 0.5) AS p50_us,
+               quantile_cont(dur_us, 0.9) AS p90_us,
+               count(*) AS n
+        FROM sess WHERE n_ev > 1
+        GROUP BY size_band ORDER BY size_band""")),
+
     // cart abandonment by day: sessions with a click but no purchase,
     // per day of session start — the conversion-funnel complement at
     // session granularity (ev_funnel counts users; this localizes WHEN

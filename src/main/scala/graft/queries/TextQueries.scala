@@ -191,6 +191,31 @@ object TextQueries {
            GROUP BY s.doc_id ORDER BY s.doc_id"""
       }),
 
+    // quality quantiles by language: p50/p90 of the shared composite score
+    // per lang — where to set per-language thresholds (one global floor
+    // over languages with different stopword coverage silently biases the
+    // mix; this table shows by how much). Rides Quantiles.grouped
+    "text_quality_by_lang" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val scored = Readers.fixture(spark, sfDir, "documents")
+          .select(col("lang"),
+            floor(qualityScore(tokens(col("text"))) * 1e6).cast("long").as("q_micro"))
+        graft.operators.Quantiles.grouped(scored, "lang", "q_micro",
+            Seq("p50_q_micro" -> 0.5, "p90_q_micro" -> 0.9))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""SELECT lang,
+             quantile_cont(q_micro, 0.5) AS p50_q_micro,
+             quantile_cont(q_micro, 0.9) AS p90_q_micro,
+             count(*) AS n
+           FROM (SELECT lang,
+                        CAST(floor((${duckQualityScore(tk)}) * 1e6) AS BIGINT) AS q_micro
+                 FROM documents) s
+           GROUP BY lang ORDER BY lang"""
+      }),
+
     // rank correlation between length and quality (Spearman, integer):
     // rho_micro = 1e6 − 6e6·Σd² div n(n²−1) over row-number ranks with a
     // deterministic doc_id tiebreak (the tie-correction-free variant — both
