@@ -244,6 +244,43 @@ object Sf1Probe {
     timed("jl_rerank 1x") { jlRerank(fixture("embeddings")) }
     timed("jl_rerank 10x") { jlRerank(emb10) }
 
+    // -- per-user window family (ev_sessionize / ev_transitions shape) ------
+    // disjoint user copies: 10× users with the SAME per-user event counts,
+    // so the gap-rule window and the lead() pass see 10× partitions of
+    // unchanged width — the claim that per-user windows scale with users,
+    // not with any single partition
+    lazy val events10 = staged(s"events_x$mult") {
+      fixture("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .crossJoin(broadcast(copies))
+        .select((col("user_id") + col("copy") * keyOff).as("user_id"),
+          (col("event_id") + col("copy") * keyOff).as("event_id"),
+          col("event_type"), col("ts_us"))
+    }
+    def windowFamily(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gap = 30L * 60 * 1000000
+      val sessions = ev
+        .withColumn("is_new",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gap
+            || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_ev"))
+      val transitions = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      sessions.count() + transitions.count()
+    }
+    timed("window_family 1x") { windowFamily(
+      fixture("events").select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))) }
+    timed("window_family 10x") { windowFamily(events10) }
+
     // -- CMS join-size estimate (q_join_size_cms shape) ----------------------
     // disjoint-copy keys: the exact join grows mult× and so does the
     // estimate; the SKETCH state stays depth·width regardless — the
