@@ -561,6 +561,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "staged two-batch replay diverged from the batch transition counts")
   }
 
+  test("transition steps equal a plain-Scala lead() on random streams and random splits") {
+    // random event sets with heavy timestamp ties, split at a random
+    // event-time cut (the arrival-order contract): the drained steps must
+    // equal the reference sequence walk for EVERY sample — ties are the
+    // hazard (the operator breaks them by (ts, event_id), so the reference
+    // must too)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 9L)
+        t <- Gen.oneOf("a", "b", "c")
+      } yield (u, ts, t))
+      cut <- Gen.choose(0L, 9L)
+    } yield (rows.zipWithIndex.map { case ((u, ts, t), i) => (u, ts, i.toLong, t) }, cut)
+    (0 until 2).foreach { i =>
+      val (rows, cut) = gen.apply(Gen.Parameters.default, Seed(211L + i)).get
+      val inDir = Files.createTempDirectory(s"graft-transprop-$i")
+      def stage(half: Seq[(Long, Long, Long, String)], name: String): Unit = if (half.nonEmpty) {
+        val tmp = Files.createTempDirectory("graft-transprop-half").toString
+        half.toDF("user_id", "ts_us", "event_id", "event_type")
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("event_id"), col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, inDir.resolve(name))
+      }
+      stage(rows.filter(_._2 <= cut), "half0.parquet")
+      stage(rows.filter(_._2 > cut), "half1.parquet")
+      val stream = EventStreams.transitionSteps(
+        EventStreams.readEvents(spark, inDir.toString, maxFilesPerTrigger = Some(1)))
+      val drained = EventStreams.runToBatch(stream.toDF(), s"transprop$i", OutputMode.Append)
+      val got = drained.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // plain-Scala reference: per user, sort by (ts, id), walk the pairs
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"sample $i (cut=$cut) diverged: got=$got want=$want")
+    }
+  }
+
   test("latest-state view carries across micro-batches and compacts to the batch snapshot") {
     // time-split halves: a user's newer event lands in batch 2 and must
     // OVERWRITE the state emitted in batch 1; the drained update stream's
