@@ -710,6 +710,49 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // revenue concentration (Herfindahl index) per region: Σ share² over
+    // the region's nations, in integer micro (shares floored to micro
+    // first, so the statistic is engine-exact) — 1e6 = one nation takes
+    // everything, 1e6/n = perfectly even. The market-structure audit shape
+    // on the TPC-H side of the house; ≤|nations| rows feed each region's
+    // fold
+    "q_revenue_hhi" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val c = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val n = graft.core.Readers.fixture(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+        val perNation = o.select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey"), col("c_nationkey"))
+          .agg(sum(col("cents")).as("cents"))
+        val perRegion = perNation.groupBy(col("n_regionkey"))
+          .agg(sum(col("cents")).as("total"))
+        perNation.join(broadcast(perRegion), "n_regionkey")
+          .select(col("n_regionkey"),
+            expr("cents * 1000000 div total").as("share_micro"))
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"),
+            expr("sum(share_micro * share_micro) div 1000000").as("hhi_micro"))
+          .orderBy("n_regionkey")
+      },
+      oracle = Some("""
+        WITH pn AS (SELECT n_regionkey, c_nationkey,
+                           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                                JOIN nation ON c_nationkey = n_nationkey
+                    GROUP BY n_regionkey, c_nationkey),
+        pr AS (SELECT n_regionkey, CAST(sum(cents) AS BIGINT) AS total
+               FROM pn GROUP BY n_regionkey),
+        sh AS (SELECT pn.n_regionkey, pn.cents * 1000000 // pr.total AS share_micro
+               FROM pn JOIN pr ON pn.n_regionkey = pr.n_regionkey)
+        SELECT n_regionkey, count(*) AS n_nations,
+               CAST(sum(share_micro * share_micro) AS BIGINT) // 1000000 AS hhi_micro
+        FROM sh GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // Pareto check: revenue share of the top spending quintile — "do 20%
     // of customers fund 80%" as one row (share in micro-units, integer
     // division last). ntile over the |customers| aggregate; the share is

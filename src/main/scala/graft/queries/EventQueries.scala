@@ -851,6 +851,52 @@ object EventQueries {
         FROM cells c JOIN totals t ON c.event_type = t.event_type
         ORDER BY c.hod, c.event_type""")),
 
+    // weekly behavior-mix drift: each week's event-type share vector, and
+    // its L1 distance from the PRIOR week in micro-units — the trend
+    // monitor that catches a composition change (a bot wave, a product
+    // launch) even when total volume looks flat. Shares are integer micro;
+    // the drift join is lag-by-one over the ≤|weeks|·|types| aggregate
+    "ev_mix_drift_weekly" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val WeekUs = 7L * 86400000000L
+        val cells = Readers.fixture(spark, sfDir, "events")
+          .groupBy(expr(s"unix_micros(ts) div $WeekUs").as("week_idx"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("week_idx").agg(sum(col("n")).as("tot"))
+        val shares = cells.join(totals, "week_idx")
+          .select(col("week_idx"), col("event_type"),
+            expr("n * 1000000 div tot").as("share"))
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("week_idx"))
+        shares
+          .withColumn("prev_share", lag(col("share"), 1).over(byType))
+          .withColumn("prev_week", lag(col("week_idx"), 1).over(byType))
+          // only CONSECUTIVE weeks drift-compare (a dark week in a type
+          // must not compare across the gap)
+          .filter(col("prev_week") === col("week_idx") - 1)
+          .groupBy(col("week_idx"))
+          .agg(sum(abs(col("share") - col("prev_share"))).as("l1_drift_micro"),
+            count(lit(1)).as("n_types_compared"))
+          .orderBy("week_idx")
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT epoch_us(ts) // 604800000000 AS week_idx, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        totals AS (SELECT week_idx, CAST(sum(n) AS BIGINT) AS tot
+                   FROM cells GROUP BY week_idx),
+        shares AS (SELECT c.week_idx, c.event_type, c.n * 1000000 // t.tot AS share
+                   FROM cells c JOIN totals t ON c.week_idx = t.week_idx),
+        lagged AS (SELECT week_idx, event_type, share,
+                          lag(share) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_share,
+                          lag(week_idx) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_week
+                   FROM shares)
+        SELECT week_idx,
+               CAST(sum(abs(share - prev_share)) AS BIGINT) AS l1_drift_micro,
+               count(*) AS n_types_compared
+        FROM lagged WHERE prev_week = week_idx - 1
+        GROUP BY week_idx ORDER BY week_idx""")),
+
     // top-percentile event share: what fraction of the event volume the
     // top 1% most active users generate — the concentration headline the
     // activity spectrum implies but doesn't state (high concentration is
