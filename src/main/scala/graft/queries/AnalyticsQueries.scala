@@ -710,6 +710,34 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // repeat-purchase rate by market segment: customers with ≥2 orders as
+    // a micro share of the segment's buyers — the loyalty headline that
+    // pairs with RFM's tiers. Two user-keyed aggregates, the second over
+    // ≤|segments| rows
+    "q_repeat_rate" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        val c = graft.core.Readers.fixture(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val perCust = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        perCust.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_buyers"),
+            sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+          .select(col("c_mktsegment"), col("n_buyers"), col("n_repeat"),
+            expr("n_repeat * 1000000 div n_buyers").as("repeat_micro"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        seg AS (SELECT c_mktsegment, pc.n_orders
+                FROM pc JOIN customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment, count(*) AS n_buyers,
+               CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+               CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // count(*) AS repeat_micro
+        FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // revenue concentration (Herfindahl index) per region: Σ share² over
     // the region's nations, in integer micro (shares floored to micro
     // first, so the statistic is engine-exact) — 1e6 = one nation takes
