@@ -127,9 +127,10 @@ object Cli {
         Left(s"requires at least 1 arg(s), received 0; see 'graft --help' for more information")
       else if (badModes.nonEmpty)
         Left(s"invalid test modes: ${badModes.mkString(",")} (options: ${TestModes.All.sorted.mkString(",")})")
-      else if (!graft.canon.Canon.precisionMicros.contains(c.tzPrecision))
+      else if (!graft.canon.Canon.precisionMicros.contains(c.tzPrecision)
+          && !graft.canon.Canon.calendarUnits.contains(c.tzPrecision))
         Left(s"invalid --tz-precision: ${c.tzPrecision} " +
-          s"(options: ${graft.canon.Canon.precisionMicros.keys.toSeq.sorted.mkString(",")})")
+          s"(options: ${graft.canon.Canon.supportedPrecisions.mkString(",")})")
       else if (c.merkleBuckets <= 0)
         Left(s"invalid --merkle-buckets: ${c.merkleBuckets} (must be positive)")
       else Right(c)

@@ -39,13 +39,13 @@ import org.apache.spark.sql.types._
   */
 object Canon {
 
-  /** Microseconds per unit for the supported truncation precisions — the
-    * fixed-width subset of PG's `date_trunc` fields, which is what the
-    * reference feeds `--tz-precision` into (/root/reference/column.go:28,
-    * option /root/reference/config.go:196-203). Month and coarser are
-    * variable-width and cannot be expressed as epoch-micros arithmetic, so
-    * they are intentionally unsupported. "seconds" is kept as a legacy
-    * synonym of PG's "second".
+  /** Microseconds per unit for the FIXED-WIDTH truncation precisions of
+    * PG's `date_trunc` fields, which is what the reference feeds
+    * `--tz-precision` into (/root/reference/column.go:28, option
+    * /root/reference/config.go:196-203). Month and coarser are
+    * variable-width — those truncate via calendar `date_trunc` instead
+    * (see [[calendarUnits]]). "seconds" is kept as a legacy synonym of
+    * PG's "second".
     */
   val precisionMicros: Map[String, Long] = Map(
     "microseconds" -> 1L,
@@ -57,6 +57,21 @@ object Canon {
     "day"          -> 86400L * 1000000L,
     "week"         -> 7L * 86400L * 1000000L
   )
+
+  /** Variable-width `date_trunc` fields: these CANNOT fold as epoch-micros
+    * arithmetic (months differ in length), so they truncate via calendar
+    * `date_trunc` in every engine — PG's date_trunc (the reference's path,
+    * /root/reference/column.go:28), Spark's date_trunc, and DuckDB's
+    * date_trunc all truncate a UTC-session timestamptz to the same instant
+    * for these units, so the canonical epoch-micros rendering still agrees
+    * byte-for-byte. (`decade`/`century`/`millennium` stay unsupported —
+    * pgverify users don't fingerprint at those widths.)
+    */
+  val calendarUnits: Set[String] = Set("month", "quarter", "year")
+
+  /** Every accepted `--tz-precision` value (fixed-width + calendar). */
+  def supportedPrecisions: Seq[String] =
+    (precisionMicros.keySet ++ calendarUnits).toSeq.sorted
 
   /** Epoch-alignment offset: PG truncates weeks to Monday, but the epoch
     * (1970-01-01) was a Thursday, so week-folding anchors at the preceding
@@ -73,7 +88,7 @@ object Canon {
   def unitMicros(precision: String): Long =
     precisionMicros.getOrElse(precision, throw new IllegalArgumentException(
       s"unknown timestamp precision '$precision' " +
-        s"(supported: ${precisionMicros.keys.toSeq.sorted.mkString(", ")})"))
+        s"(supported: ${supportedPrecisions.mkString(", ")})"))
 
   /** Canonical TEXT form of one column (no null-coalescing; see [[canonCol]]). */
   def canonText(c: Column, dt: DataType, tsPrecision: String = "milliseconds"): Column = dt match {
@@ -82,6 +97,10 @@ object Canon {
     case FloatType => c.cast(DoubleType).cast(StringType)
     case DoubleType => c.cast(StringType)
     case _: DecimalType => c.cast(StringType)
+    case TimestampType if calendarUnits(tsPrecision) =>
+      // variable-width units truncate on the calendar (session TZ is pinned
+      // UTC), then render as epoch micros like every other precision
+      unix_micros(date_trunc(tsPrecision, c)).cast(StringType)
     case TimestampType =>
       val unit = unitMicros(tsPrecision)
       val off = precisionOffsetMicros(tsPrecision)
@@ -231,6 +250,8 @@ object Canon {
       case FloatType => s"CAST(CAST($c AS DOUBLE) AS VARCHAR)"
       case DoubleType => s"CAST($c AS VARCHAR)"
       case _: DecimalType => s"CAST($c AS VARCHAR)"
+      case TimestampType if calendarUnits(tsPrecision) =>
+        s"CAST(epoch_us(date_trunc('$tsPrecision', $c)) AS VARCHAR)"
       case TimestampType =>
         val unit = unitMicros(tsPrecision)
         val off = precisionOffsetMicros(tsPrecision)

@@ -146,8 +146,11 @@ object Layout {
                  CAST($sizeSql AS BIGINT) AS bytes FROM $table),
         packed AS (
           SELECT dir, id, bytes,
-                 ((sum(bytes) OVER (PARTITION BY dir ORDER BY id
-                      ROWS UNBOUNDED PRECEDING) - bytes) // $targetBytes) AS bin
+                 -- CAST: DuckDB widens the windowed sum and // returns DOUBLE;
+                 -- the driver's comparator is dtype-sensitive (int64 != float64)
+                 CAST((sum(bytes) OVER (PARTITION BY dir ORDER BY id
+                      ROWS UNBOUNDED PRECEDING) - bytes) // $targetBytes
+                   AS BIGINT) AS bin
           FROM files)
         SELECT dir, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
                min(id) AS id_first, max(id) AS id_last

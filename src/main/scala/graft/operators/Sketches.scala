@@ -187,12 +187,22 @@ object Sketches {
     * the data it held 3.281 → 3.287. The scaled sketch is still ~5 MB of
     * counters against terabytes of join input.
     */
-  def cmsInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame =
-    countersA.select(col("d"), col("b"), col("c").as("ca"))
+  def cmsInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val ip = countersA.select(col("d"), col("b"), col("c").as("ca"))
       .join(broadcast(countersB.select(col("d"), col("b"), col("c").as("cb"))),
         Seq("d", "b"))
       .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_join"))
+    // a lane with ZERO colliding buckets proves the exact join is empty —
+    // its inner product is 0 and must survive into the min; an inner join
+    // alone drops such lanes (losing exactly the tightest estimates for
+    // disjoint key sets, and returning no rows at all when no bucket
+    // collides anywhere). Left-join from the observed lane frame and
+    // coalesce the missing products to 0 so every lane contributes
+    val lanes = countersA.select(col("d"))
+      .union(countersB.select(col("d"))).distinct()
+    lanes.join(ip, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join"))
+  }
 
   /** The counter-build half of [[duckCms]] as a standalone SELECT — shared
     * by the point-estimate twin and the join-size twin so the two engines
@@ -287,6 +297,43 @@ object Sketches {
   def hllDistinct(df: DataFrame, key: Column): Long =
     hllEstimateFromRegisters(
       hllRegisters(df, key).collect().toIndexedSeq.map(_.getInt(1)))
+
+  /** Grouped HLL estimates as pure Column arithmetic: `regs` is a register
+    * table `(group..., reg, m_rho)` (the [[hllRegisters]] /
+    * [[graft.streaming.EventStreams.runningHll]] shape); the result is one
+    * `(group..., est)` row per group — bit-identical to folding each
+    * group's registers through [[hllEstimateFromRegisters]], but with NO
+    * driver collect: the harmonic sum runs as a DECIMAL(38,0) aggregate
+    * (the 2^57-scaled terms sum past 2^63, so BIGINT would overflow where
+    * the driver fold used BigInt) and the divisions are integral `div`
+    * (floor-division composition: a div z div 1e6 == a div (z·1e6) for
+    * positive integers), so the estimate stays integer-exact end to end.
+    * The linear-counting branch indexes the same fixed-point ln table.
+    */
+  def hllEstimateByGroup(regs: DataFrame, groupCols: String*): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val num = new java.math.BigDecimal(
+      (BigInt(HllAlphaMicro) * HllM * HllM * Two57).bigInteger)
+    val lnArr = array(HllLnMicro.map(lit(_)): _*)
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 57 - m_rho)").cast(dec38))
+          + (lit(HllM.toLong) - count(lit(1))).cast(dec38)
+            * lit(new java.math.BigDecimal(Two57.bigInteger))).as("zz"),
+        (lit(HllM.toLong) - count(lit(1))).as("zero_regs"))
+      .withColumn("__num", lit(num).cast(dec38))
+      .withColumn("raw", expr("__num div (zz * 1000000)"))
+      // greatest(...,1): the lookup is only USED when zero_regs > 0, but
+      // element_at(_, 0) is an ANSI error even on the dead branch
+      .withColumn("__lnm",
+        element_at(lnArr, greatest(col("zero_regs").cast("int"), lit(1))))
+      .withColumn("est",
+        expr(s"CASE WHEN raw <= ${5L * HllM / 2} AND zero_regs > 0 " +
+          s"THEN (${HllM} * __lnm) div 1000000 ELSE raw END"))
+      .select((groupCols.map(col) :+ col("est")): _*)
+  }
 
   /** DuckDB twin of [[hllDistinct]] as a scalar subquery — same registers,
     * same scaled-integer raw estimate, same linear-counting branch over the

@@ -371,7 +371,10 @@ object AnalyticsQueries {
              cb AS (${Sketches.duckCmsCountersSql("lineitem", "l_orderkey", depth, width)}),
              ip AS (SELECT a.d, CAST(sum(a.c * b.c) AS BIGINT) AS ip
                     FROM ca a JOIN cb b ON a.d = b.d AND a.b = b.b GROUP BY a.d),
-             est AS (SELECT min(ip) AS est_join FROM ip),
+             lanes AS (SELECT DISTINCT d FROM (SELECT d FROM ca
+                       UNION ALL SELECT d FROM cb) u),
+             est AS (SELECT min(coalesce(ip, CAST(0 AS BIGINT))) AS est_join
+                     FROM lanes LEFT JOIN ip USING (d)),
              ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
            SELECT est_join, exact_join,

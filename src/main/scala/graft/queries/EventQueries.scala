@@ -193,18 +193,17 @@ object EventQueries {
         val stream = graft.streaming.EventStreams.runningHll(
           graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir)),
           "event_type", "user_id")
+        // the drain is the only driver touch (memory-sink contract); the
+        // estimator itself is Column arithmetic over the register table
         val regs = graft.streaming.EventStreams.runToBatch(stream,
           s"ev_hll_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Complete)
-          .select(col("event_type"), col("m_rho").cast("int"))
-          .as[(String, Int)].collect().groupBy(_._1)
         val exact = Readers.fixture(spark, sfDir, "events")
           .groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_users"))
-          .as[(String, Long)].collect().toMap
-        regs.toSeq.map { case (t, rs) =>
-          (t, exact(t), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
-        }.toDF("event_type", "exact_users", "hll_users").orderBy("event_type")
+        exact.join(Sketches.hllEstimateByGroup(regs, "event_type"), "event_type")
+          .select(col("event_type"), col("exact_users"), col("est").as("hll_users"))
+          .orderBy("event_type")
       },
       oracle = Some {
         import graft.operators.Sketches
@@ -228,15 +227,16 @@ object EventQueries {
         import graft.operators.Sketches
         val ev = Readers.fixture(spark, sfDir, "events")
           .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
-        val regs = graft.streaming.EventStreams.runningHll(ev, "day_us", "user_id")
-          .select(col("day_us"), col("m_rho").cast("int"))
-          .as[(Long, Int)].collect().groupBy(_._1)
+        // register build AND estimate fold are both distributed — the
+        // estimator is Column arithmetic (hllEstimateByGroup), no collect
+        val est = Sketches.hllEstimateByGroup(
+          graft.streaming.EventStreams.runningHll(ev, "day_us", "user_id"),
+          "day_us")
         val exact = ev.groupBy(col("day_us"))
           .agg(countDistinct(col("user_id")).as("exact_users"))
-          .as[(Long, Long)].collect().toMap
-        regs.toSeq.map { case (d, rs) =>
-          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
-        }.toDF("day_us", "exact_users", "hll_users").orderBy("day_us")
+        exact.join(est, "day_us")
+          .select(col("day_us"), col("exact_users"), col("est").as("hll_users"))
+          .orderBy("day_us")
       },
       oracle = Some {
         import graft.operators.Sketches
@@ -270,15 +270,13 @@ object EventQueries {
         val merged = dayRegs.join(broadcast(days),
             col("day_us") <= col("d") && col("day_us") > col("d") - 7L * DayUs)
           .groupBy(col("d"), col("reg")).agg(max(col("m_rho")).as("m_rho"))
-          .select(col("d"), col("m_rho").cast("int"))
-          .as[(Long, Int)].collect().groupBy(_._1)
+        val est = Sketches.hllEstimateByGroup(merged, "d")
         val exact = act.join(broadcast(days),
             col("day_us") <= col("d") && col("day_us") > col("d") - 7L * DayUs)
           .groupBy(col("d")).agg(countDistinct(col("user_id")).as("exact_wau"))
-          .as[(Long, Long)].collect().toMap
-        merged.toSeq.map { case (d, rs) =>
-          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
-        }.toDF("day_us", "exact_wau", "hll_wau").orderBy("day_us")
+        exact.join(est, "d")
+          .select(col("d").as("day_us"), col("exact_wau"), col("est").as("hll_wau"))
+          .orderBy("day_us")
       },
       oracle = Some {
         import graft.operators.Sketches
@@ -313,16 +311,13 @@ object EventQueries {
         val regs = graft.streaming.EventStreams.runToBatch(stream,
           s"ev_dau_hll_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Complete)
-          .select(col("day_us"), col("m_rho").cast("int"))
-          .as[(Long, Int)].collect().groupBy(_._1)
         val exact = Readers.fixture(spark, sfDir, "events")
           .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
           .groupBy(col("day_us"))
           .agg(countDistinct(col("user_id")).as("exact_users"))
-          .as[(Long, Long)].collect().toMap
-        regs.toSeq.map { case (d, rs) =>
-          (d, exact(d), Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq))
-        }.toDF("day_us", "exact_users", "hll_users").orderBy("day_us")
+        exact.join(Sketches.hllEstimateByGroup(regs, "day_us"), "day_us")
+          .select(col("day_us"), col("exact_users"), col("est").as("hll_users"))
+          .orderBy("day_us")
       },
       oracle = Some {
         import graft.operators.Sketches

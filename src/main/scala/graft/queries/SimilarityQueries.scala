@@ -496,9 +496,19 @@ object SimilarityQueries {
     // per output dim, scan-parallel
     "sim_jl_project" -> QueryEntry(
       fn = (spark, sfDir) =>
+        // posexplode to (vec_id, dim, value): the driver's comparator hashes
+        // scalar cells only — a raw array<bigint> column is unhashable there
         Similarity.jlProject(Readers.fixture(spark, sfDir, "embeddings"),
-          "vec_id", "embedding", jlSigns).orderBy("vec_id"),
-      oracle = Some(Similarity.duckJlProject(jlSigns) + "\nORDER BY vec_id")),
+          "vec_id", "embedding", jlSigns)
+          .select(col("vec_id"), posexplode(col("jl")).as(Seq("dim", "value")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
+          .orderBy("vec_id", "dim"),
+      oracle = Some {
+        s"""WITH jlp AS (${Similarity.duckJlProject(jlSigns)})
+           SELECT vec_id, CAST(idx.i - 1 AS BIGINT) AS dim, jl[idx.i] AS value
+           FROM jlp, (SELECT unnest(generate_series(1, ${jlSigns.length})) AS i) idx
+           ORDER BY vec_id, dim"""
+      }),
 
     // distance preservation of the JL sketch, measured as recall@10 of the
     // sketch-shortlist-then-exact-rerank ranking (shortlist 5K in sketch

@@ -780,7 +780,9 @@ object TextQueries {
         val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
         val lm = pair.join(uni, "w1")
           .select(col("w1"), col("w2"), expr("(1000000 * n_pair) div n_w1").as("p_micro"))
-        docBg.join(broadcast(lm), Seq("w1", "w2"))
+        // no broadcast hint: the LM table is corpus-derived (grows ~vocab²
+        // at web scale) — let AQE pick the join strategy from runtime stats
+        docBg.join(lm, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
           .select(col("doc_id"), col("n_bigrams"),

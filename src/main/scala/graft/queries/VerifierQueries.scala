@@ -99,7 +99,8 @@ object VerifierQueries {
     * (micro/milli/seconds are already exercised by every other pv_* query),
     * sorted for a deterministic result frame.
     */
-  private val TzUnits = Seq("day", "hour", "minute", "second", "week")
+  private val TzUnits =
+    Seq("day", "hour", "minute", "month", "quarter", "second", "week", "year")
 
   val entries: Map[String, QueryEntry] = Map(
 

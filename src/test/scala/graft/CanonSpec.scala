@@ -71,6 +71,21 @@ class CanonSpec extends SparkSpec {
     assert(epoch == "-259200000000", epoch)
   }
 
+  test("calendar units month/quarter/year truncate on the calendar, incl. pre-1970") {
+    // variable-width units can't fold as epoch arithmetic — they go through
+    // date_trunc (session TZ pinned UTC) and render as epoch micros
+    def canonAt(ts: Timestamp, p: String) = Seq(ts).toDF("t")
+      .select(Canon.canonCol(col("t"), TimestampType, p)).as[String].head()
+    val aug = Timestamp.valueOf("2020-08-15 13:14:15.161718")
+    assert(canonAt(aug, "month")   == "1596240000000000") // 2020-08-01
+    assert(canonAt(aug, "quarter") == "1593561600000000") // 2020-07-01
+    assert(canonAt(aug, "year")    == "1577836800000000") // 2020-01-01
+    val pre = Timestamp.valueOf("1969-06-15 06:07:08.9")
+    assert(canonAt(pre, "month")   == "-18489600000000")  // 1969-06-01
+    assert(canonAt(pre, "quarter") == "-23760000000000")  // 1969-04-01
+    assert(canonAt(pre, "year")    == "-31536000000000")  // 1969-01-01
+  }
+
   test("unknown precision unit fails fast with the supported list") {
     val e = intercept[IllegalArgumentException] {
       Seq(new Timestamp(0L)).toDF("t")

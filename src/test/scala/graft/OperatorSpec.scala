@@ -117,7 +117,10 @@ class OperatorSpec extends SparkSpec {
     // contract) and bit-stable: two runs produce identical sketches
     val proj = SparkEntry.queries("sim_jl_project")(spark, sfDir)
     val again = SparkEntry.queries("sim_jl_project")(spark, sfDir)
-    assert(proj.schema("jl").dataType.simpleString == "array<bigint>")
+    // exploded (vec_id, dim, value) rows — the driver-hashable shape; the
+    // sketch values themselves stay exact 64-bit integers
+    assert(proj.schema("value").dataType.simpleString == "bigint")
+    assert(proj.schema("dim").dataType.simpleString == "bigint")
     assert(proj.exceptAll(again).isEmpty && again.exceptAll(proj).isEmpty)
     // recall floor: measured at sf0.01 mean 550000 (vs lsh 330000 /
     // ivf 410000 on the same fixture); the sf0.001 fixture is smaller and

@@ -285,7 +285,7 @@ class PgLiveSpec extends SparkSpec {
     // pre-1970 sub-second value (floor, not truncate-toward-zero, at every
     // unit); 'week' additionally pins the Monday (not epoch-Thursday) anchor
     for (precision <- Seq("microseconds", "milliseconds", "second", "minute",
-      "hour", "day", "week")) {
+      "hour", "day", "week", "month", "quarter", "year")) {
       val pgHash = psqlScalar(PgSql.fullHashQuery("public", "typed", pgColumns,
         precision = precision))
       val sparkHash = Fingerprints.fullDigest(typedDf, spec,

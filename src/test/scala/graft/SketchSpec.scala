@@ -122,4 +122,45 @@ class SketchSpec extends SparkSpec {
     assert(est <= exact + (l1a * l1b) / width * 4,
       s"est $est implausibly loose vs exact $exact (bound ${exact + (l1a * l1b) / width * 4})")
   }
+
+  test("hllEstimateByGroup (Column arithmetic) equals the driver-side fold bit-for-bit") {
+    import graft.operators.Sketches
+    val spark2 = spark; import spark2.implicits._
+    val ev = Readers.fixture(spark, sfDir, "events")
+    val regs = graft.streaming.EventStreams.runningHll(ev, "event_type", "user_id")
+    val colEst = Sketches.hllEstimateByGroup(regs, "event_type")
+      .as[(String, Long)].collect().toMap
+    val fold = regs.select(col("event_type"), col("m_rho").cast("int"))
+      .as[(String, Int)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> Sketches.hllEstimateFromRegisters(rs.map(_._2).toIndexedSeq) }
+    assert(colEst == fold, s"column estimator diverged: $colEst vs $fold")
+    // small-range (linear-counting) branch: 20 distinct keys leave most
+    // registers empty, so the correction path must agree too
+    val tiny = (0 until 20).map(i => ("g", s"k$i")).toDF("g", "k")
+    val tregs = graft.streaming.EventStreams.runningHll(tiny, "g", "k")
+    val tCol = Sketches.hllEstimateByGroup(tregs, "g").as[(String, Long)].head()._2
+    val tFold = Sketches.hllEstimateFromRegisters(
+      tregs.select(col("m_rho").cast("int")).as[Int].collect().toIndexedSeq)
+    assert(tCol == tFold, s"linear-counting branch diverged: $tCol vs $tFold")
+  }
+
+  test("CMS inner product: a zero-collision lane survives into the min (disjoint keys)") {
+    import graft.operators.Sketches
+    // a wide sketch over two tiny DISJOINT key sets: with high probability at
+    // least one lane has zero colliding buckets, whose inner product is 0 —
+    // the correct (and exact) estimate. An inner-join-only implementation
+    // drops those lanes and reports the loosest surviving lane instead (or
+    // no rows at all when nothing collides anywhere)
+    val spark2 = spark; import spark2.implicits._
+    val a = (0 until 20).map(i => s"left_$i").toDF("k")
+    val b = (0 until 20).map(i => s"right_$i").toDF("k")
+    val (depth, width) = (4, 1 << 20)
+    val est = Sketches.cmsInnerProduct(
+      Sketches.cmsCounters(a, col("k"), depth, width),
+      Sketches.cmsCounters(b, col("k"), depth, width))
+    val rows = est.collect()
+    assert(rows.length == 1, s"expected one estimate row, got ${rows.length}")
+    assert(rows(0).getLong(0) == 0L,
+      s"disjoint 20x20 keys at width=$width should estimate 0, got ${rows(0).getLong(0)}")
+  }
 }
