@@ -414,6 +414,33 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
   }
 
+  test("ImageIoDecoder golden pin: exact DCT features for a deterministic PNG") {
+    // byte-level honesty check on the pluggable decoder boundary: the PNG
+    // encoding AND the decode output are both pinned, so a silent change to
+    // the downsample grid, luminance weights, DCT, or quantization step —
+    // or a JDK imageio behavior shift — fails loudly instead of just
+    // drifting every pHash. Golden values computed once from this exact
+    // generator (48×32 RGB ramp + checker blue channel).
+    import java.awt.image.BufferedImage
+    val (w, h) = (48, 32)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1); val b = ((x + y) % 2) * 255
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(md5 == "bb52b65829e71f7a897948d358ee6c10",
+      s"PNG encoder output changed: $md5 (decode pins below would be stale)")
+    val (dw, dh, ch, feat) = Multimodal.ImageIoDecoder.decode(bytes)
+    assert((dw, dh, ch) == (48L, 32L, 3L), s"header ($dw,$dh,$ch)")
+    assert(feat.toSeq == Seq[Long](253, -32, 0, -3, -63, 0, 0, 0, 0, 0, 0, 0, -7, 0, 0, 0),
+      s"DCT features drifted: ${feat.mkString(",")}")
+  }
+
   test("decodeStub survives short and empty payloads (zero-filled header bytes)") {
     val (w, h, c, hist) = Multimodal.decodeStub(Array.empty[Byte])
     assert((w, h, c) == (32L, 32L, 1L) && hist.forall(_ == 0L))
