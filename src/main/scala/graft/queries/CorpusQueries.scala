@@ -30,6 +30,9 @@ object CorpusQueries {
   private val MixWeights = Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1)
   private val MixBudget = 2000L
 
+  /** DSIR hashed-feature space size (power of two, kilobyte-scale table). */
+  private val DsirBuckets = 1024
+
   val entries: Map[String, QueryEntry] = Map(
 
     // source-weighted domain mixing: hash-sample each weighted source toward
@@ -780,6 +783,59 @@ object CorpusQueries {
               CAST(length(text) -
                    length(regexp_replace(regexp_replace(text, '$EmailPat', '<email>', 'g'),
                           '$NumPat', '<num>', 'g')) AS BIGINT) AS chars_removed
-           FROM documents ORDER BY doc_id"""))
+           FROM documents ORDER BY doc_id""")),
+
+    // DSIR importance weights (Xie et al. 2023): every document scored by the
+    // hashed-bigram log-likelihood ratio target-vs-raw (target = English
+    // docs), integer micro-ln in BOTH engines so the scores hash-match. The
+    // 100 TB shape: one explode pass, two 1024-bucket histograms, a broadcast
+    // llr table, one map-side-summed groupBy(doc) — see operators/Selection
+    "corpus_dsir_weights" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Selection.dsirWeights(
+          Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", col("lang") === "en", DsirBuckets,
+          carryCols = Seq("lang"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        graft.operators.Selection.duckDsirWeights("lang = 'en'", DsirBuckets,
+          carrySql = Seq("d.lang")) + "\nORDER BY doc_id")),
+
+    // the selection step: among NON-target (non-English) docs, keep the top
+    // quarter by DSIR weight (global rank, doc_id tiebreak) and report how
+    // the kept set redistributes across languages — the "which raw slices
+    // look most like the target domain" answer. The exact global rank is the
+    // oracle-friendly fixture form; at 100 TB selection uses an
+    // approx-quantile THRESHOLD on dsir_micro instead of a global sort (one
+    // extra scan, no single-reducer order-by)
+    "corpus_dsir_select" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = graft.operators.Selection.dsirWeights(
+          Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", col("lang") === "en", DsirBuckets,
+          carryCols = Seq("lang"))
+          .filter(col("lang") =!= "en")
+        val ranked = w.withColumn("rnk", row_number().over(
+          Window.orderBy(col("dsir_micro").desc, col("doc_id").asc)))
+        val n = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("kept", (col("rnk") * 4L <= col("n")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val weights = graft.operators.Selection.duckDsirWeights(
+          "lang = 'en'", DsirBuckets, carrySql = Seq("d.lang"))
+        s"""WITH w AS ($weights),
+             nt AS (SELECT doc_id, lang, dsir_micro,
+                           row_number() OVER (ORDER BY dsir_micro DESC, doc_id ASC) AS rnk
+                    FROM w WHERE lang <> 'en'),
+             n AS (SELECT count(*) AS n FROM nt)
+           SELECT lang, count(*) AS n_total,
+                  CAST(sum(CASE WHEN rnk * 4 <= n.n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM nt, n GROUP BY lang ORDER BY lang"""
+      })
   )
 }

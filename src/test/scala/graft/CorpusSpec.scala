@@ -10,6 +10,41 @@ import graft.operators.{Corpus, KMeans}
   */
 class CorpusSpec extends SparkSpec {
 
+  test("integer micro-ln tracks Math.log within 2e-5 across 12 orders of magnitude") {
+    import graft.operators.Selection
+    val spark2 = spark; import spark2.implicits._
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 10L, 64L, 100L, 12345L, 1048576L,
+      987654321L, 999999999999L)
+    val got = xs.toDF("x").withColumn("ln", expr(Selection.lnMicroSparkSql("x")))
+      .select("x", "ln").as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      val want = math.log(x.toDouble) * 1e6
+      assert(math.abs(got(x) - want) <= math.max(20.0, want * 2e-5),
+        s"lnMicro($x) = ${got(x)}, true ${want.toLong}")
+    }
+    // exact anchor points: ln(1) = 0 and powers of two are pure b·ln2
+    assert(got(1L) == 0L)
+    assert(got(1048576L) == 20L * Selection.Ln2Micro)
+  }
+
+  test("DSIR weights separate target-domain docs from raw docs") {
+    import graft.operators.Selection
+    val spark2 = spark; import spark2.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val w = Selection.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", 1024, carryCols = Seq("lang"))
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_micro")).as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    // target members must score strictly higher on average than raw docs —
+    // the standard DSIR self-check (a broken hash, smoothing, or sign error
+    // collapses or inverts the separation)
+    assert(means(true) > means(false) + 500000.0,
+      s"no target/raw separation: target ${means(true)}, raw ${means(false)}")
+    // zero-bigram docs (if any) score exactly 0, not null
+    assert(w.filter(col("n_bigrams") === 0 && col("dsir_micro") =!= 0).isEmpty)
+  }
+
   test("hash split partitions the corpus and is stable under corpus growth") {
     val docs = Readers.fixture(spark, sfDir, "documents")
     val withSplit = docs.select(col("doc_id"),
