@@ -21,6 +21,9 @@ object DedupQueries {
   // dedup_lsh_recall ground-truth probe: docs below this id are the exact-
   // Jaccard query side (probe × corpus stays linear in the corpus)
   private val ProbeDocs = 100L
+  // content-defined chunking: 16-char boundary window, ~64-char mean chunk
+  private val CdcWindow = 16
+  private val CdcDivisor = 64
 
   /** File-source streams need a directory; stage the documents fixture once
     * per sfDir (the rawEventsDir pattern from EventQueries).
@@ -773,6 +776,48 @@ object DedupQueries {
         Similarity.semanticDropList(e, numCentroids = 20, thresholdMicro = 450000L)
           .orderBy("drop_id")
       },
-      oracle = Some(Similarity.duckSemanticDropList(numCentroids = 20, thresholdMicro = 450000L)))
+      oracle = Some(Similarity.duckSemanticDropList(numCentroids = 20, thresholdMicro = 450000L))),
+
+    // content-defined chunking (FastCDC family): chunk-store dedup savings —
+    // cut points follow content (hash-of-window % divisor == 0), so an edit
+    // near a document's front doesn't reshuffle every later chunk the way
+    // fixed-size blocks would. One row: chunk counts, distinct chunks, and
+    // the characters a chunk store saves vs raw storage. Plan: position
+    // explode → per-DOC lag window (no global order) → groupBy(chunk md5)
+    // with map-side partials; at 100 TB the per-position md5 becomes a
+    // rolling Karp-Rabin codegen expression, same plan
+    "dedup_cdc_savings" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Cdc.savings(graft.operators.Cdc.chunks(
+          Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", CdcWindow, CdcDivisor)),
+      oracle = Some(
+        s"""WITH ${graft.operators.Cdc.duckChunksCtes(CdcWindow, CdcDivisor)},
+             by_chunk AS (SELECT ch, count(*) AS n, max(clen) AS l
+                          FROM cdc_chunks GROUP BY ch)
+           SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+                  count(*) AS n_distinct,
+                  CAST(sum(n) - count(*) AS BIGINT) AS dup_chunks,
+                  CAST(sum(n * l) AS BIGINT) AS total_chars,
+                  CAST(sum((n - 1) * l) AS BIGINT) AS dup_chars,
+                  CAST(sum(n * l) // sum(n) AS BIGINT) AS mean_chunk
+           FROM by_chunk""")),
+
+    // cross-document shared-chunk pairs: the PARTIAL-overlap detector —
+    // documents sharing boilerplate, quoted passages, or revision prefixes
+    // surface with exactly how many chunks/characters they share, which
+    // whole-doc hashing misses entirely. Chunks in > 8 docs are capped out
+    // before pairing (boilerplate is a frequency fact, not O(n²) pairs)
+    "dedup_cdc_shared" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Cdc.sharedPairs(graft.operators.Cdc.chunks(
+            Readers.fixture(spark, sfDir, "documents"),
+            "doc_id", "text", CdcWindow, CdcDivisor), maxDocsPerChunk = 8)
+          .orderBy("doc_a", "doc_b"),
+      oracle = Some(
+        s"""WITH ${graft.operators.Cdc.duckChunksCtes(CdcWindow, CdcDivisor)},
+             ${graft.operators.Cdc.duckSharedPairs(8)}
+           SELECT doc_a, doc_b, shared_chunks, shared_chars
+           FROM cdc_pairs ORDER BY doc_a, doc_b"""))
   )
 }

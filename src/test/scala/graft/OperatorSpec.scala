@@ -414,6 +414,32 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
   }
 
+  test("CDC chunks: lossless cover per doc, and boundaries REALIGN after a prefix edit") {
+    import graft.operators.Cdc
+    val spark2 = spark; import spark2.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val ch = Cdc.chunks(docs, "doc_id", "text", 16, 64).persist()
+    // chunks tile each document exactly: per-doc clen sums to length(text),
+    // starts/ends are contiguous (no gap, no overlap)
+    val cover = ch.groupBy("doc_id").agg(sum("clen").as("covered"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .filter(col("covered") =!= col("len"))
+    assert(cover.isEmpty, cover.take(3).mkString(","))
+    // the content-defined property: prepend one char to every doc — a
+    // fixed-size blocker would shift EVERY block; content-defined cuts
+    // realign after the first boundary, so most distinct chunk hashes
+    // survive the edit
+    val edited = docs.select(col("doc_id"), concat(lit("X"), col("text")).as("text"))
+    val ch2 = Cdc.chunks(edited, "doc_id", "text", 16, 64)
+    val before = ch.select("ch").distinct()
+    val after = ch2.select("ch").distinct()
+    val shared = before.intersect(after).count()
+    val n = before.count()
+    assert(shared * 10 >= n * 7,
+      s"only $shared/$n distinct chunks survived a 1-char prefix edit — boundaries are not content-defined")
+    ch.unpersist()
+  }
+
   test("ImageIoDecoder golden pin: exact DCT features for a deterministic PNG") {
     // byte-level honesty check on the pluggable decoder boundary: the PNG
     // encoding AND the decode output are both pinned, so a silent change to
