@@ -120,7 +120,7 @@ object KMeans {
   // ordered-fold mean), generated from the same k/iters/dims parameters.
   // -------------------------------------------------------------------------
 
-  private[operators] def duckAssign(centCte: String, source: String = "embeddings"): String = {
+  private[graft] def duckAssign(centCte: String, source: String = "embeddings"): String = {
     val cos = Similarity.duckCosineScaled("v.embedding", "c.cv")
     s"""(SELECT vec_id, embedding, cent_id FROM (
           SELECT v.vec_id, v.embedding, c.cent_id,

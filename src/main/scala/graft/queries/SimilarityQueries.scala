@@ -156,6 +156,47 @@ object SimilarityQueries {
            WHERE rank <= $K ORDER BY query_id, rank"""
       }),
 
+    // cluster-balanced (density-flattening) sampling: per trained cluster
+    // keep isqrt(|cluster|) members — dense regions contribute relatively
+    // FEWER of their members while rare modes keep coverage, the diversity
+    // selection a uniform sample can't give (it mirrors density). Member
+    // choice is the deterministic md5-of-id order (reproducible, engine-
+    // neutral, and unbiased w.r.t. content). 100 TB: assignment broadcasts
+    // the centroid list; per-cluster selection is the same bounded-heap
+    // top-k shape as every other top-k here (k rows of state per cluster)
+    "sim_cluster_sample" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        val assigned = graft.operators.KMeans.assign(e, cent)
+        val sizes = assigned.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .withColumn("quota", expr(graft.operators.Corpus.isqrtSql("n_members")))
+        val ranked = assigned.withColumn("srn", row_number().over(
+          Window.partitionBy(col("cent_id"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        ranked.join(broadcast(sizes), "cent_id")
+          .filter(col("srn") <= col("quota"))
+          .select(col("vec_id"), col("cent_id"), col("n_members"), col("quota"))
+          .orderBy("vec_id")
+      },
+      oracle = Some {
+        val (ctes, last) = graft.operators.KMeans.duckTrainCtes(8, 2, Dims)
+        val quota = graft.operators.Corpus.isqrtSql("s.n_members")
+        s"""WITH $ctes,
+             asg AS ${graft.operators.KMeans.duckAssign(last)},
+             sizes AS (SELECT cent_id, count(*) AS n_members FROM asg GROUP BY cent_id),
+             ranked AS (SELECT vec_id, cent_id,
+                               row_number() OVER (PARTITION BY cent_id
+                                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+                        FROM asg)
+           SELECT r.vec_id, r.cent_id, s.n_members, $quota AS quota
+           FROM ranked r JOIN sizes s USING (cent_id)
+           WHERE r.srn <= $quota
+           ORDER BY r.vec_id"""
+      }),
+
     // cross-modal dedup cross-check: embedding cosine for every TEXT-LSH
     // candidate pair (documents and embeddings share ids) — the agreement
     // signal curation uses to decide whether text near-dups are also

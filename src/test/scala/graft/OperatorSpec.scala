@@ -414,6 +414,24 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
   }
 
+  test("cluster-balanced sample: exactly isqrt(|cluster|) kept per cluster (density flattened)") {
+    val spark2 = spark; import spark2.implicits._
+    val out = SparkEntry.queries("sim_cluster_sample")(spark, sfDir)
+    val per = out.groupBy("cent_id", "n_members", "quota")
+      .agg(count(lit(1)).as("n_sel"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(per.nonEmpty)
+    per.foreach { case (c, n, q, sel) =>
+      assert(sel == q, s"cluster $c kept $sel != quota $q")
+      assert(q * q <= n && (q + 1) * (q + 1) > n, s"quota $q is not isqrt($n)")
+    }
+    // flattening: the kept-share ratio across clusters is the SQRT of the
+    // size ratio — dense clusters are down-weighted relative to sparse ones
+    val sizes = per.map(_._2); val quotas = per.map(_._3)
+    if (sizes.min > 0)
+      assert(quotas.max.toDouble / quotas.min <= math.sqrt(sizes.max.toDouble / sizes.min) + 1)
+  }
+
   test("CDC chunks: lossless cover per doc, and boundaries REALIGN after a prefix edit") {
     import graft.operators.Cdc
     val spark2 = spark; import spark2.implicits._
