@@ -104,25 +104,38 @@ object Selection {
     * domain; every document (target and raw alike) is scored — a useful
     * self-check is that target members rank high.
     */
-  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int,
-                  carryCols: Seq[String] = Nil): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+  /** The per-bucket log-likelihood-ratio table (bkt, llr_micro) — `buckets`
+    * rows, the broadcast/frozen-scorer side of DSIR. Buckets never observed
+    * in training are absent; their smoothed llr is the constant
+    * lnM(T_raw+B) − lnM(T_target+B) (both counts are 1), which stream
+    * scoring supplies as the default.
+    */
+  def llrTable(docs: DataFrame, textCol: String, isTarget: Column,
+               buckets: Int): DataFrame = {
+    val bg = docs.select(isTarget.as("is_t"),
         explode(bigrams(col(textCol))).as("bg"))
-      .select(col("doc_id"), col("is_t"), bucketOf(col("bg"), buckets).as("bkt"))
+      .select(col("is_t"), bucketOf(col("bg"), buckets).as("bkt"))
     val counts = bg.groupBy(col("bkt")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("n_r"))
     val totals = counts.agg(
       (sum(col("n_t")) + buckets).as("tt"), (sum(col("n_r")) + buckets).as("tr"))
-    // per-bucket log-likelihood ratio table: `buckets` rows — broadcast side
     val llr0 = counts.crossJoin(broadcast(totals))
       .withColumn("nt1", col("n_t") + 1L)
       .withColumn("nr1", col("n_r") + 1L)
-    val llr = Seq(("nt1", "ln_nt"), ("nr1", "ln_nr"), ("tt", "ln_tt"), ("tr", "ln_tr"))
+    Seq(("nt1", "ln_nt"), ("nr1", "ln_nr"), ("tt", "ln_tt"), ("tr", "ln_tr"))
       .foldLeft(llr0) { case (d, (in, out)) => withLnMicro(d, in, out) }
       .select(col("bkt"),
         (col("ln_nt") - col("ln_tt") - col("ln_nr") + col("ln_tr")).as("llr_micro"))
+  }
+
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int,
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), bucketOf(col("bg"), buckets).as("bkt"))
+    val llr = llrTable(docs, textCol, isTarget, buckets)
     val perDoc = bg.join(broadcast(llr), "bkt")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_micro")).as("dsir_micro"))
@@ -131,6 +144,61 @@ object Selection {
       .select((Seq(col("doc_id")) ++ carryCols.map(col) :+
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") :+
         coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro")): _*)
+  }
+
+  /** Scala mirror of [[lnMicroSparkSql]] — the SAME integer algorithm
+    * (truncating division on positives), for driver-side constants like the
+    * unseen-bucket default. Spec-pinned equal to the SQL form.
+    */
+  def lnMicroLong(x: Long): Long = {
+    require(x >= 1, s"lnMicroLong($x)")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << b
+    val z = (x - p) * 1000000L / (x + p)
+    val z2 = z * z / 1000000L
+    val z4 = z2 * z2 / 1000000L
+    b.toLong * Ln2Micro + 2L * (z + (z2 * z / 1000000L) / 3L +
+      (z4 * z / 1000000L) / 5L + ((z4 * z2 / 1000000L) * z / 1000000L) / 7L +
+      ((z4 * z4 / 1000000L) * z / 1000000L) / 9L)
+  }
+
+  /** Smoothed bigram totals (T_target + buckets, T_raw + buckets): the
+    * denominators of the DSIR probabilities, and via [[lnMicroLong]] the
+    * unseen-bucket default llr for frozen-scorer streaming.
+    */
+  def smoothedTotals(docs: DataFrame, textCol: String, isTarget: Column,
+                     buckets: Int): (Long, Long) = {
+    val r = docs.select(isTarget.as("is_t"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .agg((sum(when(col("is_t"), 1L).otherwise(0L)) + buckets).as("tt"),
+        (sum(when(!col("is_t"), 1L).otherwise(0L)) + buckets).as("tr"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Stateless per-row DSIR scoring with a FROZEN scorer: the llr table
+    * (collected once — `buckets` rows, kilobytes) rides to every executor as
+    * a map literal, and each document is scored by a pure expression over
+    * its own bigrams. Works identically on batch and STREAMING frames — the
+    * streaming query holds ZERO state (append mode, no watermark, no
+    * shuffle): the ingest-time "does this doc look like the target domain"
+    * gate. `defaultLlr` covers buckets unseen at training time
+    * (lnM(T_raw+B) − lnM(T_target+B), both smoothed counts being 1).
+    */
+  def dsirScoreRows(docs: DataFrame, idCol: String, textCol: String,
+                    llr: Map[Long, Long], defaultLlr: Long,
+                    buckets: Int): DataFrame = {
+    val ks = llr.keys.toArray.sorted
+    val m = map_from_arrays(lit(ks), lit(ks.map(llr)))
+    // stage the bigram array as a column FIRST: a HOF lambda re-evaluates
+    // its argument expression per element (the recorded staged-array lesson)
+    docs.select(col(idCol).as("doc_id"), bigrams(col(textCol)).as("__bg"))
+      .select(col("doc_id"),
+        size(col("__bg")).cast("long").as("n_bigrams"),
+        aggregate(
+          transform(col("__bg"),
+            g => coalesce(element_at(m, bucketOf(g, buckets)), lit(defaultLlr))),
+          lit(0L), (acc, x) => acc + x).as("dsir_micro"))
   }
 
   /** DuckDB twin of [[dsirWeights]] over the `documents` fixture: same

@@ -836,6 +836,38 @@ object CorpusQueries {
            SELECT lang, count(*) AS n_total,
                   CAST(sum(CASE WHEN rnk * 4 <= n.n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            FROM nt, n GROUP BY lang ORDER BY lang"""
+      }),
+
+    // DSIR as an ingest-time gate: the llr table trains once on the static
+    // corpus and FREEZES (1024 rows collected into a broadcast map literal);
+    // the document stream is then scored by a pure per-row expression —
+    // ZERO streaming state, no watermark, no shuffle, append mode. Replayed
+    // over the fixture the scores equal the batch dsirWeights bit for bit
+    // (same integer micro-ln); unseen buckets take the smoothed default
+    "corpus_dsir_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Selection
+        import graft.streaming.{EventStreams, IngestStreams}
+        val spark2 = spark; import spark2.implicits._
+        val docsB = Readers.fixture(spark, sfDir, "documents")
+        val llr = Selection.llrTable(docsB, "text", col("lang") === "en", DsirBuckets)
+          .as[(Long, Long)].collect().toMap
+        val (tt, tr) = Selection.smoothedTotals(docsB, "text",
+          col("lang") === "en", DsirBuckets)
+        val dflt = Selection.lnMicroLong(tr) - Selection.lnMicroLong(tt)
+        val stream = Selection.dsirScoreRows(
+          IngestStreams.readDocuments(spark, DedupQueries.rawDocsDir(sfDir)),
+          "doc_id", "text", llr, dflt, DsirBuckets)
+        EventStreams.runToBatch(stream,
+          s"corpus_dsir_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val weights = graft.operators.Selection.duckDsirWeights(
+          "lang = 'en'", DsirBuckets)
+        s"""WITH w AS ($weights)
+           SELECT doc_id, n_bigrams, dsir_micro FROM w ORDER BY doc_id"""
       })
   )
 }

@@ -25,6 +25,11 @@ class CorpusSpec extends SparkSpec {
     // exact anchor points: ln(1) = 0 and powers of two are pure b·ln2
     assert(got(1L) == 0L)
     assert(got(1048576L) == 20L * Selection.Ln2Micro)
+    // the driver-side Scala mirror computes the IDENTICAL integer — it
+    // supplies frozen-scorer constants, so any drift would silently skew
+    // streamed scores vs the batch oracle
+    xs.foreach(x => assert(Selection.lnMicroLong(x) == got(x),
+      s"Scala mirror diverged at $x: ${Selection.lnMicroLong(x)} vs ${got(x)}"))
   }
 
   test("DSIR weights separate target-domain docs from raw docs") {
