@@ -153,14 +153,21 @@ object DedupClusters {
   /** DuckDB twin: transitive closure via recursive CTE, then min over the
     * reachable set. `candSql` must yield (doc_a, doc_b).
     */
-  def duckComponents(candSql: String): String =
-    s"""WITH RECURSIVE cand AS (SELECT doc_a, doc_b FROM ($candSql) AS c0),
+  /** The closure as a reusable CTE chain (must follow `WITH RECURSIVE`);
+    * ends with `comp(doc_id, cluster_id)`.
+    */
+  def duckComponentsCtes(candSql: String): String =
+    s"""cand AS (SELECT doc_a, doc_b FROM ($candSql) AS c0),
        edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
                  UNION SELECT doc_b, doc_a FROM cand),
        reach(doc, r) AS (
          SELECT a, a FROM (SELECT DISTINCT a FROM edges) AS n
          UNION
-         SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc)
-       SELECT doc AS doc_id, min(r) AS cluster_id FROM reach
-       GROUP BY doc ORDER BY doc_id"""
+         SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc),
+       comp AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach
+                GROUP BY doc)"""
+
+  def duckComponents(candSql: String): String =
+    s"""WITH RECURSIVE ${duckComponentsCtes(candSql)}
+       SELECT doc_id, cluster_id FROM comp ORDER BY doc_id"""
 }

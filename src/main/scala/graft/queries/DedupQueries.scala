@@ -818,6 +818,47 @@ object DedupQueries {
         s"""WITH ${graft.operators.Cdc.duckChunksCtes(CdcWindow, CdcDivisor)},
              ${graft.operators.Cdc.duckSharedPairs(8)}
            SELECT doc_a, doc_b, shared_chunks, shared_chars
-           FROM cdc_pairs ORDER BY doc_a, doc_b"""))
+           FROM cdc_pairs ORDER BY doc_a, doc_b""")),
+
+    // SoftDeDup: instead of DROPPING near-duplicates, down-WEIGHT them —
+    // every doc in a near-dup cluster trains with loss weight 1/|cluster|
+    // (micro fixed point), singletons keep weight 1. The cluster machinery
+    // is the existing LSH-candidate closure; the sum of weights is the
+    // effective (deduplicated) corpus size, so total gradient mass matches
+    // hard dedup while keeping every variant's tokens available
+    "dedup_soft_weights" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+            ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val comp = graft.operators.DedupClusters.components(pairs)
+        val sizes = comp.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        docs.select(col("doc_id"))
+          .join(comp.join(sizes, "cluster_id"), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            expr("1000000 div coalesce(cluster_size, 1)").as("weight_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val cand = s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+          "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
+           WHERE est_jaccard >= 0.5"""
+        s"""WITH RECURSIVE ${graft.operators.DedupClusters.duckComponentsCtes(cand)},
+             sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                       FROM comp GROUP BY cluster_id)
+           SELECT d.doc_id,
+                  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                  coalesce(s.cluster_size, 1) AS cluster_size,
+                  1000000 // coalesce(s.cluster_size, 1) AS weight_micro
+           FROM documents d
+           LEFT JOIN comp c USING (doc_id)
+           LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+           ORDER BY d.doc_id"""
+      })
   )
 }

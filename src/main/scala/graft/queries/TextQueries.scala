@@ -872,6 +872,96 @@ object TextQueries {
       },
       oracle = Some(
         s"""SELECT doc_id, ${duckFingerprint("text", 8, 4)} AS doc_fingerprint
-           FROM documents ORDER BY doc_id"""))
+           FROM documents ORDER BY doc_id""")),
+
+    // Gopher-style rule table (Rae et al. 2021 §A1.1, thresholds adapted
+    // where the synthetic fixture is degenerate — it is single-line
+    // lowercase word salad, so the line-format and case rules are omitted
+    // and the stopword rule is replaced by the short-token bound): one row
+    // per doc with every rule's metric AND verdict, plus the conjunction —
+    // the explainable form of a hard quality gate (a doc fails WITH the
+    // rule that failed it). All per-row HOF expressions, scan-parallel
+    "text_quality_rules" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val tk = col("tk")
+        val m = docs
+          .withColumn("n_words", size(tk).cast("long"))
+          .withColumn("char_sum",
+            aggregate(transform(tk, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+          .withColumn("max_wlen", array_max(transform(tk, t => length(t).cast("long"))))
+          .withColumn("top_tok", array_max(
+            transform(array_distinct(tk), t => size(filter(tk, x => x === t)).cast("long"))))
+          .withColumn("n_grams",
+            when(size(tk) >= 3, size(tk) - 2).otherwise(lit(1)).cast("long"))
+          .withColumn("n_dg", size(shinglesFromTokens(tk, 3)).cast("long"))
+          .withColumn("digit_toks",
+            size(filter(tk, x => x.rlike("^[0-9]+$"))).cast("long"))
+          .withColumn("short_toks",
+            size(filter(tk, x => length(x) < 3)).cast("long"))
+          .withColumn("mean_wlen_micro", expr("char_sum * 1000000 div n_words"))
+          .withColumn("top_ratio_micro", expr("top_tok * 1000000 div n_words"))
+          .withColumn("dup_gram_micro", expr("(n_grams - n_dg) * 1000000 div n_grams"))
+          .withColumn("digit_micro", expr("digit_toks * 1000000 div n_words"))
+          .withColumn("short_micro", expr("short_toks * 1000000 div n_words"))
+        m.select(col("doc_id"), col("n_words"), col("mean_wlen_micro"),
+            col("top_ratio_micro"), col("dup_gram_micro"),
+            expr("CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)").as("r_word_count"),
+            expr("CAST(mean_wlen_micro BETWEEN 3000000 AND 10000000 AS BIGINT)").as("r_mean_wlen"),
+            expr("CAST(max_wlen <= 30 AS BIGINT)").as("r_max_wlen"),
+            expr("CAST(top_ratio_micro <= 200000 AS BIGINT)").as("r_top_token"),
+            expr("CAST(dup_gram_micro <= 600000 AS BIGINT)").as("r_dup_gram"),
+            expr("CAST(digit_micro <= 200000 AS BIGINT)").as("r_digit"),
+            expr("CAST(short_micro <= 300000 AS BIGINT)").as("r_short_tokens"),
+            expr("""CAST(n_words BETWEEN 50 AND 100000
+                    AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+                    AND max_wlen <= 30
+                    AND top_ratio_micro <= 200000
+                    AND dup_gram_micro <= 600000
+                    AND digit_micro <= 200000
+                    AND short_micro <= 300000 AS BIGINT)""").as("pass"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           m AS (SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)),
+                  (a, x) -> a + x) AS BIGINT) AS char_sum,
+             CAST(list_max(list_transform(tk, t -> length(t))) AS BIGINT) AS max_wlen,
+             CAST(list_max(list_transform(list_distinct(tk),
+                  t -> len(list_filter(tk, x -> x = t)))) AS BIGINT) AS top_tok,
+             CAST(CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS BIGINT) AS n_grams,
+             CAST(len(${duckShinglesExpr("tk", 3)}) AS BIGINT) AS n_dg,
+             CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit_toks,
+             CAST(len(list_filter(tk, x -> length(x) < 3)) AS BIGINT) AS short_toks
+             FROM toks),
+           r AS (SELECT doc_id, n_words,
+             char_sum * 1000000 // n_words AS mean_wlen_micro,
+             top_tok * 1000000 // n_words AS top_ratio_micro,
+             (n_grams - n_dg) * 1000000 // n_grams AS dup_gram_micro,
+             digit_toks * 1000000 // n_words AS digit_micro,
+             short_toks * 1000000 // n_words AS short_micro,
+             max_wlen FROM m)
+           SELECT doc_id, n_words, mean_wlen_micro, top_ratio_micro, dup_gram_micro,
+             CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+             CAST(mean_wlen_micro BETWEEN 3000000 AND 10000000 AS BIGINT) AS r_mean_wlen,
+             CAST(max_wlen <= 30 AS BIGINT) AS r_max_wlen,
+             CAST(top_ratio_micro <= 200000 AS BIGINT) AS r_top_token,
+             CAST(dup_gram_micro <= 600000 AS BIGINT) AS r_dup_gram,
+             CAST(digit_micro <= 200000 AS BIGINT) AS r_digit,
+             CAST(short_micro <= 300000 AS BIGINT) AS r_short_tokens,
+             CAST(n_words BETWEEN 50 AND 100000
+                  AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+                  AND max_wlen <= 30
+                  AND top_ratio_micro <= 200000
+                  AND dup_gram_micro <= 600000
+                  AND digit_micro <= 200000
+                  AND short_micro <= 300000 AS BIGINT) AS pass
+           FROM r ORDER BY doc_id"""
+      })
   )
 }
