@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HexToSignedLong, IntDotProduct, IntL2Squared, NfcNormalize}
+import graft.functions.{CdcBoundaries, DotProduct, HexToSignedLong, IntDotProduct, IntL2Squared, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, s"graft_nfc expects 1 argument, got ${args.length}")
         NfcNormalize(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_cuts"),
+      info("graft_cdc_cuts"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, s"graft_cdc_cuts expects 3 arguments, got ${args.length}")
+        CdcBoundaries(args(0), args(1), args(2))
       }))
   }
 }

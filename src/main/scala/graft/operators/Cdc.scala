@@ -42,6 +42,30 @@ object Cdc {
       .filter(pmod(GraftFunctions.md5Signed64(col("__t").substr(col("i"), lit(window))),
         lit(divisor.toLong)) === 0)
       .select(col("doc_id"), (col("i") + (window - 1)).cast("long").as("e"))
+    assemble(d, cuts)
+  }
+
+  /** [[chunks]] with the rolling Karp-Rabin kernel
+    * ([[graft.functions.CdcBoundaries]]): O(n) per document inside
+    * whole-stage codegen, no position explode, no md5 per window — the
+    * production cut path at 100 TB. Cut positions differ from [[chunks]]
+    * (different boundary hash family), but every CDC property (content-
+    * defined realignment, ~divisor mean chunk, lossless cover) is
+    * identical, and the DuckDB twin reproduces the exact cut set by
+    * evaluating each window's polynomial directly.
+    */
+  def chunksRolling(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, divisor: Int): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val cuts = d.select(col("doc_id"),
+        explode(graft.functions.CdcFunctions.cdcCuts(col("__t"), window, divisor)).as("ei"))
+      .select(col("doc_id"), col("ei").cast("long").as("e"))
+    assemble(d, cuts)
+  }
+
+  /** Shared back half: cut ends → contiguous (start, end] chunk spans via a
+    * per-DOC lag window → chunk md5. */
+  private def assemble(d: DataFrame, cuts: DataFrame): DataFrame = {
     val ends = cuts
       .union(d.filter(length(col("__t")) > 0)
         .select(col("doc_id"), length(col("__t")).cast("long").as("e")))
@@ -61,13 +85,28 @@ object Cdc {
     */
   def duckChunksCtes(window: Int, divisor: Int): String = {
     val h = OracleSql.signedMd564(s"substr(text, i, $window)")
+    duckChunksCtesWith(s"(($h % $divisor + $divisor) % $divisor) = 0", window)
+  }
+
+  /** DuckDB twin of [[chunksRolling]]: the SAME window polynomial the
+    * rolling kernel maintains incrementally, evaluated directly per window
+    * (O(n·w) here — the oracle pays compute to stay algorithm-independent).
+    */
+  def duckChunksRollingCtes(window: Int, divisor: Int): String = {
+    val h = s"list_reduce(list_transform(generate_series(0, ${window - 1}), " +
+      s"j -> CAST(unicode(substr(text, i + j, 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * 31 + c) % 2147483647)"
+    duckChunksCtesWith(s"$h % $divisor = 0", window)
+  }
+
+  private def duckChunksCtesWith(cutPredicate: String, window: Int): String =
     s"""cdc_pos AS (
           SELECT doc_id, unnest(generate_series(1, greatest(length(text) - ${window - 1}, 0))) AS i
           FROM documents),
         cdc_cuts AS (
           SELECT p.doc_id, CAST(p.i + ${window - 1} AS BIGINT) AS e
           FROM cdc_pos p JOIN documents d USING (doc_id)
-          WHERE (($h % $divisor + $divisor) % $divisor) = 0),
+          WHERE $cutPredicate),
         cdc_ends AS (
           SELECT DISTINCT doc_id, e FROM (
             SELECT doc_id, e FROM cdc_cuts
@@ -83,7 +122,6 @@ object Cdc {
                  md5(substr(d.text, CAST(b.s + 1 AS INTEGER), CAST(b.e - b.s AS INTEGER))) AS ch
           FROM cdc_bounds b JOIN documents d USING (doc_id)
           WHERE b.e > b.s)"""
-  }
 
   /** Corpus-level chunk dedup savings: one row —
     * (n_chunks, n_distinct, dup_chunks, total_chars, dup_chars, mean_chunk).

@@ -820,6 +820,29 @@ object DedupQueries {
            SELECT doc_a, doc_b, shared_chunks, shared_chars
            FROM cdc_pairs ORDER BY doc_a, doc_b""")),
 
+    // the rolling-kernel CDC: identical savings statistics computed from the
+    // Karp-Rabin codegen expression (graft_cdc_cuts, O(n)/doc, no position
+    // explode, no per-window md5) — the 100 TB cut path EXECUTED, not
+    // claimed. The DuckDB oracle reproduces the exact cut set by evaluating
+    // each window's polynomial directly (same semantics, different
+    // algorithm), so the whole chunk table stays hash-verified
+    "dedup_cdc_rolling" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Cdc.savings(graft.operators.Cdc.chunksRolling(
+          Readers.fixture(spark, sfDir, "documents"),
+          "doc_id", "text", CdcWindow, CdcDivisor)),
+      oracle = Some(
+        s"""WITH ${graft.operators.Cdc.duckChunksRollingCtes(CdcWindow, CdcDivisor)},
+             by_chunk AS (SELECT ch, count(*) AS n, max(clen) AS l
+                          FROM cdc_chunks GROUP BY ch)
+           SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+                  count(*) AS n_distinct,
+                  CAST(sum(n) - count(*) AS BIGINT) AS dup_chunks,
+                  CAST(sum(n * l) AS BIGINT) AS total_chars,
+                  CAST(sum((n - 1) * l) AS BIGINT) AS dup_chars,
+                  CAST(sum(n * l) // sum(n) AS BIGINT) AS mean_chunk
+           FROM by_chunk""")),
+
     // SoftDeDup: instead of DROPPING near-duplicates, down-WEIGHT them —
     // every doc in a near-dup cluster trains with loss weight 1/|cluster|
     // (micro fixed point), singletons keep weight 1. The cluster machinery

@@ -27,12 +27,15 @@ class ExtensionsSpec extends SparkSpec {
                   graft_int_dot(array(2L, -3L), array(5L, 7L)) AS i,
                   graft_int_l2sq(array(2L, -3L), array(5L, 7L)) AS l2,
                   graft_hex_signed64('ffffffffffffffff') AS h,
-                  graft_nfc('cafe\u0301') AS n""").head()
+                  graft_nfc('cafe\u0301') AS n,
+                  graft_cdc_cuts('abcabcabc', 3, 2) AS cdc""").head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getLong(1) == -11L)
       assert(row.getLong(2) == 109L) // 9 + 100
       assert(row.getLong(3) == -1L)
       assert(row.getString(4) == "caf\u00e9", "NFC must compose e + combining acute")
+      assert(row.getSeq[Int](5).forall(e => e >= 3 && e <= 9),
+        "cdc cuts must be window-end positions inside the string")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -458,6 +458,39 @@ class OperatorSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("rolling CDC kernel matches a driver-side Karp-Rabin reference on every fixture doc") {
+    val spark2 = spark; import spark2.implicits._
+    val (w, d) = (16, 64)
+    // independent Scala reference: direct per-window polynomial (the
+    // DuckDB oracle's algorithm) — any drift in the rolling update,
+    // modulus handling, or codegen shows up as a cut-set mismatch
+    def refCuts(s: String): Seq[Int] = {
+      val M = 2147483647L
+      (0 to s.length - w).flatMap { st =>
+        var h = 0L
+        (st until st + w).foreach(j => h = (h * 31L + s.charAt(j).toLong) % M)
+        if (h % d == 0) Some(st + w) else None
+      }
+    }
+    val docs = Readers.fixture(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sparkCuts = Readers.fixture(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.CdcFunctions.cdcCuts(col("text"), w, d).as("cuts"))
+      .as[(Long, Seq[Int])].collect().toMap
+    docs.foreach { case (id, t) =>
+      assert(sparkCuts(id) == refCuts(t), s"doc $id cut mismatch")
+    }
+    // rolling chunks keep the CDC cover property too
+    val ch = graft.operators.Cdc.chunksRolling(
+      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", w, d)
+    val cover = ch.groupBy("doc_id").agg(sum("clen").as("covered"))
+      .join(Readers.fixture(spark, sfDir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .filter(col("covered") =!= col("len"))
+    assert(cover.isEmpty)
+  }
+
   test("ImageIoDecoder golden pin: exact DCT features for a deterministic PNG") {
     // byte-level honesty check on the pluggable decoder boundary: the PNG
     // encoding AND the decode output are both pinned, so a silent change to
