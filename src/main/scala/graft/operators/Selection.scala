@@ -61,17 +61,22 @@ object Selection {
   def duckLnMicro(x: String): String =
     lnMicroTpl(x, "//", b => s"(CAST(1 AS BIGINT) << $b)")
 
-  /** Word-bigram array of a space-tokenized text column (empty when < 2
-    * tokens — Spark's `sequence(1, 0)` counts DOWN, so the guard is load-
-    * bearing, unlike DuckDB's empty `generate_series(1, 0)`).
+  /** Word-bigram array over an ALREADY-STAGED token-array column. `tk` must
+    * be an attribute, not an inline `split(...)` — a HOF lambda re-evaluates
+    * its argument expressions per element, so an inline split turns this
+    * quadratic (the recorded staged-array lesson; measured on the sf0.1
+    * bench). Empty when < 2 tokens — Spark's `sequence(1, 0)` counts DOWN,
+    * so the guard is load-bearing, unlike DuckDB's empty
+    * `generate_series(1, 0)`.
     */
-  def bigrams(text: Column): Column = {
-    val t = split(text, " ")
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+  def bigramsFromTokens(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form for cold paths; hot paths stage the token array. */
+  def bigrams(text: Column): Column = bigramsFromTokens(split(text, " "))
 
   def duckBigrams(text: String): String =
     s"list_transform(generate_series(1, greatest(len(string_split($text, ' ')) - 1, 0)), " +
@@ -110,11 +115,17 @@ object Selection {
     * lnM(T_raw+B) − lnM(T_target+B) (both counts are 1), which stream
     * scoring supplies as the default.
     */
-  def llrTable(docs: DataFrame, textCol: String, isTarget: Column,
-               buckets: Int): DataFrame = {
-    val bg = docs.select(isTarget.as("is_t"),
-        explode(bigrams(col(textCol))).as("bg"))
-      .select(col("is_t"), bucketOf(col("bg"), buckets).as("bkt"))
+  /** (doc_id, is_t, bkt) — one row per bigram occurrence: the single
+    * corpus-explode pass every DSIR stage reads. */
+  private def bucketed(docs: DataFrame, idExpr: Column, textCol: String,
+                       isTarget: Column, buckets: Int): DataFrame =
+    docs.select(idExpr.as("doc_id"), isTarget.as("is_t"),
+        split(col(textCol), " ").as("__tk"))
+      .select(col("doc_id"), col("is_t"),
+        explode(bigramsFromTokens(col("__tk"))).as("bg"))
+      .select(col("doc_id"), col("is_t"), bucketOf(col("bg"), buckets).as("bkt"))
+
+  private def llrFromBucketed(bg: DataFrame, buckets: Int): DataFrame = {
     val counts = bg.groupBy(col("bkt")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("n_r"))
@@ -129,13 +140,18 @@ object Selection {
         (col("ln_nt") - col("ln_tt") - col("ln_nr") + col("ln_tr")).as("llr_micro"))
   }
 
+  def llrTable(docs: DataFrame, textCol: String, isTarget: Column,
+               buckets: Int): DataFrame =
+    llrFromBucketed(bucketed(docs, lit(0L), textCol, isTarget, buckets), buckets)
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int,
                   carryCols: Seq[String] = Nil): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc_id"),
-        explode(bigrams(col(textCol))).as("bg"))
-      .select(col("doc_id"), bucketOf(col("bg"), buckets).as("bkt"))
-    val llr = llrTable(docs, textCol, isTarget, buckets)
+    // persist barrier: the exploded bucket frame feeds BOTH the histogram
+    // (llr training) and the per-doc scoring sum — without it the corpus
+    // explodes and hashes twice (measured 2x on the sf0.1 bench)
+    val bg = bucketed(docs, col(idCol), textCol, isTarget, buckets).persist()
+    val llr = llrFromBucketed(bg, buckets)
     val perDoc = bg.join(broadcast(llr), "bkt")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("llr_micro")).as("dsir_micro"))
@@ -168,8 +184,8 @@ object Selection {
     */
   def smoothedTotals(docs: DataFrame, textCol: String, isTarget: Column,
                      buckets: Int): (Long, Long) = {
-    val r = docs.select(isTarget.as("is_t"),
-        explode(bigrams(col(textCol))).as("bg"))
+    val r = docs.select(isTarget.as("is_t"), split(col(textCol), " ").as("__tk"))
+      .select(col("is_t"), explode(bigramsFromTokens(col("__tk"))).as("bg"))
       .agg((sum(when(col("is_t"), 1L).otherwise(0L)) + buckets).as("tt"),
         (sum(when(!col("is_t"), 1L).otherwise(0L)) + buckets).as("tr"))
       .head()
@@ -190,9 +206,10 @@ object Selection {
                     buckets: Int): DataFrame = {
     val ks = llr.keys.toArray.sorted
     val m = map_from_arrays(lit(ks), lit(ks.map(llr)))
-    // stage the bigram array as a column FIRST: a HOF lambda re-evaluates
-    // its argument expression per element (the recorded staged-array lesson)
-    docs.select(col(idCol).as("doc_id"), bigrams(col(textCol)).as("__bg"))
+    // stage tokens, then the bigram array, as columns: every HOF lambda
+    // must reference attributes (the recorded staged-array lesson)
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
+      .select(col("doc_id"), bigramsFromTokens(col("__tk")).as("__bg"))
       .select(col("doc_id"),
         size(col("__bg")).cast("long").as("n_bigrams"),
         aggregate(
