@@ -492,4 +492,21 @@ class PlanSpec extends SparkSpec {
     }
     assert(sorts.isEmpty, s"dimStats plans a global Sort: $sorts")
   }
+
+  test("DSIR scoring joins the llr table BROADCAST and partial-sums per doc") {
+    val plan = physicalPlan("corpus_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    // candidate generation must never cartesian the corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rolling CDC plans the codegen kernel, not a position explode") {
+    val rolling = physicalPlan("dedup_cdc_rolling")
+    assert(rolling.contains("graft_cdc_cuts"), rolling)
+    // the md5-window form pays a position-sequence explode the kernel doesn't
+    assert(!rolling.contains("sequence("), rolling)
+    val md5Form = physicalPlan("dedup_cdc_savings")
+    assert(md5Form.contains("sequence("), md5Form)
+  }
 }
