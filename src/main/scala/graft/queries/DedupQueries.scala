@@ -843,6 +843,68 @@ object DedupQueries {
                   CAST(sum(n * l) // sum(n) AS BIGINT) AS mean_chunk
            FROM by_chunk""")),
 
+    // which near-dup detector do I trust? The three pair generators (LSH
+    // est>=0.5 candidates, SimHash hamming<=cap, prefix-filter EXACT
+    // Jaccard>=0.5 — the lossless ground truth of the three) over the same
+    // corpus, cross-tabulated: per method pair, each method's pair count and
+    // the overlap. The operational read: prefix∩lsh / prefix = LSH recall,
+    // lsh∩prefix / lsh = LSH precision, etc. — one table answers the
+    // detector-choice question the individual queries can't
+    "dedup_method_agreement" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val lsh = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+            ShingleN, NumPerm, NumBands)
+          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        val sim = SimHash.nearPairs(
+            SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
+          .select("doc_a", "doc_b")
+        val pref = PrefixJaccard.pairs(docs, "doc_id", "text",
+            ShingleN, num = 1, den = 2)
+          .select("doc_a", "doc_b")
+        val tagged = lsh.withColumn("m", lit("lsh"))
+          .union(sim.withColumn("m", lit("simhash")))
+          .union(pref.withColumn("m", lit("prefix")))
+          .persist()
+        val totals = tagged.groupBy(col("m")).agg(count(lit(1)).as("n"))
+        val both = tagged.as("a")
+          .join(tagged.as("b"), Seq("doc_a", "doc_b"))
+          .filter(col("a.m") <= col("b.m"))
+          .groupBy(col("a.m").as("method_a"), col("b.m").as("method_b"))
+          .agg(count(lit(1)).as("n_both"))
+        both
+          .join(broadcast(totals.select(col("m").as("method_a"), col("n").as("n_a"))), "method_a")
+          .join(broadcast(totals.select(col("m").as("method_b"), col("n").as("n_b"))), "method_b")
+          .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"), col("n_both"))
+          .orderBy("method_a", "method_b")
+      },
+      oracle = Some {
+        val lsh = s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
+          "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) l
+          WHERE est_jaccard >= 0.5"""
+        val sim = s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents) a
+          JOIN (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents) b
+            ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHash.MaxHamming}"""
+        val pref = s"""SELECT doc_a, doc_b FROM (${PrefixJaccard.duckPairs(
+          "documents", "doc_id", "text", ShingleN, num = 1, den = 2)}) p"""
+        s"""WITH tagged AS (
+             SELECT doc_a, doc_b, 'lsh' AS m FROM ($lsh) t1
+             UNION ALL SELECT doc_a, doc_b, 'simhash' AS m FROM ($sim) t2
+             UNION ALL SELECT doc_a, doc_b, 'prefix' AS m FROM ($pref) t3),
+           totals AS (SELECT m, count(*) AS n FROM tagged GROUP BY m),
+           agree AS (SELECT a.m AS method_a, b.m AS method_b, count(*) AS n_both
+                     FROM tagged a JOIN tagged b
+                       ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.m <= b.m
+                     GROUP BY 1, 2)
+           SELECT g.method_a, g.method_b, ta.n AS n_a, tb.n AS n_b, g.n_both
+           FROM agree g
+           JOIN totals ta ON ta.m = g.method_a
+           JOIN totals tb ON tb.m = g.method_b
+           ORDER BY method_a, method_b"""
+      }),
+
     // SoftDeDup: instead of DROPPING near-duplicates, down-WEIGHT them —
     // every doc in a near-dup cluster trains with loss weight 1/|cluster|
     // (micro fixed point), singletons keep weight 1. The cluster machinery
