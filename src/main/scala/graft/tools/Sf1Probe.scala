@@ -327,6 +327,30 @@ object Sf1Probe {
     timed("lsh_stream 1x") { lshStream(fixture("documents")) }
     timed("lsh_stream 10x") { lshStream(docs10) }
 
+    // -- content-defined chunking (dedup_cdc shape): both cut kernels -------
+    // scan-shaped (position hash + per-doc lag window + chunk-hash groupBy);
+    // the rolling kernel's advantage should HOLD at 10x — it is per-row
+    // compute, not a join — and chunk counts scale linearly with the corpus
+    def cdc(docs: DataFrame, rolling: Boolean): Long = {
+      val ch = if (rolling)
+        graft.operators.Cdc.chunksRolling(docs, "doc_id", "text", 16, 64)
+      else graft.operators.Cdc.chunks(docs, "doc_id", "text", 16, 64)
+      ch.groupBy(col("ch")).agg(count(lit(1))).count()
+    }
+    timed("cdc_md5 1x") { cdc(fixture("documents"), rolling = false) }
+    timed("cdc_md5 10x") { cdc(docs10, rolling = false) }
+    timed("cdc_rolling 1x") { cdc(fixture("documents"), rolling = true) }
+    timed("cdc_rolling 10x") { cdc(docs10, rolling = true) }
+
+    // -- DSIR scoring (corpus_dsir shape): explode + 1024-bucket histogram +
+    // broadcast llr + per-doc sum — should scale with corpus tokens, the
+    // bucket table being size-constant by construction
+    def dsir(docs: DataFrame): Long =
+      graft.operators.Selection.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", 1024).count()
+    timed("dsir 1x") { dsir(fixture("documents")) }
+    timed("dsir 10x") { dsir(docs10) }
+
     spark.stop()
   }
 }
