@@ -806,6 +806,144 @@ object TextQueries {
            GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // per-doc bigram cross-entropy in micro NATS — the principled form of
+    // text_lm_score's probability-ratio sum: xent(bigram) = ln n_w1 − ln
+    // n_pair exactly, through the cross-engine integer micro-ln, so the
+    // standard perplexity-filter quantity (mean negative log conditional
+    // probability) hash-matches the oracle. Same persisted-explode plan as
+    // text_lm_score; the ln staging is two extra columns on the vocab-sized
+    // LM table, not on the corpus
+    "text_lm_xent" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Selection
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        val tk = tokens(col("text"))
+        val bigrams = transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+        val docBg = docs.filter(size(tk) >= 2)
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .persist()
+        val pair = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+        val lm = pair.join(uni, "w1")
+          .withColumn("__ln_pair", expr(Selection.lnMicroSparkSql("n_pair")))
+          .withColumn("__ln_w1", expr(Selection.lnMicroSparkSql("n_w1")))
+          .select(col("w1"), col("w2"),
+            (col("__ln_w1") - col("__ln_pair")).as("xent_micro"))
+        docBg.join(lm, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("xent_micro")).as("sum_x"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("sum_x div n_bigrams").as("mean_xent_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.Selection
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+           ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+                  FROM toks WHERE len(tk) >= 2),
+           docbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM ex),
+           pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM docbg GROUP BY 1, 2),
+           uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pair GROUP BY w1),
+           lm AS (SELECT w1, w2,
+                    ${Selection.duckLnMicro("n_w1")} - ${Selection.duckLnMicro("n_pair")}
+                      AS xent_micro
+                  FROM pair JOIN uni USING (w1))
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(xent_micro) AS BIGINT) // count(*) AS mean_xent_micro
+           FROM docbg JOIN lm USING (w1, w2)
+           GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // multinomial Naive Bayes language ID with add-1 smoothing and EXACT
+    // integer log-probabilities (the micro-ln again): score(d, c) =
+    // ln n_docs_c + Σ_t ln(n_tc + 1) − |d|·ln(n_c + V) — proper NB, unlike
+    // text_lang_classifier's posterior-rate vote, and every term is the
+    // same integer in both engines so the argmax (and the scores behind
+    // it) hash-match. Plan: one train explode → class-token table
+    // (classes × vocab, broadcastable; hashed features at web scale), one
+    // scoring explode, per-(doc, class) map-side sums, windowed argmax
+    "text_nb_langid" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Selection
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val isTrain = col("doc_id") % 10 < 8
+        val trainTok = docs.filter(isTrain)
+          .select(col("lang").as("c"), explode(col("tk")).as("t")).persist()
+        val ctab = trainTok.groupBy(col("c"), col("t")).agg(count(lit(1)).as("n_tc"))
+          .withColumn("nt1", col("n_tc") + 1L)
+          .withColumn("ln_tc", expr(Selection.lnMicroSparkSql("nt1")))
+          .select(col("c"), col("t"), col("ln_tc"))
+        val stats = trainTok.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+          .crossJoin(broadcast(trainTok.agg(countDistinct(col("t")).as("v"))))
+          .withColumn("ncv", col("n_c") + col("v"))
+          .withColumn("ln_pen", expr(Selection.lnMicroSparkSql("ncv")))
+        val prior = docs.filter(isTrain).groupBy(col("lang").as("c"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("ln_prior", expr(Selection.lnMicroSparkSql("n_docs")))
+        val classes = stats.join(prior, "c")
+          .select(col("c"), col("ln_pen"), col("ln_prior"))
+        val test = docs.filter(!isTrain)
+          .select(col("doc_id"), col("lang"), col("tk"))
+        val hits = test.select(col("doc_id"), explode(col("tk")).as("t"))
+          .join(broadcast(ctab), "t")
+          .groupBy(col("doc_id"), col("c")).agg(sum(col("ln_tc")).as("s_hits"))
+        val scored = test.select(col("doc_id"), col("lang"),
+            size(col("tk")).cast("long").as("len"))
+          .crossJoin(broadcast(classes))
+          .join(hits, Seq("doc_id", "c"), "left_outer")
+          .select(col("doc_id"), col("lang"), col("c"),
+            (col("ln_prior") + coalesce(col("s_hits"), lit(0L))
+              - col("len") * col("ln_pen")).as("score_micro"))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score_micro").desc, col("c").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+            col("score_micro"),
+            when(col("c") === col("lang"), 1L).otherwise(0L).as("correct"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.Selection
+        val tk = duckTokens("text")
+        s"""WITH toks AS (SELECT doc_id, lang, $tk AS tk FROM documents),
+           train_tok AS (SELECT lang AS c, unnest(tk) AS t FROM toks WHERE doc_id % 10 < 8),
+           ctab AS (SELECT c, t, ${Selection.duckLnMicro("nt1")} AS ln_tc FROM
+                      (SELECT c, t, CAST(count(*) + 1 AS BIGINT) AS nt1
+                       FROM train_tok GROUP BY c, t) g),
+           stats AS (SELECT c, ${Selection.duckLnMicro("ncv")} AS ln_pen FROM
+                       (SELECT c, CAST(count(*) + (SELECT count(DISTINCT t) FROM train_tok) AS BIGINT) AS ncv
+                        FROM train_tok GROUP BY c) g),
+           prior AS (SELECT c, ${Selection.duckLnMicro("n_docs")} AS ln_prior FROM
+                       (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
+                        FROM toks WHERE doc_id % 10 < 8 GROUP BY lang) g),
+           classes AS (SELECT s.c, s.ln_pen, p.ln_prior FROM stats s JOIN prior p USING (c)),
+           test AS (SELECT doc_id, lang, tk, CAST(len(tk) AS BIGINT) AS len
+                    FROM toks WHERE doc_id % 10 >= 8),
+           hits AS (SELECT e.doc_id, ct.c, CAST(sum(ct.ln_tc) AS BIGINT) AS s_hits
+                    FROM (SELECT doc_id, unnest(tk) AS t FROM test) e
+                    JOIN ctab ct USING (t) GROUP BY e.doc_id, ct.c),
+           scored AS (SELECT t.doc_id, t.lang, cl.c,
+                             cl.ln_prior + coalesce(h.s_hits, 0) - t.len * cl.ln_pen AS score_micro
+                      FROM test t CROSS JOIN classes cl
+                      LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.c = cl.c),
+           ranked AS (SELECT doc_id, lang, c, score_micro,
+                             row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, c ASC) AS rn
+                      FROM scored)
+           SELECT doc_id, lang, c AS pred_lang, CAST(score_micro AS BIGINT) AS score_micro,
+                  CAST(CASE WHEN c = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+           FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+      }),
+
     // BPE tokenizer training: 8 highest-count-bigram merges over the corpus
     "text_bpe_merges" -> QueryEntry(
       fn = (spark, sfDir) =>
