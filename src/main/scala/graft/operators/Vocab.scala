@@ -339,4 +339,53 @@ object Vocab {
        FROM (SELECT doc_id, array_to_string(segs, ' ') AS joined FROM doc$iters) f
        ORDER BY doc_id"""
   }
+
+  /** Per-doc bigram cross-entropy in micro nats: train the conditional
+    * bigram LM on the corpus and score every doc with
+    * mean[ln n_w1 − ln n_pair] through the cross-engine integer micro-ln
+    * ([[Selection.lnMicroSparkSql]]) — the perplexity-filter quantity,
+    * exact in both engines. One persisted explode feeds train AND score.
+    * Output: (doc_id, n_bigrams, mean_xent_micro); docs with < 2 tokens
+    * drop (no bigram to score).
+    */
+  def lmXent(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = split(col(textCol), " ")
+    val bigrams = transform(sequence(lit(1), size(tk) - 1),
+      i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
+    val docBg = docs.filter(size(tk) >= 2)
+      .select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val pair = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+    val lm = pair.join(uni, "w1")
+      .withColumn("__ln_pair", expr(Selection.lnMicroSparkSql("n_pair")))
+      .withColumn("__ln_w1", expr(Selection.lnMicroSparkSql("n_w1")))
+      .select(col("w1"), col("w2"),
+        (col("__ln_w1") - col("__ln_pair")).as("xent_micro"))
+    docBg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("xent_micro")).as("sum_x"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_x div n_bigrams").as("mean_xent_micro"))
+  }
+
+  /** DuckDB twin CTE chain for [[lmXent]], ending in
+    * `xent(doc_id, n_bigrams, mean_xent_micro)`.
+    */
+  def duckLmXentCtes(tkSql: String): String =
+    s"""xtoks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+       xex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+               FROM xtoks WHERE len(tk) >= 2),
+       xdocbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM xex),
+       xpair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM xdocbg GROUP BY 1, 2),
+       xuni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM xpair GROUP BY w1),
+       xlm AS (SELECT w1, w2,
+                 ${Selection.duckLnMicro("n_w1")} - ${Selection.duckLnMicro("n_pair")}
+                   AS xent_micro
+               FROM xpair JOIN xuni USING (w1)),
+       xent AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(xent_micro) AS BIGINT) // count(*) AS mean_xent_micro
+                FROM xdocbg JOIN xlm USING (w1, w2) GROUP BY doc_id)"""
 }

@@ -814,50 +814,39 @@ object TextQueries {
     // text_lm_score; the ln staging is two extra columns on the vocab-sized
     // LM table, not on the corpus
     "text_lm_xent" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Vocab.lmXent(
+          Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id")),
+          "doc_id", "text").orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH ${graft.operators.Vocab.duckLmXentCtes(duckTokens("text"))}
+           SELECT doc_id, n_bigrams, mean_xent_micro FROM xent ORDER BY doc_id""")),
+
+    // CCNet-style perplexity buckets: documents banded by half-nat bins of
+    // their LM cross-entropy, crossed with source — the head/middle/tail
+    // split CCNet uses to stratify web data by fluency, as one table per
+    // (source, band): counts + mean length. Integer bands (xent div 0.5
+    // nat), no percentile pass, deterministic in both engines
+    "corpus_ppl_buckets" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import graft.operators.Selection
         val docs = Readers.spread(
           Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
-        val tk = tokens(col("text"))
-        val bigrams = transform(sequence(lit(1), size(tk) - 1),
-          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))
-        val docBg = docs.filter(size(tk) >= 2)
-          .select(col("doc_id"), explode(bigrams).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .persist()
-        val pair = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-        val uni = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
-        val lm = pair.join(uni, "w1")
-          .withColumn("__ln_pair", expr(Selection.lnMicroSparkSql("n_pair")))
-          .withColumn("__ln_w1", expr(Selection.lnMicroSparkSql("n_w1")))
-          .select(col("w1"), col("w2"),
-            (col("__ln_w1") - col("__ln_pair")).as("xent_micro"))
-        docBg.join(lm, Seq("w1", "w2"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("xent_micro")).as("sum_x"))
-          .select(col("doc_id"), col("n_bigrams"),
-            expr("sum_x div n_bigrams").as("mean_xent_micro"))
-          .orderBy("doc_id")
+        val x = graft.operators.Vocab.lmXent(docs, "doc_id", "text")
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(x, "doc_id")
+          .withColumn("band", expr("mean_xent_micro div 500000"))
+          .groupBy(col("source"), col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(n_chars) div count(1)").as("mean_chars"))
+          .orderBy("source", "band")
       },
-      oracle = Some {
-        import graft.operators.Selection
-        val tk = duckTokens("text")
-        s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
-           ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-                    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
-                  FROM toks WHERE len(tk) >= 2),
-           docbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM ex),
-           pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM docbg GROUP BY 1, 2),
-           uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pair GROUP BY w1),
-           lm AS (SELECT w1, w2,
-                    ${Selection.duckLnMicro("n_w1")} - ${Selection.duckLnMicro("n_pair")}
-                      AS xent_micro
-                  FROM pair JOIN uni USING (w1))
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                  CAST(sum(xent_micro) AS BIGINT) // count(*) AS mean_xent_micro
-           FROM docbg JOIN lm USING (w1, w2)
-           GROUP BY doc_id ORDER BY doc_id"""
-      }),
+      oracle = Some(
+        s"""WITH ${graft.operators.Vocab.duckLmXentCtes(duckTokens("text"))}
+           SELECT d.source, mean_xent_micro // 500000 AS band,
+                  count(*) AS n_docs,
+                  CAST(sum(d.n_chars) AS BIGINT) // count(*) AS mean_chars
+           FROM documents d JOIN xent USING (doc_id)
+           GROUP BY 1, 2 ORDER BY source, band""")),
 
     // multinomial Naive Bayes language ID with add-1 smoothing and EXACT
     // integer log-probabilities (the micro-ln again): score(d, c) =
