@@ -39,6 +39,16 @@ object Curate {
       |                                   wholesale, representative included — the
       |                                   template-farm screen (default off)
       |      --min-quality num            quality-score threshold (default 0.45)
+      |      --max-xent-micro int         drop documents whose mean bigram
+      |                                   cross-entropy (micro-nats, LM trained
+      |                                   on the surviving corpus) exceeds this
+      |                                   — the perplexity gate (default off)
+      |      --dsir-target-lang str       with --dsir-keep-pct: score documents
+      |                                   by DSIR target-vs-raw likelihood with
+      |                                   this language as the target domain
+      |      --dsir-keep-pct int          keep the top N% by DSIR weight
+      |                                   (default off; requires
+      |                                   --dsir-target-lang)
       |      --per-source-quality         replace the global threshold with each
       |                                   source's own bottom-quartile cut
       |      --mix-temperature int        after sampling, temperature-mix sources
@@ -74,7 +84,11 @@ object Curate {
       maxClusterSize: Option[Long] = None,
       perSourceQuality: Boolean = false,
       mixTemperature: Option[Long] = None,
-      minQuality: Double = 0.45, sampleWeighted: Option[Int] = None,
+      minQuality: Double = 0.45,
+      maxXentMicro: Option[Long] = None,
+      dsirTargetLang: Option[String] = None,
+      dsirKeepPct: Option[Int] = None,
+      sampleWeighted: Option[Int] = None,
       trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
       chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
       shuffleSeed: Option[Int] = None)
@@ -123,6 +137,14 @@ object Curate {
             case "--sample-weighted" =>
               num(flag, value, (_: String).toIntOption)(n =>
                 acc.copy(sampleWeighted = Some(n))).flatMap(loop(tail, _, positional))
+            case "--max-xent-micro" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(maxXentMicro = Some(n))).flatMap(loop(tail, _, positional))
+            case "--dsir-target-lang" =>
+              loop(tail, acc.copy(dsirTargetLang = Some(value)), positional)
+            case "--dsir-keep-pct" =>
+              num(flag, value, (_: String).toIntOption)(n =>
+                acc.copy(dsirKeepPct = Some(n))).flatMap(loop(tail, _, positional))
             case "--train-pct" =>
               num(flag, value, (_: String).toIntOption)(n => acc.copy(trainPct = n))
                 .flatMap(loop(tail, _, positional))
@@ -167,6 +189,12 @@ object Curate {
         Left(s"--sample-weighted must be >= 1, got ${c.sampleWeighted.get}")
       else if (c.chunkTokens.exists(_ < 1))
         Left(s"--chunk-tokens must be >= 1, got ${c.chunkTokens.get}")
+      else if (c.maxXentMicro.exists(_ < 0))
+        Left(s"--max-xent-micro must be >= 0, got ${c.maxXentMicro.get}")
+      else if (c.dsirKeepPct.exists(p => p < 1 || p > 100))
+        Left(s"--dsir-keep-pct must be in [1, 100], got ${c.dsirKeepPct.get}")
+      else if (c.dsirKeepPct.isDefined != c.dsirTargetLang.isDefined)
+        Left("--dsir-keep-pct and --dsir-target-lang go together")
       else if (c.chunkStride.isDefined && c.chunkTokens.isEmpty)
         Left("--chunk-stride requires --chunk-tokens")
       else if (c.chunkStride.exists(s => s < 1 || s > c.chunkTokens.get))
@@ -272,14 +300,46 @@ object Curate {
         .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality))
       .persist()
 
+    val qualityCount = quality.count()
+
+    // optional perplexity gate (the text_lm_xent quantity as a filter): LM
+    // trains on the SURVIVING corpus, docs above the cross-entropy cap drop
+    // — the CCNet-style fluency screen. Docs too short to score (< 2
+    // tokens) have no xent row and survive the anti-join
+    val xentGated = cfg.maxXentMicro.fold(quality) { cap =>
+      val x = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
+      val heavy = x.filter(col("mean_xent_micro") > cap).select("doc_id")
+      val out = quality.join(heavy, Seq("doc_id"), "left_anti").persist()
+      out.count()
+      out
+    }
+
+    // optional DSIR selection (the corpus_dsir operators as a gate): score
+    // survivors by hashed-bigram target-vs-raw likelihood with the given
+    // language as the target domain, keep the top N% (global rank at CLI
+    // scale; the quantile-threshold form is the no-global-sort variant)
+    val dsirKept = (cfg.dsirTargetLang, cfg.dsirKeepPct) match {
+      case (Some(lang0), Some(pct)) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = graft.operators.Selection.dsirWeights(
+          xentGated, "doc_id", "text", col("lang") === lang0, 1024)
+        val ranked = w.withColumn("rnk", row_number().over(
+          Window.orderBy(col("dsir_micro").desc, col("doc_id").asc)))
+        val n = w.count()
+        val keep = ranked.filter(col("rnk") * 100L <= n * pct).select("doc_id")
+        val out = xentGated.join(keep, Seq("doc_id"), "left_semi").persist()
+        out.count()
+        out
+      case _ => xentGated
+    }
+
     // optional quality-weighted downsample (Duffield–Lund–Thorup priority
     // sample — the corpus_sample_weighted operator): keep-probability scales
     // with the shared quality score, so the budget cut preserves the mix
     // instead of top-k cherry-picking; deterministic across runs
-    val qualityCount = quality.count()
-    val sampled0 = cfg.sampleWeighted.fold(quality) { k =>
+    val sampled0 = cfg.sampleWeighted.fold(dsirKept) { k =>
       Corpus.prioritySample(
-          quality.withColumn("q",
+          dsirKept.withColumn("q",
             TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")))),
           "doc_id", expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k)
         .drop("q", "w", "priority").persist()
@@ -298,7 +358,8 @@ object Curate {
     // chunking: overlapping chunks of one document share text, so letting
     // them straddle train/val/test would leak evaluation data into training
     val qualityKept =
-      if (cfg.sampleWeighted.isDefined || cfg.mixTemperature.isDefined) sampled.count()
+      if (cfg.sampleWeighted.isDefined || cfg.mixTemperature.isDefined
+        || cfg.maxXentMicro.isDefined || cfg.dsirKeepPct.isDefined) sampled.count()
       else qualityCount
     val split = sampled.withColumn("split",
       Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
@@ -347,12 +408,16 @@ object Curate {
       "substr_screened" -> substrScreened.count(),
       "boilerplate_screened" -> bpScreened.count(),
       "quality_filtered" -> qualityCount,
+      "xent_gated" -> xentGated.count(),
+      "dsir_selected" -> dsirKept.count(),
       "quality_kept" -> qualityKept,
       "written_units" -> (if (qualityKept == 0) 0L else units.count()),
       "written" -> written)
     (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
       (if (bpScreened ne substrScreened) Seq(bpScreened) else Nil) ++
-      (if (sampled0 ne quality) Seq(sampled0) else Nil) ++
+      (if (xentGated ne quality) Seq(xentGated) else Nil) ++
+      (if (dsirKept ne xentGated) Seq(dsirKept) else Nil) ++
+      (if (sampled0 ne dsirKept) Seq(sampled0) else Nil) ++
       (if (sampled ne sampled0) Seq(sampled) else Nil) ++
       (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())
     funnel

@@ -49,6 +49,37 @@ class CurateSpec extends SparkSpec {
     assert(full("quality_kept") == full("quality_filtered"))
   }
 
+  test("perplexity gate and DSIR selection apply between quality and sampling") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-x").toString
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = sfDir, outDir = out, minQuality = 0.0,
+      maxXentMicro = Some(3500000L),
+      dsirTargetLang = Some("en"), dsirKeepPct = Some(50))).toMap
+    // the xent gate drops SOMETHING (the fixture's xent spread straddles
+    // 3.5 nats) but not everything; DSIR then halves the survivors
+    assert(funnel("xent_gated") < funnel("quality_filtered"), funnel.toString)
+    assert(funnel("xent_gated") > 0, funnel.toString)
+    assert(funnel("dsir_selected") <= funnel("xent_gated") / 2 + 1, funnel.toString)
+    assert(funnel("quality_kept") == funnel("dsir_selected"), funnel.toString)
+    assert(funnel("written") == funnel("dsir_selected"), funnel.toString)
+    // the written set skews toward the target language relative to input
+    val written = spark.read.parquet(out)
+    val wEn = written.filter(col("lang") === "en").count().toDouble / written.count()
+    val iEn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en").count().toDouble /
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(wEn > iEn, s"DSIR selection did not enrich the target language: $wEn <= $iEn")
+  }
+
+  test("dsir flags must come together; xent cap must be non-negative") {
+    assert(Curate.parse(Seq("--dsir-keep-pct", "25", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--dsir-target-lang", "en", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--max-xent-micro", "-1", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--dsir-target-lang", "en", "--dsir-keep-pct", "25",
+      "/d", "/o")).isRight)
+  }
+
   test("decontamination stage drops trigram-overlapping documents") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate-d").toString
     // decontaminating a corpus against itself leaves nothing (every doc
