@@ -223,12 +223,13 @@ object Selection {
     * the Spark column stages. `targetSql` is the is-target predicate.
     */
   def duckDsirWeights(targetSql: String, buckets: Int,
-                      carrySql: Seq[String] = Nil): String = {
+                      carrySql: Seq[String] = Nil,
+                      table: String = "documents"): String = {
     val carry = if (carrySql.isEmpty) "" else carrySql.mkString(", ", ", ", "")
     s"""WITH bg AS (
           SELECT doc_id, ($targetSql) AS is_t,
                  ${duckBucketOf("g", buckets)} AS bkt
-          FROM (SELECT *, unnest(${duckBigrams("text")}) AS g FROM documents) ex),
+          FROM (SELECT *, unnest(${duckBigrams("text")}) AS g FROM $table) ex),
         counts AS (
           SELECT bkt,
                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
@@ -253,6 +254,6 @@ object Selection {
         SELECT d.doc_id$carry,
                coalesce(p.n_bigrams, 0) AS n_bigrams,
                coalesce(p.dsir_micro, 0) AS dsir_micro
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+        FROM $table d LEFT JOIN per_doc p USING (doc_id)"""
   }
 }

@@ -373,8 +373,8 @@ object Vocab {
   /** DuckDB twin CTE chain for [[lmXent]], ending in
     * `xent(doc_id, n_bigrams, mean_xent_micro)`.
     */
-  def duckLmXentCtes(tkSql: String): String =
-    s"""xtoks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+  def duckLmXentCtes(tkSql: String, table: String = "documents"): String =
+    s"""xtoks AS (SELECT doc_id, $tkSql AS tk FROM $table),
        xex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
                  i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
                FROM xtoks WHERE len(tk) >= 2),

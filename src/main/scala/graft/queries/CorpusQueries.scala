@@ -418,13 +418,34 @@ object CorpusQueries {
           .join(contaminated, Seq("doc_id"), "left_anti").persist()
         // gate 4: quality floor (the shared scorer, the curate default)
         val quality = decon.filter(qualityScore(tokens(col("text"))) >= 0.45)
+          .persist()
+        // gate 5: perplexity cap — LM trained on the gate-4 survivors, docs
+        // above 3.5 micro-nats mean bigram cross-entropy drop (the
+        // --max-xent-micro curate stage)
+        val xent = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
+        val xentKept = quality.join(
+            xent.filter(col("mean_xent_micro") > 3500000L).select("doc_id"),
+            Seq("doc_id"), "left_anti").persist()
+        // gate 6: DSIR top half by English-target likelihood (the
+        // --dsir-target-lang/--dsir-keep-pct curate stage)
+        val wdf = graft.operators.Selection.dsirWeights(
+          xentKept, "doc_id", "text", col("lang") === "en", 1024)
+        val ranked = wdf.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("dsir_micro").desc, col("doc_id").asc)))
+        val nW = wdf.count()
+        val dsir = xentKept.join(
+          ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
+          Seq("doc_id"), "left_semi")
         val rows = Seq(
           ("0_input", stat(docs)), ("1_exact_dedup", stat(exact)),
           ("2_near_dedup", stat(near)), ("3_decontaminated", stat(decon)),
-          ("4_quality", stat(quality)))
+          ("4_quality", stat(quality)), ("5_xent", stat(xentKept)),
+          ("6_dsir", stat(dsir)))
           .map { case (s, (n, t)) => (s, n, t) }
         docs.unpersist(blocking = false); exact.unpersist(blocking = false)
         near.unpersist(blocking = false); decon.unpersist(blocking = false)
+        quality.unpersist(blocking = false); xentKept.unpersist(blocking = false)
         rows.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
       },
       oracle = Some {
@@ -432,7 +453,7 @@ object CorpusQueries {
         val cand = s"""SELECT doc_a, doc_b FROM (${graft.operators.MinHashLSH.duckCandidatePairs(
             "ex_docs", "doc_id", "text", 3, 16, 4)}) AS cc
            WHERE est_jaccard >= 0.5"""
-        s"""WITH base AS (SELECT doc_id, text,
+        s"""WITH base AS (SELECT doc_id, text, lang,
                                 CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tok
                          FROM documents),
            keepmin AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -453,12 +474,27 @@ object CorpusQueries {
                     AND doc_id NOT IN (SELECT id FROM contaminated)),
            ql AS (SELECT dc.* FROM dc,
                        (SELECT doc_id AS qid, ${duckTokens("text")} AS tk FROM dc) t
-                  WHERE t.qid = dc.doc_id AND (${duckQualityScore("t.tk")}) >= 0.45)
+                  WHERE t.qid = dc.doc_id AND (${duckQualityScore("t.tk")}) >= 0.45),
+           xw AS (WITH ${graft.operators.Vocab.duckLmXentCtes(duckTokens("text"), table = "ql")}
+                  SELECT doc_id, mean_xent_micro FROM xent),
+           xg AS (SELECT ql.* FROM ql
+                  WHERE doc_id NOT IN (SELECT doc_id FROM xw
+                                       WHERE mean_xent_micro > 3500000)),
+           dw AS (${graft.operators.Selection.duckDsirWeights(
+                      "lang = 'en'", 1024, table = "xg")}),
+           dr AS (SELECT doc_id, row_number() OVER
+                           (ORDER BY dsir_micro DESC, doc_id ASC) AS rnk
+                  FROM dw),
+           dn AS (SELECT count(*) AS n FROM dw),
+           ds AS (SELECT xg.* FROM xg JOIN dr USING (doc_id), dn
+                  WHERE dr.rnk * 2 <= dn.n)
            SELECT '0_input' AS stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
            UNION ALL SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM ex
            UNION ALL SELECT '2_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM nr
            UNION ALL SELECT '3_decontaminated', count(*), CAST(sum(n_tok) AS BIGINT) FROM dc
            UNION ALL SELECT '4_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM ql
+           UNION ALL SELECT '5_xent', count(*), CAST(sum(n_tok) AS BIGINT) FROM xg
+           UNION ALL SELECT '6_dsir', count(*), CAST(sum(n_tok) AS BIGINT) FROM ds
            ORDER BY stage"""
       }),
 
