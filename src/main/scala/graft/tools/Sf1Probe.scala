@@ -346,8 +346,12 @@ object Sf1Probe {
     // broadcast llr + per-doc sum — should scale with corpus tokens, the
     // bucket table being size-constant by construction
     def dsir(docs: DataFrame): Long =
+      // force the SCORES, not just the row count — a bare count() lets the
+      // optimizer skip the scoring sum entirely (measured 0.4 s for x100,
+      // an artifact, not a result)
       graft.operators.Selection.dsirWeights(docs, "doc_id", "text",
-        col("lang") === "en", 1024).count()
+        col("lang") === "en", 1024)
+        .agg(sum(col("dsir_micro")), count(lit(1))).head().getLong(1)
     timed("dsir 1x") { dsir(fixture("documents")) }
     timed("dsir 10x") { dsir(docs10) }
 
