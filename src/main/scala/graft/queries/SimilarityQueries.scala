@@ -726,6 +726,56 @@ object SimilarityQueries {
            FROM v, eq ORDER BY v.jl_dims"""
       }),
 
+    // Matryoshka (MRL-style) truncation curve: exact cosine top-k using
+    // only the FIRST d dimensions vs the full-width ground truth — the
+    // storage/recall trade of prefix-truncatable embeddings as a table
+    // (ship 8 of 64 dims and this is the recall you keep). Distinct from
+    // sim_jl_dims_curve: truncation needs no projection pass at all — the
+    // scan just reads a shorter slice, which at 100 TB is the whole point
+    // (column pruning inside the vector)
+    "sim_matryoshka_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val nQ = exact.select("query_id").distinct().count()
+        Seq(8, 16, 32).map { d =>
+          val t = e.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding"))
+          val approx = Similarity.topK(t.filter(col("vec_id") < 8), t, K)
+          val hits = exact.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          (d.toLong, hits, hits * 1000000L / (K * nQ))
+        }.pipe { rows =>
+          val spark2 = spark; import spark2.implicits._
+          rows.toDF("dims", "n_hits", "mean_recall_micro")
+        }.orderBy("dims")
+      },
+      oracle = Some {
+        def variant(d: Int) =
+          s"""SELECT CAST($d AS BIGINT) AS dims,
+                CAST((SELECT count(*) FROM exact e JOIN (
+                  SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                           CAST(row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                                      n.vec_id ASC) AS BIGINT) AS rank
+                    FROM md$d q JOIN md$d n ON n.vec_id <> q.vec_id
+                    WHERE q.vec_id < 8) t WHERE rank <= $K) a
+                  USING (query_id, neighbor_id)) AS BIGINT) AS n_hits"""
+        val slices = Seq(8, 16, 32).map(d =>
+          s"md$d AS (SELECT vec_id, embedding[1:$d] AS embedding FROM embeddings)")
+          .mkString(",\n             ")
+        s"""WITH exact AS ($TopkOracle),
+             $slices,
+             eq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM exact),
+             v AS (${Seq(8, 16, 32).map(variant).mkString("\nUNION ALL\n")})
+           SELECT v.dims, v.n_hits,
+                  v.n_hits * 1000000 // ($K * eq.nq) AS mean_recall_micro
+           FROM v, eq ORDER BY v.dims"""
+      }),
+
     // IVF nprobe tuning curve: mean recall@10 at nprobe 1/2/4 in one table
     // — the cost-recall trade made visible (each nprobe step scans
     // proportionally more cells; the curve says where it stops paying).
