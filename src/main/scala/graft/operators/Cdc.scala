@@ -63,6 +63,34 @@ object Cdc {
     assemble(d, cuts)
   }
 
+  /** Cut ENDS for whole-row chunking: the rolling kernel's cuts with the
+    * document end appended (deduplicated). Callers MUST stage this as its
+    * own column before [[chunkStructsFromEnds]] — a HOF lambda re-evaluates
+    * its argument expressions per element, and this one contains the whole
+    * rolling kernel (the staged-array lesson).
+    */
+  def chunkEnds(text: Column, window: Int, divisor: Int): Column = {
+    val cuts = graft.functions.CdcFunctions.cdcCuts(text, window, divisor)
+    val len = length(text)
+    when(size(cuts) > 0 && element_at(cuts, -1) === len, cuts)
+      .otherwise(concat(cuts, array(len)))
+  }
+
+  /** Whole-row chunking as ONE pure expression over STAGED attribute
+    * columns (`text`, `ends` from [[chunkEnds]]) — array<struct<cstart,
+    * clen, ch>>, no explode, no window: the STREAMING-safe form (a per-doc
+    * lag window is stateful on a stream; this is stateless per arriving
+    * row). Bit-identical chunks to [[chunksRolling]] — spec-pinned.
+    */
+  def chunkStructsFromEnds(text: Column, ends: Column): Column =
+    transform(sequence(lit(1), size(ends)), i => {
+      val prev = when(i === 1, lit(0)).otherwise(element_at(ends, i - 1))
+      val e = element_at(ends, i)
+      struct((prev + 1).cast("long").as("cstart"),
+        (e - prev).cast("long").as("clen"),
+        md5(text.substr(prev + 1, e - prev)).as("ch"))
+    })
+
   /** Shared back half: cut ends → contiguous (start, end] chunk spans via a
     * per-DOC lag window → chunk md5. */
   private def assemble(d: DataFrame, cuts: DataFrame): DataFrame = {

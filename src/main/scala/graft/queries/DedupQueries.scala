@@ -905,6 +905,30 @@ object DedupQueries {
            ORDER BY method_a, method_b"""
       }),
 
+    // the chunk store as CONTINUOUS ingest state: stateless per-row
+    // chunking (whole-row expression — no per-doc window, which a stream
+    // can't hold) + one Boolean of state per distinct chunk hash; a hash's
+    // first arrival emits its (ch, clen, first_doc) row and repeats emit
+    // nothing — exactly the "new bytes" feed a content-addressed store
+    // ingests. Replayed over the fixture the emitted set equals the batch
+    // chunk table's per-hash (min doc, len) rows
+    "dedup_cdc_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.streaming.{EventStreams, IngestStreams}
+        val stream = IngestStreams.cdcChunkIndex(
+          IngestStreams.readDocuments(spark, rawDocsDir(sfDir)),
+          "doc_id", "text", CdcWindow, CdcDivisor)
+        EventStreams.runToBatch(stream.toDF(),
+          s"cdc_idx_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append)
+          .orderBy("ch")
+      },
+      oracle = Some(
+        s"""WITH ${graft.operators.Cdc.duckChunksRollingCtes(CdcWindow, CdcDivisor)}
+           SELECT ch, CAST(max(clen) AS BIGINT) AS clen,
+                  CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM cdc_chunks GROUP BY ch ORDER BY ch""")),
+
     // SoftDeDup: instead of DROPPING near-duplicates, down-WEIGHT them —
     // every doc in a near-dup cluster trains with loss weight 1/|cluster|
     // (micro fixed point), singletons keep weight 1. The cluster machinery

@@ -207,6 +207,45 @@ object IngestStreams {
        FROM toks GROUP BY source ORDER BY source"""
   }
 
+  final case class ChunkRow(doc_id: Long, ch: String, clen: Long)
+  final case class ChunkFirst(ch: String, clen: Long, first_doc: Long)
+
+  /** Continuous chunk-store index: arriving documents chunk STATELESSLY per
+    * row (the whole-row [[graft.operators.Cdc.chunkStructsFromEnds]]
+    * expression over the rolling kernel — no per-doc window, which would be
+    * stateful on a stream), then each chunk hash keys one Boolean of
+    * flatMapGroupsWithState state. A hash's FIRST arrival emits one
+    * (ch, clen, first_doc) row — the exactly-once "new bytes" feed a chunk
+    * store ingests; repeat arrivals emit nothing. State is one bit per
+    * DISTINCT chunk — precisely the index a content-addressed store keeps
+    * anyway; replayed over the fixture the emitted set equals the batch
+    * chunk table's per-hash (min doc, len) rows.
+    */
+  def cdcChunkIndex(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, divisor: Int): Dataset[ChunkFirst] = {
+    import graft.operators.Cdc
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"),
+        Cdc.chunkEnds(col(textCol), window, divisor).as("__ends"))
+      .select(col("doc_id"),
+        explode(Cdc.chunkStructsFromEnds(col("__t"), col("__ends"))).as("c"))
+      .select(col("doc_id"), col("c.ch").as("ch"), col("c.clen").as("clen"))
+      .as[ChunkRow]
+      .groupByKey(_.ch)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(emitFirstChunk)
+  }
+
+  private def emitFirstChunk(key: String, rows: Iterator[ChunkRow],
+                             state: GroupState[Boolean]): Iterator[ChunkFirst] =
+    if (state.exists) Iterator.empty
+    else {
+      state.update(true)
+      val rs = rows.toArray
+      Iterator.single(ChunkFirst(key, rs.head.clen, rs.iterator.map(_.doc_id).min))
+    }
+
   private def emitPairs(key: (Int, String), rows: Iterator[BandRow],
                         state: GroupState[List[Long]]): Iterator[CandidatePair] = {
     val existing = state.getOption.getOrElse(Nil)

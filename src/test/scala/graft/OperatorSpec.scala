@@ -491,6 +491,21 @@ class OperatorSpec extends SparkSpec {
     assert(cover.isEmpty)
   }
 
+  test("whole-row chunk expression equals the lag-window rolling chunker bit-for-bit") {
+    import graft.operators.Cdc
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val viaWindow = Cdc.chunksRolling(docs, "doc_id", "text", 16, 64)
+      .select("doc_id", "cstart", "clen", "ch")
+    val viaRow = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").as("__t"),
+        Cdc.chunkEnds(col("text"), 16, 64).as("__ends"))
+      .select(col("doc_id"),
+        explode(Cdc.chunkStructsFromEnds(col("__t"), col("__ends"))).as("c"))
+      .select(col("doc_id"), col("c.cstart"), col("c.clen"), col("c.ch"))
+    assert(viaWindow.exceptAll(viaRow).isEmpty && viaRow.exceptAll(viaWindow).isEmpty,
+      "streaming-safe whole-row chunking diverged from the batch lag-window form")
+  }
+
   test("ImageIoDecoder golden pin: exact DCT features for a deterministic PNG") {
     // byte-level honesty check on the pluggable decoder boundary: the PNG
     // encoding AND the decode output are both pinned, so a silent change to
