@@ -342,6 +342,24 @@ object Sf1Probe {
     timed("cdc_rolling 1x") { cdc(fixture("documents"), rolling = true) }
     timed("cdc_rolling 10x") { cdc(docs10, rolling = true) }
 
+    // -- streaming CDC chunk index (dedup_cdc_stream shape, single-batch
+    // replay): state = one bit per DISTINCT chunk — this measures the
+    // index build wall-clock and the emitted (first-arrival) row count as
+    // the corpus scales
+    def cdcStream(docs: DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sf1-cdc")
+      docs.select("doc_id", "text").coalesce(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      val idx = graft.streaming.IngestStreams.cdcChunkIndex(
+        graft.streaming.IngestStreams.readDocuments(spark, dir.toString),
+        "doc_id", "text", 16, 64)
+      graft.streaming.EventStreams.runToBatch(idx.toDF(),
+        s"sf1_cdc_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append).count()
+    }
+    timed("cdc_stream 1x") { cdcStream(fixture("documents")) }
+    timed("cdc_stream 10x") { cdcStream(docs10) }
+
     // -- DSIR scoring (corpus_dsir shape): explode + 1024-bucket histogram +
     // broadcast llr + per-doc sum — should scale with corpus tokens, the
     // bucket table being size-constant by construction
