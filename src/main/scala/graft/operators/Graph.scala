@@ -518,4 +518,67 @@ object Graph {
     }
     ((head +: steps).mkString(",\n"), s"r$iters")
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. '07), the
+    * DETERMINISTIC variant: labels start as node ids; every round each node
+    * takes the MODE of its neighbors' labels, ties broken by the smaller
+    * label (the original breaks ties randomly — useless for a verifiable
+    * engine). `edges` must carry BOTH directions of each undirected edge;
+    * nodes whose neighborhood is empty keep their label. Returns
+    * (node, community) after `iters` rounds.
+    *
+    * Per-round plan: edges ⋈ labels (shuffle on the node key) →
+    * (node, neighbor-label) map-side-combined count → per-node argmax (the
+    * same top-1 shape as every argmax here). State between rounds is ONE
+    * label per node; hubs skew the count like any degree-heavy aggregate
+    * and split under AQE. Unlike min-label components this converges to
+    * DENSITY communities, not connectivity classes — the complementary
+    * graph clustering the family lacked.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val fin = (1 to iters).foldLeft(nodes.withColumn("label", col("node"))) {
+      (labels, _) =>
+        val neigh = edges
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val top = neigh.withColumn("rn", row_number().over(
+            Window.partitionBy(col("node"))
+              .orderBy(col("n").desc, col("label").asc)))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label").as("new_label"))
+        // localCheckpoint per round: the kCore lesson — an iterated
+        // join-under-window plan otherwise grows multiplicatively
+        labels.select(col("node"), col("label"))
+          .join(top, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint()
+    }
+    fin.select(col("node"), col("label").as("community"))
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: rounds unrolled as CTE stages
+    * (the pageRank/KMeans pattern). Returns (ctes, finalCteName).
+    */
+  def duckLabelPropagationCtes(edgesSql: String, iters: Int): (String, String) = {
+    val head =
+      s"""lp_e AS ($edgesSql),
+         lp_nodes AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM lp_e UNION ALL SELECT dst FROM lp_e) u),
+         lp0 AS (SELECT node, node AS label FROM lp_nodes)"""
+    val steps = (1 to iters).map { i =>
+      s"""lpn$i AS (SELECT e.src AS node, l.label, count(*) AS n
+             FROM lp_e e JOIN lp${i - 1} l ON l.node = e.dst
+             GROUP BY 1, 2),
+         lpt$i AS (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER (PARTITION BY node
+               ORDER BY n DESC, label ASC) AS rn FROM lpn$i) q WHERE rn = 1),
+         lp$i AS (SELECT p.node, coalesce(t.label, p.label) AS label
+             FROM lp${i - 1} p LEFT JOIN lpt$i t USING (node))"""
+    }
+    ((head +: steps).mkString(",\n"), s"lp$iters")
+  }
 }

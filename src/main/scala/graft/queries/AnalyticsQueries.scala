@@ -713,6 +713,50 @@ object AnalyticsQueries {
         graft.operators.Graph.duckNodeSimilaritySql(edgesSql) + "\nORDER BY a, b"
       }),
 
+    // community detection by deterministic label propagation over the same
+    // copresence graph q_node_similarity scores — DENSITY communities
+    // (mode-of-neighbor-labels), the complement of dedup_clusters'
+    // connectivity classes. 3 synchronous rounds, ties to the smaller
+    // label; output also carries each community's size for readability
+    "q_communities" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val pairs = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+          .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val lp = graft.operators.Graph.labelPropagation(edges, iters = 3)
+        val sizes = lp.groupBy(col("community")).agg(count(lit(1)).as("community_size"))
+        lp.join(sizes, "community")
+          .select(col("node"), col("community"), col("community_size"))
+          .orderBy("node")
+      },
+      oracle = Some {
+        val pairsSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 1800000000"""
+        val edgesSql =
+          s"""SELECT a AS src, b AS dst FROM ($pairsSql) p
+             UNION ALL SELECT b, a FROM ($pairsSql) p2"""
+        val (ctes, last) = graft.operators.Graph.duckLabelPropagationCtes(edgesSql, 3)
+        s"""WITH $ctes,
+             lp_sizes AS (SELECT label AS community, count(*) AS community_size
+                          FROM $last GROUP BY label)
+           SELECT l.node, l.label AS community, s.community_size
+           FROM $last l JOIN lp_sizes s ON s.community = l.label
+           ORDER BY l.node"""
+      }),
+
     // repeat-purchase rate by market segment: customers with ≥2 orders as
     // a micro share of the segment's buyers — the loyalty headline that
     // pairs with RFM's tiers. Two user-keyed aggregates, the second over
