@@ -757,6 +757,74 @@ object AnalyticsQueries {
            ORDER BY l.node"""
       }),
 
+    // modularity of the LPA partition — the standard community-quality
+    // readout Q = Σ_c [intra_c/2m − (d_c/2m)²], in integer micro units
+    // over the both-directions edge list (2m = |directed edges|): one
+    // labels join, two community-sized aggregates. Q > 0 means the
+    // partition beats random wiring; the number makes q_communities'
+    // output judgeable instead of just well-formed
+    "q_modularity" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("m"),
+            unix_micros(col("ts")).as("ts_us"))
+        val pairs = graft.operators.RangeJoin.withinIntervalPairs(
+            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+          .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        val lp = graft.operators.Graph.labelPropagation(edges, iters = 3).persist()
+        val m2 = edges.count()
+        val lab = lp.select(col("node"), col("community"))
+        val intra = edges
+          .join(lab.select(col("node").as("src"), col("community").as("ca")), "src")
+          .join(lab.select(col("node").as("dst"), col("community").as("cb")), "dst")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
+        val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+          .join(lab, "node")
+          .groupBy(col("community")).agg(sum(col("d")).as("dc"))
+        deg.join(intra, Seq("community"), "left_outer")
+          .select(col("community"), coalesce(col("intra"), lit(0L)).as("intra"), col("dc"))
+          .withColumn("t1", expr(s"intra * 1000000 div ${m2}L"))
+          .withColumn("t2", expr(s"((dc * 1000000 div ${m2}L) * (dc * 1000000 div ${m2}L)) div 1000000"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(expr("t1 - t2")).as("modularity_micro"))
+      },
+      oracle = Some {
+        val pairsSql =
+          """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+             FROM (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') x
+             JOIN (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+                          epoch_us(ts) AS t FROM events WHERE event_type = 'click') y
+               ON x.m = y.m AND x.user_id < y.user_id
+              AND abs(x.t - y.t) <= 1800000000"""
+        val edgesSql =
+          s"""SELECT a AS src, b AS dst FROM ($pairsSql) p
+             UNION ALL SELECT b, a FROM ($pairsSql) p2"""
+        val (ctes, last) = graft.operators.Graph.duckLabelPropagationCtes(edgesSql, 3)
+        s"""WITH $ctes,
+             m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lp_e),
+             intra AS (SELECT la.label AS community, CAST(count(*) AS BIGINT) AS intra
+                       FROM lp_e e
+                       JOIN $last la ON la.node = e.src
+                       JOIN $last lb ON lb.node = e.dst
+                       WHERE la.label = lb.label GROUP BY 1),
+             deg AS (SELECT l.label AS community, CAST(sum(d.d) AS BIGINT) AS dc
+                     FROM (SELECT src AS node, count(*) AS d FROM lp_e GROUP BY src) d
+                     JOIN $last l USING (node) GROUP BY 1),
+             terms AS (SELECT deg.community,
+                              coalesce(i.intra, 0) * 1000000 // m2.m2 AS t1,
+                              ((deg.dc * 1000000 // m2.m2) * (deg.dc * 1000000 // m2.m2)) // 1000000 AS t2
+                       FROM deg LEFT JOIN intra i USING (community), m2)
+           SELECT count(*) AS n_communities,
+                  CAST(sum(t1 - t2) AS BIGINT) AS modularity_micro
+           FROM terms"""
+      }),
+
     // repeat-purchase rate by market segment: customers with ≥2 orders as
     // a micro share of the segment's buyers — the loyalty headline that
     // pairs with RFM's tiers. Two user-keyed aggregates, the second over
