@@ -19,7 +19,8 @@ object QueryRegistry {
     queries.DedupQueries.entries,
     queries.SimilarityQueries.entries,
     queries.EventQueries.entries,
-    queries.MultimodalQueries.entries
+    queries.MultimodalQueries.entries,
+    queries.DriftQueries.entries
   )
 
   lazy val all: Map[String, QueryEntry] = modules.reduce(_ ++ _)

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryEntry
+import graft.core.Readers
+import graft.operators.Selection.{duckLnMicro, lnMicroSparkSql}
+import graft.operators.TextAnalysis.{duckTokens, tokens}
+
+/** Distribution-statistics family: the information-theoretic and
+  * order-statistic monitors a production data pipeline runs continuously —
+  * behavioral entropy (bot screening), PSI (the standard ML-monitoring drift
+  * score), two-sample KS (distribution shift between corpus sources), and
+  * Gini concentration (vocabulary/diversity audits).
+  *
+  * All log terms run through the integer micro-ln
+  * ([[graft.operators.Selection.lnMicroSparkSql]]) so every score is
+  * BIGINT-exact and hash-identical cross-engine; every division keeps its
+  * operands non-negative so Spark's truncating `div` and DuckDB's flooring
+  * `//` agree (the repo-wide integer-division discipline).
+  */
+object DriftQueries {
+
+  val entries: Map[String, QueryEntry] = Map(
+
+    // per-user behavioral entropy: H(user) over its event-type distribution,
+    // in micro-nats — H = ln N − (Σ n·ln n)/N, all integer micro-ln. Low
+    // entropy at high volume = metronomic single-action traffic (the bot
+    // shape ev_bot_score flags via determinism); high entropy = diverse
+    // organic use. Rolled up to centi-nat bands so the output is a
+    // histogram, not |users| rows. Two map-side-combinable aggregates
+    // (user×type cells → per-user → bands); scales with users, no window.
+    "ev_user_entropy" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("ln_n", expr(lnMicroSparkSql("n")))
+        val perUser = cells.groupBy("user_id")
+          .agg(sum(col("n")).as("nn"), sum(expr("n * ln_n")).as("s"))
+          .withColumn("ln_nn", expr(lnMicroSparkSql("nn")))
+          // greatest(,0): lnMicro floors, so a single-type user is exactly 0
+          // but multi-type truncation can land a few micro below zero, where
+          // trunc-div (Spark) and floor-div (DuckDB) would disagree on band
+          .select(col("user_id"), col("nn"),
+            greatest(col("ln_nn") - expr("s div nn"), lit(0L)).as("h_micro"))
+        perUser
+          .groupBy(expr("h_micro div 10000").as("centinat_band"))
+          .agg(count(lit(1)).as("n_users"), sum(col("nn")).as("n_events"))
+          .orderBy("centinat_band")
+      },
+      oracle = Some {
+        val lnN = duckLnMicro("n")
+        val lnNN = duckLnMicro("nn")
+        s"""WITH cells AS (SELECT user_id, event_type, count(*) AS n
+                           FROM events GROUP BY 1, 2),
+           lncells AS (SELECT user_id, n, $lnN AS ln_n FROM cells),
+           per_user AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nn,
+                               CAST(sum(n * ln_n) AS BIGINT) AS s
+                        FROM lncells GROUP BY user_id),
+           h AS (SELECT user_id, nn,
+                        greatest($lnNN - s // nn, 0) AS h_micro
+                 FROM per_user)
+           SELECT h_micro // 10000 AS centinat_band,
+                  count(*) AS n_users, CAST(sum(nn) AS BIGINT) AS n_events
+           FROM h GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // weekly PSI (population stability index) on the event-type mix:
+    // PSI = Σ_t (p_t − q_t)·ln(p_t/q_t) between consecutive weeks, the
+    // industry-standard drift score (>0.25 ≈ "shifted"). Shares are integer
+    // micro; the log runs on share+1 so a rounded-to-zero share stays in the
+    // micro-ln's positive domain, and (p−q) and (ln(p+1)−ln(q+1)) always
+    // share a sign, so every summand is non-negative — trunc/floor-safe.
+    // Same lag-by-one shape (and scale shape) as ev_mix_drift_weekly:
+    // the window runs over the ≤|weeks|·|types| aggregate, never the events.
+    "ev_psi_weekly" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val WeekUs = 7L * 86400000000L
+        val cells = Readers.fixture(spark, sfDir, "events")
+          .groupBy(expr(s"unix_micros(ts) div $WeekUs").as("week_idx"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("week_idx").agg(sum(col("n")).as("tot"))
+        val shares = cells.join(totals, "week_idx")
+          .select(col("week_idx"), col("event_type"),
+            expr("n * 1000000 div tot").as("share"))
+          .withColumn("s1", col("share") + 1)
+          .withColumn("ln_s1", expr(lnMicroSparkSql("s1")))
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("week_idx"))
+        shares
+          .withColumn("prev_share", lag(col("share"), 1).over(byType))
+          .withColumn("prev_ln", lag(col("ln_s1"), 1).over(byType))
+          .withColumn("prev_week", lag(col("week_idx"), 1).over(byType))
+          .filter(col("prev_week") === col("week_idx") - 1)
+          .groupBy(col("week_idx"))
+          .agg(
+            expr("sum((share - prev_share) * (ln_s1 - prev_ln)) div 1000000")
+              .as("psi_micro"),
+            count(lit(1)).as("n_types_compared"))
+          .orderBy("week_idx")
+      },
+      oracle = Some {
+        val lnS1 = duckLnMicro("s1")
+        s"""WITH cells AS (SELECT epoch_us(ts) // 604800000000 AS week_idx,
+                                  event_type, count(*) AS n
+                           FROM events GROUP BY 1, 2),
+           totals AS (SELECT week_idx, CAST(sum(n) AS BIGINT) AS tot
+                      FROM cells GROUP BY week_idx),
+           shares AS (SELECT c.week_idx, c.event_type,
+                             c.n * 1000000 // t.tot AS share,
+                             c.n * 1000000 // t.tot + 1 AS s1
+                      FROM cells c JOIN totals t ON c.week_idx = t.week_idx),
+           lns AS (SELECT week_idx, event_type, share, $lnS1 AS ln_s1 FROM shares),
+           lagged AS (SELECT week_idx, event_type, share, ln_s1,
+                             lag(share) OVER w AS prev_share,
+                             lag(ln_s1) OVER w AS prev_ln,
+                             lag(week_idx) OVER w AS prev_week
+                      FROM lns
+                      WINDOW w AS (PARTITION BY event_type ORDER BY week_idx))
+           SELECT week_idx,
+                  CAST(sum((share - prev_share) * (ln_s1 - prev_ln)) AS BIGINT)
+                    // 1000000 AS psi_micro,
+                  count(*) AS n_types_compared
+           FROM lagged WHERE prev_week = week_idx - 1
+           GROUP BY week_idx ORDER BY week_idx"""
+      }),
+
+    // two-sample Kolmogorov-Smirnov statistic between every source pair on
+    // the document-length distribution: D = max_x |F_a(x) − F_b(x)| with the
+    // ECDFs in integer micro units (truncation identical cross-engine, so
+    // the max is hash-exact; resolution 1e-6 ≫ any real drift signal). The
+    // "did source B's scrape change shape" monitor — mean/quantile checks
+    // miss bimodal shifts that D catches. Scale shape: the window runs over
+    // the zero-filled (distinct-length × source) grid — bounded by the
+    // length domain, never |docs| — and the pair join fans out |sources|²
+    // per grid point with sources small by construction.
+    "corpus_ks_length" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val d = Readers.fixture(spark, sfDir, "documents")
+          .select(col("source"), col("n_chars"))
+        val srcTotals = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val grid = d.select("n_chars").distinct()
+        val cellCounts = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val filled = grid.crossJoin(srcTotals)
+          .join(cellCounts, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val w = Window.partitionBy("source").orderBy("n_chars")
+        val ecdf = filled
+          .withColumn("cum", sum(col("c")).over(w))
+          .select(col("source"), col("n_chars"), col("n_docs"),
+            expr("cum * 1000000 div n_docs").as("f_micro"))
+        val a = ecdf.select(col("source").as("src_a"), col("n_chars"),
+          col("n_docs").as("n_a"), col("f_micro").as("f_a"))
+        val b = ecdf.select(col("source").as("src_b"), col("n_chars"),
+          col("n_docs").as("n_b"), col("f_micro").as("f_b"))
+        a.join(b, Seq("n_chars"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+          .agg(max(abs(col("f_a") - col("f_b"))).as("ks_micro"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT source, n_chars FROM documents),
+        tot AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        grid AS (SELECT DISTINCT n_chars FROM d),
+        cells AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        filled AS (SELECT t.source, g.n_chars, t.n_docs,
+                          coalesce(c.c, 0) AS c
+                   FROM grid g CROSS JOIN tot t
+                   LEFT JOIN cells c
+                     ON c.source = t.source AND c.n_chars = g.n_chars),
+        ecdf AS (SELECT source, n_chars, n_docs,
+                        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
+                          * 1000000 // n_docs AS f_micro
+                 FROM filled)
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n_docs AS n_a, b.n_docs AS n_b,
+               CAST(max(abs(a.f_micro - b.f_micro)) AS BIGINT) AS ks_micro
+        FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars AND a.source < b.source
+        GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b""")),
+
+    // Gini concentration of the token-frequency distribution per source:
+    // with term frequencies f_1 ≤ … ≤ f_n (ties broken by term for a
+    // deterministic rank), G = Σ(2i − n − 1)f_i / (n·Σf) — integer micro,
+    // numerator non-negative under ascending order. High Gini = a few terms
+    // carry the mass (templated/boilerplate text); low = diverse vocabulary.
+    // Scale shape: the rank window runs over the per-source VOCABULARY
+    // (Heaps-law sublinear), never the corpus; at extreme vocab×frequency
+    // the i·f_i products approach BIGINT range — the grouped-by-frequency
+    // fold over text_freq_spectrum's bands is the headroom variant.
+    "text_token_gini" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val tf = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("source").orderBy(col("tf").asc, col("term").asc)
+        tf.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tokens"),
+            sum(expr("(2 * i - 1) * tf")).as("wsum"))
+          .select(col("source"), col("n_terms"), col("total_tokens"),
+            expr("(wsum - n_terms * total_tokens) * 1000000 div (n_terms * total_tokens)")
+              .as("gini_micro"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        s"""WITH tf AS (SELECT d.source, t.term, count(*) AS tf
+                        FROM documents d, unnest($tk) AS t(term)
+                        GROUP BY 1, 2),
+           ranked AS (SELECT source, tf,
+                             CAST(row_number() OVER
+                               (PARTITION BY source ORDER BY tf ASC, term ASC)
+                               AS BIGINT) AS i
+                      FROM tf),
+           agg AS (SELECT source, count(*) AS n_terms,
+                          CAST(sum(tf) AS BIGINT) AS total_tokens,
+                          CAST(sum((2 * i - 1) * tf) AS BIGINT) AS wsum
+                   FROM ranked GROUP BY source)
+           SELECT source, n_terms, total_tokens,
+                  (wsum - n_terms * total_tokens) * 1000000
+                    // (n_terms * total_tokens) AS gini_micro
+           FROM agg ORDER BY source"""
+      })
+  )
+}
