@@ -180,6 +180,95 @@ object DriftQueries {
         FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars AND a.source < b.source
         GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b""")),
 
+    // Jensen-Shannon divergence between every source pair's unigram
+    // distribution over the corpus head (global top-50 terms, zero-filled
+    // per source, shares renormalized within the head) — the symmetric,
+    // bounded (≤ ln 2) domain-distance matrix behind mixing/interleave
+    // decisions; the log-space complement of text_source_vocab_l1's L1.
+    // 2·JSD = Σ p·(ln2 + ln p − ln(p+q)) + q·(ln2 + ln q − ln(p+q)); +1
+    // smoothing keeps every log argument positive, and the integer micro-ln
+    // satisfies lnMicro(2x) = lnMicro(x) + Ln2Micro EXACTLY (doubling shifts
+    // the bit length by one and leaves the atanh argument unchanged), so
+    // identical distributions score exactly 0. Per-term products are exact
+    // integer multiplications (sign-safe); only the final non-negative sum
+    // divides. Scale shape: head grid is |sources|·50 cells; the corpus
+    // pass is one exploded groupBy with map-side partials.
+    "text_js_divergence" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val Ln2 = graft.operators.Selection.Ln2Micro
+        val ex = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .filter(col("source").isNotNull)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+        val staged = ex.persist()
+        val head = staged.groupBy("term").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term").asc).limit(50)
+          .select("term")
+        val st = staged.join(broadcast(head), "term")
+          .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        val totals = st.groupBy("source").agg(sum(col("n")).as("tot"))
+          .filter(col("tot") > 0)
+        val cells = totals.crossJoin(broadcast(head))
+          .join(st, Seq("source", "term"), "left")
+          .na.fill(0L, Seq("n"))
+          .select(col("source"), col("term"), expr("n * 1000000 div tot").as("p"))
+        val paired = cells.as("x").join(cells.as("y"),
+            col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+            col("x.p").as("p"), col("y.p").as("q"))
+          .withColumn("p1", col("p") + 1)
+          .withColumn("q1", col("q") + 1)
+          .withColumn("s2", col("p") + col("q") + 2)
+          .withColumn("ln_p1", expr(lnMicroSparkSql("p1")))
+          .withColumn("ln_q1", expr(lnMicroSparkSql("q1")))
+          .withColumn("ln_s2", expr(lnMicroSparkSql("s2")))
+        paired
+          .groupBy("source_a", "source_b")
+          .agg(sum(expr(s"p * ($Ln2 + ln_p1 - ln_s2) + q * ($Ln2 + ln_q1 - ln_s2)"))
+            .as("jsd2_sum"))
+          .select(col("source_a"), col("source_b"),
+            expr("greatest(jsd2_sum, 0) div 2000000").as("jsd_micro"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some {
+        val Ln2 = graft.operators.Selection.Ln2Micro
+        val tk = duckTokens("text")
+        val lnP1 = duckLnMicro("p1")
+        val lnQ1 = duckLnMicro("q1")
+        val lnS2 = duckLnMicro("s2")
+        s"""WITH ex AS (SELECT source, t.term
+                        FROM documents d, unnest($tk) AS t(term)
+                        WHERE source IS NOT NULL),
+           head AS (SELECT term FROM (SELECT term, count(*) AS tf FROM ex
+                    GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50) h),
+           st AS (SELECT source, ex.term, count(*) AS n
+                  FROM ex JOIN head ON ex.term = head.term
+                  GROUP BY source, ex.term),
+           tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM st
+                   GROUP BY source HAVING sum(n) > 0),
+           cells AS (SELECT t.source, h.term,
+                            coalesce(s.n, 0) * 1000000 // t.tot AS p
+                     FROM tot t CROSS JOIN head h
+                     LEFT JOIN st s ON s.source = t.source AND s.term = h.term),
+           paired AS (SELECT x.source AS source_a, y.source AS source_b,
+                             x.p AS p, y.p AS q,
+                             x.p + 1 AS p1, y.p + 1 AS q1,
+                             x.p + y.p + 2 AS s2
+                      FROM cells x JOIN cells y
+                        ON x.term = y.term AND x.source < y.source),
+           lns AS (SELECT source_a, source_b, p, q,
+                          $lnP1 AS ln_p1, $lnQ1 AS ln_q1, $lnS2 AS ln_s2
+                   FROM paired),
+           agg AS (SELECT source_a, source_b,
+                          CAST(sum(p * ($Ln2 + ln_p1 - ln_s2)
+                                 + q * ($Ln2 + ln_q1 - ln_s2)) AS BIGINT)
+                            AS jsd2_sum
+                   FROM lns GROUP BY 1, 2)
+           SELECT source_a, source_b,
+                  greatest(jsd2_sum, 0) // 2000000 AS jsd_micro
+           FROM agg ORDER BY source_a, source_b"""
+      }),
+
     // Gini concentration of the token-frequency distribution per source:
     // with term frequencies f_1 ≤ … ≤ f_n (ties broken by term for a
     // deterministic rank), G = Σ(2i − n − 1)f_i / (n·Σf) — integer micro,

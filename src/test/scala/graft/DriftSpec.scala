@@ -83,6 +83,40 @@ class DriftSpec extends SparkSpec {
     assert(got.values.forall { case (_, _, d) => d >= 0 && d <= 1000000L })
   }
 
+  test("text_js_divergence: exact vs driver-side mirror; bounded by ln 2") {
+    val Ln2 = graft.operators.Selection.Ln2Micro
+    val docs = Readers.fixture(spark, sfDir, "documents")
+      .filter(col("source").isNotNull)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val ex = docs.flatMap { case (s, t) => t.split(" ", -1).map((s, _)) }
+    val head = ex.groupBy(_._2).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, tf) => (-tf, t) }.take(50).map(_._1)
+    val bySrc = ex.groupBy(_._1).map { case (s, xs) =>
+      val counts = xs.groupBy(_._2).map { case (t, ts) => (t, ts.length.toLong) }
+      val headCounts = head.map(t => counts.getOrElse(t, 0L))
+      val tot = headCounts.sum
+      (s, headCounts.map(_ * 1000000L / tot))
+    }.filter(_._2.sum >= 0)
+    def jsd(p: Seq[Long], q: Seq[Long]): Long = {
+      val s = p.zip(q).map { case (pi, qi) =>
+        pi * (Ln2 + lnMicroLong(pi + 1) - lnMicroLong(pi + qi + 2)) +
+          qi * (Ln2 + lnMicroLong(qi + 1) - lnMicroLong(pi + qi + 2))
+      }.sum
+      math.max(s, 0L) / 2000000L
+    }
+    val expected = (for {
+      (sa, pa) <- bySrc; (sb, pb) <- bySrc if sa < sb
+    } yield (sa, sb) -> jsd(pa, pb)).toMap
+    val got = run("text_js_divergence").as[(String, String, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(got == expected)
+    assert(got.values.forall(d => d >= 0 && d <= Ln2))
+    // the exact-cancellation identity the zero property rests on
+    for (x <- Seq(1L, 7L, 999L, 123456L, 999999L))
+      assert(lnMicroLong(2 * x) == lnMicroLong(x) + Ln2)
+    assert(jsd(Seq(3L, 5L, 100L), Seq(3L, 5L, 100L)) == 0L)
+  }
+
   test("text_token_gini: exact vs driver-side mirror; in [0, 1e6)") {
     val docs = Readers.fixture(spark, sfDir, "documents")
       .select(col("source"), col("text")).as[(String, String)].collect()
