@@ -22,6 +22,63 @@ import graft.operators.TextAnalysis.{duckTokens, tokens}
   */
 object DriftQueries {
 
+  private val WeekUs = 7L * 86400000000L
+
+  /** Consecutive-week PSI fold over a (week_idx, event_type, n) cell table —
+    * shared verbatim by the batch query and the drained streaming state so
+    * the two are oracle-identical by construction.
+    */
+  private def psiFromCells(cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // week total via a window, not a self-join: the streaming variant feeds
+    // a drained memory table, and joining it to its own aggregate trips the
+    // duplicate-view analyzer; the window runs over the ≤|weeks|·|types|
+    // cells frame either way
+    val shares = cells
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("week_idx")))
+      .select(col("week_idx"), col("event_type"),
+        expr("n * 1000000 div tot").as("share"))
+      .withColumn("s1", col("share") + 1)
+      .withColumn("ln_s1", expr(lnMicroSparkSql("s1")))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("week_idx"))
+    shares
+      .withColumn("prev_share", lag(col("share"), 1).over(byType))
+      .withColumn("prev_ln", lag(col("ln_s1"), 1).over(byType))
+      .withColumn("prev_week", lag(col("week_idx"), 1).over(byType))
+      .filter(col("prev_week") === col("week_idx") - 1)
+      .groupBy(col("week_idx"))
+      .agg(
+        expr("sum((share - prev_share) * (ln_s1 - prev_ln)) div 1000000")
+          .as("psi_micro"),
+        count(lit(1)).as("n_types_compared"))
+      .orderBy("week_idx")
+  }
+
+  private val PsiOracle: String = {
+    val lnS1 = duckLnMicro("s1")
+    s"""WITH cells AS (SELECT epoch_us(ts) // 604800000000 AS week_idx,
+                              event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+       totals AS (SELECT week_idx, CAST(sum(n) AS BIGINT) AS tot
+                  FROM cells GROUP BY week_idx),
+       shares AS (SELECT c.week_idx, c.event_type,
+                         c.n * 1000000 // t.tot AS share,
+                         c.n * 1000000 // t.tot + 1 AS s1
+                  FROM cells c JOIN totals t ON c.week_idx = t.week_idx),
+       lns AS (SELECT week_idx, event_type, share, $lnS1 AS ln_s1 FROM shares),
+       lagged AS (SELECT week_idx, event_type, share, ln_s1,
+                         lag(share) OVER w AS prev_share,
+                         lag(ln_s1) OVER w AS prev_ln,
+                         lag(week_idx) OVER w AS prev_week
+                  FROM lns
+                  WINDOW w AS (PARTITION BY event_type ORDER BY week_idx))
+       SELECT week_idx,
+              CAST(sum((share - prev_share) * (ln_s1 - prev_ln)) AS BIGINT)
+                // 1000000 AS psi_micro,
+              count(*) AS n_types_compared
+       FROM lagged WHERE prev_week = week_idx - 1
+       GROUP BY week_idx ORDER BY week_idx"""
+  }
+
   val entries: Map[String, QueryEntry] = Map(
 
     // per-user behavioral entropy: H(user) over its event-type distribution,
@@ -77,54 +134,31 @@ object DriftQueries {
     // the window runs over the ≤|weeks|·|types| aggregate, never the events.
     "ev_psi_weekly" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val WeekUs = 7L * 86400000000L
         val cells = Readers.fixture(spark, sfDir, "events")
           .groupBy(expr(s"unix_micros(ts) div $WeekUs").as("week_idx"), col("event_type"))
           .agg(count(lit(1)).as("n"))
-        val totals = cells.groupBy("week_idx").agg(sum(col("n")).as("tot"))
-        val shares = cells.join(totals, "week_idx")
-          .select(col("week_idx"), col("event_type"),
-            expr("n * 1000000 div tot").as("share"))
-          .withColumn("s1", col("share") + 1)
-          .withColumn("ln_s1", expr(lnMicroSparkSql("s1")))
-        val byType = Window.partitionBy(col("event_type")).orderBy(col("week_idx"))
-        shares
-          .withColumn("prev_share", lag(col("share"), 1).over(byType))
-          .withColumn("prev_ln", lag(col("ln_s1"), 1).over(byType))
-          .withColumn("prev_week", lag(col("week_idx"), 1).over(byType))
-          .filter(col("prev_week") === col("week_idx") - 1)
-          .groupBy(col("week_idx"))
-          .agg(
-            expr("sum((share - prev_share) * (ln_s1 - prev_ln)) div 1000000")
-              .as("psi_micro"),
-            count(lit(1)).as("n_types_compared"))
-          .orderBy("week_idx")
+        psiFromCells(cells)
       },
-      oracle = Some {
-        val lnS1 = duckLnMicro("s1")
-        s"""WITH cells AS (SELECT epoch_us(ts) // 604800000000 AS week_idx,
-                                  event_type, count(*) AS n
-                           FROM events GROUP BY 1, 2),
-           totals AS (SELECT week_idx, CAST(sum(n) AS BIGINT) AS tot
-                      FROM cells GROUP BY week_idx),
-           shares AS (SELECT c.week_idx, c.event_type,
-                             c.n * 1000000 // t.tot AS share,
-                             c.n * 1000000 // t.tot + 1 AS s1
-                      FROM cells c JOIN totals t ON c.week_idx = t.week_idx),
-           lns AS (SELECT week_idx, event_type, share, $lnS1 AS ln_s1 FROM shares),
-           lagged AS (SELECT week_idx, event_type, share, ln_s1,
-                             lag(share) OVER w AS prev_share,
-                             lag(ln_s1) OVER w AS prev_ln,
-                             lag(week_idx) OVER w AS prev_week
-                      FROM lns
-                      WINDOW w AS (PARTITION BY event_type ORDER BY week_idx))
-           SELECT week_idx,
-                  CAST(sum((share - prev_share) * (ln_s1 - prev_ln)) AS BIGINT)
-                    // 1000000 AS psi_micro,
-                  count(*) AS n_types_compared
-           FROM lagged WHERE prev_week = week_idx - 1
-           GROUP BY week_idx ORDER BY week_idx"""
-      }),
+      oracle = Some(PsiOracle)),
+
+    // streaming PSI monitor: the (week, type) count cells maintained as
+    // complete-mode streaming state — bounded by |weeks|·|types| rows (types
+    // fixed; weeks grow one row-group per type per week — in production the
+    // retention knob drops weeks older than the comparison horizon). The
+    // drained cells fold through the IDENTICAL consecutive-week PSI as the
+    // batch query, so replay equals batch and the oracle is shared — the
+    // continuously-updating drift gate a training-data intake runs
+    "ev_psi_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = graft.streaming.EventStreams.readEvents(
+            spark, graft.queries.EventQueries.rawEventsDir(sfDir))
+          .groupBy(expr(s"unix_micros(ts) div $WeekUs").as("week_idx"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val drained = graft.streaming.EventStreams.runToBatch(cells,
+          s"ev_psi_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        psiFromCells(drained)
+      },
+      oracle = Some(PsiOracle)),
 
     // two-sample Kolmogorov-Smirnov statistic between every source pair on
     // the document-length distribution: D = max_x |F_a(x) − F_b(x)| with the

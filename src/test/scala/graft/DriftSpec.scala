@@ -64,6 +64,12 @@ class DriftSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= 0))
   }
 
+  test("ev_psi_stream: drained streaming state folds to the batch PSI exactly") {
+    val batch = run("ev_psi_weekly").as[(Long, Long, Long)].collect().toSeq
+    val streamed = run("ev_psi_stream").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("corpus_ks_length: exact vs driver-side ECDF mirror; bounded by 1e6") {
     val docs = Readers.fixture(spark, sfDir, "documents")
       .select(col("source"), col("n_chars")).as[(String, Long)].collect()
