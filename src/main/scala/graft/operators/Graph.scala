@@ -581,4 +581,68 @@ object Graph {
     }
     ((head +: steps).mkString(",\n"), s"lp$iters")
   }
+
+  /** HyperANF-style neighborhood function: per hop count t = 0..`iters`, the
+    * number of (node, reachable-node) pairs within distance t, estimated by
+    * propagating HLL registers along edges — node state is ≤256 register
+    * rows FOREVER, so the t-hop reach of every node costs O(iters·|E|·256)
+    * with no ball ever materialized (the Boldi/Vigna HyperANF shape; balls
+    * themselves are worst-case quadratic). Register max is associative,
+    * commutative, and idempotent, so propagated registers equal the
+    * registers OF the ball members exactly — which is what the oracle
+    * computes (explicit ≤2-hop path closure, fixture-scale only) before
+    * applying the identical integer estimator; the two agree bit-for-bit.
+    * Each round materializes behind a persist barrier (plan-depth
+    * discipline of [[pageRank]]).
+    *
+    * Output: (t, n_nodes, reach_pairs_est) — the distance distribution /
+    * effective-diameter readout used for connectivity audits of link or
+    * copurchase graphs.
+    */
+  def reachHll(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val (reg, rho) = Sketches.hllRhoCols(col("node"))
+    var regs = nodes.select(col("node"), reg.as("reg"), rho.as("m_rho")).persist()
+    var snaps = Vector(regs.withColumn("t", lit(0L)))
+    for (t <- 1 to iters) {
+      val viaNbr = edges
+        .join(regs.withColumnRenamed("node", "mid"), col("dst") === col("mid"))
+        .select(col("src").as("node"), col("reg"), col("m_rho"))
+      val next = regs.unionByName(viaNbr)
+        .groupBy("node", "reg").agg(max(col("m_rho")).as("m_rho"))
+        .persist()
+      snaps :+= next.withColumn("t", lit(t.toLong))
+      regs = next
+    }
+    Sketches.hllEstimateByGroup(snaps.reduce(_ unionByName _), "t", "node")
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("est")).as("reach_pairs_est"))
+      .orderBy("t")
+  }
+
+  /** DuckDB twin of [[reachHll]]: materializes each ≤t-hop ball as an
+    * explicit path union (member duplication is harmless — register max is
+    * idempotent), then runs the shared grouped HLL estimator with (t, node)
+    * packed into one group key. Fixture-scale only by construction.
+    */
+  def duckReachHllSql(edgesSql: String, iters: Int): String = {
+    val e = s"($edgesSql)"
+    def pathSelect(t: Int, k: Int): String =
+      if (k == 0)
+        s"SELECT $t AS t, node, node AS member FROM " +
+          s"(SELECT DISTINCT src AS node FROM $e en) nn"
+      else {
+        val joins = (1 until k)
+          .map(i => s"JOIN $e e${i + 1} ON e$i.dst = e${i + 1}.src").mkString(" ")
+        s"SELECT $t AS t, e1.src AS node, e$k.dst AS member FROM $e e1 $joins"
+      }
+    val balls = (0 to iters)
+      .flatMap(t => (0 to t).map(k => pathSelect(t, k)))
+      .mkString("(", " UNION ALL ", ") balls")
+    val inner = Sketches.duckHllByGroup(balls, "t * 1000000000 + node", "member")
+    s"""SELECT grp // 1000000000 AS t, count(*) AS n_nodes,
+              CAST(sum(est) AS BIGINT) AS reach_pairs_est
+       FROM ($inner) q
+       GROUP BY 1 ORDER BY t"""
+  }
 }

@@ -617,6 +617,32 @@ object AnalyticsQueries {
           "\nORDER BY node"
       }),
 
+    // HyperANF-lite neighborhood function over the purchase-affinity graph:
+    // pairs-within-distance-t for t = 0, 1, 2 via HLL register propagation
+    // (≤256 register rows per node forever — no ball materialized; see
+    // operators/Graph.reachHll for the register-algebra argument). The
+    // oracle materializes the explicit ≤2-hop balls (fixture-scale) and
+    // applies the identical integer estimator — bit-equal by idempotence
+    "q_reach_hll" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.reachHll(edges, iters = 2)
+      },
+      oracle = Some {
+        val joined = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        val edgesSql =
+          s"""SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst $joined
+             UNION SELECT DISTINCT l_suppkey*2+1, o_custkey*2 $joined"""
+        graft.operators.Graph.duckReachHllSql(edgesSql, iters = 2)
+      }),
+
     // triangle enumeration over the user co-click affinity graph: users who
     // clicked the same item (props.k) within 30 minutes share an edge; a
     // triangle is a tight interest cluster — the community-density signal

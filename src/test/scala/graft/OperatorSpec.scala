@@ -782,6 +782,32 @@ class OperatorSpec extends SparkSpec {
     assert(multi == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)), s"multi=$multi")
   }
 
+  test("reachHll: propagated registers equal explicit-ball estimates; monotone in t") {
+    import graft.operators.Sketches
+    // two components: a 4-cycle (1..4) and an edge pair (8,9); undirected
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (8L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.reachHll(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq(6L, 6L, 6L), "every node present at every t")
+    // brute-force balls per t, estimated through the same integer fold
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).toSet) }
+    def ball(v: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj.getOrElse(_, Set.empty[Long])))
+    val expected = (0 to 2).map { t =>
+      val perNode = adj.keySet.toSeq.map { v =>
+        val members = ball(v, t).toSeq.map(m => (m, m))
+        Sketches.hllEstimateFromRegisters(
+          Sketches.hllRegisters(members.toDF("node", "k"), col("k"))
+            .collect().toIndexedSeq.map(_.getInt(1)))
+      }
+      (t.toLong, perNode.size.toLong, perNode.sum)
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+    // neighborhood function never shrinks with t
+    assert(got.map(_._3).sliding(2).forall(w => w.head <= w.last))
+  }
+
   test("kCore: cascading peel, within-core degrees, loud non-convergence") {
     // triangle {1,2,3} plus a pendant path 3-4-5: the path peels in a
     // CASCADE (5 leaves first, which drops 4 to degree 1), leaving the
