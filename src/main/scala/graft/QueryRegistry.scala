@@ -20,7 +20,8 @@ object QueryRegistry {
     queries.SimilarityQueries.entries,
     queries.EventQueries.entries,
     queries.MultimodalQueries.entries,
-    queries.DriftQueries.entries
+    queries.DriftQueries.entries,
+    queries.PrivacyQueries.entries
   )
 
   lazy val all: Map[String, QueryEntry] = modules.reduce(_ ++ _)

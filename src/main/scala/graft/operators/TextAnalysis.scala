@@ -18,6 +18,18 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
   def duckTokens(text: String): String = s"string_split($text, ' ')"
 
+  /** PII-shaped token detectors (see `text_pii_scan`). LIKE patterns and a
+    * digit-stripping regexp_replace only — constructs whose semantics are
+    * identical in Java regex and RE2, so the DuckDB twin can't drift. The
+    * synthetic fixture is PII-free by construction (the oracle-gated zeros
+    * are the correct answer there); PrivacySpec pins each detector's
+    * positive/negative behavior on hand-built tokens.
+    */
+  def isEmailToken(tk: Column): Column = tk.like("%@%.%")
+  def isLongNumToken(tk: Column): Column =
+    length(tk) - length(regexp_replace(tk, "[0-9]", "")) >= 7
+  def isUrlToken(tk: Column): Column = tk.like("http%") || tk.like("www.%")
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Documents shorter than n words shingle to the whole text.
     */
