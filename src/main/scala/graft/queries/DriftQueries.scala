@@ -160,6 +160,98 @@ object DriftQueries {
       },
       oracle = Some(PsiOracle)),
 
+    // chi-square test of independence between language and source: is the
+    // language mix the same across sources, or does some source skew? The
+    // single-number homogeneity audit behind corpus_mix decisions.
+    // X² = Σ (o − e)²/e with e = r·c/T, computed as
+    // (o·T − r·c)² / (r·c·T) per cell — numerator squared in DECIMAL(38,0)
+    // (o·T alone reaches 1e18 at web scale, its square cannot live in
+    // BIGINT), integral div, all operands non-negative. Scale shape: the
+    // cell table is |langs|·|sources| — the corpus scan is one groupBy
+    // with map-side partials and everything after is tiny.
+    "corpus_chi2_langsource" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = Readers.fixture(spark, sfDir, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull)
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+        val colT = cells.groupBy("source").agg(sum(col("o")).as("c"))
+        val grand = cells.agg(sum(col("o")).as("tt"))
+        cells.join(rowT, "lang").join(colT, "source").crossJoin(grand)
+          .select(col("lang"), col("source"),
+            expr("""CAST(
+                      (CAST(o * tt - r * c AS DECIMAL(38,0))
+                       * CAST(o * tt - r * c AS DECIMAL(38,0)) * 1000000)
+                      div CAST(r * c * tt AS DECIMAL(38,0))
+                    AS BIGINT)""").as("cell_chi2"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("cell_chi2")).as("chi2_micro"))
+          .crossJoin(grand.select(col("tt").as("n_docs")))
+          .select(col("n_cells"), col("n_docs"), col("chi2_micro"))
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT lang, source, count(*) AS o FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2),
+        r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+        c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source),
+        g AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells),
+        per_cell AS (SELECT CAST(
+                       CAST(o * tt - r.r * c.c AS HUGEINT)
+                       * CAST(o * tt - r.r * c.c AS HUGEINT) * 1000000
+                       // CAST(r.r * c.c * tt AS HUGEINT) AS BIGINT) AS cell_chi2
+                     FROM cells JOIN r USING (lang) JOIN c USING (source)
+                     CROSS JOIN g)
+        SELECT count(*) AS n_cells,
+               (SELECT tt FROM g) AS n_docs,
+               CAST(sum(cell_chi2) AS BIGINT) AS chi2_micro
+        FROM per_cell""")),
+
+    // burstiness (index of dispersion / Fano factor) per event type over
+    // the hourly-count series: var/mean = (n·Σx² − S²)/(n·S) in micro
+    // units, over the ZERO-FILLED hour grid (the zeros are the burst
+    // signal — a metronomic bot has dispersion ≈ 0 ... 1, organic traffic
+    // ≫ 1, and omitting silent hours would hide exactly the gaps that make
+    // traffic bursty). Numerator non-negative by Cauchy-Schwarz, so the
+    // integer division is trunc/floor-safe. Scale shape: hourly cells are
+    // bounded by |types|·|hours|; the grid fill is a broadcast cross join.
+    "ev_burstiness" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val HourUs = 3600L * 1000000L
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(expr(s"unix_micros(ts) div $HourUs").as("hr"), col("event_type"))
+        val cells = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+        val grid = ev.select("hr").distinct()
+        val types = cells.select("event_type").distinct()
+        val filled = grid.crossJoin(types)
+          .join(cells, Seq("event_type", "hr"), "left")
+          .na.fill(0L, Seq("x"))
+        filled.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("n_events"),
+            sum(expr("x * x")).as("q"))
+          .select(col("event_type"), col("n_hours"), col("n_events"),
+            expr("(n_hours * q - n_events * n_events) * 1000000 div (n_hours * n_events)")
+              .as("dispersion_micro"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+                    FROM events),
+        cells AS (SELECT event_type, hr, count(*) AS x FROM ev GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT hr FROM ev),
+        types AS (SELECT DISTINCT event_type FROM cells),
+        filled AS (SELECT t.event_type, g.hr, coalesce(c.x, 0) AS x
+                   FROM grid g CROSS JOIN types t
+                   LEFT JOIN cells c ON c.event_type = t.event_type AND c.hr = g.hr),
+        agg AS (SELECT event_type, count(*) AS n_hours,
+                       CAST(sum(x) AS BIGINT) AS n_events,
+                       CAST(sum(x * x) AS BIGINT) AS q
+                FROM filled GROUP BY event_type)
+        SELECT event_type, n_hours, n_events,
+               (n_hours * q - n_events * n_events) * 1000000
+                 // (n_hours * n_events) AS dispersion_micro
+        FROM agg ORDER BY event_type""")),
+
     // two-sample Kolmogorov-Smirnov statistic between every source pair on
     // the document-length distribution: D = max_x |F_a(x) − F_b(x)| with the
     // ECDFs in integer micro units (truncation identical cross-engine, so

@@ -89,6 +89,40 @@ class DriftSpec extends SparkSpec {
     assert(got.values.forall { case (_, _, d) => d >= 0 && d <= 1000000L })
   }
 
+  test("corpus_chi2_langsource: exact vs driver-side BigInt mirror") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("lang"), col("source")).as[(String, String)].collect()
+    val cells = docs.groupBy(identity).map { case ((l, s), xs) => (l, s, xs.length.toLong) }
+    val r = cells.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._3).sum) }
+    val c = cells.groupBy(_._2).map { case (s, xs) => (s, xs.map(_._3).sum) }
+    val tt = cells.map(_._3).sum
+    val chi2 = cells.map { case (l, s, o) =>
+      val d = BigInt(o * tt - r(l) * c(s))
+      (d * d * 1000000L / (BigInt(r(l)) * c(s) * tt)).toLong
+    }.sum
+    val got = run("corpus_chi2_langsource").as[(Long, Long, Long)].head()
+    assert(got == ((cells.size.toLong, tt, chi2)))
+  }
+
+  test("ev_burstiness: exact vs driver-side mirror over the zero-filled grid") {
+    val HourUs = 3600L * 1000000L
+    val ev = Readers.fixture(spark, sfDir, "events")
+      .select(expr(s"unix_micros(ts) div $HourUs").as("hr"), col("event_type"))
+      .as[(Long, String)].collect()
+    val grid = ev.map(_._1).distinct
+    val expected = ev.groupBy(_._2).map { case (t, xs) =>
+      val byHr = xs.groupBy(_._1).map { case (h, hs) => (h, hs.length.toLong) }
+      val counts = grid.map(byHr.getOrElse(_, 0L))
+      val (n, s, q) = (grid.length.toLong, counts.sum, counts.map(x => x * x).sum)
+      (t, (n, s, (n * q - s * s) * 1000000L / (n * s)))
+    }
+    val got = run("ev_burstiness").as[(String, Long, Long, Long)].collect()
+      .map { case (t, n, s, d) => (t, (n, s, d)) }.toMap
+    assert(got == expected)
+    assert(got.values.forall(_._3 >= 0))
+  }
+
   test("text_js_divergence: exact vs driver-side mirror; bounded by ln 2") {
     val Ln2 = graft.operators.Selection.Ln2Micro
     val docs = Readers.fixture(spark, sfDir, "documents")
