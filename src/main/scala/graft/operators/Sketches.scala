@@ -165,6 +165,20 @@ object Sketches {
       .join(broadcast(counters), Seq("d", "b"))
       .groupBy(col("key")).agg(min(col("c")).as("cms_count"))
 
+  /** Point query that treats an empty cell as an exact zero: left join +
+    * coalesce before the min. [[cmsEstimates]]'s inner join is correct when
+    * every probed key occurred in the sketched stream (its own inserts
+    * populate all its lanes); probing keys that may be ABSENT from the
+    * stream (heavy-change probes against one half of a split) needs the
+    * untouched-bucket-means-zero reading, which is the true CMS semantics.
+    */
+  def cmsEstimatesSparse(counters: DataFrame, keys: DataFrame, keyCol: String,
+                         depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol).as("key"), cmsLanes(col(keyCol), depth, width).as(Seq("d", "b")))
+      .join(broadcast(counters), Seq("d", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("key")).agg(min(col("c")).as("cms_count"))
+
   /** Join-size estimate as the CMS inner product (the AMS sketch estimator,
     * Alon-Matias-Szegedy '96 via Cormode-Muthukrishnan '05 §4.2): for two
     * counter tables over the SAME (depth, width, hash family),

@@ -252,6 +252,78 @@ object DriftQueries {
                  // (n_hours * n_events) AS dispersion_micro
         FROM agg ORDER BY event_type""")),
 
+    // CMS heavy-change detection: split the stream at its time midpoint,
+    // sketch each half (4×512 counters — kilobytes regardless of user
+    // cardinality), and read the per-user change |cms_a − cms_b| for the
+    // top-20 true movers, exact counts alongside. The Cormode-Muthukrishnan
+    // "what changed" monitor: at 100 TB the two sketches are the only
+    // full-stream state; probes use the sparse point query (an untouched
+    // bucket is an exact zero — a mover may be entirely absent from one
+    // half, where the inner-join probe would drop its lanes and
+    // overestimate). Candidates here are the exact top movers so the gate
+    // pins both sketch AND selection; production candidates come from the
+    // sketch itself or a heavy-hitter pass.
+    "ev_heavy_change" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
+        val D = 4; val W = 512
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val bounds = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+          .select(expr("(mn + mx + 1) div 2").as("mid"))
+        val tagged = ev.crossJoin(bounds)
+          .select(col("user_id"), (col("ts_us") < col("mid")).as("in_a"))
+        val exact = tagged.groupBy("user_id")
+          .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+        val top = exact
+          .orderBy(abs(col("n_a") - col("n_b")).desc, col("user_id").asc)
+          .limit(20)
+        val cmsA = Sketches.cmsCounters(tagged.filter(col("in_a")), col("user_id"), D, W)
+        val cmsB = Sketches.cmsCounters(tagged.filter(!col("in_a")), col("user_id"), D, W)
+        val pa = Sketches.cmsEstimatesSparse(cmsA, top, "user_id", D, W)
+          .withColumnRenamed("cms_count", "cms_a")
+        val pb = Sketches.cmsEstimatesSparse(cmsB, top, "user_id", D, W)
+          .withColumnRenamed("cms_count", "cms_b")
+        top.join(pa, col("user_id") === pa("key")).drop("key")
+          .join(pb, col("user_id") === pb("key")).drop("key")
+          .select(col("user_id"), col("n_a"), col("n_b"), col("cms_a"), col("cms_b"),
+            abs(col("cms_a") - col("cms_b")).as("est_change"))
+          .orderBy("user_id")
+      },
+      oracle = Some {
+        import graft.operators.{MinHashLSH, Sketches}
+        val D = 4; val W = 512
+        def lanes(cte: String) = (0 until D).map(i =>
+          s"SELECT user_id, $i AS d, " +
+            s"${MinHashLSH.duckPermHash("CAST(user_id AS VARCHAR)", i)} % $W AS b " +
+            s"FROM $cte").mkString(" UNION ALL ")
+        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+           bnd AS (SELECT (min(ts_us) + max(ts_us) + 1) // 2 AS mid FROM ev),
+           tagged AS (SELECT user_id, ts_us < (SELECT mid FROM bnd) AS in_a FROM ev),
+           ex AS (SELECT user_id,
+                         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                  FROM tagged GROUP BY user_id),
+           top AS (SELECT user_id, n_a, n_b FROM ex
+                   ORDER BY abs(n_a - n_b) DESC, user_id ASC LIMIT 20),
+           ca AS (${Sketches.duckCmsCountersSql(
+                    "(SELECT user_id FROM tagged WHERE in_a) ha", "user_id", D, W)}),
+           cb AS (${Sketches.duckCmsCountersSql(
+                    "(SELECT user_id FROM tagged WHERE NOT in_a) hb", "user_id", D, W)}),
+           lanes AS (${lanes("top")}),
+           pa AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_a
+                  FROM lanes l LEFT JOIN ca c USING (d, b) GROUP BY l.user_id),
+           pb AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_b
+                  FROM lanes l LEFT JOIN cb c USING (d, b) GROUP BY l.user_id)
+           SELECT t.user_id, t.n_a, t.n_b,
+                  CAST(pa.cms_a AS BIGINT) AS cms_a,
+                  CAST(pb.cms_b AS BIGINT) AS cms_b,
+                  CAST(abs(pa.cms_a - pb.cms_b) AS BIGINT) AS est_change
+           FROM top t JOIN pa USING (user_id) JOIN pb USING (user_id)
+           ORDER BY user_id"""
+      }),
+
     // two-sample Kolmogorov-Smirnov statistic between every source pair on
     // the document-length distribution: D = max_x |F_a(x) − F_b(x)| with the
     // ECDFs in integer micro units (truncation identical cross-engine, so

@@ -101,6 +101,27 @@ class SketchSpec extends SparkSpec {
       s"CMS underestimated: ${joined.filter { case (n, c) => c < n }.take(3).mkString(",")}")
   }
 
+  test("cmsEstimatesSparse: absent key reads zero on untouched buckets, one-sided for present keys") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // sketch a tiny stream; probe keys that never occurred — with 3 distinct
+    // inserted keys in a 4x512 sketch, some probe must land on all-empty
+    // lanes and MUST read 0 (the inner-join probe would drop or overestimate)
+    val stream = Seq("a", "a", "b", "c").toDF("k")
+    val counters = Sketches.cmsCounters(stream, col("k"), 4, 512)
+    val probes = (Seq("a", "b", "c") ++ (1 to 40).map(i => s"absent$i")).toDF("k")
+    val got = Sketches.cmsEstimatesSparse(counters, probes, "k", 4, 512)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") >= 2 && got("b") >= 1 && got("c") >= 1)
+    val absents = (1 to 40).map(i => got(s"absent$i"))
+    assert(absents.forall(_ >= 0) && absents.count(_ == 0) > 30,
+      s"expected mostly exact zeros for absent keys, got $absents")
+    // sparse == inner-join probe wherever the key is present
+    val inner = Sketches.cmsEstimates(counters, Seq("a", "b", "c").toDF("k"), "k", 4, 512)
+      .as[(String, Long)].collect().toMap
+    assert(Seq("a", "b", "c").forall(k => got(k) == inner(k)))
+  }
+
   test("CMS inner product brackets the exact join size: exact <= est <= L1·L1") {
     import graft.operators.Sketches
     val (depth, width) = (4, 4096)
