@@ -252,6 +252,65 @@ object DriftQueries {
                  // (n_hours * n_events) AS dispersion_micro
         FROM agg ORDER BY event_type""")),
 
+    // CUSUM change-point detection on the daily count series per event
+    // type: the recursion s_t = max(0, s_{t-1} + (x_t − k)) de-recursed
+    // into two windows — s_t = c_t − min(0, prefix-min(c_t)) with
+    // c = cumsum(x − k) — so both engines evaluate it as plain cumulative
+    // aggregates over the zero-filled day grid (exact signed-integer sums,
+    // no division anywhere past the reference mean k = total div n_days).
+    // The alarm fires when the accumulated drift exceeds 3k — the page
+    // "volume has shifted and stayed shifted", where the hourly z-score
+    // family catches single spikes. Scale shape: windows over the
+    // |types|·|days| grid, never raw events.
+    "ev_cusum" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val DayUs = 86400000000L
+        val ev = Readers.fixture(spark, sfDir, "events")
+          .select(expr(s"unix_micros(ts) div $DayUs").as("day"), col("event_type"))
+        val cells = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        val grid = ev.select("day").distinct()
+        val types = cells.select("event_type").distinct()
+        val filled = grid.crossJoin(types)
+          .join(cells, Seq("event_type", "day"), "left")
+          .na.fill(0L, Seq("x"))
+        val withRef = filled
+          .withColumn("k", expr("sum(x) over (partition by event_type) div count(x) over (partition by event_type)"))
+        val byType = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withRef
+          .withColumn("c", sum(col("x") - col("k")).over(byType))
+          .withColumn("floor_c", least(lit(0L), min(col("c")).over(byType)))
+          .select(col("event_type"), col("day"), col("x"), col("k"),
+            (col("c") - col("floor_c")).as("cusum"),
+            (col("c") - col("floor_c") > col("k") * 3).as("alarm"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+                    FROM events),
+        cells AS (SELECT event_type, day, count(*) AS x FROM ev GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT day FROM ev),
+        types AS (SELECT DISTINCT event_type FROM cells),
+        filled AS (SELECT t.event_type, g.day, coalesce(c.x, 0) AS x
+                   FROM grid g CROSS JOIN types t
+                   LEFT JOIN cells c ON c.event_type = t.event_type AND c.day = g.day),
+        withref AS (SELECT event_type, day, x,
+                           CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                             // count(x) OVER (PARTITION BY event_type) AS k
+                    FROM filled),
+        cum AS (SELECT event_type, day, x, k,
+                       CAST(sum(x - k) OVER w AS BIGINT) AS c
+                FROM withref
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)),
+        flo AS (SELECT event_type, day, x, k, c,
+                       least(0, min(c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)) AS floor_c
+                FROM cum)
+        SELECT event_type, day, x, k, c - floor_c AS cusum,
+               (c - floor_c) > k * 3 AS alarm
+        FROM flo ORDER BY event_type, day""")),
+
     // CMS heavy-change detection: split the stream at its time midpoint,
     // sketch each half (4×512 counters — kilobytes regardless of user
     // cardinality), and read the per-user change |cms_a − cms_b| for the

@@ -123,6 +123,27 @@ class DriftSpec extends SparkSpec {
     assert(got.values.forall(_._3 >= 0))
   }
 
+  test("ev_cusum: window form equals the literal max(0, s+d) recursion") {
+    val DayUs = 86400000000L
+    val ev = Readers.fixture(spark, sfDir, "events")
+      .select(expr(s"unix_micros(ts) div $DayUs").as("day"), col("event_type"))
+      .as[(Long, String)].collect()
+    val grid = ev.map(_._1).distinct.sorted
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (t, xs) =>
+      val byDay = xs.groupBy(_._1).map { case (d, ds) => (d, ds.length.toLong) }
+      val counts = grid.map(byDay.getOrElse(_, 0L))
+      val k = counts.sum / grid.length
+      // the recursion itself, not the window identity
+      val s = counts.scanLeft(0L)((acc, x) => math.max(0L, acc + (x - k))).tail
+      grid.zip(counts).zip(s).map { case ((d, x), si) =>
+        ((t, d), (x, k, si, si > 3 * k))
+      }
+    }.toMap
+    val got = run("ev_cusum").as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map { case (t, d, x, k, s, a) => ((t, d), (x, k, s, a)) }.toMap
+    assert(got == expected)
+  }
+
   test("text_js_divergence: exact vs driver-side mirror; bounded by ln 2") {
     val Ln2 = graft.operators.Selection.Ln2Micro
     val docs = Readers.fixture(spark, sfDir, "documents")
