@@ -128,6 +128,52 @@ object SimilarityQueries {
     // train → assign → probe, end to end: IVF search over the k-means-trained
     // centroids instead of the deterministic sample — the full clustered-index
     // story inside the engine
+    // embedding-distribution drift via cluster occupancy: train k-means on
+    // the full corpus (deterministic integer pipeline), split vectors by id
+    // parity (the stand-in for before/after batches), and compare each
+    // cluster's occupancy share between halves in micro units. The
+    // embedding-space twin of ev_psi_weekly: a new scrape that lands in
+    // different clusters moves shares even when counts look flat. Scale
+    // shape: one assignment pass (broadcast centroid list) + a k-row
+    // aggregate; shares via window over the k-row frame.
+    "sim_cluster_drift" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        val cells = graft.operators.KMeans.assign(e, cent)
+          .select(col("cent_id"), pmod(col("vec_id"), lit(2)).as("half"))
+          .groupBy("cent_id")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        cells
+          .withColumn("ta", sum(col("n_a")).over(w))
+          .withColumn("tb", sum(col("n_b")).over(w))
+          .select(col("cent_id"), col("n_a"), col("n_b"),
+            expr("n_a * 1000000 div ta").as("share_a_micro"),
+            expr("n_b * 1000000 div tb").as("share_b_micro"),
+            expr("abs(n_a * 1000000 div ta - n_b * 1000000 div tb)").as("drift_micro"))
+          .orderBy("cent_id")
+      },
+      oracle = Some {
+        val (ctes, last) = graft.operators.KMeans.duckTrainCtes(8, 2, Dims)
+        s"""WITH $ctes,
+           assigned AS ${graft.operators.KMeans.duckAssign(last)},
+           cells AS (SELECT cent_id,
+                            CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                            CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                     FROM assigned GROUP BY cent_id),
+           tot AS (SELECT cent_id, n_a, n_b,
+                          CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+                          CAST(sum(n_b) OVER () AS BIGINT) AS tb
+                   FROM cells)
+           SELECT cent_id, n_a, n_b,
+                  n_a * 1000000 // ta AS share_a_micro,
+                  n_b * 1000000 // tb AS share_b_micro,
+                  abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS drift_micro
+           FROM tot ORDER BY cent_id"""
+      }),
+
     "sim_ivf_kmeans" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
