@@ -24,6 +24,14 @@ object DriftQueries {
 
   private val WeekUs = 7L * 86400000000L
 
+  /** Benford expected shares per leading digit 1..9, micro-fixed-point:
+    * floor(log10(1 + 1/d)·1e6). Computed once here (driver-side constant
+    * table, like the HLL ln table) and embedded as literals in BOTH
+    * engines' plans, so no query-time libm call exists anywhere.
+    */
+  private val BenfordMicro: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
   /** Consecutive-week PSI fold over a (week_idx, event_type, n) cell table —
     * shared verbatim by the batch query and the drained streaming state so
     * the two are oracle-identical by construction.
@@ -78,6 +86,61 @@ object DriftQueries {
        FROM lagged WHERE prev_week = week_idx - 1
        GROUP BY week_idx ORDER BY week_idx"""
   }
+
+  private val DayUs = 86400000000L
+
+  /** De-recursed CUSUM fold over a (event_type, day, x) cell table — shared
+    * by the batch query and the drained streaming state (oracle-identical by
+    * construction, same discipline as [[psiFromCells]]). Zero-fills the day
+    * grid via the types×grid cross join (both frames derive from `cells`, so
+    * the drained-memory-table self-join restriction doesn't bite: the join
+    * keys differ).
+    */
+  private def cusumFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = cellsIn.select(col("event_type"), col("day"), col("x"))
+    val grid = cells.select("day").distinct()
+    val types = cells.select("event_type").distinct()
+    val filled = grid.crossJoin(types)
+      .join(cells, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    val withRef = filled
+      .withColumn("k", expr("sum(x) over (partition by event_type) div count(x) over (partition by event_type)"))
+    val byType = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRef
+      .withColumn("c", sum(col("x") - col("k")).over(byType))
+      .withColumn("floor_c", least(lit(0L), min(col("c")).over(byType)))
+      .select(col("event_type"), col("day"), col("x"), col("k"),
+        (col("c") - col("floor_c")).as("cusum"),
+        (col("c") - col("floor_c") > col("k") * 3).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  private val CusumOracle: String = """
+    WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events),
+    cells AS (SELECT event_type, day, count(*) AS x FROM ev GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT day FROM ev),
+    types AS (SELECT DISTINCT event_type FROM cells),
+    filled AS (SELECT t.event_type, g.day, coalesce(c.x, 0) AS x
+               FROM grid g CROSS JOIN types t
+               LEFT JOIN cells c ON c.event_type = t.event_type AND c.day = g.day),
+    withref AS (SELECT event_type, day, x,
+                       CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                         // count(x) OVER (PARTITION BY event_type) AS k
+                FROM filled),
+    cum AS (SELECT event_type, day, x, k,
+                   CAST(sum(x - k) OVER w AS BIGINT) AS c
+            FROM withref
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)),
+    flo AS (SELECT event_type, day, x, k, c,
+                   least(0, min(c) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)) AS floor_c
+            FROM cum)
+    SELECT event_type, day, x, k, c - floor_c AS cusum,
+           (c - floor_c) > k * 3 AS alarm
+    FROM flo ORDER BY event_type, day"""
 
   val entries: Map[String, QueryEntry] = Map(
 
@@ -252,6 +315,46 @@ object DriftQueries {
                  // (n_hours * n_events) AS dispersion_micro
         FROM agg ORDER BY event_type""")),
 
+    // Benford first-digit audit on purchase amounts: observed share per
+    // leading digit of the integer cents vs the Benford expectation
+    // log10(1 + 1/d), embedded as shared micro literals so both engines
+    // compare against the identical table. Fabricated or capped amounts
+    // flunk the curve — a standard financial / synthetic-data forensics
+    // screen. The leading digit comes from the DECIMAL STRING of the cents
+    // (identical rendering both engines, no float log10 at query time).
+    // One scan, 9 output rows.
+    "ev_benford" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = Readers.fixture(spark, sfDir, "events")
+          .filter(col("event_type") === "purchase")
+          .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy()
+        cells
+          .withColumn("total", sum(col("n")).over(w))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 div total").as("share_micro"),
+            element_at(array(BenfordMicro.map(lit(_)): _*), col("digit").cast("int"))
+              .as("benford_micro"))
+          .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+          .orderBy("digit")
+      },
+      oracle = Some {
+        val lst = BenfordMicro.mkString("[", ", ", "]")
+        s"""WITH cents AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                           FROM events WHERE event_type = 'purchase'),
+           d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                 FROM cents WHERE cents > 0),
+           cells AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+           tot AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM cells)
+           SELECT digit, n, n * 1000000 // total AS share_micro,
+                  $lst[CAST(digit AS INTEGER)] AS benford_micro,
+                  abs(n * 1000000 // total - $lst[CAST(digit AS INTEGER)]) AS dev_micro
+           FROM tot ORDER BY digit"""
+      }),
+
     // CUSUM change-point detection on the daily count series per event
     // type: the recursion s_t = max(0, s_{t-1} + (x_t − k)) de-recursed
     // into two windows — s_t = c_t − min(0, prefix-min(c_t)) with
@@ -264,52 +367,32 @@ object DriftQueries {
     // |types|·|days| grid, never raw events.
     "ev_cusum" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val DayUs = 86400000000L
-        val ev = Readers.fixture(spark, sfDir, "events")
+        val cells = Readers.fixture(spark, sfDir, "events")
           .select(expr(s"unix_micros(ts) div $DayUs").as("day"), col("event_type"))
-        val cells = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
-        val grid = ev.select("day").distinct()
-        val types = cells.select("event_type").distinct()
-        val filled = grid.crossJoin(types)
-          .join(cells, Seq("event_type", "day"), "left")
-          .na.fill(0L, Seq("x"))
-        val withRef = filled
-          .withColumn("k", expr("sum(x) over (partition by event_type) div count(x) over (partition by event_type)"))
-        val byType = Window.partitionBy("event_type").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        withRef
-          .withColumn("c", sum(col("x") - col("k")).over(byType))
-          .withColumn("floor_c", least(lit(0L), min(col("c")).over(byType)))
-          .select(col("event_type"), col("day"), col("x"), col("k"),
-            (col("c") - col("floor_c")).as("cusum"),
-            (col("c") - col("floor_c") > col("k") * 3).as("alarm"))
-          .orderBy("event_type", "day")
+          .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        cusumFromCells(cells)
       },
-      oracle = Some("""
-        WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
-                    FROM events),
-        cells AS (SELECT event_type, day, count(*) AS x FROM ev GROUP BY 1, 2),
-        grid AS (SELECT DISTINCT day FROM ev),
-        types AS (SELECT DISTINCT event_type FROM cells),
-        filled AS (SELECT t.event_type, g.day, coalesce(c.x, 0) AS x
-                   FROM grid g CROSS JOIN types t
-                   LEFT JOIN cells c ON c.event_type = t.event_type AND c.day = g.day),
-        withref AS (SELECT event_type, day, x,
-                           CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
-                             // count(x) OVER (PARTITION BY event_type) AS k
-                    FROM filled),
-        cum AS (SELECT event_type, day, x, k,
-                       CAST(sum(x - k) OVER w AS BIGINT) AS c
-                FROM withref
-                WINDOW w AS (PARTITION BY event_type ORDER BY day
-                             ROWS UNBOUNDED PRECEDING)),
-        flo AS (SELECT event_type, day, x, k, c,
-                       least(0, min(c) OVER (PARTITION BY event_type ORDER BY day
-                             ROWS UNBOUNDED PRECEDING)) AS floor_c
-                FROM cum)
-        SELECT event_type, day, x, k, c - floor_c AS cusum,
-               (c - floor_c) > k * 3 AS alarm
-        FROM flo ORDER BY event_type, day""")),
+      oracle = Some(CusumOracle)),
+
+    // streaming CUSUM: the (type, day) count cells as complete-mode state
+    // (bounded by |types|·|days|, same retention argument as ev_psi_stream),
+    // drained through the identical de-recursed fold — the change-point
+    // monitor as a continuously-updating stream, oracle shared with batch
+    "ev_cusum_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = graft.streaming.EventStreams.readEvents(
+            spark, graft.queries.EventQueries.rawEventsDir(sfDir))
+          .groupBy(expr(s"unix_micros(ts) div $DayUs").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+        val drained = graft.streaming.EventStreams.runToBatch(cells,
+          s"ev_cusum_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+        // localCheckpoint: the fold cross-joins two projections of the cell
+        // table back onto itself — cut the memory-table lineage so the
+        // three-way self-reference can't trip the duplicate-view analyzer
+        // (the psiFromCells lesson); the table is |types|·|days| rows
+        cusumFromCells(drained.localCheckpoint())
+      },
+      oracle = Some(CusumOracle)),
 
     // CMS heavy-change detection: split the stream at its time midpoint,
     // sketch each half (4×512 counters — kilobytes regardless of user
