@@ -501,6 +501,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("heavy-change probes broadcast both sketches; no cartesian anywhere") {
+    val plan = physicalPlan("ev_heavy_change")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("KS pair join is keyed on the grid value, never a source cartesian") {
+    val plan = physicalPlan("corpus_ks_length")
+    // the |sources|² fan-out must ride the n_chars equi-join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("entropy bands aggregate map-side; no window over raw events") {
+    val df = SparkEntry.queries("ev_user_entropy")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"entropy should need no window: $windows")
+  }
+
+  test("reachHll estimates stay in one row per node (no register explode downstream)") {
+    val df = SparkEntry.queries("q_reach_hll")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the estimator must run as HOF expressions over the packed array —
+    // a Generate (explode) would mean the 256-way row blowup came back
+    assert(!plan.contains("Generate explode"), plan)
+  }
+
   test("rolling CDC plans the codegen kernel, not a position explode") {
     val rolling = physicalPlan("dedup_cdc_rolling")
     assert(rolling.contains("graft_cdc_cuts"), rolling)
