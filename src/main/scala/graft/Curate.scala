@@ -43,6 +43,11 @@ object Curate {
       |                                   cross-entropy (micro-nats, LM trained
       |                                   on the surviving corpus) exceeds this
       |                                   — the perplexity gate (default off)
+      |      --max-pii-per-million int    drop documents whose PII-shaped
+      |                                   token density (email / long-digit /
+      |                                   URL tokens per million) exceeds this
+      |                                   — the redaction-or-drop safety gate
+      |                                   (default off)
       |      --dsir-target-lang str       with --dsir-keep-pct: score documents
       |                                   by DSIR target-vs-raw likelihood with
       |                                   this language as the target domain
@@ -86,6 +91,7 @@ object Curate {
       mixTemperature: Option[Long] = None,
       minQuality: Double = 0.45,
       maxXentMicro: Option[Long] = None,
+      maxPiiPerMillion: Option[Long] = None,
       dsirTargetLang: Option[String] = None,
       dsirKeepPct: Option[Int] = None,
       sampleWeighted: Option[Int] = None,
@@ -140,6 +146,9 @@ object Curate {
             case "--max-xent-micro" =>
               num(flag, value, (_: String).toLongOption)(n =>
                 acc.copy(maxXentMicro = Some(n))).flatMap(loop(tail, _, positional))
+            case "--max-pii-per-million" =>
+              num(flag, value, _.toLongOption)(n =>
+                acc.copy(maxPiiPerMillion = Some(n))).flatMap(loop(tail, _, positional))
             case "--dsir-target-lang" =>
               loop(tail, acc.copy(dsirTargetLang = Some(value)), positional)
             case "--dsir-keep-pct" =>
@@ -191,6 +200,8 @@ object Curate {
         Left(s"--chunk-tokens must be >= 1, got ${c.chunkTokens.get}")
       else if (c.maxXentMicro.exists(_ < 0))
         Left(s"--max-xent-micro must be >= 0, got ${c.maxXentMicro.get}")
+      else if (c.maxPiiPerMillion.exists(_ < 0))
+        Left(s"--max-pii-per-million must be >= 0, got ${c.maxPiiPerMillion.get}")
       else if (c.dsirKeepPct.exists(p => p < 1 || p > 100))
         Left(s"--dsir-keep-pct must be in [1, 100], got ${c.dsirKeepPct.get}")
       else if (c.dsirKeepPct.isDefined != c.dsirTargetLang.isDefined)
@@ -314,6 +325,16 @@ object Curate {
       out
     }
 
+    // optional PII safety gate (the text_pii_scan detectors per document):
+    // drop documents whose PII-shaped token density exceeds the cap — the
+    // drop-side alternative to redaction, one per-row HOF expression
+    val piiGated = cfg.maxPiiPerMillion.fold(xentGated) { cap =>
+      val out = xentGated.filter(
+        TextAnalysis.piiPerMillion(TextAnalysis.tokens(col("text"))) <= cap).persist()
+      out.count()
+      out
+    }
+
     // optional DSIR selection (the corpus_dsir operators as a gate): score
     // survivors by hashed-bigram target-vs-raw likelihood with the given
     // language as the target domain, keep the top N% (global rank at CLI
@@ -322,15 +343,15 @@ object Curate {
       case (Some(lang0), Some(pct)) =>
         import org.apache.spark.sql.expressions.Window
         val w = graft.operators.Selection.dsirWeights(
-          xentGated, "doc_id", "text", col("lang") === lang0, 1024)
+          piiGated, "doc_id", "text", col("lang") === lang0, 1024)
         val ranked = w.withColumn("rnk", row_number().over(
           Window.orderBy(col("dsir_micro").desc, col("doc_id").asc)))
         val n = w.count()
         val keep = ranked.filter(col("rnk") * 100L <= n * pct).select("doc_id")
-        val out = xentGated.join(keep, Seq("doc_id"), "left_semi").persist()
+        val out = piiGated.join(keep, Seq("doc_id"), "left_semi").persist()
         out.count()
         out
-      case _ => xentGated
+      case _ => piiGated
     }
 
     // optional quality-weighted downsample (Duffield–Lund–Thorup priority
@@ -409,6 +430,7 @@ object Curate {
       "boilerplate_screened" -> bpScreened.count(),
       "quality_filtered" -> qualityCount,
       "xent_gated" -> xentGated.count(),
+      "pii_gated" -> piiGated.count(),
       "dsir_selected" -> dsirKept.count(),
       "quality_kept" -> qualityKept,
       "written_units" -> (if (qualityKept == 0) 0L else units.count()),
@@ -416,7 +438,8 @@ object Curate {
     (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
       (if (bpScreened ne substrScreened) Seq(bpScreened) else Nil) ++
       (if (xentGated ne quality) Seq(xentGated) else Nil) ++
-      (if (dsirKept ne xentGated) Seq(dsirKept) else Nil) ++
+      (if (piiGated ne xentGated) Seq(piiGated) else Nil) ++
+      (if (dsirKept ne piiGated) Seq(dsirKept) else Nil) ++
       (if (sampled0 ne dsirKept) Seq(sampled0) else Nil) ++
       (if (sampled ne sampled0) Seq(sampled) else Nil) ++
       (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())

@@ -30,6 +30,20 @@ object TextAnalysis {
     length(tk) - length(regexp_replace(tk, "[0-9]", "")) >= 7
   def isUrlToken(tk: Column): Column = tk.like("http%") || tk.like("www.%")
 
+  /** Per-document PII-shaped-token density (tokens per million) as one
+    * per-row expression over a staged token array — the graft-curate
+    * `--max-pii-per-million` gate. Counts are HOF filters, no explode; the
+    * double division is exact-floor here (operands < 2^53, quotient either
+    * exactly integral or ≥ 1/|tokens| away from one).
+    */
+  def piiPerMillion(tk: Column): Column = {
+    val hits = size(filter(tk, isEmailToken _)) +
+      size(filter(tk, isLongNumToken _)) + size(filter(tk, isUrlToken _))
+    when(size(tk) > 0,
+      floor(hits.cast("double") * 1000000d / size(tk)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Documents shorter than n words shingle to the whole text.
     */

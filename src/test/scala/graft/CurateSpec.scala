@@ -72,6 +72,34 @@ class CurateSpec extends SparkSpec {
     assert(wEn > iEn, s"DSIR selection did not enrich the target language: $wEn <= $iEn")
   }
 
+  test("PII gate drops exactly the over-density documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-pii").toString
+    val docs = Seq(
+      (1L, "contact me at alice@example.com for the table scan rows", "en", "s0"),
+      (2L, "call 5551234567 now or 5559876543 later ref 1234567 ok", "en", "s0"),
+      (3L, "plain clean words only here nothing sensitive at all", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-pii-o").toString
+    // doc1: 1 PII token of 10 -> 100000/M; doc2: 3 of 10 -> 300000/M; doc3: 0
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = dir, outDir = out, minQuality = 0.0,
+      maxPiiPerMillion = Some(200000L))).toMap
+    assert(funnel("pii_gated") == 2L, funnel.toString)
+    assert(funnel("written") == 2L, funnel.toString)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+    // cap at zero keeps only the clean document
+    val out0 = java.nio.file.Files.createTempDirectory("graft-curate-pii-0").toString
+    val strict = Curate.run(spark, Curate.Config(
+      docsDir = dir, outDir = out0, minQuality = 0.0,
+      maxPiiPerMillion = Some(0L))).toMap
+    assert(strict("pii_gated") == 1L, strict.toString)
+    assert(Curate.parse(Seq("--max-pii-per-million", "-1", "/d", "/o")).isLeft)
+  }
+
   test("dsir flags must come together; xent cap must be non-negative") {
     assert(Curate.parse(Seq("--dsir-keep-pct", "25", "/d", "/o")).isLeft)
     assert(Curate.parse(Seq("--dsir-target-lang", "en", "/d", "/o")).isLeft)
