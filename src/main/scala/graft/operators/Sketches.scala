@@ -165,6 +165,17 @@ object Sketches {
       .join(broadcast(counters), Seq("d", "b"))
       .groupBy(col("key")).agg(min(col("c")).as("cms_count"))
 
+  /** Counter build carrying a partition tag — two (or more) sketches
+    * maintained in ONE aggregate, the shape a streaming heavy-change
+    * monitor needs: state is |tags|·depth·width counter rows regardless of
+    * stream length, and each tag's slice equals [[cmsCounters]] of that
+    * slice exactly (counts add; the tag only routes).
+    */
+  def cmsCountersTagged(df: DataFrame, key: Column, tag: Column,
+                        depth: Int, width: Int): DataFrame =
+    df.select(tag.as("tag"), cmsLanes(key, depth, width).as(Seq("d", "b")))
+      .groupBy(col("tag"), col("d"), col("b")).agg(count(lit(1)).as("c"))
+
   /** Point query that treats an empty cell as an exact zero: left join +
     * coalesce before the min. [[cmsEstimates]]'s inner join is correct when
     * every probed key occurred in the sketched stream (its own inserts

@@ -142,6 +142,39 @@ object DriftQueries {
            (c - floor_c) > k * 3 AS alarm
     FROM flo ORDER BY event_type, day"""
 
+  private val HeavyChangeOracle: String = {
+        import graft.operators.{MinHashLSH, Sketches}
+        val D = 4; val W = 512
+        def lanes(cte: String) = (0 until D).map(i =>
+          s"SELECT user_id, $i AS d, " +
+            s"${MinHashLSH.duckPermHash("CAST(user_id AS VARCHAR)", i)} % $W AS b " +
+            s"FROM $cte").mkString(" UNION ALL ")
+        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+           bnd AS (SELECT (min(ts_us) + max(ts_us) + 1) // 2 AS mid FROM ev),
+           tagged AS (SELECT user_id, ts_us < (SELECT mid FROM bnd) AS in_a FROM ev),
+           ex AS (SELECT user_id,
+                         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                  FROM tagged GROUP BY user_id),
+           top AS (SELECT user_id, n_a, n_b FROM ex
+                   ORDER BY abs(n_a - n_b) DESC, user_id ASC LIMIT 20),
+           ca AS (${Sketches.duckCmsCountersSql(
+                    "(SELECT user_id FROM tagged WHERE in_a) ha", "user_id", D, W)}),
+           cb AS (${Sketches.duckCmsCountersSql(
+                    "(SELECT user_id FROM tagged WHERE NOT in_a) hb", "user_id", D, W)}),
+           lanes AS (${lanes("top")}),
+           pa AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_a
+                  FROM lanes l LEFT JOIN ca c USING (d, b) GROUP BY l.user_id),
+           pb AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_b
+                  FROM lanes l LEFT JOIN cb c USING (d, b) GROUP BY l.user_id)
+           SELECT t.user_id, t.n_a, t.n_b,
+                  CAST(pa.cms_a AS BIGINT) AS cms_a,
+                  CAST(pb.cms_b AS BIGINT) AS cms_b,
+                  CAST(abs(pa.cms_a - pb.cms_b) AS BIGINT) AS est_change
+           FROM top t JOIN pa USING (user_id) JOIN pb USING (user_id)
+           ORDER BY user_id"""
+  }
+
   val entries: Map[String, QueryEntry] = Map(
 
     // per-user behavioral entropy: H(user) over its event-type distribution,
@@ -433,38 +466,52 @@ object DriftQueries {
             abs(col("cms_a") - col("cms_b")).as("est_change"))
           .orderBy("user_id")
       },
-      oracle = Some {
-        import graft.operators.{MinHashLSH, Sketches}
+      oracle = Some(HeavyChangeOracle)),
+
+    // streaming heavy-change: BOTH halves' sketches maintained as one
+    // complete-mode aggregate keyed by (half, lane, bucket) — 2·4·512
+    // counter rows of state for any stream length. The split point is
+    // frozen from the calibration batch (one bounded 1-row collect, the
+    // dsir_stream frozen-config pattern); drained slices equal the batch
+    // sketches exactly (counts add, the tag only routes), so the oracle is
+    // shared with ev_heavy_change verbatim
+    "ev_heavy_change_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.Sketches
         val D = 4; val W = 512
-        def lanes(cte: String) = (0 until D).map(i =>
-          s"SELECT user_id, $i AS d, " +
-            s"${MinHashLSH.duckPermHash("CAST(user_id AS VARCHAR)", i)} % $W AS b " +
-            s"FROM $cte").mkString(" UNION ALL ")
-        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-           bnd AS (SELECT (min(ts_us) + max(ts_us) + 1) // 2 AS mid FROM ev),
-           tagged AS (SELECT user_id, ts_us < (SELECT mid FROM bnd) AS in_a FROM ev),
-           ex AS (SELECT user_id,
-                         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-                  FROM tagged GROUP BY user_id),
-           top AS (SELECT user_id, n_a, n_b FROM ex
-                   ORDER BY abs(n_a - n_b) DESC, user_id ASC LIMIT 20),
-           ca AS (${Sketches.duckCmsCountersSql(
-                    "(SELECT user_id FROM tagged WHERE in_a) ha", "user_id", D, W)}),
-           cb AS (${Sketches.duckCmsCountersSql(
-                    "(SELECT user_id FROM tagged WHERE NOT in_a) hb", "user_id", D, W)}),
-           lanes AS (${lanes("top")}),
-           pa AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_a
-                  FROM lanes l LEFT JOIN ca c USING (d, b) GROUP BY l.user_id),
-           pb AS (SELECT l.user_id, min(coalesce(c.c, 0)) AS cms_b
-                  FROM lanes l LEFT JOIN cb c USING (d, b) GROUP BY l.user_id)
-           SELECT t.user_id, t.n_a, t.n_b,
-                  CAST(pa.cms_a AS BIGINT) AS cms_a,
-                  CAST(pb.cms_b AS BIGINT) AS cms_b,
-                  CAST(abs(pa.cms_a - pb.cms_b) AS BIGINT) AS est_change
-           FROM top t JOIN pa USING (user_id) JOIN pb USING (user_id)
-           ORDER BY user_id"""
-      }),
+        val statics = Readers.fixture(spark, sfDir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val mid = statics.agg(expr("(min(ts_us) + max(ts_us) + 1) div 2"))
+          .head().getLong(0)
+        val tagged = graft.streaming.EventStreams.readEvents(
+            spark, graft.queries.EventQueries.rawEventsDir(sfDir))
+          .select(col("user_id"), (unix_micros(col("ts")) < mid).as("in_a"))
+        val counters = Sketches.cmsCountersTagged(
+          tagged, col("user_id"), col("in_a"), D, W)
+        val drained = graft.streaming.EventStreams.runToBatch(counters,
+          s"ev_hc_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Complete)
+          .localCheckpoint()
+        val cmsA = drained.filter(col("tag")).select("d", "b", "c")
+        val cmsB = drained.filter(!col("tag")).select("d", "b", "c")
+        val exact = statics
+          .select(col("user_id"), (col("ts_us") < mid).as("in_a"))
+          .groupBy("user_id")
+          .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+        val top = exact
+          .orderBy(abs(col("n_a") - col("n_b")).desc, col("user_id").asc)
+          .limit(20)
+        val pa = Sketches.cmsEstimatesSparse(cmsA, top, "user_id", D, W)
+          .withColumnRenamed("cms_count", "cms_a")
+        val pb = Sketches.cmsEstimatesSparse(cmsB, top, "user_id", D, W)
+          .withColumnRenamed("cms_count", "cms_b")
+        top.join(pa, col("user_id") === pa("key")).drop("key")
+          .join(pb, col("user_id") === pb("key")).drop("key")
+          .select(col("user_id"), col("n_a"), col("n_b"), col("cms_a"), col("cms_b"),
+            abs(col("cms_a") - col("cms_b")).as("est_change"))
+          .orderBy("user_id")
+      },
+      oracle = Some(HeavyChangeOracle)),
 
     // two-sample Kolmogorov-Smirnov statistic between every source pair on
     // the document-length distribution: D = max_x |F_a(x) − F_b(x)| with the
@@ -607,6 +654,51 @@ object DriftQueries {
            SELECT source_a, source_b,
                   greatest(jsd2_sum, 0) // 2000000 AS jsd_micro
            FROM agg ORDER BY source_a, source_b"""
+      }),
+
+    // character-distribution entropy per source in exact micro-nats — the
+    // alphabet-level "is this text machine-generated/templated" screen
+    // (natural prose runs ~2.8-3.2 nats over a space-lowered alphabet;
+    // base64 blobs run higher, template farms lower) that complements the
+    // token-level repetition and Gini audits. Same integer entropy fold as
+    // ev_user_entropy over (source, char) cells; the char explode is
+    // guarded against empty text (Spark's sequence(1, 0) counts DOWN — the
+    // staged-array lesson's sibling trap). Scale: one exploded scan,
+    // alphabet-bounded cells.
+    "text_char_entropy" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .filter(col("source").isNotNull && length(col("text")) >= 1)
+          .select(col("source"),
+            explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+          .select(col("source"), expr("substring(text, i, 1)").as("ch"))
+          .groupBy("source", "ch").agg(count(lit(1)).as("n"))
+          .withColumn("ln_n", expr(lnMicroSparkSql("n")))
+        cells.groupBy("source")
+          .agg(count(lit(1)).as("n_distinct_chars"), sum(col("n")).as("nn"),
+            sum(expr("n * ln_n")).as("s"))
+          .withColumn("ln_nn", expr(lnMicroSparkSql("nn")))
+          .select(col("source"), col("nn").as("n_chars"), col("n_distinct_chars"),
+            greatest(col("ln_nn") - expr("s div nn"), lit(0L)).as("h_micro"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val lnN = duckLnMicro("n")
+        val lnNN = duckLnMicro("nn")
+        s"""WITH ch AS (SELECT source, substr(text, CAST(g.i AS INTEGER), 1) AS ch
+                        FROM documents d,
+                             unnest(generate_series(1, length(d.text))) AS g(i)
+                        WHERE source IS NOT NULL AND length(text) >= 1),
+           cells AS (SELECT source, ch, count(*) AS n FROM ch GROUP BY 1, 2),
+           lncells AS (SELECT source, n, $lnN AS ln_n FROM cells),
+           agg AS (SELECT source, count(*) AS n_distinct_chars,
+                          CAST(sum(n) AS BIGINT) AS nn,
+                          CAST(sum(n * ln_n) AS BIGINT) AS s
+                   FROM lncells GROUP BY source)
+           SELECT source, nn AS n_chars, n_distinct_chars,
+                  greatest($lnNN - s // nn, 0) AS h_micro
+           FROM agg ORDER BY source"""
       }),
 
     // Gini concentration of the token-frequency distribution per source:

@@ -178,6 +178,32 @@ class DriftSpec extends SparkSpec {
     assert(jsd(Seq(3L, 5L, 100L), Seq(3L, 5L, 100L)) == 0L)
   }
 
+  test("ev_heavy_change_stream: drained tagged sketch equals the batch result") {
+    val batch = run("ev_heavy_change").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val streamed = run("ev_heavy_change_stream").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(streamed == batch)
+    // the sketch never under-reads a present key's half
+    assert(batch.forall { case (_, na, nb, ca, cb, _) => ca >= na && cb >= nb })
+  }
+
+  test("text_char_entropy: exact vs driver-side mirror") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+      .filter(col("source").isNotNull && length(col("text")) >= 1)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val counts = xs.flatMap(_._2.toSeq).groupBy(identity)
+        .map { case (_, cs) => cs.size.toLong }
+      val nn = counts.sum
+      val s = counts.map(n => n * lnMicroLong(n)).sum
+      (src, (nn, counts.size.toLong, math.max(lnMicroLong(nn) - s / nn, 0L)))
+    }
+    val got = run("text_char_entropy").as[(String, Long, Long, Long)].collect()
+      .map { case (src, n, d, h) => (src, (n, d, h)) }.toMap
+    assert(got == expected)
+  }
+
   test("text_token_gini: exact vs driver-side mirror; in [0, 1e6)") {
     val docs = Readers.fixture(spark, sfDir, "documents")
       .select(col("source"), col("text")).as[(String, String)].collect()
