@@ -175,6 +175,53 @@ object DriftQueries {
            ORDER BY user_id"""
   }
 
+  /** Micro-ECDF / max-distance KS fold over a (source, n_chars, c) cell
+    * table — shared by the batch query and the drained streaming state
+    * (oracle-identical by construction, the psi/cusum discipline).
+    */
+  private def ksFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = cellsIn.select(col("source"), col("n_chars"), col("c"))
+    val srcTotals = cells.groupBy("source").agg(sum(col("c")).as("n_docs"))
+    val grid = cells.select("n_chars").distinct()
+    val filled = grid.crossJoin(srcTotals)
+      .join(cells, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val ecdf = filled
+      .withColumn("cum", sum(col("c")).over(w))
+      .select(col("source"), col("n_chars"), col("n_docs"),
+        expr("cum * 1000000 div n_docs").as("f_micro"))
+    val a = ecdf.select(col("source").as("src_a"), col("n_chars"),
+      col("n_docs").as("n_a"), col("f_micro").as("f_a"))
+    val b = ecdf.select(col("source").as("src_b"), col("n_chars"),
+      col("n_docs").as("n_b"), col("f_micro").as("f_b"))
+    a.join(b, Seq("n_chars"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("f_a") - col("f_b"))).as("ks_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val KsOracle: String = """
+        WITH d AS (SELECT source, n_chars FROM documents),
+        tot AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        grid AS (SELECT DISTINCT n_chars FROM d),
+        cells AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        filled AS (SELECT t.source, g.n_chars, t.n_docs,
+                          coalesce(c.c, 0) AS c
+                   FROM grid g CROSS JOIN tot t
+                   LEFT JOIN cells c
+                     ON c.source = t.source AND c.n_chars = g.n_chars),
+        ecdf AS (SELECT source, n_chars, n_docs,
+                        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
+                          * 1000000 // n_docs AS f_micro
+                 FROM filled)
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n_docs AS n_a, b.n_docs AS n_b,
+               CAST(max(abs(a.f_micro - b.f_micro)) AS BIGINT) AS ks_micro
+        FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars AND a.source < b.source
+        GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b"""
+
   val entries: Map[String, QueryEntry] = Map(
 
     // per-user behavioral entropy: H(user) over its event-type distribution,
@@ -524,48 +571,31 @@ object DriftQueries {
     // per grid point with sources small by construction.
     "corpus_ks_length" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val d = Readers.fixture(spark, sfDir, "documents")
-          .select(col("source"), col("n_chars"))
-        val srcTotals = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        val grid = d.select("n_chars").distinct()
-        val cellCounts = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
-        val filled = grid.crossJoin(srcTotals)
-          .join(cellCounts, Seq("source", "n_chars"), "left")
-          .na.fill(0L, Seq("c"))
-        val w = Window.partitionBy("source").orderBy("n_chars")
-        val ecdf = filled
-          .withColumn("cum", sum(col("c")).over(w))
-          .select(col("source"), col("n_chars"), col("n_docs"),
-            expr("cum * 1000000 div n_docs").as("f_micro"))
-        val a = ecdf.select(col("source").as("src_a"), col("n_chars"),
-          col("n_docs").as("n_a"), col("f_micro").as("f_a"))
-        val b = ecdf.select(col("source").as("src_b"), col("n_chars"),
-          col("n_docs").as("n_b"), col("f_micro").as("f_b"))
-        a.join(b, Seq("n_chars"))
-          .filter(col("src_a") < col("src_b"))
-          .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
-          .agg(max(abs(col("f_a") - col("f_b"))).as("ks_micro"))
-          .orderBy("src_a", "src_b")
+        val cells = Readers.fixture(spark, sfDir, "documents")
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        ksFromCells(cells)
       },
-      oracle = Some("""
-        WITH d AS (SELECT source, n_chars FROM documents),
-        tot AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
-        grid AS (SELECT DISTINCT n_chars FROM d),
-        cells AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
-        filled AS (SELECT t.source, g.n_chars, t.n_docs,
-                          coalesce(c.c, 0) AS c
-                   FROM grid g CROSS JOIN tot t
-                   LEFT JOIN cells c
-                     ON c.source = t.source AND c.n_chars = g.n_chars),
-        ecdf AS (SELECT source, n_chars, n_docs,
-                        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
-                          * 1000000 // n_docs AS f_micro
-                 FROM filled)
-        SELECT a.source AS src_a, b.source AS src_b,
-               a.n_docs AS n_a, b.n_docs AS n_b,
-               CAST(max(abs(a.f_micro - b.f_micro)) AS BIGINT) AS ks_micro
-        FROM ecdf a JOIN ecdf b ON a.n_chars = b.n_chars AND a.source < b.source
-        GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b""")),
+      oracle = Some(KsOracle)),
+
+    // streaming KS gate: the per-(source, length) cells as complete-mode
+    // ingest state — bounded by |sources| times the length domain — drained
+    // through the identical ECDF/max fold, oracle shared with the batch
+    // query. The distribution-shift tripwire a corpus intake runs LIVE:
+    // a scrape whose length shape walks away from its siblings trips the
+    // pair statistic while the ingest is still running
+    "corpus_ks_stream" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val cells = graft.streaming.IngestStreams.readDocuments(
+            spark, DedupQueries.rawDocsDir(sfDir))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val drained = graft.streaming.EventStreams.runToBatch(cells,
+          s"corpus_ks_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        // localCheckpoint: the fold derives grid/totals from the cells and
+        // joins them back (the cusum drained-view lesson)
+        ksFromCells(drained.localCheckpoint())
+      },
+      oracle = Some(KsOracle)),
 
     // Jensen-Shannon divergence between every source pair's unigram
     // distribution over the corpus head (global top-50 terms, zero-filled

@@ -144,6 +144,14 @@ class DriftSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corpus_ks_stream: drained ingest cells fold to the batch KS exactly") {
+    val batch = run("corpus_ks_length").as[(String, String, Long, Long, Long)]
+      .collect().toSeq
+    val streamed = run("corpus_ks_stream").as[(String, String, Long, Long, Long)]
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("text_js_divergence: exact vs driver-side mirror; bounded by ln 2") {
     val Ln2 = graft.operators.Selection.Ln2Micro
     val docs = Readers.fixture(spark, sfDir, "documents")
