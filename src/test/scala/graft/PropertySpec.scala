@@ -478,6 +478,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CUSUM window identity holds on random series (vs the literal recursion)") {
+    // the ev_cusum de-recursion: max(0, s+d) fold == c - min(0, prefix-min c)
+    val seriesGen = for {
+      n <- Gen.choose(1, 40)
+      k <- Gen.choose(0L, 50L)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 200L))
+    } yield (k, xs)
+    (0 until 60).flatMap(i => seriesGen.apply(Gen.Parameters.default, Seed(99L + i)))
+      .foreach { case (k, xs) =>
+        val rec = xs.scanLeft(0L)((s, x) => math.max(0L, s + (x - k))).tail
+        val c = xs.scanLeft(0L)((a, x) => a + (x - k)).tail
+        val win = c.zipWithIndex.map { case (ci, i) =>
+          ci - math.min(0L, c.take(i + 1).min)
+        }
+        assert(rec == win, s"k=$k xs=$xs")
+      }
+  }
+
+  test("KS mirror: zero on self, symmetric, bounded by 1e6 on random samples") {
+    val sampleGen = Gen.listOfN(30, Gen.choose(1L, 50L))
+    def ecdfD(a: Seq[Long], b: Seq[Long]): Long = {
+      val grid = (a ++ b).distinct.sorted
+      grid.map { x =>
+        math.abs(a.count(_ <= x) * 1000000L / a.size - b.count(_ <= x) * 1000000L / b.size)
+      }.max
+    }
+    val samples = (0 until 30).flatMap(i =>
+      sampleGen.apply(Gen.Parameters.default, Seed(123L + i))).grouped(2).toSeq
+    samples.collect { case Seq(a, b) =>
+      assert(ecdfD(a, a) == 0L)
+      assert(ecdfD(a, b) == ecdfD(b, a))
+      assert(ecdfD(a, b) >= 0L && ecdfD(a, b) <= 1000000L)
+      // disjoint supports separate completely
+      assert(ecdfD(a.map(_ + 1000), a) >= 1000000L - a.size * 2L)
+    }
+  }
+
+  test("JSD mirror: zero on self, symmetric, bounded by ln 2 on random share vectors") {
+    val Ln2 = graft.operators.Selection.Ln2Micro
+    import graft.operators.Selection.lnMicroLong
+    def jsd2(p: Seq[Long], q: Seq[Long]): Long =
+      p.zip(q).map { case (pi, qi) =>
+        pi * (Ln2 + lnMicroLong(pi + 1) - lnMicroLong(pi + qi + 2)) +
+          qi * (Ln2 + lnMicroLong(qi + 1) - lnMicroLong(pi + qi + 2))
+      }.sum
+    // normalize to micro shares — the ln2 bound is a property of
+    // DISTRIBUTIONS (Σp = 1e6), which is what the query feeds it
+    def shares(v: Seq[Long]): Option[Seq[Long]] = {
+      val t = v.sum
+      if (t == 0) None else Some(v.map(_ * 1000000L / t))
+    }
+    val vecGen = Gen.listOfN(20, Gen.choose(0L, 100000L))
+    val vecs = (0 until 40).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, Seed(321L + i)))
+    vecs.grouped(2).toSeq.collect { case Seq(v1, v2) =>
+      for (p <- shares(v1); q <- shares(v2)) {
+        assert(jsd2(p, p) == 0L, s"self-JSD nonzero for $p")
+        assert(jsd2(p, q) == jsd2(q, p))
+        val jsdMicro = math.max(jsd2(p, q), 0L) / 2000000L
+        assert(jsdMicro >= 0L && jsdMicro <= Ln2)
+      }
+    }
+  }
+
   test("week truncation lands on a Monday boundary for random timestamps") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions.col
