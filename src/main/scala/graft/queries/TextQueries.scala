@@ -398,6 +398,70 @@ object TextQueries {
            ORDER BY c.lang, c.pred_lang"""
       }),
 
+    // per-class precision / recall / F1 for the langid heuristic — the
+    // scorecard the confusion matrix implies but doesn't state, in integer
+    // micro units (F1 = 2pr/(p+r), zero-denominator classes score 0). The
+    // class frame is the FIXED language list, so a class the classifier
+    // never predicts (or that never occurs) still gets its row — absent
+    // classes are the interesting ones in an eval table. Aggregates are
+    // |langs|²-bounded; one corpus scan.
+    "text_langid_prf" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val langs = graft.operators.TextAnalysis.langs
+        val docs = Readers.spread(
+          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", tokens(col("text")))
+        val scores = langs.map(l => l -> langScore(col("tk"), l)).toMap
+        val preds = docs.select(col("lang"), predictedLang(scores).as("pred_lang"))
+        val tp = preds.filter(col("lang") === col("pred_lang"))
+          .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+        val actual = preds.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_actual"))
+        val predicted = preds.groupBy(col("pred_lang").as("cls")).agg(count(lit(1)).as("n_pred"))
+        val spark0 = docs.sparkSession
+        import spark0.implicits._
+        langs.toDF("cls")
+          .join(tp, Seq("cls"), "left").join(actual, Seq("cls"), "left")
+          .join(predicted, Seq("cls"), "left")
+          .na.fill(0L, Seq("tp", "n_actual", "n_pred"))
+          .withColumn("p_micro",
+            expr("CASE WHEN n_pred = 0 THEN 0 ELSE tp * 1000000 div n_pred END"))
+          .withColumn("r_micro",
+            expr("CASE WHEN n_actual = 0 THEN 0 ELSE tp * 1000000 div n_actual END"))
+          .withColumn("f1_micro",
+            expr("CASE WHEN p_micro + r_micro = 0 THEN 0 " +
+              "ELSE 2 * p_micro * r_micro div (p_micro + r_micro) END"))
+          .orderBy("cls")
+      },
+      oracle = Some {
+        val tk = duckTokens("text")
+        val score = (l: String) => duckLangScore(tk, l)
+        val classRows = graft.operators.TextAnalysis.langs
+          .map(l => s"('$l')").mkString(", ")
+        s"""WITH preds AS (SELECT lang, ${duckPredictedLang(score)} AS pred_lang
+                           FROM documents),
+           classes AS (SELECT cls FROM (VALUES $classRows) AS v(cls)),
+           tp AS (SELECT lang AS cls, count(*) AS tp FROM preds
+                  WHERE lang = pred_lang GROUP BY lang),
+           act AS (SELECT lang AS cls, count(*) AS n_actual FROM preds GROUP BY lang),
+           prd AS (SELECT pred_lang AS cls, count(*) AS n_pred FROM preds GROUP BY pred_lang),
+           base AS (SELECT c.cls,
+                           CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+                           CAST(coalesce(act.n_actual, 0) AS BIGINT) AS n_actual,
+                           CAST(coalesce(prd.n_pred, 0) AS BIGINT) AS n_pred
+                    FROM classes c LEFT JOIN tp USING (cls)
+                    LEFT JOIN act USING (cls) LEFT JOIN prd USING (cls)),
+           pr AS (SELECT cls, tp, n_actual, n_pred,
+                         CASE WHEN n_pred = 0 THEN 0
+                              ELSE tp * 1000000 // n_pred END AS p_micro,
+                         CASE WHEN n_actual = 0 THEN 0
+                              ELSE tp * 1000000 // n_actual END AS r_micro
+                  FROM base)
+           SELECT cls, tp, n_actual, n_pred, p_micro, r_micro,
+                  CASE WHEN p_micro + r_micro = 0 THEN 0
+                       ELSE 2 * p_micro * r_micro // (p_micro + r_micro) END AS f1_micro
+           FROM pr ORDER BY cls"""
+      }),
+
     // incremental novelty on ingest: the delta batch scored against the
     // corpus-so-far's persisted distinct-shingle index — the daily-ingest
     // twin of text_novelty, same O(delta + index-probe) shape as
