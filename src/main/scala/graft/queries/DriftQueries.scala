@@ -746,14 +746,30 @@ object DriftQueries {
           Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
           .select(col("source"), explode(tokens(col("text"))).as("term"))
           .groupBy("source", "term").agg(count(lit(1)).as("tf"))
-        val w = Window.partitionBy("source").orderBy(col("tf").asc, col("term").asc)
-        tf.withColumn("i", row_number().over(w).cast("long"))
+        // frequency-spectrum form: terms sharing a frequency occupy a
+        // CONTIGUOUS rank run whose Σ(2i−1) telescopes to (C+m)² − C², so
+        // the vocab-wide rank window collapses to per-distinct-frequency
+        // aggregates (≤ O(√corpus) rows by Heaps/Zipf) + a window over the
+        // spectrum — same integers as ranking every term, at any vocab.
+        // The squared run bounds pass BIGINT at web-scale vocab → DECIMAL.
+        val spectrum = tf.groupBy("source", "tf").agg(count(lit(1)).as("m"))
+        val bySrc = Window.partitionBy("source").orderBy("tf")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spectrum
+          .withColumn("cum", sum(col("m")).over(bySrc))
+          .select(col("source"), col("tf"), col("m"), (col("cum") - col("m")).as("c0"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tokens"),
-            sum(expr("(2 * i - 1) * tf")).as("wsum"))
+          .agg(sum(col("m")).as("n_terms"),
+            sum(expr("tf * m")).as("total_tokens"),
+            sum(expr("""CAST(tf AS DECIMAL(38,0))
+                        * (CAST(c0 + m AS DECIMAL(38,0)) * (c0 + m)
+                           - CAST(c0 AS DECIMAL(38,0)) * c0)"""))
+              .as("wsum_dec"))
           .select(col("source"), col("n_terms"), col("total_tokens"),
-            expr("(wsum - n_terms * total_tokens) * 1000000 div (n_terms * total_tokens)")
-              .as("gini_micro"))
+            expr("""CAST((wsum_dec - CAST(n_terms AS DECIMAL(38,0)) * total_tokens)
+                         * 1000000
+                         div (CAST(n_terms AS DECIMAL(38,0)) * total_tokens)
+                    AS BIGINT)""").as("gini_micro"))
           .orderBy("source")
       },
       oracle = Some {
@@ -761,18 +777,21 @@ object DriftQueries {
         s"""WITH tf AS (SELECT d.source, t.term, count(*) AS tf
                         FROM documents d, unnest($tk) AS t(term)
                         GROUP BY 1, 2),
-           ranked AS (SELECT source, tf,
-                             CAST(row_number() OVER
-                               (PARTITION BY source ORDER BY tf ASC, term ASC)
-                               AS BIGINT) AS i
-                      FROM tf),
-           agg AS (SELECT source, count(*) AS n_terms,
-                          CAST(sum(tf) AS BIGINT) AS total_tokens,
-                          CAST(sum((2 * i - 1) * tf) AS BIGINT) AS wsum
-                   FROM ranked GROUP BY source)
+           spectrum AS (SELECT source, tf, count(*) AS m FROM tf GROUP BY 1, 2),
+           runs AS (SELECT source, tf, m,
+                           CAST(sum(m) OVER (PARTITION BY source ORDER BY tf
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - m AS c0
+                    FROM spectrum),
+           agg AS (SELECT source, CAST(sum(m) AS BIGINT) AS n_terms,
+                          CAST(sum(tf * m) AS BIGINT) AS total_tokens,
+                          sum(CAST(tf AS HUGEINT)
+                              * (CAST(c0 + m AS HUGEINT) * (c0 + m)
+                                 - CAST(c0 AS HUGEINT) * c0)) AS wsum_h
+                   FROM runs GROUP BY source)
            SELECT source, n_terms, total_tokens,
-                  (wsum - n_terms * total_tokens) * 1000000
-                    // (n_terms * total_tokens) AS gini_micro
+                  CAST((wsum_h - CAST(n_terms AS HUGEINT) * total_tokens) * 1000000
+                       // (CAST(n_terms AS HUGEINT) * total_tokens) AS BIGINT)
+                    AS gini_micro
            FROM agg ORDER BY source"""
       })
   )
