@@ -435,6 +435,70 @@ object DriftQueries {
            FROM tot ORDER BY digit"""
       }),
 
+    // two-proportion z-test on conversion (click → any purchase) between
+    // the user-id-parity cohorts — the A/B significance readout, fully
+    // cross-multiplied so z² is exact integer micro:
+    // z² = (ca·nb − cb·na)²·N / (na·nb·c·(N−c)), c = ca+cb, N = na+nb.
+    // The squared numerator passes BIGINT at web-scale cohorts → DECIMAL/
+    // HUGEINT. significant = z² > 3.841459 (χ²₁ at 95%). One events scan
+    // into a 1-row frame.
+    "ev_ab_ztest" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val perUser = Readers.fixture(spark, sfDir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+          .select(pmod(col("user_id"), lit(2)).as("cohort"), col("converted"))
+        perUser
+          .agg(
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("cohort") === 0, col("converted")).otherwise(0L)).as("ca"),
+            sum(when(col("cohort") === 1, col("converted")).otherwise(0L)).as("cb"))
+          .withColumn("z2_micro",
+            expr("""CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
+                           OR na + nb = ca + cb THEN 0
+                    ELSE CAST(
+                      CAST(ca * nb - cb * na AS DECIMAL(38,0))
+                      * CAST(ca * nb - cb * na AS DECIMAL(38,0))
+                      * (na + nb) * 1000000
+                      div (CAST(na AS DECIMAL(38,0)) * nb * (ca + cb)
+                           * (na + nb - ca - cb))
+                    AS BIGINT) END"""))
+          .select(col("na"), col("nb"), col("ca"), col("cb"), col("z2_micro"),
+            (col("z2_micro") > 3841459L).as("significant"))
+      },
+      oracle = Some("""
+        WITH pu AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS converted
+                    FROM events GROUP BY user_id),
+        cohorts AS (SELECT user_id % 2 AS cohort, converted FROM pu),
+        agg AS (SELECT
+                  CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                  CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS cb
+                FROM cohorts)
+        SELECT na, nb, ca, cb,
+               CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 OR na + nb = ca + cb THEN 0
+                    ELSE CAST(
+                      CAST(ca * nb - cb * na AS HUGEINT)
+                      * CAST(ca * nb - cb * na AS HUGEINT)
+                      * (na + nb) * 1000000
+                      // (CAST(na AS HUGEINT) * nb * (ca + cb)
+                         * (na + nb - ca - cb))
+                    AS BIGINT) END AS z2_micro,
+               CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 OR na + nb = ca + cb THEN false
+                    ELSE CAST(
+                      CAST(ca * nb - cb * na AS HUGEINT)
+                      * CAST(ca * nb - cb * na AS HUGEINT)
+                      * (na + nb) * 1000000
+                      // (CAST(na AS HUGEINT) * nb * (ca + cb)
+                         * (na + nb - ca - cb))
+                    AS BIGINT) > 3841459 END AS significant
+        FROM agg""")),
+
     // CUSUM change-point detection on the daily count series per event
     // type: the recursion s_t = max(0, s_{t-1} + (x_t − k)) de-recursed
     // into two windows — s_t = c_t − min(0, prefix-min(c_t)) with
