@@ -15,6 +15,21 @@ import graft.operators.TextAnalysis._
   */
 object TextQueries {
 
+  /** Hashed feature-space size for the supervised language classifiers
+    * (text_lang_classifier, text_nb_langid): tokens are bucketed into this
+    * many cells by the portable signed-64 MD5 — the DSIR hashing trick
+    * (operators/Selection.scala) and the shape a fastText-style filter
+    * actually ships. The learned tables are ≤ buckets × classes rows at ANY
+    * corpus vocabulary, so broadcasting them is bounded by construction
+    * (spec-pinned in RegistrySpec: a 100k-token synthetic vocabulary still
+    * yields ≤ this many distinct features).
+    */
+  val LangFeatureBuckets = 1024
+
+  /** The hashed classifier feature of one token (Spark side). */
+  def langFeature(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.operators.Selection.bucketOf(t, LangFeatureBuckets)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // token/char stats + quality score per document
@@ -699,20 +714,21 @@ object TextQueries {
       }),
 
     // supervised language classifier — the learned counterpart of
-    // text_langid's fixed heuristic: per-token class-posterior voting.
-    // Training tabulates P(class|token) = n(class,tok)/n(tok) in integer
-    // micro-units on the 80% labeled split; a held-out doc's class score is
-    // the SUM of its tokens' posteriors, argmax predicted (ties break to
-    // the lexicographically first class). Posterior voting is what makes
-    // the method degrade gracefully: a token carrying no class signal votes
-    // ≈ the class priors, so on signal-free text the classifier converges
-    // to the majority baseline instead of amplifying training noise (the
-    // fixture corpus draws every language from one shared vocabulary —
-    // text_langid's recorded limitation — so that floor is what this
-    // fixture exercises). Log-free linear scoring keeps it oracle-exact;
-    // the posterior table is vocab × classes (broadcastable — the
-    // fastText-filter scale shape: one train explode, one scoring explode,
-    // argmax over a per-doc × classes frame)
+    // text_langid's fixed heuristic: per-FEATURE class-posterior voting over
+    // a HASHED feature space. Tokens are bucketed into [[LangFeatureBuckets]]
+    // cells by the portable signed-64 MD5 (the DSIR hashing trick,
+    // operators/Selection.scala — and what a fastText-shaped filter really
+    // ships: feature ids are hash buckets, not a vocabulary), so the learned
+    // table is ≤ buckets × classes rows REGARDLESS of corpus vocabulary and
+    // the broadcast below is bounded by construction at any scale — a
+    // web-scale vocabulary never rides to executors. Training tabulates
+    // P(class|bucket) = n(class,bkt)/n(bkt) in integer micro-units on the
+    // 80% labeled split; a held-out doc's class score is the SUM of its
+    // features' posteriors, argmax predicted (ties break to the
+    // lexicographically first class). Posterior voting still degrades
+    // gracefully: a bucket carrying no class signal votes ≈ the class
+    // priors, and a hash collision only blurs its tokens toward that same
+    // prior-shaped vote. Log-free linear scoring keeps it oracle-exact.
     "text_lang_classifier" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.expressions.Window
@@ -721,14 +737,16 @@ object TextQueries {
         val isTrain = col("doc_id") % 10 < 8
         val trainTok = docs.filter(isTrain)
           .select(col("lang"), explode(tokens(col("text"))).as("t"))
-        val ct = trainTok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n_ct"))
+          .select(col("lang"), langFeature(col("t")).as("f"))
+        val ct = trainTok.groupBy(col("lang"), col("f")).agg(count(lit(1)).as("n_cf"))
         val rates = ct
-          .join(ct.groupBy("t").agg(sum(col("n_ct")).as("n_t")), "t")
-          .select(col("lang").as("cand"), col("t"),
-            expr("(1000000 * n_ct) div n_t").as("r"))
+          .join(ct.groupBy("f").agg(sum(col("n_cf")).as("n_f")), "f")
+          .select(col("lang").as("cand"), col("f"),
+            expr("(1000000 * n_cf) div n_f").as("r"))
         val testTok = docs.filter(!isTrain)
           .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-        val scored = testTok.join(broadcast(rates), "t")
+          .select(col("doc_id"), col("lang"), langFeature(col("t")).as("f"))
+        val scored = testTok.join(broadcast(rates), "f")
           .groupBy(col("doc_id"), col("lang"), col("cand"))
           .agg(sum(col("r")).as("s"))
         val best = scored
@@ -744,15 +762,18 @@ object TextQueries {
       },
       oracle = Some {
         val tk = duckTokens("text")
-        s"""WITH train AS (SELECT lang, unnest($tk) AS t FROM documents WHERE doc_id % 10 < 8),
-           ct AS (SELECT lang, t, count(*) AS n_ct FROM train GROUP BY 1, 2),
-           tz AS (SELECT t, CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY t),
-           rates AS (SELECT ct.lang AS cand, ct.t AS t, (1000000 * n_ct) // n_t AS r
-                     FROM ct JOIN tz ON ct.t = tz.t),
-           test AS (SELECT doc_id, lang, unnest($tk) AS t
-                    FROM documents WHERE doc_id % 10 >= 8),
+        val f = graft.operators.Selection.duckBucketOf("t", LangFeatureBuckets)
+        s"""WITH train AS (SELECT lang, $f AS f FROM
+                (SELECT lang, unnest($tk) AS t FROM documents WHERE doc_id % 10 < 8) u),
+           ct AS (SELECT lang, f, count(*) AS n_cf FROM train GROUP BY 1, 2),
+           tz AS (SELECT f, CAST(sum(n_cf) AS BIGINT) AS n_f FROM ct GROUP BY f),
+           rates AS (SELECT ct.lang AS cand, ct.f AS f, (1000000 * n_cf) // n_f AS r
+                     FROM ct JOIN tz ON ct.f = tz.f),
+           test AS (SELECT doc_id, lang, $f AS f FROM
+                (SELECT doc_id, lang, unnest($tk) AS t
+                 FROM documents WHERE doc_id % 10 >= 8) u),
            sc AS (SELECT doc_id, lang, cand, CAST(sum(r) AS BIGINT) AS s
-                  FROM test JOIN rates USING (t) GROUP BY 1, 2, 3),
+                  FROM test JOIN rates USING (f) GROUP BY 1, 2, 3),
            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY s DESC, cand ASC) AS rn FROM sc)
            SELECT d.doc_id, d.lang, rk.cand AS pred_lang, rk.cand = d.lang AS correct
@@ -914,12 +935,16 @@ object TextQueries {
 
     // multinomial Naive Bayes language ID with add-1 smoothing and EXACT
     // integer log-probabilities (the micro-ln again): score(d, c) =
-    // ln n_docs_c + Σ_t ln(n_tc + 1) − |d|·ln(n_c + V) — proper NB, unlike
+    // ln n_docs_c + Σ_f ln(n_fc + 1) − |d|·ln(n_c + V) — proper NB, unlike
     // text_lang_classifier's posterior-rate vote, and every term is the
     // same integer in both engines so the argmax (and the scores behind
-    // it) hash-match. Plan: one train explode → class-token table
-    // (classes × vocab, broadcastable; hashed features at web scale), one
-    // scoring explode, per-(doc, class) map-side sums, windowed argmax
+    // it) hash-match. Features are HASHED buckets ([[langFeature]], the
+    // DSIR trick), so the class-feature table is ≤ classes × buckets rows
+    // at any corpus size and the broadcast is bounded by construction; V is
+    // the observed distinct-bucket count (≤ buckets), the smoothing
+    // vocabulary of the hashed space. Plan: one train explode →
+    // class-feature table, one scoring explode, per-(doc, class) map-side
+    // sums, windowed argmax
     "text_nb_langid" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.expressions.Window
@@ -929,13 +954,14 @@ object TextQueries {
           .withColumn("tk", tokens(col("text")))
         val isTrain = col("doc_id") % 10 < 8
         val trainTok = docs.filter(isTrain)
-          .select(col("lang").as("c"), explode(col("tk")).as("t")).persist()
-        val ctab = trainTok.groupBy(col("c"), col("t")).agg(count(lit(1)).as("n_tc"))
-          .withColumn("nt1", col("n_tc") + 1L)
+          .select(col("lang").as("c"), explode(col("tk")).as("t"))
+          .select(col("c"), langFeature(col("t")).as("f")).persist()
+        val ctab = trainTok.groupBy(col("c"), col("f")).agg(count(lit(1)).as("n_fc"))
+          .withColumn("nt1", col("n_fc") + 1L)
           .withColumn("ln_tc", expr(Selection.lnMicroSparkSql("nt1")))
-          .select(col("c"), col("t"), col("ln_tc"))
+          .select(col("c"), col("f"), col("ln_tc"))
         val stats = trainTok.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
-          .crossJoin(broadcast(trainTok.agg(countDistinct(col("t")).as("v"))))
+          .crossJoin(broadcast(trainTok.agg(countDistinct(col("f")).as("v"))))
           .withColumn("ncv", col("n_c") + col("v"))
           .withColumn("ln_pen", expr(Selection.lnMicroSparkSql("ncv")))
         val prior = docs.filter(isTrain).groupBy(col("lang").as("c"))
@@ -946,7 +972,8 @@ object TextQueries {
         val test = docs.filter(!isTrain)
           .select(col("doc_id"), col("lang"), col("tk"))
         val hits = test.select(col("doc_id"), explode(col("tk")).as("t"))
-          .join(broadcast(ctab), "t")
+          .select(col("doc_id"), langFeature(col("t")).as("f"))
+          .join(broadcast(ctab), "f")
           .groupBy(col("doc_id"), col("c")).agg(sum(col("ln_tc")).as("s_hits"))
         val scored = test.select(col("doc_id"), col("lang"),
             size(col("tk")).cast("long").as("len"))
@@ -967,13 +994,15 @@ object TextQueries {
       oracle = Some {
         import graft.operators.Selection
         val tk = duckTokens("text")
+        val f = Selection.duckBucketOf("t", LangFeatureBuckets)
         s"""WITH toks AS (SELECT doc_id, lang, $tk AS tk FROM documents),
-           train_tok AS (SELECT lang AS c, unnest(tk) AS t FROM toks WHERE doc_id % 10 < 8),
-           ctab AS (SELECT c, t, ${Selection.duckLnMicro("nt1")} AS ln_tc FROM
-                      (SELECT c, t, CAST(count(*) + 1 AS BIGINT) AS nt1
-                       FROM train_tok GROUP BY c, t) g),
+           train_tok AS (SELECT c, $f AS f FROM
+             (SELECT lang AS c, unnest(tk) AS t FROM toks WHERE doc_id % 10 < 8) u),
+           ctab AS (SELECT c, f, ${Selection.duckLnMicro("nt1")} AS ln_tc FROM
+                      (SELECT c, f, CAST(count(*) + 1 AS BIGINT) AS nt1
+                       FROM train_tok GROUP BY c, f) g),
            stats AS (SELECT c, ${Selection.duckLnMicro("ncv")} AS ln_pen FROM
-                       (SELECT c, CAST(count(*) + (SELECT count(DISTINCT t) FROM train_tok) AS BIGINT) AS ncv
+                       (SELECT c, CAST(count(*) + (SELECT count(DISTINCT f) FROM train_tok) AS BIGINT) AS ncv
                         FROM train_tok GROUP BY c) g),
            prior AS (SELECT c, ${Selection.duckLnMicro("n_docs")} AS ln_prior FROM
                        (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
@@ -982,8 +1011,9 @@ object TextQueries {
            test AS (SELECT doc_id, lang, tk, CAST(len(tk) AS BIGINT) AS len
                     FROM toks WHERE doc_id % 10 >= 8),
            hits AS (SELECT e.doc_id, ct.c, CAST(sum(ct.ln_tc) AS BIGINT) AS s_hits
-                    FROM (SELECT doc_id, unnest(tk) AS t FROM test) e
-                    JOIN ctab ct USING (t) GROUP BY e.doc_id, ct.c),
+                    FROM (SELECT doc_id, $f AS f FROM
+                            (SELECT doc_id, unnest(tk) AS t FROM test) w) e
+                    JOIN ctab ct USING (f) GROUP BY e.doc_id, ct.c),
            scored AS (SELECT t.doc_id, t.lang, cl.c,
                              cl.ln_prior + coalesce(h.s_hits, 0) - t.len * cl.ln_pen AS score_micro
                       FROM test t CROSS JOIN classes cl

@@ -540,4 +540,29 @@ class PlanSpec extends SparkSpec {
     val md5Form = physicalPlan("dedup_cdc_savings")
     assert(md5Form.contains("sequence("), md5Form)
   }
+
+  test("language classifiers broadcast HASHED feature tables, never a vocabulary-sized side") {
+    // the r9 verdict's last two mandatory-broadcast hazards: both supervised
+    // language classifiers must key their scoring join on the hashed bucket
+    // column `f` (the DSIR feature-hashing trick) so the broadcast side is
+    // ≤ buckets × classes rows at ANY corpus vocabulary. The pin: every
+    // BroadcastHashJoin in both plans joins on `f` — a regression back to
+    // raw-token keys would surface as a join on `t`
+    for (q <- Seq("text_lang_classifier", "text_nb_langid")) {
+      val plan = physicalPlan(q)
+      val joins = "BroadcastHashJoin \\[(\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(joins.contains("f"), s"$q: no bucket-keyed broadcast join in keys $joins:\n$plan")
+      assert(!joins.contains("t"), s"$q: vocabulary-keyed broadcast is back: $joins")
+    }
+    // the boundedness guarantee itself, exercised past fixture scale: a
+    // 100k-distinct-token vocabulary still collapses to ≤ LangFeatureBuckets
+    // features — the property that makes the broadcast safe at web scale
+    import org.apache.spark.sql.functions._
+    val distinctF = spark.range(100000)
+      .select(queries.TextQueries.langFeature(
+        concat(lit("tok"), col("id").cast("string"))).as("f"))
+      .distinct().count()
+    assert(distinctF <= queries.TextQueries.LangFeatureBuckets,
+      s"hashed feature space leaked past the bucket bound: $distinctF")
+  }
 }
