@@ -653,6 +653,56 @@ object Similarity {
     rankTopK(scored, "cos_micro", k)
   }
 
+  /** Embedding near-duplicate pairs at or above `thresholdMicro` cosine —
+    * the detector behind dedup_embcos. Guarded like the full-mode Merkle
+    * degrade (core/Fingerprints.scala `degradeToMerkle`): at or under
+    * `bruteForceRowLimit` rows the candidate space is the exact all-pairs
+    * product (the fixture/oracle path — every true pair found); past the
+    * limit it auto-degrades to LSH sign-bucket candidates with multi-probe
+    * (the `vec_a` side probes every bucket within `probeRadius` hamming
+    * bits of its own), so candidate generation stays bucketed — no
+    * cartesian survives at scale. Both paths stage norms once per vector,
+    * score candidates with the same exact cosine, and emit the same
+    * (vec_a, vec_b, cos_micro) rows; the LSH path is a SUBSET of the brute
+    * pairs (recall < 1 by design — sim_ann_recall / sim_radius_curve
+    * quantify the lever), never different scores. Each candidate pair
+    * matches at most once (for a fixed pair, only the single mask
+    * bucket_a⊕bucket_b can join it), so no dedup stage is needed. The
+    * degrade is logged, never silent.
+    */
+  def embCosPairsGuarded(vectors: DataFrame, thresholdMicro: Long,
+                         bruteForceRowLimit: Long = 2000000L,
+                         planeMatrix: Seq[Seq[Int]] = planes(8, 64),
+                         probeRadius: Int = 2,
+                         nRows: Option[Long] = None): DataFrame = {
+    val n = nRows.getOrElse(vectors.count())
+    // stream side spread for CPU parallelism; norms staged once per vector,
+    // not once per pair
+    val a0 = graft.core.Readers.spread(
+      vectors.select(col("vec_id").as("vec_a"), col("embedding").as("va")), col("vec_a"))
+      .withColumn("na", norm(col("va")))
+    val b0 = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val candidates =
+      if (n <= bruteForceRowLimit) a0.crossJoin(broadcast(b0))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"embCosPairs: $n vectors > bruteForceRowLimit=$bruteForceRowLimit; " +
+            s"degrading all-pairs product to LSH bucket candidates " +
+            s"(${planeMatrix.length} planes, probe radius $probeRadius; recall < 1)")
+        val masks = probeMasks(planeMatrix.length, probeRadius)
+        val a = a0.withColumn("b0", lshBucket(col("va"), planeMatrix))
+          .select(col("vec_a"), col("va"), col("na"),
+            explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        val b = b0.withColumn("bucket", lshBucket(col("vb"), planeMatrix))
+        a.join(b, "bucket")
+      }
+    candidates.filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineScaledWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+  }
+
   /** SemDeDup-style semantic dedup drop list: coarse-cluster the embeddings
     * (the deterministic IVF assignment), then within each cluster drop every
     * vector that has a LOWER-id neighbor above the cosine threshold, keeping

@@ -741,23 +741,14 @@ object DedupQueries {
            ORDER BY doc_id"""
       }),
 
-    // embedding-cosine near-dup pairs (brute force at fixture scale; the LSH
-    // bucketed path in sim_ann_lsh is the 100 TB variant)
+    // embedding-cosine near-dup pairs. Guarded (the Merkle-degrade pattern):
+    // exact all-pairs at or under the row limit — the fixture/oracle path —
+    // auto-degrading to LSH bucket candidates past it, so the registered
+    // query has its own scale story instead of delegating it to sim_ann_lsh
     "dedup_embcos" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        // stream side repartitioned for CPU parallelism; norms staged once
-        // per vector, not once per pair
-        val a = Readers.spread(
-          e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), col("vec_a"))
-          .withColumn("na", Similarity.norm(col("va")))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-          .withColumn("nb", Similarity.norm(col("vb")))
-        a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            Similarity.cosineScaledWithNorms(col("va"), col("vb"), col("na"), col("nb"))
-              .as("cos_micro"))
-          .filter(col("cos_micro") >= 450000)
+        Similarity.embCosPairsGuarded(e, thresholdMicro = 450000L)
           .orderBy("vec_a", "vec_b")
       },
       oracle = Some(

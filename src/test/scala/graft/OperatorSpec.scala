@@ -36,6 +36,25 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.filter(col("est_jaccard") < 0.25).count() == 0)
   }
 
+  test("embCos guard: brute under the limit, bucketed LSH subset past it — never a cartesian") {
+    // the dedup_embcos scale guard (r9 verdict item 2): at fixture scale the
+    // registered query takes the exact all-pairs path; forcing the limit to 0
+    // must (a) plan NO cartesian/nested-loop product, (b) return a SUBSET of
+    // the brute pairs with identical scores, and (c) still find pairs (the
+    // planted near-dups land in shared sign buckets)
+    val brute = Similarity.embCosPairsGuarded(emb, 450000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val lsh = Similarity.embCosPairsGuarded(emb, 450000L, bruteForceRowLimit = 0L)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(30).mkString("\n"))
+    val got = lsh.as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "LSH-degraded path found no near-dup pairs")
+    assert(got.subsetOf(brute),
+      s"LSH path produced pairs outside the exact set: ${got.diff(brute).take(5)}")
+    info(s"embCos guard recall at sf0.001: ${got.size}/${brute.size}")
+  }
+
   test("scan-scale simhashDf equals the per-row simhash expression") {
     val sample = docs.limit(60)
     val viaDf = SimHash.simhashDf(sample, "doc_id", "text")
