@@ -394,6 +394,65 @@ object Similarity {
                            k: Int, nprobe: Int = 1): DataFrame =
     searchAssigned(assignRanked(vectors, cent).persist(), queryFilter, k, nprobe)
 
+  /** Incremental IVF probe against an EXISTING index — the retrieval-side
+    * twin of [[MinHashLSH.incrementalCandidates]]: a NEW batch of vectors is
+    * scored against the indexed corpus through its persisted centroids and
+    * home-cell assignments, WITHOUT retraining or re-assigning the corpus.
+    * Only the delta is assigned (|delta| × k against the broadcast centroid
+    * list); the corpus contributes its (vec_id, embedding, cent_id) index
+    * rows, and the probe join stays cell-bounded — per ingest the cost is
+    * O(delta·k + delta·n/k·nprobe), never O(corpus·k), the property that
+    * makes a daily vector-ingest ANN feasible at 100 TB.
+    */
+  def ivfIncrementalTopK(newVectors: DataFrame, indexAssigned: DataFrame,
+                         cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = assignRanked(newVectors, cent).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), col("cent_id"))
+    val n = indexAssigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn"), col("cent_id"))
+    val scored = n.join(broadcast(q), "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineScaledWithNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_micro"))
+    rankTopK(scored, "cos_micro", k)
+  }
+
+  /** Persist a trained IVF index: centroids plus every corpus vector's
+    * home-cell assignment, with the training parameters riding along as
+    * metadata columns (the [[MinHashLSH.writeSigIndex]] pattern — a probe
+    * against an index trained with different parameters would not fail, it
+    * would silently degrade recall, the worst failure mode for a retrieval
+    * gate).
+    */
+  def writeIvfIndex(cent: DataFrame, assigned: DataFrame, k: Int, iters: Int,
+                    path: String): Unit = {
+    cent.withColumn("train_k", lit(k)).withColumn("train_iters", lit(iters))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.select(col("vec_id"), col("embedding"), col("cent_id"))
+      .withColumn("train_k", lit(k)).withColumn("train_iters", lit(iters))
+      .write.mode("overwrite").parquet(s"$path/assign")
+  }
+
+  /** Read a persisted IVF index back as (centroids, assignments), failing
+    * loudly on a parameter mismatch. An empty index (zero centroids) carries
+    * no metadata rows and probes against anything.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   expectK: Int, expectIters: Int): (DataFrame, DataFrame) = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    for (r <- cent.select("train_k", "train_iters").head(1).headOption) {
+      val (k, it) = (r.getInt(0), r.getInt(1))
+      require(k == expectK && it == expectIters,
+        s"IVF index at $path was trained with k=$k iters=$it; this probe " +
+          s"expects k=$expectK iters=$expectIters — a mismatched index " +
+          "silently degrades recall (rebuild the index or match its parameters)")
+    }
+    (cent.drop("train_k", "train_iters"),
+      spark.read.parquet(s"$path/assign").drop("train_k", "train_iters"))
+  }
+
   /** The centroid-sample + ranked-assignment CTE pair (`cent`, `assign`)
     * shared by the IVF search twin and the semantic-dedup twin.
     */

@@ -202,6 +202,47 @@ object SimilarityQueries {
            WHERE rank <= $K ORDER BY query_id, rank"""
       }),
 
+    // persisted-index incremental ANN — the retrieval-side twin of
+    // dedup_incremental: the corpus (vec_id % 10 != 9) is trained and
+    // indexed ONCE (centroids + home-cell assignments, the frames
+    // writeIvfIndex/readIvfIndex persist with a parameter guard —
+    // round-trip + guard spec'd in OperatorSpec); the new batch
+    // (vec_id % 10 = 9) probes its nprobe nearest cells WITHOUT retraining
+    // or touching corpus embeddings beyond the probed cells. Per ingest:
+    // O(delta·k) assignment + cell-bounded probe join — never O(corpus·k)
+    "sim_ivf_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val isNew = col("vec_id") % 10 === 9
+        val corpus = e.filter(!isNew)
+        val cent = graft.operators.KMeans.train(corpus, k = 8, iters = 2)
+        val idx = Similarity.assignRanked(corpus, cent).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        Similarity.ivfIncrementalTopK(e.filter(isNew), idx, cent, K, nprobe = 2)
+          .select("query_id", "neighbor_id", "cos_micro", "rank")
+      },
+      oracle = Some {
+        val (ctes, last) = graft.operators.KMeans.duckTrainCtes(8, 2, Dims, source = "corpus")
+        val cos = Similarity.duckCosineScaled("v.embedding", "c.cv")
+        s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+           $ctes,
+           idx AS ${graft.operators.KMeans.duckAssign(last, "corpus")},
+           newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
+           probe AS (SELECT vec_id, embedding, cent_id FROM (
+             SELECT v.vec_id, v.embedding, c.cent_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY $cos DESC, c.cent_id ASC) AS rn
+             FROM newb v CROSS JOIN $last c) AS t WHERE rn <= 2)
+           SELECT query_id, neighbor_id, cos_micro, rank FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                    ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} AS cos_micro,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${Similarity.duckCosineScaled("q.embedding", "n.embedding")} DESC,
+                               n.vec_id ASC) AS BIGINT) AS rank
+             FROM probe q JOIN idx n ON q.cent_id = n.cent_id) AS t
+           WHERE rank <= $K ORDER BY query_id, rank"""
+      }),
+
     // cluster-balanced (density-flattening) sampling: per trained cluster
     // keep isqrt(|cluster|) members — dense regions contribute relatively
     // FEWER of their members while rare modes keep coverage, the diversity

@@ -990,6 +990,45 @@ class OperatorSpec extends SparkSpec {
     assert(MinHashLSH.readSigIndex(spark, emptyPath, 99, 9, 9).count() == 0)
   }
 
+  test("IVF index round-trips: persisted-index probe equals in-memory; mismatch fails loudly") {
+    // restart-safety for sim_ivf_incremental (r9 verdict item 4): the index
+    // written today must serve tomorrow's ingest identically, and an index
+    // trained with drifted parameters must refuse the probe instead of
+    // silently degrading recall
+    val isNew = col("vec_id") % 10 === 9
+    val corpus = emb.filter(!isNew)
+    val cent = KMeans.train(corpus, k = 8, iters = 2)
+    val idx = Similarity.assignRanked(corpus, cent).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val inMemory = Similarity.ivfIncrementalTopK(emb.filter(isNew), idx, cent, 10, 2)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inMemory.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(cent, idx, k = 8, iters = 2, path)
+    val (centBack, idxBack) = Similarity.readIvfIndex(spark, path, 8, 2)
+    val fromDisk = Similarity.ivfIncrementalTopK(emb.filter(isNew), idxBack, centBack, 10, 2)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromDisk == inMemory,
+      s"persisted-index probe drifted: ${fromDisk.take(3)} vs ${inMemory.take(3)}")
+    // drifted training parameters must refuse the read
+    for ((k, it) <- Seq((16, 2), (8, 3))) {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.readIvfIndex(spark, path, k, it)
+      }
+      assert(ex.getMessage.contains("silently degrades recall"), ex.getMessage)
+    }
+    // empty index carries no metadata rows and probes against anything
+    val emptyPath = java.nio.file.Files.createTempDirectory("graft-ivfidx-e")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(cent.filter(col("cent_id") < 0),
+      idx.filter(col("vec_id") < 0), 8, 2, emptyPath)
+    val (ce, ie) = Similarity.readIvfIndex(spark, emptyPath, 99, 9)
+    assert(ce.count() == 0 && ie.count() == 0)
+  }
+
   test("LSH dedup recall floor: banded candidates keep finding the exact near-dup pairs") {
     // dedup-side twin of the ANN floor above: dedup_lsh_recall measures the
     // banded candidate generation against exact probe-set Jaccard; this gate
