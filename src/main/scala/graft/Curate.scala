@@ -33,6 +33,11 @@ object Curate {
       |      --max-boilerplate int        drop documents whose same-source
       |                                   boilerplate-window coverage exceeds
       |                                   this (micro-units; default off)
+      |      --max-para-dup-micro int     drop documents whose share of
+      |                                   10-token paragraphs near-duplicating
+      |                                   an earlier document's paragraphs
+      |                                   exceeds this (micro-units; default
+      |                                   off) — the doc+paragraph two-pass
       |      --keep-best                  near-dup clusters keep their highest-
       |                                   quality member instead of the minimum id
       |      --max-cluster-size int       drop near-dup clusters LARGER than this
@@ -85,6 +90,7 @@ object Curate {
       decontaminateAgainst: Option[String] = None,
       maxSubstrCoverage: Option[Long] = None,
       maxBoilerplate: Option[Long] = None,
+      maxParaDupMicro: Option[Long] = None,
       keepBest: Boolean = false,
       maxClusterSize: Option[Long] = None,
       perSourceQuality: Boolean = false,
@@ -132,6 +138,10 @@ object Curate {
             case "--max-boilerplate" =>
               num(flag, value, (_: String).toLongOption)(n =>
                 acc.copy(maxBoilerplate = Some(n)))
+                .flatMap(loop(tail, _, positional))
+            case "--max-para-dup-micro" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(maxParaDupMicro = Some(n)))
                 .flatMap(loop(tail, _, positional))
             case "--mix-temperature" =>
               num(flag, value, (_: String).toLongOption)(n =>
@@ -190,6 +200,8 @@ object Curate {
         Left(s"--max-substr-coverage must be in [0, 1000000], got ${c.maxSubstrCoverage.get}")
       else if (c.maxBoilerplate.exists(m => m < 0 || m > 1000000))
         Left(s"--max-boilerplate must be in [0, 1000000], got ${c.maxBoilerplate.get}")
+      else if (c.maxParaDupMicro.exists(m => m < 0 || m > 1000000))
+        Left(s"--max-para-dup-micro must be in [0, 1000000], got ${c.maxParaDupMicro.get}")
       else if (c.maxClusterSize.exists(_ < 2))
         Left(s"--max-cluster-size must be >= 2 (every near-dup cluster has at least 2 members), got ${c.maxClusterSize.get}")
       else if (c.mixTemperature.exists(_ < 1))
@@ -298,16 +310,32 @@ object Curate {
       out
     }
 
+    // optional paragraph-granularity screen (the dedup_paragraph operator as
+    // a gate — the standard doc+paragraph two-pass): drop documents whose
+    // share of 10-token paragraphs near-duplicating an EARLIER surviving
+    // document's paragraphs reaches the cap. Runs on the corpus the earlier
+    // whole-doc passes kept, so it catches the partial-copy pages whole-doc
+    // MinHash missed
+    val paraScreened = cfg.maxParaDupMicro.fold(bpScreened) { maxMicro =>
+      val pd = MinHashLSH.paragraphDedup(bpScreened, "doc_id", "text",
+        paraTokens = 10, shingleN = 3, numPerm = 16, numBands = 4,
+        minMatching = 12, dropRatioMicro = maxMicro)
+      val heavy = pd.filter(col("drop_doc")).select("doc_id")
+      val out = bpScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+      out.count()
+      out
+    }
+
     // quality filter (shared scorer — same expression the oracle checks):
     // one global threshold, or each source's own bottom-quartile cut (the
     // corpus_quality_gate operator) under --per-source-quality
     val quality = (if (cfg.perSourceQuality)
-      bpScreened.join(
-        Corpus.perSourceQualityGate(bpScreened, "doc_id", "source", "text")
+      paraScreened.join(
+        Corpus.perSourceQualityGate(paraScreened, "doc_id", "source", "text")
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
     else
-      bpScreened
+      paraScreened
         .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality))
       .persist()
 
@@ -428,6 +456,7 @@ object Curate {
       "decontaminated" -> decontaminated.count(),
       "substr_screened" -> substrScreened.count(),
       "boilerplate_screened" -> bpScreened.count(),
+      "para_screened" -> paraScreened.count(),
       "quality_filtered" -> qualityCount,
       "xent_gated" -> xentGated.count(),
       "pii_gated" -> piiGated.count(),
@@ -437,6 +466,7 @@ object Curate {
       "written" -> written)
     (Seq(exact, nearDeduped, decontaminated, substrScreened, quality) ++
       (if (bpScreened ne substrScreened) Seq(bpScreened) else Nil) ++
+      (if (paraScreened ne bpScreened) Seq(paraScreened) else Nil) ++
       (if (xentGated ne quality) Seq(xentGated) else Nil) ++
       (if (piiGated ne xentGated) Seq(piiGated) else Nil) ++
       (if (dsirKept ne piiGated) Seq(dsirKept) else Nil) ++

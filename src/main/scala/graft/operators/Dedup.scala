@@ -167,6 +167,105 @@ object MinHashLSH {
       .filter(greatest(col("contain_a_micro"), col("contain_b_micro")) >= thresholdMicro)
   }
 
+  /** Paragraph-unit id packing: pid = doc_id · stride + para_idx. Collision-
+    * free while documents stay under `ParaStride` paragraphs — 1M tokens per
+    * document at the default 10-token width, far past any training document;
+    * a corpus that could breach it re-packs with a wider stride.
+    */
+  val ParaStride = 100000L
+
+  /** Deterministic paragraph units: consecutive `paraTokens`-token slices of
+    * each document, one row per (doc, slice). The fixture corpus carries no
+    * layout newlines, so the splitter is positional — a real pipeline plugs
+    * its paragraph boundaries into exactly this (doc_id, pid, ptext) frame
+    * and everything downstream is unchanged. The token array is staged as an
+    * attribute before the slicing HOF (the recorded staged-array lesson).
+    */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+                 paraTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest((size(tk) - 1) div $paraTokens, 0)), " +
+          s"i -> array_join(slice(tk, i * $paraTokens + 1, $paraTokens), ' '))"))
+        .as(Seq("para_idx", "ptext")))
+      .select(col("doc_id"),
+        (col("doc_id") * ParaStride + col("para_idx")).as("pid"), col("ptext"))
+
+  /** Paragraph-granularity two-pass dedup — the standard doc+paragraph
+    * recipe in LLM-data pipelines (whole-doc MinHash misses a page that
+    * quotes three boilerplate paragraphs among fresh ones; paragraph-level
+    * matching catches it, and the DOC-level decision stays the unit of
+    * curation): split into paragraph units, run the SAME banded MinHash-LSH
+    * candidate generation over paragraphs, count each later doc's
+    * paragraphs that near-duplicate any EARLIER doc's paragraph (keep-first
+    * convention — pid order implies doc order across documents), and emit
+    * one row per document with its duplicated-paragraph ratio and the drop
+    * verdict at `dropRatioMicro`.
+    *
+    * Scale shape: unit count grows ~tokens/paraTokens but every stage stays
+    * the banded-LSH shape — narrow (pid, band, hash) tuples, equi-joins
+    * only, never all-pairs — and the doc rollup is one narrow groupBy. The
+    * match threshold is `minMatching` signature positions (integer-exact
+    * cross-engine; est_jaccard = minMatching/numPerm).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     paraTokens: Int, shingleN: Int, numPerm: Int,
+                     numBands: Int, minMatching: Int,
+                     dropRatioMicro: Long): DataFrame = {
+    val paras = paragraphs(df, idCol, textCol, paraTokens).persist()
+    val pairs = candidatePairs(paras, "pid", "ptext", shingleN, numPerm, numBands)
+      .filter(col("n_matching") >= minMatching &&
+        expr(s"doc_a div $ParaStride") =!= expr(s"doc_b div $ParaStride"))
+    val dup = pairs.select(col("doc_b").as("pid")).distinct()
+    val perDoc = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    val dupDoc = dup.select(expr(s"pid div $ParaStride").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val ratio = expr("(1000000 * coalesce(n_dup, 0L)) div n_paras")
+    perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
+        ratio.as("dup_ratio_micro"),
+        (ratio >= dropRatioMicro).as("drop_doc"))
+  }
+
+  /** DuckDB twin of [[paragraphDedup]] — same positional paragraphs, same
+    * signature/banding chain, same keep-first doc rollup.
+    */
+  def duckParagraphDedup(table: String, idCol: String, textCol: String,
+                         paraTokens: Int, shingleN: Int, numPerm: Int,
+                         numBands: Int, minMatching: Int,
+                         dropRatioMicro: Long): String = {
+    require(numPerm % numBands == 0,
+      s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
+    val rowsPerBand = numPerm / numBands
+    val P = paraTokens
+    s"""WITH ptoks AS (SELECT $idCol AS doc_id, ${duckTokens(textCol)} AS tk FROM $table),
+       paras AS (SELECT doc_id, doc_id * $ParaStride + i AS pid,
+                        array_to_string(list_slice(tk, i*$P + 1, i*$P + $P), ' ') AS ptext
+                 FROM (SELECT doc_id, tk,
+                         unnest(generate_series(0, greatest((len(tk) - 1) // $P, 0))) AS i
+                       FROM ptoks) u),
+       ${duckShingleCte("paras", "pid", "ptext", shingleN)},
+       sigs AS (SELECT id, ${duckSignature("sh", numPerm)} AS sig FROM shs),
+       bands AS (SELECT id, b AS band_idx,
+                        md5(array_to_string(list_slice(sig, b*$rowsPerBand + 1, b*$rowsPerBand + $rowsPerBand), '|')) AS band_hash
+                 FROM sigs, generate_series(0, ${numBands - 1}) AS t(b)),
+       cand AS (SELECT DISTINCT x.id AS pa, y.id AS pb
+                FROM bands x JOIN bands y
+                  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.id < y.id),
+       dup AS (SELECT DISTINCT pb AS pid FROM cand
+               JOIN sigs sa ON sa.id = pa JOIN sigs sb ON sb.id = pb
+               WHERE len(list_filter(generate_series(1, $numPerm), i -> sa.sig[i] = sb.sig[i])) >= $minMatching
+                 AND pa // $ParaStride <> pb // $ParaStride),
+       perdoc AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+       dupdoc AS (SELECT pid // $ParaStride AS doc_id, count(*) AS n_dup FROM dup GROUP BY 1)
+       SELECT p.doc_id, CAST(p.n_paras AS BIGINT) AS n_paras,
+              CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_paras,
+              CAST((1000000 * coalesce(d.n_dup, 0)) // p.n_paras AS BIGINT) AS dup_ratio_micro,
+              (1000000 * coalesce(d.n_dup, 0)) // p.n_paras >= $dropRatioMicro AS drop_doc
+       FROM perdoc p LEFT JOIN dupdoc d USING (doc_id) ORDER BY doc_id"""
+  }
+
   private def candidatePairsFromSigs(sigsIn: DataFrame, numPerm: Int, numBands: Int): DataFrame = {
     require(numPerm % numBands == 0,
       s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")

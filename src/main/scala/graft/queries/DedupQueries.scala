@@ -24,6 +24,11 @@ object DedupQueries {
   // content-defined chunking: 16-char boundary window, ~64-char mean chunk
   private val CdcWindow = 16
   private val CdcDivisor = 64
+  // paragraph dedup: 10-token units; a paragraph "matches" at >= 12 of 16
+  // signature positions (est Jaccard 0.75); a doc drops at >= 60% dup'd
+  private val ParaTokens = 10
+  private val ParaMinMatching = 12
+  private val ParaDropRatioMicro = 600000L
 
   /** File-source streams need a directory; stage the documents fixture once
     * per sfDir (the rawEventsDir pattern from EventQueries).
@@ -757,6 +762,23 @@ object DedupQueries {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            WHERE ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} >= 450000
            ORDER BY vec_a, vec_b""")),
+
+    // paragraph-granularity two-pass dedup: paragraph-level MinHash-LSH
+    // matches feed DOC-level drop decisions (the standard doc+paragraph
+    // recipe — whole-doc hashing misses a page quoting a few boilerplate
+    // paragraphs among fresh ones). 10-token paragraphs, match = >= 12/16
+    // signature positions (est Jaccard 0.75), drop at >= 60% duplicated
+    "dedup_paragraph" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        MinHashLSH.paragraphDedup(
+          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+          paraTokens = ParaTokens, shingleN = ShingleN, numPerm = NumPerm,
+          numBands = NumBands, minMatching = ParaMinMatching,
+          dropRatioMicro = ParaDropRatioMicro)
+          .orderBy("doc_id"),
+      oracle = Some(MinHashLSH.duckParagraphDedup(
+        "documents", "doc_id", "text", ParaTokens, ShingleN, NumPerm,
+        NumBands, ParaMinMatching, ParaDropRatioMicro))),
 
     // SemDeDup-style semantic dedup: cluster-bounded near-dup drop list over
     // the embeddings (the scale path dedup_embcos's brute-force pairs lack —

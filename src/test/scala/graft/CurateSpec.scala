@@ -185,6 +185,32 @@ class CurateSpec extends SparkSpec {
     assert(funnel2("substr_screened") == 8L)
   }
 
+  test("paragraph-dup screen drops partial-copy docs the whole-doc stage misses") {
+    // the gate's motivating case: a page quoting HALF its paragraphs from an
+    // earlier document. Whole-doc token Jaccard ≈ 0.33 (< the 0.5 near-dup
+    // threshold — the LSH stage keeps it); the paragraph pass sees 2 of 4
+    // paragraphs exactly duplicated (ratio 500000) and the doc drops at a
+    // 500000 cap, survives at 600000. The source doc keeps (keep-first).
+    def para(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"${para("a")} ${para("b")} ${para("c")} ${para("d")}", "en", "synth"),
+      (2L, s"${para("a")} ${para("b")} ${para("u")} ${para("v")}", "en", "synth"),
+      (3L, s"${para("w")} ${para("x")} ${para("y")} ${para("z")}", "en", "synth"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-para-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-para").toString
+    val f = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxParaDupMicro = Some(500000L))).toMap
+    assert(f("boilerplate_screened") == 3L, "no whole-doc dups in this corpus: " + f)
+    assert(f("para_screened") == 2L, f.toString)
+    val f2 = Curate.run(spark, Curate.Config(
+      docsDir = docsDir, outDir = out, minQuality = 0.0,
+      maxParaDupMicro = Some(600000L))).toMap
+    assert(f2("para_screened") == 3L, f2.toString)
+  }
+
   test("boilerplate screen, per-source quality, and temperature mix gate as configured") {
     // srcA: three docs share a 4-token header (removed_micro = 4/8 = 500000);
     // srcB carries the SAME header once (per-source scoping must not flag it)
