@@ -22,6 +22,75 @@ object PgSql {
     */
   case class PgColumn(name: String, dataType: String, isPk: Boolean = false)
 
+  /** Wire dialect of a PostgreSQL-protocol target. The reference sends ONE
+    * SQL text to every target — its integration matrix runs PostgreSQL
+    * 10→18 and CockroachDB 22.2→25.3 through the same generators
+    * (/root/reference/integration_test.go:94-121) — so a dialect here never
+    * rewrites query text ([[modeQueries]] is dialect-independent by
+    * construction, and PgSqlSpec pins that identity). What a dialect DOES
+    * declare are the engine behaviors the shared text depends on, i.e. the
+    * SURVEY.md §1 CRDB delta list as executable facts:
+    *
+    *  - `implicitRowidPk`: CRDB exposes an internal `rowid` PK on PK-less
+    *    tables, so the reference's no-PK skip can never trigger there;
+    *  - `isGeneratedNonValues`: catalog values meaning "not generated"
+    *    (PG reports `''` or `'NEVER'`; CRDB always `'NEVER'` — both pass
+    *    the shared `is_generated != 'ALWAYS'` predicate);
+    *  - `minMajorForParity` / [[WireDialect.requireSupported]]: CRDB older
+    *    than v22 dropped trailing zeros from `numeric` text (`1.25` vs
+    *    `1.250`) and would silently hash-mismatch — the one delta that
+    *    can't be papered over, so it fails loudly at config time.
+    */
+  sealed trait WireDialect {
+    def name: String
+    def implicitRowidPk: Boolean
+    def isGeneratedNonValues: Set[String]
+    def minMajorForParity: Int
+    /** Parity floor check — called with the server's major version. */
+    final def requireSupported(major: Int): Unit =
+      require(major >= minMajorForParity,
+        s"$name $major is below the fingerprint-parity floor " +
+          s"$minMajorForParity: " + parityFloorReason)
+    protected def parityFloorReason: String
+  }
+
+  case object PostgresDialect extends WireDialect {
+    val name = "PostgreSQL"
+    val implicitRowidPk = false
+    val isGeneratedNonValues = Set("", "NEVER")
+    val minMajorForParity = 10
+    protected val parityFloorReason =
+      "the reference's support floor (README.md)"
+  }
+
+  case object CockroachDialect extends WireDialect {
+    val name = "CockroachDB"
+    val implicitRowidPk = true
+    val isGeneratedNonValues = Set("NEVER")
+    val minMajorForParity = 22
+    protected val parityFloorReason =
+      "numeric text dropped trailing zeros before v22 (1.25 vs 1.250) " +
+        "and silently hash-mismatches identical data"
+  }
+
+  /** The four mode-query texts for one table under a dialect — returned as
+    * (full, sparse, bookend, rowcount). Dialect-INDEPENDENT by construction:
+    * the reference ships the same SQL to PG and CRDB, and the CRDB pin
+    * section of PgSqlSpec asserts the two dialects' texts are byte-equal,
+    * so a future dialect branch in any generator breaks a golden test
+    * instead of silently forking the contract surface.
+    */
+  def modeQueries(dialect: WireDialect, schemaName: String, tableName: String,
+                  cols: Seq[PgColumn], sparseMod: Int, bookendLimit: Int,
+                  precision: String = "milliseconds",
+                  hashPrimaryKeys: Boolean = false): (String, String, String, String) = {
+    val _ = dialect // declared facts only; text never branches (see scaladoc)
+    (fullHashQuery(schemaName, tableName, cols, precision, hashPrimaryKeys),
+      sparseHashQuery(schemaName, tableName, cols, sparseMod, precision, hashPrimaryKeys),
+      bookendHashQuery(schemaName, tableName, cols, bookendLimit, precision, hashPrimaryKeys),
+      rowCountQuery(schemaName, tableName))
+  }
+
   /** `CastToText` — /root/reference/column.go:24-36, byte-for-byte. */
   def castToText(c: PgColumn, precision: String): String =
     c.dataType.toLowerCase match {

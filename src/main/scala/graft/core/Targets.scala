@@ -493,7 +493,8 @@ object Fixtures {
   * than it needs a driver jar.
   */
 case class PsqlTarget(name: String, conn: String,
-                      readPartitions: Int = 1) extends Target {
+                      readPartitions: Int = 1,
+                      dialect: PgSql.WireDialect = PgSql.PostgresDialect) extends Target {
   import java.nio.file.Files
   import scala.sys.process._
   import org.apache.spark.sql.types._
@@ -508,6 +509,14 @@ case class PsqlTarget(name: String, conn: String,
     require(code == 0, s"psql exited $code for:\n$sql")
     out.toString.split('\n').toSeq.filter(_.nonEmpty)
   }
+
+  /** Config-time parity gate: call with the server's major version before
+    * fingerprinting (for CRDB that is the CockroachDB release major from
+    * `version()`, NOT the PG-compat `server_version` it also reports) — the
+    * documented numeric-trailing-zero delta then fails loudly here instead
+    * of as a silent hash mismatch on identical data.
+    */
+  def requireParity(serverMajor: Int): Unit = dialect.requireSupported(serverMajor)
 
   /** System schemas never verify — the analogue of JdbcTarget's exclusion. */
   private val systemSchemas = Set("pg_catalog", "information_schema", "pg_toast")

@@ -71,4 +71,56 @@ class PgSqlSpec extends AnyFunSuite {
     assert(PgSql.rowCountQuery("public", "t") ==
       """SELECT count(*)::TEXT FROM "public"."t"""")
   }
+
+  // --- CRDB dialect pins (server-free) --------------------------------------
+  // The reference's headline is PG↔CRDB cross-engine verification over ONE
+  // generated SQL text (integration_test.go:94-121 runs CockroachDB
+  // 22.2→25.3 and PostgreSQL 10→18 through the same generators). No CRDB
+  // server installs in this sandbox, so these pins make the SURVEY.md §1
+  // delta list executable: the day a CRDB target exists it is a config
+  // change (PsqlTarget(dialect = CockroachDialect)), and any future code
+  // that forks the SQL text per dialect breaks a golden test here first.
+
+  test("CRDB dialect: all four mode-query texts are byte-identical to PostgreSQL's") {
+    val pg = PgSql.modeQueries(PgSql.PostgresDialect, "public", "t", cols,
+      sparseMod = 10, bookendLimit = 7)
+    val crdb = PgSql.modeQueries(PgSql.CockroachDialect, "public", "t", cols,
+      sparseMod = 10, bookendLimit = 7)
+    assert(pg == crdb, "the reference sends ONE text to both engines; a dialect fork is drift")
+    // the same identity under the non-default knobs (tz precision, hashed PKs)
+    assert(PgSql.modeQueries(PgSql.PostgresDialect, "public", "t", cols, 5, 3, "second", hashPrimaryKeys = true) ==
+      PgSql.modeQueries(PgSql.CockroachDialect, "public", "t", cols, 5, 3, "second", hashPrimaryKeys = true))
+    // the CRDB-sensitive cast chain (SURVEY §1 bit/varbit delta): the
+    // 'x'||hex bit-literal reinterpretation both engines must evaluate
+    // identically — pinned as text so a cast-chain change forces a re-pin
+    assert(crdb._2.contains("""('x' || substr(md5(CONCAT("id"::TEXT)),1,16))::bit(64)::bigint % 10 = 0"""))
+  }
+
+  test("CRDB dialect: the SURVEY §1 discovery deltas are declared facts") {
+    import PgSql.{CockroachDialect, PostgresDialect}
+    // CRDB exposes an internal rowid PK on PK-less tables — the reference's
+    // no-PK skip can never trigger there (verify.go:182-198 inherits this)
+    assert(CockroachDialect.implicitRowidPk && !PostgresDialect.implicitRowidPk)
+    // both engines' "not generated" catalog values pass the shared
+    // is_generated != 'ALWAYS' predicate (query.go:116) — the P5 filter
+    // needs no dialect branch
+    for (d <- Seq(PostgresDialect, CockroachDialect); v <- d.isGeneratedNonValues)
+      assert(v != "ALWAYS", s"${d.name}: $v")
+    assert(CockroachDialect.isGeneratedNonValues == Set("NEVER"))
+  }
+
+  test("CRDB dialect: pre-v22 numeric trailing-zero delta fails loudly at config time") {
+    // CRDB < 22 printed numeric without trailing zeros (1.25 vs 1.250) —
+    // identical data would silently hash-mismatch, so the parity floor
+    // rejects the config instead
+    val ex = intercept[IllegalArgumentException] {
+      PgSql.CockroachDialect.requireSupported(21)
+    }
+    assert(ex.getMessage.contains("trailing zeros"), ex.getMessage)
+    PgSql.CockroachDialect.requireSupported(22) // the matrix's oldest CRDB
+    PgSql.PostgresDialect.requireSupported(10)  // the reference's PG floor
+    assert(intercept[IllegalArgumentException] {
+      PgSql.PostgresDialect.requireSupported(9)
+    }.getMessage.contains("parity floor"))
+  }
 }
