@@ -63,7 +63,19 @@ object Bench {
     val failures = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(full)
+    // the full line above is ~15 kB at registry size and a harness that
+    // keeps only a stdout TAIL truncates it mid-map (BENCH_r09 parsed:
+    // null). Persist the full per-query map to a file and make the LAST
+    // stdout line a short self-contained JSON total that survives any tail
+    // window; failures ignored (a summary write must never fail the bench).
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json"))
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries_file":"${out.toAbsolutePath}","sf":"$sfDir"}""")
+    } catch { case e: Throwable => System.err.println(s"[bench] summary write skipped: ${e.getMessage}") }
     spark.stop()
   }
 }

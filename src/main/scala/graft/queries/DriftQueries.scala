@@ -96,7 +96,7 @@ object DriftQueries {
     * the drained-memory-table self-join restriction doesn't bite: the join
     * keys differ).
     */
-  private def cusumFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def cusumFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cells = cellsIn.select(col("event_type"), col("day"), col("x"))
     val grid = cells.select("day").distinct()
     val types = cells.select("event_type").distinct()
@@ -179,7 +179,7 @@ object DriftQueries {
     * table — shared by the batch query and the drained streaming state
     * (oracle-identical by construction, the psi/cusum discipline).
     */
-  private def ksFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def ksFromCells(cellsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cells = cellsIn.select(col("source"), col("n_chars"), col("c"))
     val srcTotals = cells.groupBy("source").agg(sum(col("c")).as("n_docs"))
     val grid = cells.select("n_chars").distinct()

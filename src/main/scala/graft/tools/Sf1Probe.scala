@@ -411,6 +411,92 @@ object Sf1Probe {
       fixture("lineitem").select(col("l_orderkey"), col("l_suppkey"))) }
     timed("reach_hll 10x") { reach(orders10, li10) }
 
+    // -- CUSUM change-point (ev_cusum shape) --------------------------------
+    // disjoint user copies share event types and days: the (type, day) grid
+    // is CONSTANT at any mult (cell counts scale, cell COUNT doesn't) —
+    // wall-clock should track the one events scan; window state stays
+    // |types|·|days| regardless of mult
+    def cusum(ev: DataFrame): Long = {
+      val cells = ev.select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      graft.queries.DriftQueries.cusumFromCells(cells).count()
+    }
+    timed("cusum 1x") { cusum(
+      fixture("events").select(col("event_type"), unix_micros(col("ts")).as("ts_us"))) }
+    timed("cusum 10x") { cusum(events10) }
+
+    // -- CMS heavy-change (ev_heavy_change shape) ---------------------------
+    // the two half-stream sketches stay 4×512 counters at ANY mult — the
+    // constant-state claim; the exact side (per-user counts + top-20) scales
+    // with users. Probe rows are the top-20 join, fixed size at both scales
+    def heavyChange(ev: DataFrame): Long = {
+      import graft.operators.Sketches
+      val D = 4; val W = 512
+      val bounds = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx + 1) div 2").as("mid"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .select(col("user_id"), (col("ts_us") < col("mid")).as("in_a"))
+      val exact = tagged.groupBy("user_id")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+      val top = exact
+        .orderBy(abs(col("n_a") - col("n_b")).desc, col("user_id").asc)
+        .limit(20)
+      val cmsA = Sketches.cmsCounters(tagged.filter(col("in_a")), col("user_id"), D, W)
+      val cmsB = Sketches.cmsCounters(tagged.filter(!col("in_a")), col("user_id"), D, W)
+      val pa = Sketches.cmsEstimatesSparse(cmsA, top, "user_id", D, W)
+        .withColumnRenamed("cms_count", "cms_a")
+      val pb = Sketches.cmsEstimatesSparse(cmsB, top, "user_id", D, W)
+        .withColumnRenamed("cms_count", "cms_b")
+      top.join(pa, col("user_id") === pa("key")).drop("key")
+        .join(pb, col("user_id") === pb("key")).drop("key").count()
+    }
+    timed("heavy_change 1x") { heavyChange(
+      fixture("events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"))) }
+    timed("heavy_change 10x") { heavyChange(events10) }
+
+    // -- KS length drift (corpus_ks_length shape) ---------------------------
+    // per-copy token suffixes don't touch n_chars/source, so the
+    // (source, length) grid is CONSTANT and only cell counts grow — the
+    // ECDF windows and |sources|² pair join are mult-independent
+    def ks(docs: DataFrame): Long =
+      graft.queries.DriftQueries.ksFromCells(
+        docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))).count()
+    timed("ks_length 1x") { ks(fixture("documents")) }
+    timed("ks_length 10x") { ks(docs10) }
+
+    // -- k-anonymity audit (ev_k_anonymity shape) ---------------------------
+    // disjoint user copies: mult× users with identical per-user profiles —
+    // the user-partitioned windows see mult× partitions of unchanged width,
+    // and every copy of a user lands in the SAME equivalence class, so the
+    // class-size histogram shifts to s·mult with the same class count
+    def kAnon(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev.select(col("user_id"), col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hod"))
+      val modal = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"))
+      val peak = e.groupBy("user_id", "hod").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("hod").asc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), expr("hod div 6").as("peak_quarter"))
+      val activity = e.groupBy("user_id").agg(count(lit(1)).as("total"))
+        .select(col("user_id"), length(bin(col("total"))).cast("long").as("act_band"))
+      modal.join(peak, "user_id").join(activity, "user_id")
+        .groupBy("modal_type", "peak_quarter", "act_band")
+        .agg(count(lit(1)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("n_classes"))
+        .count()
+    }
+    timed("k_anon 1x") { kAnon(
+      fixture("events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))) }
+    timed("k_anon 10x") { kAnon(events10) }
+
     spark.stop()
   }
 }
