@@ -780,6 +780,55 @@ object DedupQueries {
         "documents", "doc_id", "text", ParaTokens, ShingleN, NumPerm,
         NumBands, ParaMinMatching, ParaDropRatioMicro))),
 
+    // recall curve for dedup_embcos's LSH degrade path: a pair survives the
+    // degraded candidate generation iff its two sign-buckets differ by <=
+    // probe-radius bits (popcount of the bucket XOR — no join needed to
+    // measure it), so per threshold band this reports exactly the fraction
+    // of true pairs the degraded path would keep. The curve is the tuning
+    // story the guard needs: sign-LSH recall falls as the threshold drops
+    // toward moderate similarity, telling the operator when to add planes
+    // or radius before flipping the row limit
+    "dedup_embcos_curve" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val e = Readers.fixture(spark, sfDir, "embeddings")
+        val pm = Similarity.planes(8, 64)
+        val v = Readers.spread(e.select(col("vec_id"), col("embedding")), col("vec_id"))
+          .withColumn("nm", Similarity.norm(col("embedding")))
+          .withColumn("bkt", Similarity.lshBucket(col("embedding"), pm))
+        val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+          col("nm").as("na"), col("bkt").as("ba"))
+        val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+          col("nm").as("nb"), col("bkt").as("bb"))
+        val pairs = a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
+          .select(
+            Similarity.cosineScaledWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+              .as("cos_micro"),
+            bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long").as("hd"))
+        val t = spark.range(1).select(explode(array(
+          lit(400000L), lit(430000L), lit(450000L), lit(470000L))).as("threshold_micro"))
+        pairs.join(broadcast(t), col("cos_micro") >= col("threshold_micro"))
+          .groupBy("threshold_micro")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("hd") <= 2, 1L).otherwise(0L)).as("n_found"))
+          .select(col("threshold_micro"), col("n_exact"), col("n_found"),
+            expr("(1000000 * n_found) div n_exact").as("recall_micro"))
+          .orderBy("threshold_micro")
+      },
+      oracle = Some {
+        val pm = Similarity.planes(8, 64)
+        s"""WITH v AS (SELECT vec_id, embedding,
+                ${Similarity.duckLshBucket("embedding", pm)} AS bkt FROM embeddings),
+           p AS (SELECT ${Similarity.duckCosineScaled("a.embedding", "b.embedding")} AS cos_micro,
+                        CAST(bit_count(xor(a.bkt, b.bkt)) AS BIGINT) AS hd
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id),
+           t AS (SELECT unnest([CAST(400000 AS BIGINT), 430000, 450000, 470000]) AS threshold_micro)
+           SELECT t.threshold_micro, count(*) AS n_exact,
+                  CAST(sum(CASE WHEN hd <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                  CAST((1000000 * sum(CASE WHEN hd <= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_micro
+           FROM t JOIN p ON p.cos_micro >= t.threshold_micro
+           GROUP BY 1 ORDER BY 1"""
+      }),
+
     // SemDeDup-style semantic dedup: cluster-bounded near-dup drop list over
     // the embeddings (the scale path dedup_embcos's brute-force pairs lack —
     // candidates never leave their coarse cluster)
