@@ -541,6 +541,25 @@ class PlanSpec extends SparkSpec {
     assert(md5Form.contains("sequence("), md5Form)
   }
 
+  test("paragraph dedup stays banded equi-join at paragraph granularity — no all-pairs") {
+    // the two-pass recipe multiplies the unit count (~tokens/paraTokens) —
+    // a cartesian anywhere would be quadratically worse than at doc
+    // granularity, so the no-all-pairs pin matters MORE here
+    val plan = physicalPlan("dedup_paragraph")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("incremental IVF probe joins cell-bounded: index side hash-joins the broadcast probe set") {
+    // the O(delta·k + cell-bounded probe) claim in plan form: the scoring
+    // join must key on cent_id (cell-bounded candidates), and the corpus
+    // side must never cartesian against the new batch
+    val plan = physicalPlan("sim_ivf_incremental")
+    val keys = "BroadcastHashJoin \\[(\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.contains("cent_id"), s"no cell-keyed broadcast join in $keys:\n" +
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("language classifiers broadcast HASHED feature tables, never a vocabulary-sized side") {
     // the r9 verdict's last two mandatory-broadcast hazards: both supervised
     // language classifiers must key their scoring join on the hashed bucket
