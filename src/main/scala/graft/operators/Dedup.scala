@@ -228,13 +228,93 @@ object MinHashLSH {
         (ratio >= dropRatioMicro).as("drop_doc"))
   }
 
+  /** Paragraph-granularity signature rows — the index-build step of the
+    * incremental paragraph gate, and exactly what [[writeSigIndex]]
+    * persists for it (id = pid, so the doc-level index machinery and its
+    * parameter guard apply unchanged at paragraph granularity).
+    */
+  def paragraphSigs(df: DataFrame, idCol: String, textCol: String,
+                    paraTokens: Int, shingleN: Int, numPerm: Int): DataFrame =
+    signaturesFromShingles(
+      shingled(paragraphs(df, idCol, textCol, paraTokens), "pid", "ptext",
+        shingleN), numPerm)
+
+  /** Ingest-time paragraph gate — [[paragraphDedup]]'s incremental twin:
+    * the NEW batch's paragraph units are checked against the EXISTING
+    * corpus's paragraph signatures through [[incrementalCandidates]], then
+    * rolled up to per-NEW-doc drop decisions under the same keep-first
+    * convention. This form recomputes the corpus signatures from its text
+    * (self-contained, what the registered query exercises); a real daily
+    * ingest calls [[paragraphDedupFromIndex]] with [[readSigIndex]] rows so
+    * the corpus text is never re-read — O(delta + index) per ingest, the
+    * property that makes a daily paragraph-dedup gate feasible at 100 TB
+    * (the disk-index path == this path is OperatorSpec-pinned).
+    *
+    * Output equals the full two-pass restricted to the new docs: for pairs
+    * touching a new paragraph the banded candidate set is identical either
+    * way (the doc-granularity equivalence OperatorSpec pins), the dup mark
+    * lands on the LATER doc in both, and index×index pairs never reach a
+    * new doc's rollup — so the oracle is the full twin with a final-row
+    * filter.
+    */
+  def paragraphDedupIncremental(newDocs: DataFrame, corpusDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                paraTokens: Int, shingleN: Int, numPerm: Int,
+                                numBands: Int, minMatching: Int,
+                                dropRatioMicro: Long): DataFrame =
+    paragraphDedupFromIndex(newDocs,
+      paragraphSigs(corpusDocs, idCol, textCol, paraTokens, shingleN, numPerm),
+      idCol, textCol, paraTokens, shingleN, numPerm, numBands, minMatching,
+      dropRatioMicro)
+
+  /** The probe form of the incremental paragraph gate: `indexSigs` is the
+    * persisted paragraph signature index ([[paragraphSigs]] rows via
+    * [[writeSigIndex]]/[[readSigIndex]] — parameter guard included), and
+    * only the delta tokenizes/shingles/signs. Per ingest the cost is
+    * O(delta + index); the corpus TEXT is never re-read.
+    */
+  def paragraphDedupFromIndex(newDocs: DataFrame, indexSigs: DataFrame,
+                              idCol: String, textCol: String,
+                              paraTokens: Int, shingleN: Int, numPerm: Int,
+                              numBands: Int, minMatching: Int,
+                              dropRatioMicro: Long): DataFrame = {
+    val parasNew = paragraphs(newDocs, idCol, textCol, paraTokens).persist()
+    val sigsNew = signaturesFromShingles(
+      shingled(parasNew, "pid", "ptext", shingleN), numPerm)
+    val cand = incrementalCandidates(sigsNew, indexSigs, numPerm, numBands)
+    val dupNew = cand.filter(col("n_matching") >= minMatching &&
+        expr(s"doc_a div $ParaStride") =!= expr(s"doc_b div $ParaStride"))
+      .select(col("doc_b").as("pid")).distinct()
+      // only NEW docs' paragraphs roll up (doc_b of a cross pair is the
+      // LATER doc and may sit on the index side)
+      .join(parasNew.select(col("pid")), Seq("pid"), "left_semi")
+    val perDoc = parasNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    val dupDoc = dupNew.select(expr(s"pid div $ParaStride").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val ratio = expr("(1000000 * coalesce(n_dup, 0L)) div n_paras")
+    perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
+        ratio.as("dup_ratio_micro"),
+        (ratio >= dropRatioMicro).as("drop_doc"))
+  }
+
   /** DuckDB twin of [[paragraphDedup]] — same positional paragraphs, same
     * signature/banding chain, same keep-first doc rollup.
+    *
+    * `docPredSql` filters the FINAL per-doc rows only (e.g. the new-batch
+    * predicate of the incremental twin) — dup detection always sees the
+    * whole corpus, which is exactly why the incremental Spark path can
+    * share this oracle: for pairs touching a new paragraph the banded
+    * candidate set is identical whether generated incrementally or
+    * full-corpus (the doc-granularity equivalence OperatorSpec pins), and
+    * index×index pairs never contribute to a new doc's rollup.
     */
   def duckParagraphDedup(table: String, idCol: String, textCol: String,
                          paraTokens: Int, shingleN: Int, numPerm: Int,
                          numBands: Int, minMatching: Int,
-                         dropRatioMicro: Long): String = {
+                         dropRatioMicro: Long,
+                         docPredSql: String = "TRUE"): String = {
     require(numPerm % numBands == 0,
       s"numPerm=$numPerm must be divisible by numBands=$numBands or trailing signature positions silently drop from banding")
     val rowsPerBand = numPerm / numBands
@@ -263,7 +343,8 @@ object MinHashLSH {
               CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_paras,
               CAST((1000000 * coalesce(d.n_dup, 0)) // p.n_paras AS BIGINT) AS dup_ratio_micro,
               (1000000 * coalesce(d.n_dup, 0)) // p.n_paras >= $dropRatioMicro AS drop_doc
-       FROM perdoc p LEFT JOIN dupdoc d USING (doc_id) ORDER BY doc_id"""
+       FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
+       WHERE ($docPredSql) ORDER BY doc_id"""
   }
 
   private def candidatePairsFromSigs(sigsIn: DataFrame, numPerm: Int, numBands: Int): DataFrame = {

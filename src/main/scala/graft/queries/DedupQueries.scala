@@ -780,6 +780,27 @@ object DedupQueries {
         "documents", "doc_id", "text", ParaTokens, ShingleN, NumPerm,
         NumBands, ParaMinMatching, ParaDropRatioMicro))),
 
+    // ingest-time paragraph gate: the new batch's paragraphs (doc_id % 10 =
+    // 9) checked against the existing corpus's paragraph signature index —
+    // O(delta + index) per ingest, never a full-corpus re-pass; output
+    // equals the full two-pass restricted to the new docs (the oracle IS
+    // the full twin with a final-row filter — candidate-set equivalence
+    // for delta-touching pairs is the property OperatorSpec pins)
+    "dedup_paragraph_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val isNew = col("doc_id") % 10 === 9
+        MinHashLSH.paragraphDedupIncremental(
+          docs.filter(isNew), docs.filter(!isNew), "doc_id", "text",
+          ParaTokens, ShingleN, NumPerm, NumBands,
+          ParaMinMatching, ParaDropRatioMicro)
+          .orderBy("doc_id")
+      },
+      oracle = Some(MinHashLSH.duckParagraphDedup(
+        "documents", "doc_id", "text", ParaTokens, ShingleN, NumPerm,
+        NumBands, ParaMinMatching, ParaDropRatioMicro,
+        docPredSql = "doc_id % 10 = 9"))),
+
     // recall curve for dedup_embcos's LSH degrade path: a pair survives the
     // degraded candidate generation iff its two sign-buckets differ by <=
     // probe-radius bits (popcount of the bucket XOR — no join needed to

@@ -497,6 +497,58 @@ object Sf1Probe {
         unix_micros(col("ts")).as("ts_us"))) }
     timed("k_anon 10x") { kAnon(events10) }
 
+    // -- paragraph ingest gate (dedup_paragraph_incremental probe shape) ----
+    // index build and probe timed SEPARATELY: the paragraph signature index
+    // amortizes across daily ingests (built once, served from parquet), so
+    // the recurring 100 TB cost is the probe — delta paragraphs shingled +
+    // banded against index rows, corpus text never re-read. The delta stays
+    // 1/10 of each staging, so probe growth tracks index size, the term a
+    // daily gate cannot amortize away.
+    val newPred = col("doc_id") % 10 === 9
+    def paraIdx(tag: String, d: DataFrame): DataFrame = staged(s"parasig_$tag") {
+      MinHashLSH.paragraphSigs(d.filter(!newPred), "doc_id", "text",
+        paraTokens = 10, shingleN = 3, numPerm = 16)
+    }
+    def paraProbe(d: DataFrame, idx: DataFrame): Long =
+      MinHashLSH.paragraphDedupFromIndex(d.filter(newPred), idx,
+        "doc_id", "text", paraTokens = 10, shingleN = 3, numPerm = 16,
+        numBands = 4, minMatching = 12, dropRatioMicro = 600000L).count()
+    timed("para_index_build 1x") { paraIdx("1x", fixture("documents")).count() }
+    timed("para_index_build 10x") { paraIdx(s"x$mult", docs10).count() }
+    timed("paragraph_gate 1x") {
+      paraProbe(fixture("documents"), paraIdx("1x", fixture("documents"))) }
+    timed("paragraph_gate 10x") { paraProbe(docs10, paraIdx(s"x$mult", docs10)) }
+
+    // -- incremental IVF probe (sim_ivf_incremental shape) ------------------
+    // same amortization split: k-means training + corpus cell assignment
+    // persist once (the writeIvfIndex workflow); the recurring cost is the
+    // new batch's O(delta·k) centroid ranking + cell-bounded rerank. Delta
+    // is 1/10 of each staging, cells grow 10× in occupancy, not in count.
+    def ivfStage(tag: String, e: DataFrame): (DataFrame, DataFrame) = {
+      val centPath = s"$work/ivfcent_$tag.parquet"
+      val idxPath = s"$work/ivfidx_$tag.parquet"
+      if (!new java.io.File(centPath).exists()) {
+        val corpus = e.filter(col("vec_id") % 10 =!= 9)
+        graft.operators.KMeans.train(corpus, k = 8, iters = 2)
+          .write.mode("overwrite").parquet(centPath)
+        Similarity.assignRanked(corpus, spark.read.parquet(centPath))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      (spark.read.parquet(idxPath), spark.read.parquet(centPath))
+    }
+    def ivfProbe(e: DataFrame, tag: String): Long = {
+      val (idx, cent) = ivfStage(tag, e)
+      Similarity.ivfIncrementalTopK(e.filter(col("vec_id") % 10 === 9),
+        idx, cent, k = 10, nprobe = 2).count()
+    }
+    if (enabled("ivf_incremental")) { // build both indexes untimed
+      ivfStage("1x", fixture("embeddings")); ivfStage(s"x$mult", emb10)
+    }
+    timed("ivf_incremental 1x") { ivfProbe(fixture("embeddings"), "1x") }
+    timed("ivf_incremental 10x") { ivfProbe(emb10, s"x$mult") }
+
     spark.stop()
   }
 }
