@@ -365,16 +365,18 @@ object Curate {
 
     // optional DSIR selection (the corpus_dsir operators as a gate): score
     // survivors by hashed-bigram target-vs-raw likelihood with the given
-    // language as the target domain, keep the top N% (global rank at CLI
-    // scale; the quantile-threshold form is the no-global-sort variant)
+    // language as the target domain, keep the top N% by exact distributed
+    // rank (range-partitioned + offset, never a single-partition window)
     val dsirKept = (cfg.dsirTargetLang, cfg.dsirKeepPct) match {
       case (Some(lang0), Some(pct)) =>
-        import org.apache.spark.sql.expressions.Window
         val w = graft.operators.Selection.dsirWeights(
           piiGated, "doc_id", "text", col("lang") === lang0, 1024)
-        val ranked = w.withColumn("rnk", row_number().over(
-          Window.orderBy(col("dsir_micro").desc, col("doc_id").asc)))
-        val n = w.count()
+        // distributed exact rank, never a single-partition global window
+        // (Ranks scaladoc) — the curate binary sees full-corpus inputs
+        val ranked = graft.operators.Ranks.globalRank(
+          w, Seq(col("dsir_micro").desc, col("doc_id").asc), "rnk")
+        // ranked is cached + row-preserving: a cache read, not a re-score
+        val n = ranked.count()
         val keep = ranked.filter(col("rnk") * 100L <= n * pct).select("doc_id")
         val out = piiGated.join(keep, Seq("doc_id"), "left_semi").persist()
         out.count()

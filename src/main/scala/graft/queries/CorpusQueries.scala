@@ -430,10 +430,13 @@ object CorpusQueries {
         // --dsir-target-lang/--dsir-keep-pct curate stage)
         val wdf = graft.operators.Selection.dsirWeights(
           xentKept, "doc_id", "text", col("lang") === "en", 1024)
-        val ranked = wdf.withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("dsir_micro").desc, col("doc_id").asc)))
-        val nW = wdf.count()
+        // distributed exact rank — the oracle's global `row_number()` form
+        // would single-partition the whole weight table (Ranks scaladoc)
+        val ranked = graft.operators.Ranks.globalRank(
+          wdf, Seq(col("dsir_micro").desc, col("doc_id").asc), "rnk")
+        // ranked is cached + row-preserving, so this count is a cache read,
+        // not a second DSIR pass
+        val nW = ranked.count()
         val dsir = xentKept.join(
           ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
           Seq("doc_id"), "left_semi")
@@ -846,14 +849,15 @@ object CorpusQueries {
     // extra scan, no single-reducer order-by)
     "corpus_dsir_select" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import org.apache.spark.sql.expressions.Window
         val w = graft.operators.Selection.dsirWeights(
           Readers.fixture(spark, sfDir, "documents"),
           "doc_id", "text", col("lang") === "en", DsirBuckets,
           carryCols = Seq("lang"))
           .filter(col("lang") =!= "en")
-        val ranked = w.withColumn("rnk", row_number().over(
-          Window.orderBy(col("dsir_micro").desc, col("doc_id").asc)))
+        // distributed exact rank — the oracle's global `row_number()` form
+        // would single-partition the whole weight table (Ranks scaladoc)
+        val ranked = graft.operators.Ranks.globalRank(
+          w, Seq(col("dsir_micro").desc, col("doc_id").asc), "rnk")
         val n = ranked.agg(count(lit(1)).as("n"))
         ranked.crossJoin(broadcast(n))
           .withColumn("kept", (col("rnk") * 4L <= col("n")).cast("long"))

@@ -964,6 +964,80 @@ class OperatorSpec extends SparkSpec {
       s"incremental=${got.size} pairs, full-minus-existing=${want.size}")
   }
 
+  test("incremental paragraph dedup equals the full two-pass restricted to new docs") {
+    // the identity dedup_paragraph_incremental's oracle leans on: paragraph
+    // dup detection over delta+index candidates, rolled up per NEW doc, must
+    // equal the full-corpus two-pass filtered to the new batch — same
+    // counts, same ratio, same drop verdict
+    val isNew = col("doc_id") % 10 === 9
+    val inc = MinHashLSH.paragraphDedupIncremental(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text",
+      paraTokens = 10, shingleN = 3, numPerm = 16, numBands = 4,
+      minMatching = 12, dropRatioMicro = 600000L)
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_ratio_micro", "drop_doc")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    val full = MinHashLSH.paragraphDedup(docs, "doc_id", "text",
+      paraTokens = 10, shingleN = 3, numPerm = 16, numBands = 4,
+      minMatching = 12, dropRatioMicro = 600000L)
+      .filter(isNew)
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_ratio_micro", "drop_doc")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(inc == full && inc.nonEmpty,
+      s"incremental=${inc.size} docs, full-restricted=${full.size}")
+    assert(inc.exists(_._3 > 0), "fixture's new batch has planted paragraph dups")
+  }
+
+  test("paragraph gate from a persisted signature index equals the recompute path") {
+    // the O(delta + index) claim, executed: persist the corpus's paragraph
+    // signatures once, then an ingest that reads ONLY the index (corpus
+    // text never re-read) must produce the recompute form's exact output —
+    // and the sig-index parameter guard must hold at paragraph granularity
+    val isNew = col("doc_id") % 10 === 9
+    val sample = docs.filter(col("doc_id") < 200)
+    val idxSigs = MinHashLSH.paragraphSigs(
+      sample.filter(!isNew), "doc_id", "text", paraTokens = 10,
+      shingleN = 3, numPerm = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-parasig")
+      .resolve("idx").toString
+    MinHashLSH.writeSigIndex(idxSigs, numPerm = 16, numBands = 4,
+      shingleN = 3, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_ratio_micro", "drop_doc")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    val viaDisk = rows(MinHashLSH.paragraphDedupFromIndex(
+      sample.filter(isNew), MinHashLSH.readSigIndex(spark, path, 16, 4, 3),
+      "doc_id", "text", 10, 3, 16, 4, 12, 600000L))
+    val viaRecompute = rows(MinHashLSH.paragraphDedupIncremental(
+      sample.filter(isNew), sample.filter(!isNew),
+      "doc_id", "text", 10, 3, 16, 4, 12, 600000L))
+    assert(viaDisk == viaRecompute && viaDisk.nonEmpty)
+    intercept[IllegalArgumentException] {
+      MinHashLSH.readSigIndex(spark, path, 32, 4, 3)
+    }
+  }
+
+  test("distributed globalRank is bit-identical to the single-partition global window") {
+    // the DSIR-selection rank rewrite: range-partition + per-partition
+    // window + broadcast offsets must reproduce the global `row_number()`
+    // exactly under a total order, at any partition count (1 included)
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("n_chars"))
+    val viaWindow = scored.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toSeq.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val ranked = Ranks.globalRank(
+        scored, Seq(col("n_chars").desc, col("doc_id").asc), "rnk", parts)
+      val viaRanks = ranked
+        .select("doc_id", "rnk").as[(Long, Long)].collect().toSeq.sorted
+      // release the result cache: a lingering persisted rank frame would be
+      // cache-substituted into other suites' identical plans (PlanSpec's
+      // Window-node pin saw exactly that)
+      ranked.unpersist(blocking = false)
+      assert(viaRanks == viaWindow, s"parts=$parts")
+    }
+  }
+
   test("signature index round-trips; a parameter mismatch fails loudly, not silently") {
     val sigs = MinHashLSH.signaturesFromShingles(
       MinHashLSH.shingled(docs.limit(50), "doc_id", "text", 3), 16)

@@ -550,6 +550,38 @@ class PlanSpec extends SparkSpec {
       plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("incremental paragraph gate stays banded — no all-pairs at ingest either") {
+    // the ingest twin multiplies unit count the same way AND runs daily —
+    // a cartesian here would be a recurring cost, not a one-off
+    val plan = physicalPlan("dedup_paragraph_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("globalRank plans only partition-local windows — no single-partition sort") {
+    // the scale property of the DSIR-selection rank rewrite, asserted on
+    // the plan: every Window node must carry a partition spec (an empty
+    // one means Spark funnels the whole table through one task)
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    val scored = Readers.fixture(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    // ascending order + 16 partitions: deliberately DISTINCT from the
+    // OperatorSpec equality fixture so no cached rank frame from another
+    // suite can be cache-substituted over this plan (which would swallow
+    // the Window node this test inspects)
+    val (lazyOut, ranged) = graft.operators.Ranks.globalRankLazy(
+      scored, Seq(col("n_chars").asc, col("doc_id").asc), "rnk", 16)
+    try {
+      val wins = lazyOut.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, "rank frame lost its Window node")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "a Window node has no partition spec — single-partition global sort")
+    } finally ranged.unpersist(blocking = false)
+  }
+
   test("incremental IVF probe joins cell-bounded: index side hash-joins the broadcast probe set") {
     // the O(delta·k + cell-bounded probe) claim in plan form: the scoring
     // join must key on cent_id (cell-bounded candidates), and the corpus
