@@ -45,7 +45,17 @@ object Ranks {
 
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String,
                  partitions: Int = 32): DataFrame = {
-    val (lazyOut, ranged) = globalRankLazy(df, order, rankCol, partitions)
+    // localCheckpoint, not persist: ranking is many small jobs (sampling,
+    // shuffle, per-partition counts, the rank itself), and EVERY job pays
+    // driver-side analysis + cache-lookup canonicalization over the
+    // input's full logical plan. Fed by a deep pipeline (corpus_waterfall:
+    // LSH + LM + DSIR lineage) that planning cost dominated execution 5:1
+    // — measured 13 s for a count over a fully-cached 6 MB frame.
+    // Truncating the lineage here makes every rank job plan O(rank), and
+    // also stops repartitionByRange's sampling pass from re-evaluating the
+    // upstream pipeline. Same device as Graph's per-iteration cap.
+    val in = df.localCheckpoint()
+    val (lazyOut, ranged) = globalRankLazy(in, order, rankCol, partitions)
     val out = lazyOut.persist()
     out.count()
     ranged.unpersist(blocking = false)
