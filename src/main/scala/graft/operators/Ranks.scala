@@ -62,6 +62,23 @@ object Ranks {
     out
   }
 
+  /** SQL `ntile(k)` recovered from an exact global rank: the first
+    * N mod k buckets hold N div k + 1 rows, the rest N div k — the same
+    * arithmetic the window function applies on both engines, so the
+    * recovered buckets match a DuckDB `ntile` oracle row-for-row
+    * (including the N < k degenerate case, where every row is its own
+    * bucket). Pair with [[globalRank]] to replace
+    * `ntile(k) OVER (ORDER BY …)` — same answer, no single-partition
+    * window.
+    */
+  def ntileFromRank(rankCol: String, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val big = (q + 1) * rem // rows covered by the one-larger buckets
+    expr(s"IF($rankCol <= ${big}L, ($rankCol - 1) div ${q + 1}L, " +
+      s"${rem}L + ($rankCol - 1 - ${big}L) div ${math.max(q, 1)}L) + 1")
+  }
+
   /** The unpersisted rank frame plus the internally-persisted range stage —
     * exposed so PlanSpec can assert every Window node is partition-local
     * (the lazy form is NOT safe to hand out: a second evaluation of the

@@ -932,9 +932,12 @@ object AnalyticsQueries {
         val spend = o.groupBy(col("o_custkey"))
           .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
             .as("cents"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("cents").desc, col("o_custkey").asc)
-        spend.withColumn("tier", ntile(5).over(w))
+        // distributed exact ntile(5) from global rank — never a
+        // single-partition window over the |customers| table (Ranks)
+        val ranked = graft.operators.Ranks.globalRank(
+          spend, Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+        val nC = ranked.count()
+        ranked.withColumn("tier", graft.operators.Ranks.ntileFromRank("rnk", nC, 5))
           .agg(count(lit(1)).as("n_customers"),
             sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_top"),
             sum(col("cents")).as("total_cents"),
@@ -1074,9 +1077,11 @@ object AnalyticsQueries {
         val spend = o.groupBy(col("o_custkey"))
           .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
             .as("cents"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("cents").desc, col("o_custkey").asc)
-        spend.withColumn("tier", ntile(4).over(w).cast("long"))
+        // distributed exact ntile(4) from global rank (Ranks scaladoc)
+        val ranked = graft.operators.Ranks.globalRank(
+          spend, Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+        val nC = ranked.count()
+        ranked.withColumn("tier", graft.operators.Ranks.ntileFromRank("rnk", nC, 4))
           .groupBy("tier")
           .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
             min(col("cents")).as("tier_floor_cents"))

@@ -901,9 +901,13 @@ object EventQueries {
       fn = (spark, sfDir) => {
         val perUser = Readers.fixture(spark, sfDir, "events")
           .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("user_id").asc)
-        perUser.withColumn("pct", ntile(100).over(w))
+        // distributed exact ntile from rank (the |users| table must never
+        // single-partition — Ranks scaladoc): SQL ntile gives the first
+        // N mod k buckets N div k + 1 rows, the rest N div k
+        val ranked = graft.operators.Ranks.globalRank(
+          perUser, Seq(col("n").desc, col("user_id").asc), "rnk")
+        val nU = ranked.count()
+        ranked.withColumn("pct", graft.operators.Ranks.ntileFromRank("rnk", nU, 100))
           .agg(count(lit(1)).as("n_users"),
             sum(col("n")).as("n_events"),
             sum(when(col("pct") === 1, col("n")).otherwise(0L)).as("top1_events"))

@@ -1038,6 +1038,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("globalRank + ntileFromRank equals the ntile window, awkward N mod k included") {
+    // the bucket-size convention is the trap: SQL ntile gives the first
+    // N mod k buckets one extra row; a naive (rank-1)·k div N formula
+    // produces (3,2,3,2) where ntile(4) over 10 rows gives (3,3,2,2)
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("n_chars")).limit(103)
+    val n = scored.count()
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val ranked = Ranks.globalRank(scored, order, "rnk", 7)
+    for (k <- Seq(4, 5, 7, 100, 200)) {
+      val viaRank = ranked
+        .withColumn("b", Ranks.ntileFromRank("rnk", n, k))
+        .select("doc_id", "b").as[(Long, Long)].collect().toSeq.sorted
+      val viaWindow = scored
+        .withColumn("b", ntile(k).over(Window.orderBy(order: _*)).cast("long"))
+        .select("doc_id", "b").as[(Long, Long)].collect().toSeq.sorted
+      assert(viaRank == viaWindow, s"k=$k")
+    }
+    ranked.unpersist(blocking = false)
+  }
+
   test("signature index round-trips; a parameter mismatch fails loudly, not silently") {
     val sigs = MinHashLSH.signaturesFromShingles(
       MinHashLSH.shingled(docs.limit(50), "doc_id", "text", 3), 16)
