@@ -605,4 +605,46 @@ object Corpus {
         .select(idCol).distinct()
     } finally evalShingles.unpersist(blocking = false)
   }
+
+  /** Fractional n-gram overlap contamination — the published large-model
+    * decontamination rule ("a training document is contaminated when at
+    * least X% of its n-grams also occur in the eval suite", the
+    * threshold-fraction form used by PaLM/FLAN-style dedup rather than
+    * GPT-3's any-collision form): per TRAIN document, the fraction of its
+    * DISTINCT `shingleN`-grams found in the eval suite's shingle set, in
+    * integer micro-units for cross-engine exactness. [[contaminatedIds]]
+    * is the any-collision special case (n_hit > 0).
+    *
+    * Shape: the same broadcast eval shingle set as [[contaminatedIds]];
+    * the per-doc fraction needs COUNTS, so the semi-join becomes a
+    * broadcast left join + map-side-combinable (count, sum) pair — still
+    * one corpus scan, one narrow shuffle on doc_id. A bloom prefilter
+    * cannot shortcut the exact n_hit (false positives would inflate the
+    * numerator) without [[contaminatedIdsBloom]]'s exact phase-3 recheck,
+    * which composes here unchanged if the suite outgrows a broadcast.
+    * Documents too short to have any shingle report (0, 0, 0, clean).
+    */
+  def contaminationFraction(train: org.apache.spark.sql.DataFrame,
+                            eval: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int): org.apache.spark.sql.DataFrame = {
+    import TextAnalysis.{shinglesFromTokens, tokens}
+    val evalShingles = eval
+      .withColumn("tk", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    graft.core.Readers.spread(train, col(idCol))
+      .withColumn("tk", tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode_outer(array_distinct(shinglesFromTokens(col("tk"), shingleN)))
+          .as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(col("shingle")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        expr("CASE WHEN n_shingles = 0 THEN 0L ELSE n_hit * 1000000 div n_shingles END")
+          .as("overlap_micro"))
+  }
 }

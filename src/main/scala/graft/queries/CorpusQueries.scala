@@ -29,6 +29,9 @@ object CorpusQueries {
   /** Domain-mix weights + token budget for `corpus_mix`. */
   private val MixWeights = Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1)
   private val MixBudget = 2000L
+  // fractional decontamination threshold: >= 25% of a doc's distinct
+  // 3-grams in the eval suite marks it contaminated (micro-units)
+  private val DeconFracMicro = 250000L
 
   /** DSIR hashed-feature space size (power of two, kilobyte-scale table). */
   private val DsirBuckets = 1024
@@ -318,6 +321,46 @@ object CorpusQueries {
            SELECT doc_id, lang FROM documents
            WHERE doc_id % 100 <> 7 AND doc_id NOT IN (SELECT id FROM contaminated)
            ORDER BY doc_id"""
+      }),
+
+    // fractional-overlap decontamination (the PaLM/FLAN-style published
+    // rule: contaminated when >= 25% of a doc's distinct 3-grams occur in
+    // the eval suite) — per-doc overlap evidence rather than the binary
+    // any-collision flag, so the reviewer sees HOW contaminated each doc
+    // is and the threshold is a tunable, not a code change
+    "corpus_decontaminate_frac" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val isEval = col("doc_id") % 100 === 7
+        Corpus.contaminationFraction(
+          docs.filter(!isEval), docs.filter(isEval), "doc_id", "text",
+          shingleN = 3)
+          .withColumn("contaminated", col("overlap_micro") >= DeconFracMicro)
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckShinglesExpr, duckTokens}
+        s"""WITH toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM documents),
+           shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
+           eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
+           train_sh AS (SELECT DISTINCT id, unnest(sh) AS shingle FROM shs
+                        WHERE id % 100 <> 7),
+           agg AS (SELECT id,
+                          CAST(count(shingle) AS BIGINT) AS n_shingles,
+                          CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM eval_sh)
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                   FROM train_sh GROUP BY id)
+           SELECT d.doc_id,
+                  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+                  CAST(CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0
+                            ELSE coalesce(a.n_hit, 0) * 1000000 // a.n_shingles
+                       END AS BIGINT) AS overlap_micro,
+                  CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN FALSE
+                       ELSE coalesce(a.n_hit, 0) * 1000000 // a.n_shingles >= $DeconFracMicro
+                  END AS contaminated
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+           WHERE d.doc_id % 100 <> 7 ORDER BY d.doc_id"""
       }),
 
     // GPT-style sequence packing: concat documents in id order within each

@@ -157,6 +157,25 @@ class CorpusSpec extends SparkSpec {
     assert(dupTrainIds.intersect(out).isEmpty, "exact duplicates of eval docs must be dropped")
   }
 
+  test("fractional contamination: n_hit > 0 membership equals the any-collision flag") {
+    // contaminatedIds is the threshold→0 special case of the fractional
+    // rule; if the memberships ever diverge, one of the two is wrong
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 100 === 7
+    val frac = Corpus.contaminationFraction(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
+    val viaFrac = frac.filter(col("n_hit") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAny = Corpus.contaminatedIds(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", shingleN = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaFrac == viaAny && viaFrac.nonEmpty)
+    // every train doc reports a row, shingle-less ones as (0, 0, clean)
+    assert(frac.count() == docs.filter(!isEval).count())
+    // the fraction is a fraction: hits can never exceed the denominator
+    assert(frac.filter(col("n_hit") > col("n_shingles")).count() == 0)
+  }
+
   test("bloom-prefiltered decontamination equals the exact variant, and probes before joining") {
     val docs = Readers.fixture(spark, sfDir, "documents")
     val isEval = col("doc_id") % 100 === 7
