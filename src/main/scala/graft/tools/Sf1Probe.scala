@@ -549,6 +549,33 @@ object Sf1Probe {
     timed("ivf_incremental 1x") { ivfProbe(fixture("embeddings"), "1x") }
     timed("ivf_incremental 10x") { ivfProbe(emb10, s"x$mult") }
 
+    // -- distributed global rank (Ranks.globalRank vs the global window) ----
+    // the scale claim in wall-clock form: the partition-less window funnels
+    // every row through ONE task, so its cost grows with the full table on
+    // a single thread; the range+offset rank keeps both shuffles parallel.
+    // Ranked table: every event row (the frame that grows with the corpus
+    // — the DSIR top-slice / recency-rank shape — unlike a per-user rollup
+    // whose size is bounded by the user population).
+    def rankInput(ev: DataFrame): DataFrame =
+      ev.select(col("event_id"), col("user_id"))
+    def viaWindow(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      rankInput(ev).withColumn("rnk", row_number().over(
+          Window.orderBy(col("event_id").desc, col("user_id").asc)))
+        .agg(max(col("rnk")).cast("long")).head().getLong(0)
+    }
+    def viaRanks(ev: DataFrame): Long = {
+      val r = graft.operators.Ranks.globalRank(
+        rankInput(ev), Seq(col("event_id").desc, col("user_id").asc), "rnk")
+      val n = r.count()
+      r.unpersist(blocking = false)
+      n
+    }
+    timed("rank_window 1x") { viaWindow(fixture("events")) }
+    timed("rank_window 10x") { viaWindow(events10) }
+    timed("rank_distributed 1x") { viaRanks(fixture("events")) }
+    timed("rank_distributed 10x") { viaRanks(events10) }
+
     spark.stop()
   }
 }
