@@ -59,6 +59,15 @@ object Curate {
       |      --dsir-keep-pct int          keep the top N% by DSIR weight
       |                                   (default off; requires
       |                                   --dsir-target-lang)
+      |      --lr-target-lang str         with --min-lr-sigma-micro: train the
+      |                                   logistic-regression filter on the
+      |                                   surviving corpus with this language
+      |                                   as the positive class
+      |      --min-lr-sigma-micro int     drop documents whose trained-filter
+      |                                   posterior (micro, 0..1000000) falls
+      |                                   below this — the fastText-style
+      |                                   classifier gate (default off;
+      |                                   requires --lr-target-lang)
       |      --per-source-quality         replace the global threshold with each
       |                                   source's own bottom-quartile cut
       |      --mix-temperature int        after sampling, temperature-mix sources
@@ -100,6 +109,8 @@ object Curate {
       maxPiiPerMillion: Option[Long] = None,
       dsirTargetLang: Option[String] = None,
       dsirKeepPct: Option[Int] = None,
+      lrTargetLang: Option[String] = None,
+      minLrSigmaMicro: Option[Long] = None,
       sampleWeighted: Option[Int] = None,
       trainPct: Int = 90, valPct: Int = 5, shards: Int = 4,
       chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
@@ -164,6 +175,11 @@ object Curate {
             case "--dsir-keep-pct" =>
               num(flag, value, (_: String).toIntOption)(n =>
                 acc.copy(dsirKeepPct = Some(n))).flatMap(loop(tail, _, positional))
+            case "--lr-target-lang" =>
+              loop(tail, acc.copy(lrTargetLang = Some(value)), positional)
+            case "--min-lr-sigma-micro" =>
+              num(flag, value, (_: String).toLongOption)(n =>
+                acc.copy(minLrSigmaMicro = Some(n))).flatMap(loop(tail, _, positional))
             case "--train-pct" =>
               num(flag, value, (_: String).toIntOption)(n => acc.copy(trainPct = n))
                 .flatMap(loop(tail, _, positional))
@@ -218,6 +234,10 @@ object Curate {
         Left(s"--dsir-keep-pct must be in [1, 100], got ${c.dsirKeepPct.get}")
       else if (c.dsirKeepPct.isDefined != c.dsirTargetLang.isDefined)
         Left("--dsir-keep-pct and --dsir-target-lang go together")
+      else if (c.minLrSigmaMicro.exists(m => m < 0 || m > 1000000))
+        Left(s"--min-lr-sigma-micro must be in [0, 1000000], got ${c.minLrSigmaMicro.get}")
+      else if (c.minLrSigmaMicro.isDefined != c.lrTargetLang.isDefined)
+        Left("--min-lr-sigma-micro and --lr-target-lang go together")
       else if (c.chunkStride.isDefined && c.chunkTokens.isEmpty)
         Left("--chunk-stride requires --chunk-tokens")
       else if (c.chunkStride.exists(s => s < 1 || s > c.chunkTokens.get))
@@ -384,13 +404,36 @@ object Curate {
       case _ => piiGated
     }
 
+    // optional trained-classifier gate (the text_lr operators as a filter):
+    // train the logistic-regression filter ON the survivors (hashed
+    // presence features, NB init, integer-GD fine-tune — LogReg scaladoc),
+    // then drop documents whose posterior falls below the cap. The
+    // fastText-style "does this look like the target domain" screen,
+    // discriminative where the DSIR gate above is generative
+    val lrGated = (cfg.lrTargetLang, cfg.minLrSigmaMicro) match {
+      case (Some(lang0), Some(minSigma)) =>
+        import graft.operators.LogReg
+        import graft.queries.TextQueries.{LrBuckets, LrSteps, LrNum, LrDen}
+        val nDocs = dsirKept.count()
+        val x = LogReg.features(dsirKept, "doc_id", "text",
+          col("lang") === lang0, LrBuckets).localCheckpoint()
+        val w = LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
+          LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
+        val keep = LogReg.score(spark, x, w)
+          .filter(col("sigma") >= minSigma).select("doc_id")
+        val out = dsirKept.join(keep, Seq("doc_id"), "left_semi").persist()
+        out.count()
+        out
+      case _ => dsirKept
+    }
+
     // optional quality-weighted downsample (Duffield–Lund–Thorup priority
     // sample — the corpus_sample_weighted operator): keep-probability scales
     // with the shared quality score, so the budget cut preserves the mix
     // instead of top-k cherry-picking; deterministic across runs
-    val sampled0 = cfg.sampleWeighted.fold(dsirKept) { k =>
+    val sampled0 = cfg.sampleWeighted.fold(lrGated) { k =>
       Corpus.prioritySample(
-          dsirKept.withColumn("q",
+          lrGated.withColumn("q",
             TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")))),
           "doc_id", expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k)
         .drop("q", "w", "priority").persist()
@@ -410,7 +453,8 @@ object Curate {
     // them straddle train/val/test would leak evaluation data into training
     val qualityKept =
       if (cfg.sampleWeighted.isDefined || cfg.mixTemperature.isDefined
-        || cfg.maxXentMicro.isDefined || cfg.dsirKeepPct.isDefined) sampled.count()
+        || cfg.maxXentMicro.isDefined || cfg.dsirKeepPct.isDefined
+        || cfg.minLrSigmaMicro.isDefined) sampled.count()
       else qualityCount
     val split = sampled.withColumn("split",
       Corpus.splitAssign(col("doc_id"), cfg.trainPct, cfg.valPct))
@@ -463,6 +507,7 @@ object Curate {
       "xent_gated" -> xentGated.count(),
       "pii_gated" -> piiGated.count(),
       "dsir_selected" -> dsirKept.count(),
+      "lr_gated" -> lrGated.count(),
       "quality_kept" -> qualityKept,
       "written_units" -> (if (qualityKept == 0) 0L else units.count()),
       "written" -> written)
@@ -472,7 +517,8 @@ object Curate {
       (if (xentGated ne quality) Seq(xentGated) else Nil) ++
       (if (piiGated ne xentGated) Seq(piiGated) else Nil) ++
       (if (dsirKept ne piiGated) Seq(dsirKept) else Nil) ++
-      (if (sampled0 ne dsirKept) Seq(sampled0) else Nil) ++
+      (if (lrGated ne dsirKept) Seq(lrGated) else Nil) ++
+      (if (sampled0 ne lrGated) Seq(sampled0) else Nil) ++
       (if (sampled ne sampled0) Seq(sampled) else Nil) ++
       (if (units ne split) Seq(units) else Nil)).foreach(_.unpersist())
     funnel

@@ -108,6 +108,34 @@ class CurateSpec extends SparkSpec {
       "/d", "/o")).isRight)
   }
 
+  test("lr flags must come together; sigma cap bounded to micro range") {
+    assert(Curate.parse(Seq("--min-lr-sigma-micro", "500000", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--lr-target-lang", "en", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--lr-target-lang", "en", "--min-lr-sigma-micro",
+      "1000001", "/d", "/o")).isLeft)
+    assert(Curate.parse(Seq("--lr-target-lang", "en", "--min-lr-sigma-micro",
+      "500000", "/d", "/o")).isRight)
+  }
+
+  test("trained-classifier gate drops below-threshold documents and enriches the target") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-lr").toString
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = sfDir, outDir = out, minQuality = 0.0,
+      lrTargetLang = Some("en"), minLrSigmaMicro = Some(500000L))).toMap
+    // the 0.5-posterior cap keeps roughly the predicted-positive slice:
+    // strictly fewer than the gate's input, never zero on this fixture
+    assert(funnel("lr_gated") < funnel("dsir_selected"), funnel.toString)
+    assert(funnel("lr_gated") > 0, funnel.toString)
+    assert(funnel("written") == funnel("lr_gated"), funnel.toString)
+    // the written set skews toward the target language relative to input —
+    // the point of a trained domain filter
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val written = spark.read.parquet(out)
+    val wEn = written.filter(col("lang") === "en").count().toDouble / written.count()
+    val iEn = all.filter(col("lang") === "en").count().toDouble / all.count()
+    assert(wEn > iEn, s"LR gate did not enrich the target language: $wEn <= $iEn")
+  }
+
   test("decontamination stage drops trigram-overlapping documents") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate-d").toString
     // decontaminating a corpus against itself leaves nothing (every doc

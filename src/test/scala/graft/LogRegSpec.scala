@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Readers
+import graft.operators.LogReg
+
+/** Invariants of the integer-sigmoid kernel and the logistic-regression
+  * quality-filter trainer that the oracle's value-compare can't express.
+  */
+class LogRegSpec extends SparkSpec {
+
+  test("integer micro-sigmoid: SQL form == Scala mirror, anchors exact, tracks the real sigmoid") {
+    val spark2 = spark; import spark2.implicits._
+    val zs = Seq(0L, 1L, -1L, 100L, -100L, 123456L, -123456L, 693147L,
+      -693147L, 1000000L, -1000000L, 2500000L, -2500000L, 6931470L,
+      -6931470L, 13999999L, 14000000L, -14000000L, 99999999L, -99999999L)
+    val got = LogReg.withSigmoid(zs.toDF("z"), "z", "sigma")
+      .select("z", "sigma").as[(Long, Long)].collect().toMap
+    zs.foreach { z =>
+      // the driver-side mirror supplies nothing yet, but like lnMicroLong
+      // it's the spec anchor: any SQL/Scala drift would silently split a
+      // future frozen-scorer stream from the batch oracle
+      assert(LogReg.sigmoidMicroLong(z) == got(z),
+        s"Scala mirror diverged at $z: ${LogReg.sigmoidMicroLong(z)} vs ${got(z)}")
+      val want = 1e6 / (1.0 + math.exp(-z / 1e6))
+      assert(math.abs(got(z) - want) <= 30.0,
+        s"sigmoidMicro($z) = ${got(z)}, true ${want.toLong}")
+      // exact symmetry by construction: p and 1e6 - p
+      assert(got.getOrElse(-z, LogReg.sigmoidMicroLong(-z)) == 1000000L - got(z))
+    }
+    assert(got(0L) == 500000L) // the 0.5 threshold anchor
+    assert(got(14000000L) == 1000000L) // saturated high
+    assert(got(-14000000L) == 0L) // saturated low
+    assert(got(99999999L) == 1000000L) // clamp region
+  }
+
+  test("GD fine-tune never regresses the NB init and beats the base rate") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val x = LogReg.features(docs, "doc_id", "text", col("lang") === "en",
+      queries.TextQueries.LrBuckets).localCheckpoint()
+    val init = LogReg.nbInit(x, queries.TextQueries.LrBuckets)
+    def correct(w: Array[Long]): Long =
+      LogReg.score(spark, x, w).filter(col("y") === col("pred")).count()
+    val initCorrect = correct(init)
+    val w = LogReg.trainWeights(spark, x, nDocs, queries.TextQueries.LrBuckets,
+      queries.TextQueries.LrSteps, queries.TextQueries.LrNum,
+      queries.TextQueries.LrDen, init = Some(init))
+    val finalCorrect = correct(w)
+    val baseRate = math.max(
+      docs.filter(col("lang") === "en").count(),
+      docs.filter(col("lang") =!= "en").count())
+    assert(finalCorrect >= initCorrect,
+      s"fine-tune regressed: $initCorrect -> $finalCorrect")
+    assert(finalCorrect > baseRate,
+      s"trained filter no better than majority class: $finalCorrect <= $baseRate")
+  }
+
+  test("frozen scorer is stateless: staged two-file arrival equals the batch score row-for-row") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val buckets = 64
+    val x = LogReg.features(docs, "doc_id", "text", col("lang") === "en", buckets)
+      .localCheckpoint()
+    val w = LogReg.trainWeights(spark, x, nDocs, buckets, 2, 1L, 1L,
+      init = Some(LogReg.nbInit(x, buckets)))
+    // batch truth over the same corpus
+    val batch = LogReg.scoreRows(docs, "doc_id", "text", w, buckets)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // stream the corpus in two file-batches; append mode — if the scorer
+    // had any cross-batch state the split would change some score
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr-stream").toString
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    a.coalesce(1).write.parquet(s"$dir/f1")
+    b.coalesce(1).write.parquet(s"$dir/f2")
+    val in = spark.readStream.schema(spark.read.parquet(s"$dir/f1").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val streamed = graft.streaming.EventStreams.runToBatch(
+      LogReg.scoreRows(in, "doc_id", "text", w, buckets),
+      s"lr_stream_spec_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("weight table is buckets+1 rows regardless of vocabulary size") {
+    val spark2 = spark; import spark2.implicits._
+    // synthetic corpus with ~40k distinct tokens — orders of magnitude more
+    // than the bucket count; nothing downstream may grow with it
+    val docs = (1 to 200).map { d =>
+      (d.toLong, (1 to 20).map(t => s"tok${d * 997 + t * 131}").mkString(" "),
+        if (d % 3 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val buckets = 64
+    val x = LogReg.features(docs, "doc_id", "text", col("lang") === "en", buckets)
+      .localCheckpoint()
+    assert(x.select("bkt").distinct().count() <= buckets + 1)
+    val w = LogReg.trainWeights(spark, x, 200L, buckets, 2, 1L, 1L,
+      init = Some(LogReg.nbInit(x, buckets)))
+    assert(w.length == buckets + 1)
+    assert(LogReg.weightsTable(spark, w).count() == buckets + 1)
+  }
+}
