@@ -41,6 +41,25 @@ object TextQueries {
   val LrNum = 2L
   val LrDen = 1L
 
+  /** Training is deterministic (pure integer arithmetic, no sampling), so
+    * the three text_lr_* queries share one training run per fixture dir —
+    * the rawDocsDir memo convention. 1025 longs per entry.
+    */
+  private val lrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private[graft] def trainedLr(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): Array[Long] =
+    lrCache.computeIfAbsent(sfDir, { _ =>
+      import graft.operators.LogReg
+      val docs = Readers.fixture(spark, sfDir, "documents")
+      val nDocs = docs.count()
+      val x = LogReg.features(docs, "doc_id", "text",
+        col("lang") === "en", LrBuckets).localCheckpoint()
+      LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
+        LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
+    })
+
   val entries: Map[String, QueryEntry] = Map(
 
     // token/char stats + quality score per document
@@ -1204,16 +1223,9 @@ object TextQueries {
     // measurably improves on the generative init at these constants
     // (sf0.01: 426/500 → 438/500 correct; see text_lr_scorecard)
     "text_lr_weights" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        import graft.operators.LogReg
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val nDocs = docs.count()
-        val x = LogReg.features(docs, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        val w = LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
-          LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
-        LogReg.weightsTable(spark, w).orderBy("bkt")
-      },
+      fn = (spark, sfDir) =>
+        graft.operators.LogReg.weightsTable(spark, trainedLr(spark, sfDir))
+          .orderBy("bkt"),
       oracle = Some(graft.operators.LogReg.duckWeightsSql(
         "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
 
@@ -1224,12 +1236,9 @@ object TextQueries {
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val nDocs = docs.count()
         val x = LogReg.features(docs, "doc_id", "text",
           col("lang") === "en", LrBuckets).localCheckpoint()
-        val w = LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
-          LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
-        LogReg.score(spark, x, w)
+        LogReg.score(spark, x, trainedLr(spark, sfDir))
           .groupBy(col("y"), col("pred"))
           .agg(count(lit(1)).as("n"), sum(col("sigma")).as("sum_sigma"))
           .orderBy(col("y"), col("pred"))
@@ -1248,15 +1257,9 @@ object TextQueries {
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
         import graft.streaming.{EventStreams, IngestStreams}
-        val docsB = Readers.fixture(spark, sfDir, "documents")
-        val nDocs = docsB.count()
-        val x = LogReg.features(docsB, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        val w = LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
-          LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
         val stream = LogReg.scoreRows(
           IngestStreams.readDocuments(spark, DedupQueries.rawDocsDir(sfDir)),
-          "doc_id", "text", w, LrBuckets)
+          "doc_id", "text", trainedLr(spark, sfDir), LrBuckets)
         EventStreams.runToBatch(stream,
           s"text_lr_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append)
