@@ -576,6 +576,23 @@ object Sf1Probe {
     timed("rank_distributed 1x") { viaRanks(fixture("events")) }
     timed("rank_distributed 10x") { viaRanks(events10) }
 
+    // -- logreg filter training (LogReg.trainWeights) ------------------------
+    // scale claim: per GD step = one scan of the feature frame + two
+    // bounded shuffles (per-doc margin, ≤1025 gradient groups); weight
+    // state constant at 1025 longs however large the corpus. Expect ~linear
+    // wall growth, zero state growth.
+    def lrTrain(docs: DataFrame): Long = {
+      import graft.operators.LogReg
+      val n = docs.count()
+      val x = LogReg.features(docs, "doc_id", "text",
+        col("lang") === "en", 1024).localCheckpoint()
+      val w = LogReg.trainWeights(spark, x, n, 1024, 5, 2L, 1L,
+        init = Some(LogReg.nbInit(x, 1024)))
+      w.count(_ != 0L).toLong // nonzero weights: bounded by 1025 at any scale
+    }
+    timed("logreg_train 1x") { lrTrain(fixture("documents")) }
+    timed("logreg_train 10x") { lrTrain(docs10) }
+
     spark.stop()
   }
 }
