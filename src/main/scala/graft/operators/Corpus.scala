@@ -647,4 +647,80 @@ object Corpus {
         expr("CASE WHEN n_shingles = 0 THEN 0L ELSE n_hit * 1000000 div n_shingles END")
           .as("overlap_micro"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to the
+    * one-shot multiplicative-weights step a data pipeline runs between
+    * proxy-model trainings): per-domain mean LM cross-entropy (the shared
+    * [[Vocab.lmXent]] quantity), excess over the corpus-wide mean, and a
+    * softmax of the excess as the domain's resampling weight — domains the
+    * current model finds HARD get upweighted, exactly the DoReMi update
+    * direction — smoothed toward uniform by `alphaMicro` (DoReMi's c·u
+    * term, default 1%).
+    *
+    * Integer exactness end-to-end: the loss is the micro-ln cross-entropy,
+    * and the softmax runs through [[LogReg.expNegStages]] after the
+    * max-subtraction trick — exp(s_d)/Σexp(s_i) = exp(-(m-s_d))/Σexp(-(m-s_i))
+    * with m = max s, so every exponent is the NEGATION of a nonnegative
+    * integer, which is the exp kernel's domain (and keeps every division
+    * operand positive, the cross-engine precondition).
+    *
+    * Shape at 100 TB: the xent LM is the existing bigram aggregation; the
+    * per-domain frame is |domains| rows (tens), every op past it a
+    * broadcast of single-row aggregates. Output: (source, n_docs,
+    * loss_micro, excess_micro, weight_micro) — Σ weight ≈ 1e6 up to
+    * |domains| micro of truncation.
+    */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+                    domainCol: String, alphaMicro: Long = 10000L): DataFrame = {
+    val x = Vocab.lmXent(docs, idCol, textCol) // (doc_id, n_bigrams, mean_xent_micro)
+    val per = x.join(
+        docs.select(col(idCol).as("doc_id"), col(domainCol).as("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("mean_xent_micro")).as("sx"))
+      .withColumn("loss_micro", expr("sx div n_docs")) // xent >= 0: positive div
+    val ref = per.agg(sum(col("sx")).as("gx"), sum(col("n_docs")).as("gn"))
+      .withColumn("ref_micro", expr("gx div gn")).select("ref_micro")
+    val sc = per.crossJoin(broadcast(ref))
+      .withColumn("excess_micro", col("loss_micro") - col("ref_micro"))
+    val withMax = sc.crossJoin(broadcast(sc.agg(max(col("excess_micro")).as("m"))))
+      .withColumn("a", col("m") - col("excess_micro")) // >= 0 by construction
+    val e = LogReg.withExpNeg(withMax, "a", "e")
+    val den = e.agg(sum(col("e")).as("den"), count(lit(1)).as("d"))
+    e.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("loss_micro"), col("excess_micro"),
+        // softmax share then the uniform smoothing, all positive divisions
+        expr(s"((1000000 - $alphaMicro) * ((e * 1000000) div den)) div 1000000" +
+          s" + $alphaMicro div d").as("weight_micro"))
+  }
+
+  /** DuckDB twin of [[doremiWeights]] over the `documents` fixture. */
+  def duckDoremiSql(domainSql: String, alphaMicro: Long = 10000L,
+                    table: String = "documents"): String = {
+    val xent = Vocab.duckLmXentCtes(
+      s"string_split(text, ' ')", table)
+    val per =
+      s"""dper AS (
+            SELECT d.$domainSql AS source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(mean_xent_micro) AS BIGINT) AS sx
+            FROM xent JOIN $table d USING (doc_id) GROUP BY 1),
+          dper2 AS (SELECT *, sx // n_docs AS loss_micro FROM dper),
+          dref AS (SELECT CAST(sum(sx) AS BIGINT) // CAST(sum(n_docs) AS BIGINT)
+                     AS ref_micro FROM dper),
+          dsc AS (SELECT source, n_docs, loss_micro,
+                         loss_micro - ref_micro AS excess_micro
+                  FROM dper2, dref),
+          dmx AS (SELECT max(excess_micro) AS m FROM dsc),
+          dsa AS (SELECT *, CAST(m - excess_micro AS BIGINT) AS a FROM dsc, dmx)"""
+    val (expCtes, expName) = LogReg.duckExpNegCtes("dsa", "dxe", "a", "e",
+      Seq("source", "n_docs", "loss_micro", "excess_micro"))
+    s"""WITH $xent,
+       $per,
+       ${expCtes.mkString(",\n")},
+       dden AS (SELECT CAST(sum(e) AS BIGINT) AS den,
+                       CAST(count(*) AS BIGINT) AS d FROM $expName)
+       SELECT source, n_docs, loss_micro, excess_micro,
+              CAST(((1000000 - $alphaMicro) * ((e * 1000000) // den)) // 1000000
+                   + $alphaMicro // d AS BIGINT) AS weight_micro
+       FROM $expName, dden ORDER BY source"""
+  }
 }

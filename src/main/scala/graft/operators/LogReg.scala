@@ -46,27 +46,40 @@ object LogReg {
   /** |z| clamp: e^-14 < 1 micro, so the sigmoid is already saturated. */
   val ZClamp = 14000000L
 
-  /** Shared sigmoid stage list: each expression references only `z` and
-    * earlier stage columns (never a wide inline subexpression — the
-    * lnMicro substitution rule), instantiated per engine by the DIV /
-    * shift-left dialect. Final stage is named `out`.
+  /** e^{-a} in micro fixed point for a NONNEGATIVE micro column `a`
+    * (values past the clamp saturate to 0): the reusable integer-exp
+    * kernel — binary argument reduction + alternating series — shared by
+    * the sigmoid here and by any softmax-style consumer (Corpus's DoReMi
+    * weights use it after the max-subtraction trick, which is exactly
+    * what makes every exponent nonnegative-negated). Each expression
+    * references only `a` and earlier stage columns (never a wide inline
+    * subexpression — the lnMicro substitution rule), instantiated per
+    * engine by the DIV / shift-left dialect.
+    */
+  def expNegStages(a: String, out: String, DIV: String,
+                   shl: String => String): Seq[(String, String)] = Seq(
+    "xg_c" -> s"least($a, $ZClamp)",
+    "xg_k" -> s"(xg_c $DIV $Ln2Micro)",
+    "xg_r" -> s"(xg_c - xg_k * $Ln2Micro)",
+    "xg_t2" -> s"(((xg_r * xg_r) $DIV 1000000) $DIV 2)",
+    "xg_t3" -> s"(((xg_t2 * xg_r) $DIV 1000000) $DIV 3)",
+    "xg_t4" -> s"(((xg_t3 * xg_r) $DIV 1000000) $DIV 4)",
+    "xg_t5" -> s"(((xg_t4 * xg_r) $DIV 1000000) $DIV 5)",
+    "xg_t6" -> s"(((xg_t5 * xg_r) $DIV 1000000) $DIV 6)",
+    "xg_t7" -> s"(((xg_t6 * xg_r) $DIV 1000000) $DIV 7)",
+    "xg_t8" -> s"(((xg_t7 * xg_r) $DIV 1000000) $DIV 8)",
+    "xg_em" -> "(1000000 - xg_r + xg_t2 - xg_t3 + xg_t4 - xg_t5 + xg_t6 - xg_t7 + xg_t8)",
+    out -> s"(xg_em $DIV ${shl("xg_k")})")
+
+  /** Sigmoid stage list built on [[expNegStages]]: sigmoid(z) =
+    * 1/(1+e^{-|z|}) reflected by z's sign. Final stage is named `out`.
     */
   private def sigmoidStages(z: String, out: String, DIV: String,
-                            shl: String => String): Seq[(String, String)] = Seq(
-    "sg_a" -> s"least(abs($z), $ZClamp)",
-    "sg_k" -> s"(sg_a $DIV $Ln2Micro)",
-    "sg_r" -> s"(sg_a - sg_k * $Ln2Micro)",
-    "sg_t2" -> s"(((sg_r * sg_r) $DIV 1000000) $DIV 2)",
-    "sg_t3" -> s"(((sg_t2 * sg_r) $DIV 1000000) $DIV 3)",
-    "sg_t4" -> s"(((sg_t3 * sg_r) $DIV 1000000) $DIV 4)",
-    "sg_t5" -> s"(((sg_t4 * sg_r) $DIV 1000000) $DIV 5)",
-    "sg_t6" -> s"(((sg_t5 * sg_r) $DIV 1000000) $DIV 6)",
-    "sg_t7" -> s"(((sg_t6 * sg_r) $DIV 1000000) $DIV 7)",
-    "sg_t8" -> s"(((sg_t7 * sg_r) $DIV 1000000) $DIV 8)",
-    "sg_em" -> "(1000000 - sg_r + sg_t2 - sg_t3 + sg_t4 - sg_t5 + sg_t6 - sg_t7 + sg_t8)",
-    "sg_e" -> s"(sg_em $DIV ${shl("sg_k")})",
-    "sg_p" -> s"(1000000000000 $DIV (1000000 + sg_e))",
-    out -> s"(CASE WHEN $z >= 0 THEN sg_p ELSE 1000000 - sg_p END)")
+                            shl: String => String): Seq[(String, String)] =
+    (("sg_a" -> s"least(abs($z), $ZClamp)") +:
+      expNegStages("sg_a", "sg_e", DIV, shl)) ++ Seq(
+      "sg_p" -> s"(1000000000000 $DIV (1000000 + sg_e))",
+      out -> s"(CASE WHEN $z >= 0 THEN sg_p ELSE 1000000 - sg_p END)")
 
   private def sparkStages(z: String, out: String): Seq[(String, String)] =
     sigmoidStages(z, out, "div", k => s"shiftleft(CAST(1 AS BIGINT), $k)")
@@ -74,39 +87,53 @@ object LogReg {
   private def duckStages(z: String, out: String): Seq[(String, String)] =
     sigmoidStages(z, out, "//", k => s"(CAST(1 AS BIGINT) << $k)")
 
-  /** Stage `out` = sigmoidMicro(`z`) onto `df` (`z` a BIGINT micro column
-    * name); the sg_* intermediates are dropped.
-    */
-  def withSigmoid(df: DataFrame, z: String, out: String): DataFrame = {
-    val staged = sparkStages(z, out).foldLeft(df) {
-      case (d, (n, e)) => d.withColumn(n, expr(e))
-    }
-    staged.drop(staged.columns.filter(_.startsWith("sg_")): _*)
-  }
+  private def dropStageCols(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(c => c.startsWith("sg_") || c.startsWith("xg_")): _*)
 
-  /** Scala mirror of the SQL sigmoid — same integer algorithm, for
+  /** Stage `out` = sigmoidMicro(`z`) onto `df` (`z` a BIGINT micro column
+    * name); the sg_ and xg_ intermediates are dropped.
+    */
+  def withSigmoid(df: DataFrame, z: String, out: String): DataFrame =
+    dropStageCols(sparkStages(z, out).foldLeft(df) {
+      case (d, (n, e)) => d.withColumn(n, expr(e))
+    })
+
+  /** Stage `out` = expNegMicro(`a`) onto `df` (`a` a NONNEGATIVE BIGINT
+    * micro column name); intermediates dropped.
+    */
+  def withExpNeg(df: DataFrame, a: String, out: String): DataFrame =
+    dropStageCols(
+      expNegStages(a, out, "div", k => s"shiftleft(CAST(1 AS BIGINT), $k)")
+        .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) })
+
+  /** Scala mirror of the SQL e^{-a} — same integer algorithm, for
     * driver-side checks and specs (the lnMicroLong convention).
     */
-  def sigmoidMicroLong(z: Long): Long = {
-    val a = math.min(math.abs(z), ZClamp)
+  def expNegMicroLong(a0: Long): Long = {
+    require(a0 >= 0, s"expNegMicroLong($a0)")
+    val a = math.min(a0, ZClamp)
     val k = a / Ln2Micro
     val r = a - k * Ln2Micro
     var em = 1000000L - r
     var t = r
     var i = 2L
     while (i <= 8) { t = t * r / 1000000 / i; em += (if (i % 2 == 0) t else -t); i += 1 }
-    val e = em / (1L << k)
+    em / (1L << k)
+  }
+
+  /** Scala mirror of the SQL sigmoid — same integer algorithm. */
+  def sigmoidMicroLong(z: Long): Long = {
+    val e = expNegMicroLong(math.abs(z))
     val p = 1000000000000L / (1000000L + e)
     if (z >= 0) p else 1000000L - p
   }
 
-  /** DuckDB CTE chain computing sigmoid of `z` from CTE `from` (which must
-    * expose `z` plus `keep` columns). Returns (cte fragments, final CTE
-    * name); the final CTE projects keep :+ out.
+  /** DuckDB CTE chain applying a stage list from CTE `from`. Returns (cte
+    * fragments, final CTE name); the final CTE projects keep :+ out.
     */
-  private def duckSigmoidCtes(from: String, prefix: String, z: String,
-                              out: String, keep: Seq[String]): (Seq[String], String) = {
-    val stages = duckStages(z, out)
+  private def duckStageChain(stages: Seq[(String, String)], from: String,
+                             prefix: String, out: String,
+                             keep: Seq[String]): (Seq[String], String) = {
     val ctes = stages.zipWithIndex.map { case ((n, e), i) =>
       val src = if (i == 0) from else s"${prefix}_${i - 1}"
       s"${prefix}_$i AS (SELECT *, $e AS $n FROM $src)"
@@ -115,6 +142,20 @@ object LogReg {
       s"FROM ${prefix}_${stages.size - 1})"
     (ctes :+ fin, prefix)
   }
+
+  /** Sigmoid-of-`z` CTE chain ([[duckStageChain]] over the sigmoid stages). */
+  private def duckSigmoidCtes(from: String, prefix: String, z: String,
+                              out: String, keep: Seq[String]): (Seq[String], String) =
+    duckStageChain(duckStages(z, out), from, prefix, out, keep)
+
+  /** e^{-`a`} CTE chain for a nonnegative micro column — the softmax
+    * building block ([[expNegStages]] in the DuckDB dialect).
+    */
+  def duckExpNegCtes(from: String, prefix: String, a: String,
+                     out: String, keep: Seq[String]): (Seq[String], String) =
+    duckStageChain(
+      expNegStages(a, out, "//", k => s"(CAST(1 AS BIGINT) << $k)"),
+      from, prefix, out, keep)
 
   /** (doc_id, y, bkt, cnt): one row per (document, feature bucket), the
     * single frame every training step scans, PLUS one bias row per

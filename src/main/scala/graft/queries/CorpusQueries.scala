@@ -872,6 +872,19 @@ object CorpusQueries {
     // docs), integer micro-ln in BOTH engines so the scores hash-match. The
     // 100 TB shape: one explode pass, two 1024-bucket histograms, a broadcast
     // llr table, one map-side-summed groupBy(doc) — see operators/Selection
+    // DoReMi-style domain reweighting (Corpus.doremiWeights): per-source
+    // mean LM cross-entropy -> excess over the corpus mean -> integer
+    // softmax (max-subtraction + the LogReg exp kernel) smoothed 1% toward
+    // uniform — the multiplicative-weights step a pipeline runs between
+    // proxy trainings; hard domains get upweighted. |domains| rows out
+    "corpus_domain_reweight" -> QueryEntry(
+      fn = (spark, sfDir) =>
+        graft.operators.Corpus.doremiWeights(
+          Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id")),
+          "doc_id", "text", "source")
+          .orderBy("source"),
+      oracle = Some(graft.operators.Corpus.duckDoremiSql("source"))),
+
     "corpus_dsir_weights" -> QueryEntry(
       fn = (spark, sfDir) =>
         graft.operators.Selection.dsirWeights(

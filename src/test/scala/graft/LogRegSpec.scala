@@ -35,6 +35,47 @@ class LogRegSpec extends SparkSpec {
     assert(got(99999999L) == 1000000L) // clamp region
   }
 
+  test("integer exp kernel: SQL == Scala mirror, anchors exact, tracks e^-x") {
+    val spark2 = spark; import spark2.implicits._
+    val as = Seq(0L, 1L, 1000L, 123456L, 693147L, 1000000L, 2500000L,
+      6931470L, 13999999L, 14000000L, 99999999L)
+    val got = LogReg.withExpNeg(as.toDF("a"), "a", "e")
+      .select("a", "e").as[(Long, Long)].collect().toMap
+    as.foreach { a =>
+      assert(LogReg.expNegMicroLong(a) == got(a),
+        s"Scala mirror diverged at $a: ${LogReg.expNegMicroLong(a)} vs ${got(a)}")
+      val want = math.exp(-a / 1e6) * 1e6
+      assert(math.abs(got(a) - want) <= 30.0,
+        s"expNegMicro($a) = ${got(a)}, true ${want.toLong}")
+    }
+    assert(got(0L) == 1000000L) // e^0 exactly
+    assert(got(14000000L) == 0L) // saturated
+    assert(got(99999999L) == 0L) // clamp region
+  }
+
+  test("DoReMi domain weights: softmax sums to ~1e6 and upweights hard domains monotonically") {
+    val spark2 = spark; import spark2.implicits._
+    val w = graft.operators.Corpus.doremiWeights(
+      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val d = w.length
+    assert(d > 1)
+    val total = w.map(_._5).sum
+    // truncating divisions lose at most a few micro per domain
+    assert(math.abs(total - 1000000L) <= 2L * d, s"weights sum $total")
+    // multiplicative-weights direction: weight strictly increases with
+    // excess loss (hard domains get MORE mass — the DoReMi update)
+    val byExcess = w.sortBy(_._4)
+    byExcess.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._5 <= hi._5,
+        s"weight not monotone in excess: $lo vs $hi")
+    }
+    // every above-mean-loss domain outweighs every below-mean one
+    val (hard, easy) = w.partition(_._4 > 0)
+    if (hard.nonEmpty && easy.nonEmpty)
+      assert(hard.map(_._5).min >= easy.map(_._5).max)
+  }
+
   test("GD fine-tune never regresses the NB init and beats the base rate") {
     val docs = Readers.fixture(spark, sfDir, "documents")
     val nDocs = docs.count()
