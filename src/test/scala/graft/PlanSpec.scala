@@ -616,4 +616,16 @@ class PlanSpec extends SparkSpec {
     assert(distinctF <= queries.TextQueries.LangFeatureBuckets,
       s"hashed feature space leaked past the bucket bound: $distinctF")
   }
+
+  test("LR scorecard joins broadcast only bounded sides (weights table, per-doc margins)") {
+    // the trained-filter scoring join must broadcast the 1025-row weights
+    // table keyed on the hashed bucket `bkt` (never a vocabulary-sized
+    // side), and nothing in the plan may shuffle on a raw-token column
+    val plan = physicalPlan("text_lr_scorecard")
+    val joins = "BroadcastHashJoin \\[(\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(joins.contains("bkt"), s"no bucket-keyed broadcast join in keys $joins:\n" +
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("hashpartitioning(bg#") && !plan.contains("hashpartitioning(g#"),
+      "scoring shuffles on a raw-bigram column")
+  }
 }
