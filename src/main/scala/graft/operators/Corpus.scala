@@ -678,6 +678,11 @@ object Corpus {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("mean_xent_micro")).as("sx"))
       .withColumn("loss_micro", expr("sx div n_docs")) // xent >= 0: positive div
+      // |domains| rows, but its lineage is the whole LM build — the four
+      // downstream actions (ref, max, denominator, result) would each
+      // re-run lmXent without this barrier (measured 4× on the r10 bench:
+      // 10.1 s -> one LM pass)
+      .localCheckpoint()
     val ref = per.agg(sum(col("sx")).as("gx"), sum(col("n_docs")).as("gn"))
       .withColumn("ref_micro", expr("gx div gn")).select("ref_micro")
     val sc = per.crossJoin(broadcast(ref))

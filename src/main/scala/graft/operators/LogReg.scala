@@ -382,6 +382,26 @@ object LogReg {
          FROM $sigName ORDER BY doc_id"""
   }
 
+  /** Calibration-table oracle: deciles of the predicted posterior vs the
+    * empirical positive rate — (band, n, n_pos, mean_sigma_micro,
+    * pos_rate_micro). A well-calibrated filter has pos_rate tracking
+    * mean_sigma per band; the gap is the reliability-diagram readout.
+    */
+  def duckCalibrationSql(targetSql: String, buckets: Int, steps: Int,
+                         lrNum: Long, lrDen: Long): String = {
+    val (ctes, wFin) = duckTrainCtes(targetSql, buckets, steps, lrNum, lrDen)
+    val zs = s"zs AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
+      s"FROM x JOIN $wFin USING (bkt) GROUP BY doc_id, y)"
+    val (sigCtes, sigName) =
+      duckSigmoidCtes("zs", "sgf", "z", "sigma", Seq("doc_id", "y"))
+    s"WITH ${(ctes ++ (zs +: sigCtes)).mkString(",\n")}\n" +
+      s"""SELECT least(sigma // 100000, 9) AS band,
+                count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+                CAST(sum(sigma) AS BIGINT) // count(*) AS mean_sigma_micro,
+                CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS pos_rate_micro
+         FROM $sigName GROUP BY 1 ORDER BY band"""
+  }
+
   /** Confusion-scorecard oracle: (y, pred, n, sum_sigma) over the trained
     * model's own training frame.
     */

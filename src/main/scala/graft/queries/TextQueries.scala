@@ -983,22 +983,31 @@ object TextQueries {
           Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
           .withColumn("tk", tokens(col("text")))
         val isTrain = col("doc_id") % 10 < 8
-        val trainTok = docs.filter(isTrain)
+        // train pass: ONE job collects the bounded class-feature counts
+        // (≤ classes × buckets rows — the DSIR bounded-collect convention);
+        // per-class token totals and the distinct-feature vocabulary V
+        // derive from those rows in the driver, and every ln is the
+        // spec-pinned lnMicroLong mirror of the SQL integer ln — same
+        // integers as the previous all-DataFrame form, ~half the
+        // driver-synchronous jobs (the r10 bench showed this query's cost
+        // was job-count overhead: 10.5 s cold vs 2.1 s steady)
+        val spark2 = spark; import spark2.implicits._
+        val cfCounts = docs.filter(isTrain)
           .select(col("lang").as("c"), explode(col("tk")).as("t"))
-          .select(col("c"), langFeature(col("t")).as("f")).persist()
-        val ctab = trainTok.groupBy(col("c"), col("f")).agg(count(lit(1)).as("n_fc"))
-          .withColumn("nt1", col("n_fc") + 1L)
-          .withColumn("ln_tc", expr(Selection.lnMicroSparkSql("nt1")))
-          .select(col("c"), col("f"), col("ln_tc"))
-        val stats = trainTok.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
-          .crossJoin(broadcast(trainTok.agg(countDistinct(col("f")).as("v"))))
-          .withColumn("ncv", col("n_c") + col("v"))
-          .withColumn("ln_pen", expr(Selection.lnMicroSparkSql("ncv")))
+          .select(col("c"), langFeature(col("t")).as("f"))
+          .groupBy(col("c"), col("f")).agg(count(lit(1)).as("n_fc"))
+          .as[(String, Long, Long)].collect()
+        val ctab = broadcast(cfCounts.toSeq
+          .map { case (c, f, nfc) => (c, f, Selection.lnMicroLong(nfc + 1)) }
+          .toDF("c", "f", "ln_tc"))
+        val v = cfCounts.map(_._2).distinct.length.toLong
+        val nC = cfCounts.groupBy(_._1).map { case (c, rs) => (c, rs.map(_._3).sum) }
         val prior = docs.filter(isTrain).groupBy(col("lang").as("c"))
           .agg(count(lit(1)).as("n_docs"))
-          .withColumn("ln_prior", expr(Selection.lnMicroSparkSql("n_docs")))
-        val classes = stats.join(prior, "c")
-          .select(col("c"), col("ln_pen"), col("ln_prior"))
+          .as[(String, Long)].collect() // ≤ |classes| rows
+        val classes = broadcast(prior.toSeq.map { case (c, nDocs) =>
+          (c, Selection.lnMicroLong(nC(c) + v), Selection.lnMicroLong(nDocs))
+        }.toDF("c", "ln_pen", "ln_prior"))
         val test = docs.filter(!isTrain)
           .select(col("doc_id"), col("lang"), col("tk"))
         val hits = test.select(col("doc_id"), explode(col("tk")).as("t"))
@@ -1244,6 +1253,28 @@ object TextQueries {
           .orderBy(col("y"), col("pred"))
       },
       oracle = Some(graft.operators.LogReg.duckScorecardSql(
+        "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
+
+    // reliability diagram for the trained filter: posterior deciles vs the
+    // empirical positive rate per band (sigma=1e6 folds into band 9). A
+    // calibrated filter has pos_rate tracking mean_sigma band by band —
+    // the readout that justifies using sigma as a curate THRESHOLD rather
+    // than only an argmax
+    "text_lr_calibration" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.LogReg
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val x = LogReg.features(docs, "doc_id", "text",
+          col("lang") === "en", LrBuckets).localCheckpoint()
+        LogReg.score(spark, x, trainedLr(spark, sfDir))
+          .withColumn("band", least(expr("sigma div 100000"), lit(9L)))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            expr("sum(sigma) div count(1)").as("mean_sigma_micro"),
+            expr("sum(y) * 1000000 div count(1)").as("pos_rate_micro"))
+          .orderBy("band")
+      },
+      oracle = Some(graft.operators.LogReg.duckCalibrationSql(
         "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
 
     // the trained filter as an ingest-time gate: train on the static

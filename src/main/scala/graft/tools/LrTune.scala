@@ -1,39 +1,31 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Hyperparameter scout for the LogReg quality filter: prints the
-  * confusion scorecard at a few learning rates so the registered query's
-  * frozen constants are a measured choice, not a guess.
+/** Scratch profiler for registered queries: times N repeated materializations
+  * of one query at a given fixture (first run = cold plan + codegen, repeats
+  * = steady state), so bench outliers can be split into plan-time vs
+  * execution-time. (Also the LR hyperparameter scout lived here while the
+  * text_lr constants were being frozen — BASELINE.md round-10.)
   */
 object LrTune {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).headOption.getOrElse("text_nb_langid").split(",").toSeq
+    val reps = args.drop(2).headOption.flatMap(_.toIntOption).getOrElse(3)
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.core.Readers.fixture(spark, sfDir, "documents")
-    val nDocs = docs.count()
-    for (buckets <- Seq(1024)) {
-      val x = graft.operators.LogReg.features(
-        docs, "doc_id", "text", col("lang") === "en", buckets).localCheckpoint()
-      val init = graft.operators.LogReg.nbInit(x, buckets)
-      for ((lrNum, lrDen) <- Seq((2L, 1L), (4L, 1L), (8L, 1L));
-           steps <- Seq(2, 3, 5)) {
-        val w = graft.operators.LogReg.trainWeights(spark, x, nDocs, buckets, steps, lrNum, lrDen,
-          init = Some(init))
-        val sc = graft.operators.LogReg.score(spark, x, w)
-          .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
-          .orderBy(col("y"), col("pred")).collect()
-        val wAbsMax = w.map(math.abs).max
-        println(s"[lr] b=$buckets lr=$lrNum/$lrDen steps=$steps |w|max=$wAbsMax bias=${w(buckets)}  " +
-          sc.map(r => s"y=${r.getLong(0)} pred=${r.getLong(1)} n=${r.getLong(2)}").mkString("  "))
-      }
+    for (name <- names; i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = graft.QueryRegistry.all(name).fn(spark, sfDir).count()
+      println(f"[prof] $name rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s (rows=$n)")
     }
     spark.stop()
   }
