@@ -47,6 +47,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("integer sigmoid/exp SQL equals the Scala mirror on random micro inputs") {
+    // the LR filter and the DoReMi softmax both lean on the SQL stage
+    // templates computing the IDENTICAL integer as the driver-side mirrors
+    // (lnMicroLong convention) — anchors are pinned in LogRegSpec; this is
+    // the randomized sweep, concentrated where behavior changes (series
+    // range, clamp edge, saturation) plus uniform noise
+    val rnd = new scala.util.Random(11)
+    val zs = (List.fill(200)(rnd.nextLong() % 20000000L) ++
+      List.fill(100)(rnd.nextLong() % 693147L) ++ // within one ln2 window
+      List.fill(50)(13999000L + rnd.nextInt(2000)) ++ // clamp edge band
+      Seq(Long.MinValue + 1, 0L)).distinct
+    import org.apache.spark.sql.functions.col
+    val gotS = graft.operators.LogReg.withSigmoid(zs.toDF("z"), "z", "s")
+      .select(col("z"), col("s")).as[(Long, Long)].collect()
+    gotS.foreach { case (z, s) =>
+      assert(s == graft.operators.LogReg.sigmoidMicroLong(z),
+        s"sigmoid($z): SQL $s != mirror ${graft.operators.LogReg.sigmoidMicroLong(z)}")
+      // exact complement law holds for every input by construction
+      assert(graft.operators.LogReg.sigmoidMicroLong(-z) == 1000000L - s)
+    }
+    val as = zs.map(math.abs)
+    val gotE = graft.operators.LogReg.withExpNeg(as.toDF("a"), "a", "e")
+      .select(col("a"), col("e")).as[(Long, Long)].collect()
+    gotE.foreach { case (a, e) =>
+      assert(e == graft.operators.LogReg.expNegMicroLong(a),
+        s"expNeg($a): SQL $e != mirror ${graft.operators.LogReg.expNegMicroLong(a)}")
+      assert(e >= 0 && e <= 1000000L)
+    }
+    // monotone: e^-a never increases with a (truncating divisions included)
+    gotE.sortBy(_._1).sliding(2).foreach { case Array((a1, e1), (a2, e2)) =>
+      assert(e2 <= e1, s"expNeg not monotone: ($a1,$e1) -> ($a2,$e2)")
+    }
+  }
+
   test("priority sampling equals a plain-Scala reference on random weighted sets") {
     // independent reimplementation of the Duffield–Lund–Thorup key (md5 →
     // first 8 hex chars → unsigned 32-bit → ·2²⁰ integral-div weight) and
