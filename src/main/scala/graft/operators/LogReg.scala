@@ -283,6 +283,34 @@ object LogReg {
         (col("sigma") >= 500000L).cast("long").as("pred"))
   }
 
+  /** Persist a trained weight vector with its training parameters — the
+    * model the daily ingest fine-tunes and scores with (the
+    * writeSigIndex/writeIvfIndex persisted-artifact convention).
+    */
+  def writeModel(spark: SparkSession, path: String, w: Array[Long],
+                 buckets: Int): Unit =
+    weightsDf(spark, w).withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted model, failing loudly when it was trained over a
+    * different hashed feature space than this run expects — scoring with
+    * mismatched buckets silently mis-scores EVERY document (the same
+    * hazard class as the signature-index parameter guard).
+    */
+  def readModel(spark: SparkSession, path: String,
+                expectBuckets: Int): Array[Long] = {
+    val df = spark.read.parquet(path)
+    for (r <- df.select(col("buckets")).head(1).headOption) {
+      require(r.getInt(0) == expectBuckets,
+        s"model at $path was trained over buckets=${r.getInt(0)}; this run " +
+          s"expects $expectBuckets — rebuild the model or match its feature space")
+    }
+    val w = Array.fill(expectBuckets + 1)(0L)
+    df.select(col("bkt"), col("w")).collect() // bounded: buckets+1 rows
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prelude: features, doc count, the NB-init w0, then
@@ -290,23 +318,66 @@ object LogReg {
     * Every integer step is the textual twin of the Spark/driver arithmetic
     * ([[features]], [[nbInit]], [[trainWeights]]).
     */
+  /** The feature-frame CTE (named `name`): one row per (doc, bucket) over
+    * the rows of `table` satisfying `predSql`, plus the bias rows — the
+    * duck twin of [[features]] restricted to a corpus slice.
+    */
+  def duckFeatureCte(name: String, targetSql: String, buckets: Int,
+                     presence: Boolean, predSql: String,
+                     table: String): String = {
+    val cntSql = if (presence) "least(count(*), 1)" else "count(*)"
+    s"""$name AS MATERIALIZED (
+          SELECT doc_id, CAST(($targetSql) AS BIGINT) AS y,
+                 ${duckBucketOf("g", buckets)} AS bkt,
+                 CAST($cntSql AS BIGINT) AS cnt
+          FROM (SELECT *, unnest(${duckBigrams("text")}) AS g
+                FROM $table WHERE $predSql) ex
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT doc_id, CAST(($targetSql) AS BIGINT) AS y,
+                 CAST($buckets AS BIGINT) AS bkt, CAST(1 AS BIGINT) AS cnt
+          FROM $table WHERE $predSql)"""
+  }
+
+  /** GD-step CTEs `w{start}` … `w{start+steps-1}` over feature CTE `xName`
+    * (doc count in `ndName`.n), starting from weights CTE `fromW`. Returns
+    * (ctes, final weights CTE name). The duck twin of the
+    * [[trainWeights]] loop body, reusable mid-chain (the incremental
+    * fine-tune continues a persisted model with a different x).
+    */
+  def duckGdStepCtes(xName: String, ndName: String, fromW: String,
+                     start: Int, steps: Int, lrNum: Long,
+                     lrDen: Long): (Seq[String], String) = {
+    var ctes = Seq.empty[String]
+    var prevW = fromW
+    for (i <- start until (start + steps)) {
+      val zi = s"z$i AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
+        s"FROM $xName JOIN $prevW USING (bkt) GROUP BY doc_id, y)"
+      val (sigCtes, sigName) =
+        duckSigmoidCtes(s"z$i", s"sg$i", "z", "sigma", Seq("doc_id"))
+      val gi = s"g$i AS (SELECT bkt, CAST(sum((sigma - y * 1000000) * cnt) " +
+        s"AS BIGINT) AS g FROM $xName JOIN $sigName USING (doc_id) GROUP BY bkt)"
+      val wi =
+        s"""w$i AS MATERIALIZED (
+              SELECT $prevW.bkt,
+                     CAST(w - CASE WHEN g IS NULL THEN 0
+                       ELSE CAST(sign(g) AS BIGINT) *
+                            ((abs(g) * $lrNum) // ($lrDen * $ndName.n)) END
+                       AS BIGINT) AS w
+              FROM $prevW LEFT JOIN g$i USING (bkt), $ndName)"""
+      ctes = ctes ++ (zi +: sigCtes) ++ Seq(gi, wi)
+      prevW = s"w$i"
+    }
+    (ctes, prevW)
+  }
+
   def duckTrainCtes(targetSql: String, buckets: Int, steps: Int,
                     lrNum: Long, lrDen: Long, table: String = "documents",
-                    presence: Boolean = true): (Seq[String], String) = {
+                    presence: Boolean = true,
+                    predSql: String = "TRUE"): (Seq[String], String) = {
     import Selection.duckLnMicro
-    val cntSql = if (presence) "least(count(*), 1)" else "count(*)"
-    val x =
-      s"""x AS (
-            SELECT doc_id, CAST(($targetSql) AS BIGINT) AS y,
-                   ${duckBucketOf("g", buckets)} AS bkt,
-                   CAST($cntSql AS BIGINT) AS cnt
-            FROM (SELECT *, unnest(${duckBigrams("text")}) AS g FROM $table) ex
-            GROUP BY 1, 2, 3
-            UNION ALL
-            SELECT doc_id, CAST(($targetSql) AS BIGINT) AS y,
-                   CAST($buckets AS BIGINT) AS bkt, CAST(1 AS BIGINT) AS cnt
-            FROM $table)"""
-    val n = s"nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table)"
+    val x = duckFeatureCte("x", targetSql, buckets, presence, predSql, table)
+    val n = s"nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE $predSql)"
     // NB init, the duck twin of nbInit: per-bucket smoothed doc-frequency
     // log-odds plus the class-prior bias row
     val fcnt =
@@ -328,7 +399,7 @@ object LogReg {
                    CAST(sum(1 - y) + 1 AS BIGINT) AS nn1
             FROM x WHERE bkt = $buckets)"""
     val w0 =
-      s"""w0 AS (
+      s"""w0 AS MATERIALIZED (
             SELECT r.bkt,
                    COALESCE(l.w, CAST(${duckLnMicro("tr")} - ${duckLnMicro("tt")} AS BIGINT)) AS w
             FROM (SELECT CAST(range AS BIGINT) AS bkt FROM range($buckets)) r
@@ -337,25 +408,34 @@ object LogReg {
             SELECT CAST($buckets AS BIGINT),
                    CAST(${duckLnMicro("np1")} - ${duckLnMicro("nn1")} AS BIGINT)
             FROM fpr)"""
-    var ctes = Seq(x, n, fcnt, ftot, fllr, fpr, w0)
-    for (i <- 1 to steps) {
-      val zi = s"z$i AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
-        s"FROM x JOIN w${i - 1} USING (bkt) GROUP BY doc_id, y)"
-      val (sigCtes, sigName) =
-        duckSigmoidCtes(s"z$i", s"sg$i", "z", "sigma", Seq("doc_id"))
-      val gi = s"g$i AS (SELECT bkt, CAST(sum((sigma - y * 1000000) * cnt) " +
-        s"AS BIGINT) AS g FROM x JOIN $sigName USING (doc_id) GROUP BY bkt)"
-      val wi =
-        s"""w$i AS (
-              SELECT w${i - 1}.bkt,
-                     CAST(w - CASE WHEN g IS NULL THEN 0
-                       ELSE CAST(sign(g) AS BIGINT) *
-                            ((abs(g) * $lrNum) // ($lrDen * nd.n)) END
-                       AS BIGINT) AS w
-              FROM w${i - 1} LEFT JOIN g$i USING (bkt), nd)"""
-      ctes = ctes ++ (zi +: sigCtes) ++ Seq(gi, wi)
-    }
-    (ctes, s"w$steps")
+    val (stepCtes, wFin) = duckGdStepCtes("x", "nd", "w0", 1, steps, lrNum, lrDen)
+    (Seq(x, n, fcnt, ftot, fllr, fpr, w0) ++ stepCtes, wFin)
+  }
+
+  /** Incremental fine-tune oracle: train `baseSteps` on the `basePred`
+    * slice (NB init included), continue `deltaSteps` GD steps over the
+    * `deltaPred` slice from the persisted weights, then scorecard the
+    * DELTA under the final model — (y, pred, n, sum_sigma). The duck
+    * replay of the ingest-time adaptation pass.
+    */
+  def duckIncrementalSql(targetSql: String, buckets: Int, baseSteps: Int,
+                         deltaSteps: Int, lrNum: Long, lrDen: Long,
+                         basePred: String, deltaPred: String): String = {
+    val (baseCtes, wBase) = duckTrainCtes(targetSql, buckets, baseSteps,
+      lrNum, lrDen, predSql = basePred)
+    val xd = duckFeatureCte("xd", targetSql, buckets, presence = true,
+      deltaPred, "documents")
+    val ndd = s"ndd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE $deltaPred)"
+    val (deltaCtes, wFin) = duckGdStepCtes("xd", "ndd", wBase,
+      baseSteps + 1, deltaSteps, lrNum, lrDen)
+    val zs = s"zs AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
+      s"FROM xd JOIN $wFin USING (bkt) GROUP BY doc_id, y)"
+    val (sigCtes, sigName) =
+      duckSigmoidCtes("zs", "sgf", "z", "sigma", Seq("doc_id", "y"))
+    s"WITH ${(baseCtes ++ Seq(xd, ndd) ++ deltaCtes ++ (zs +: sigCtes)).mkString(",\n")}\n" +
+      s"""SELECT y, CAST(CASE WHEN sigma >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+                count(*) AS n, CAST(sum(sigma) AS BIGINT) AS sum_sigma
+         FROM $sigName GROUP BY 1, 2 ORDER BY y, pred"""
   }
 
   /** Full weights-table oracle: (bkt, w_micro) ORDER BY bkt. */

@@ -40,6 +40,8 @@ object TextQueries {
   val LrSteps = 5
   val LrNum = 2L
   val LrDen = 1L
+  /** Fine-tune steps per ingest delta (text_lr_incremental). */
+  val LrDeltaSteps = 2
 
   /** Training is deterministic (pure integer arithmetic, no sampling), so
     * the three text_lr_* queries share one training run per fixture dir —
@@ -1276,6 +1278,41 @@ object TextQueries {
       },
       oracle = Some(graft.operators.LogReg.duckCalibrationSql(
         "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
+
+    // the persisted-model ingest workflow: train on the 90% base corpus,
+    // persist the weights (writeModel/readModel with the feature-space
+    // parameter guard — the signature-index convention), then FINE-TUNE
+    // two GD steps on the 10% delta from the persisted weights and
+    // scorecard the delta under the adapted model. Per ingest the cost is
+    // O(delta) — the corpus text is never re-read; the oracle replays
+    // base-train + delta-steps as one CTE chain
+    "text_lr_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.LogReg
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val isDelta = col("doc_id") % 10 === 9
+        val base = docs.filter(!isDelta)
+        val x = LogReg.features(base, "doc_id", "text",
+          col("lang") === "en", LrBuckets).localCheckpoint()
+        val wBase = LogReg.trainWeights(spark, x, base.count(), LrBuckets,
+          LrSteps, LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-lr-model").resolve("m").toString
+        LogReg.writeModel(spark, path, wBase, LrBuckets)
+        val persisted = LogReg.readModel(spark, path, LrBuckets)
+        val delta = docs.filter(isDelta)
+        val xd = LogReg.features(delta, "doc_id", "text",
+          col("lang") === "en", LrBuckets).localCheckpoint()
+        val w = LogReg.trainWeights(spark, xd, delta.count(), LrBuckets,
+          LrDeltaSteps, LrNum, LrDen, init = Some(persisted))
+        LogReg.score(spark, xd, w)
+          .groupBy(col("y"), col("pred"))
+          .agg(count(lit(1)).as("n"), sum(col("sigma")).as("sum_sigma"))
+          .orderBy(col("y"), col("pred"))
+      },
+      oracle = Some(graft.operators.LogReg.duckIncrementalSql(
+        "lang = 'en'", LrBuckets, LrSteps, LrDeltaSteps, LrNum, LrDen,
+        basePred = "doc_id % 10 <> 9", deltaPred = "doc_id % 10 = 9"))),
 
     // the trained filter as an ingest-time gate: train on the static
     // corpus, FREEZE the 1025-long weight vector into a per-row scoring

@@ -126,6 +126,25 @@ class LogRegSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("persisted model round-trips exactly and the feature-space guard fails loudly") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val buckets = 64
+    val x = LogReg.features(docs, "doc_id", "text", col("lang") === "en", buckets)
+      .localCheckpoint()
+    val w = LogReg.trainWeights(spark, x, docs.count(), buckets, 2, 1L, 1L,
+      init = Some(LogReg.nbInit(x, buckets)))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lr-m").resolve("m").toString
+    LogReg.writeModel(spark, path, w, buckets)
+    // bit-exact round-trip: scoring from disk == scoring from memory
+    assert(LogReg.readModel(spark, path, buckets).toSeq == w.toSeq)
+    // mismatched feature space must fail loudly, not silently mis-score
+    val e = intercept[IllegalArgumentException] {
+      LogReg.readModel(spark, path, 128)
+    }
+    assert(e.getMessage.contains("buckets=64"))
+  }
+
   test("weight table is buckets+1 rows regardless of vocabulary size") {
     val spark2 = spark; import spark2.implicits._
     // synthetic corpus with ~40k distinct tokens — orders of magnitude more
