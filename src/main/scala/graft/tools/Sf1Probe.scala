@@ -593,6 +593,39 @@ object Sf1Probe {
     timed("logreg_train 1x") { lrTrain(fixture("documents")) }
     timed("logreg_train 10x") { lrTrain(docs10) }
 
+    // ingest split for the persisted-model workflow: base train is the
+    // amortized cost (once), the delta fine-tune is what every ingest pays
+    // — it must scale with the DELTA, not the corpus
+    def lrSplit(docs: DataFrame): (DataFrame, DataFrame) =
+      (docs.filter(col("doc_id") % 10 =!= 9), docs.filter(col("doc_id") % 10 === 9))
+    def lrBase(docs: DataFrame): Array[Long] = {
+      import graft.operators.LogReg
+      val (base, _) = lrSplit(docs)
+      val x = LogReg.features(base, "doc_id", "text",
+        col("lang") === "en", 1024).localCheckpoint()
+      LogReg.trainWeights(spark, x, base.count(), 1024, 5, 2L, 1L,
+        init = Some(LogReg.nbInit(x, 1024)))
+    }
+    var lrModel: Array[Long] = null
+    timed("lr_base_train 1x") { lrModel = lrBase(fixture("documents")); 1025L }
+    timed("lr_delta_tune 1x") {
+      import graft.operators.LogReg
+      val (_, delta) = lrSplit(fixture("documents"))
+      val xd = LogReg.features(delta, "doc_id", "text",
+        col("lang") === "en", 1024).localCheckpoint()
+      LogReg.trainWeights(spark, xd, delta.count(), 1024, 2, 2L, 1L,
+        init = Some(lrModel)).count(_ != 0L).toLong
+    }
+    timed("lr_base_train 10x") { lrModel = lrBase(docs10); 1025L }
+    timed("lr_delta_tune 10x") {
+      import graft.operators.LogReg
+      val (_, delta) = lrSplit(docs10)
+      val xd = LogReg.features(delta, "doc_id", "text",
+        col("lang") === "en", 1024).localCheckpoint()
+      LogReg.trainWeights(spark, xd, delta.count(), 1024, 2, 2L, 1L,
+        init = Some(lrModel)).count(_ != 0L).toLong
+    }
+
     spark.stop()
   }
 }
