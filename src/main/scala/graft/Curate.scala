@@ -53,6 +53,10 @@ object Curate {
       |                                   URL tokens per million) exceeds this
       |                                   — the redaction-or-drop safety gate
       |                                   (default off)
+      |      --redact-pii                 replace PII-shaped tokens with the
+      |                                   <PII> sentinel in surviving documents
+      |                                   instead of (or after) dropping — the
+      |                                   keep-the-document alternative
       |      --dsir-target-lang str       with --dsir-keep-pct: score documents
       |                                   by DSIR target-vs-raw likelihood with
       |                                   this language as the target domain
@@ -107,6 +111,7 @@ object Curate {
       minQuality: Double = 0.45,
       maxXentMicro: Option[Long] = None,
       maxPiiPerMillion: Option[Long] = None,
+      redactPii: Boolean = false,
       dsirTargetLang: Option[String] = None,
       dsirKeepPct: Option[Int] = None,
       lrTargetLang: Option[String] = None,
@@ -134,6 +139,8 @@ object Curate {
           loop(tail, acc.copy(perSourceQuality = true), positional)
         case "--keep-best" :: tail =>
           loop(tail, acc.copy(keepBest = true), positional)
+        case "--redact-pii" :: tail =>
+          loop(tail, acc.copy(redactPii = true), positional)
         case flag :: value :: tail if flag.startsWith("--") =>
           flag match {
             case "--decontaminate-against" =>
@@ -383,6 +390,17 @@ object Curate {
       out
     }
 
+    // optional in-place PII redaction (the text_pii_redact transform): the
+    // keep-the-document alternative to the density drop above — every
+    // detector-positive token becomes the <PII> sentinel; all later gates
+    // (DSIR, the LR filter, chunking) see the redacted text
+    val redacted = if (!cfg.redactPii) piiGated else {
+      val out = piiGated.withColumn("text",
+        TextAnalysis.redactPii(TextAnalysis.tokens(col("text")))).persist()
+      out.count()
+      out
+    }
+
     // optional DSIR selection (the corpus_dsir operators as a gate): score
     // survivors by hashed-bigram target-vs-raw likelihood with the given
     // language as the target domain, keep the top N% by exact distributed
@@ -390,7 +408,7 @@ object Curate {
     val dsirKept = (cfg.dsirTargetLang, cfg.dsirKeepPct) match {
       case (Some(lang0), Some(pct)) =>
         val w = graft.operators.Selection.dsirWeights(
-          piiGated, "doc_id", "text", col("lang") === lang0, 1024)
+          redacted, "doc_id", "text", col("lang") === lang0, 1024)
         // distributed exact rank, never a single-partition global window
         // (Ranks scaladoc) — the curate binary sees full-corpus inputs
         val ranked = graft.operators.Ranks.globalRank(
@@ -398,10 +416,10 @@ object Curate {
         // ranked is cached + row-preserving: a cache read, not a re-score
         val n = ranked.count()
         val keep = ranked.filter(col("rnk") * 100L <= n * pct).select("doc_id")
-        val out = piiGated.join(keep, Seq("doc_id"), "left_semi").persist()
+        val out = redacted.join(keep, Seq("doc_id"), "left_semi").persist()
         out.count()
         out
-      case _ => piiGated
+      case _ => redacted
     }
 
     // optional trained-classifier gate (the text_lr operators as a filter):
@@ -516,7 +534,8 @@ object Curate {
       (if (paraScreened ne bpScreened) Seq(paraScreened) else Nil) ++
       (if (xentGated ne quality) Seq(xentGated) else Nil) ++
       (if (piiGated ne xentGated) Seq(piiGated) else Nil) ++
-      (if (dsirKept ne piiGated) Seq(dsirKept) else Nil) ++
+      (if (redacted ne piiGated) Seq(redacted) else Nil) ++
+      (if (dsirKept ne redacted) Seq(dsirKept) else Nil) ++
       (if (lrGated ne dsirKept) Seq(lrGated) else Nil) ++
       (if (sampled0 ne lrGated) Seq(sampled0) else Nil) ++
       (if (sampled ne sampled0) Seq(sampled) else Nil) ++

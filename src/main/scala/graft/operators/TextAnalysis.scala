@@ -44,6 +44,24 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** Redact PII-shaped tokens in place — the transform twin of the
+    * `--max-pii-per-million` drop gate (redaction keeps the document, the
+    * standard choice when the surrounding text is valuable): every
+    * detector-positive token becomes the `<PII>` sentinel, document
+    * structure otherwise preserved. One per-row HOF over a staged token
+    * array — scan-parallel, no shuffle.
+    */
+  def redactPii(tk: Column): Column =
+    array_join(transform(tk, t =>
+      when(isEmailToken(t) || isLongNumToken(t) || isUrlToken(t), lit("<PII>"))
+        .otherwise(t)), " ")
+
+  /** DuckDB twin of [[redactPii]] over a staged token-array column. */
+  def duckRedactPii(tkCol: String): String =
+    s"array_to_string(list_transform($tkCol, t -> CASE WHEN t LIKE '%@%.%' " +
+      "OR length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) >= 7 " +
+      "OR t LIKE 'http%' OR t LIKE 'www.%' THEN '<PII>' ELSE t END), ' ')"
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Documents shorter than n words shingle to the whole text.
     */

@@ -122,6 +122,35 @@ object PrivacyQueries {
                   (n_email + n_longnum + n_url) * 1000000 // n_tokens
                     AS pii_per_million
            FROM agg ORDER BY source"""
+      }),
+
+    // PII redaction as a transform (the redact-instead-of-drop choice):
+    // detector-positive tokens become the <PII> sentinel in place. On the
+    // synthetic PII-free fixture every document round-trips unchanged and
+    // n_redacted is all-zero — the oracle-gated correct answer here (the
+    // text_pii_scan convention); the positive behavior is PrivacySpec-pinned
+    // on hand-built documents
+    "text_pii_redact" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.TextAnalysis
+        Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+          .withColumn("tk", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            (size(filter(col("tk"), t =>
+              TextAnalysis.isEmailToken(t) || TextAnalysis.isLongNumToken(t) ||
+                TextAnalysis.isUrlToken(t)))).cast("long").as("n_redacted"),
+            TextAnalysis.redactPii(col("tk")).as("redacted_text"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        import graft.operators.TextAnalysis.{duckRedactPii, duckTokens}
+        s"""WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents)
+           SELECT doc_id,
+                  CAST(len(list_filter(tk, t -> t LIKE '%@%.%'
+                    OR length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) >= 7
+                    OR t LIKE 'http%' OR t LIKE 'www.%')) AS BIGINT) AS n_redacted,
+                  ${duckRedactPii("tk")} AS redacted_text
+           FROM toks ORDER BY doc_id"""
       })
   )
 }

@@ -108,6 +108,26 @@ class CurateSpec extends SparkSpec {
       "/d", "/o")).isRight)
   }
 
+  test("--redact-pii rewrites surviving text in place without changing counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-rp").toString
+    val docs = Seq(
+      (1L, "contact me at alice@example.com for the table scan rows", "en", "s0"),
+      (2L, "plain clean words only here nothing sensitive at all", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-rp-o").toString
+    assert(Curate.parse(Seq("--redact-pii", dir, out)) ==
+      Right(Curate.Config(docsDir = dir, outDir = out, redactPii = true)))
+    val funnel = Curate.run(spark, Curate.Config(
+      docsDir = dir, outDir = out, minQuality = 0.0, redactPii = true)).toMap
+    assert(funnel("written") == 2L, funnel.toString) // transform, not a drop
+    val texts = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(texts(1L) == "contact me at <PII> for the table scan rows")
+    assert(texts(2L) == "plain clean words only here nothing sensitive at all")
+  }
+
   test("lr flags must come together; sigma cap bounded to micro range") {
     assert(Curate.parse(Seq("--min-lr-sigma-micro", "500000", "/d", "/o")).isLeft)
     assert(Curate.parse(Seq("--lr-target-lang", "en", "/d", "/o")).isLeft)

@@ -38,6 +38,21 @@ class PrivacySpec extends SparkSpec {
       assert(got(tk) == ((e, n, u)), s"token '$tk'")
   }
 
+  test("PII redaction replaces exactly the detector-positive tokens in place") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or visit www.example.org today"),
+      (2L, "call 5551234567 now"),
+      (3L, "plain clean words only"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = docs.withColumn("tk", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), TextAnalysis.redactPii(col("tk")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "contact <PII> or visit <PII> today")
+    assert(got(2L) == "call <PII> now")
+    assert(got(3L) == "plain clean words only") // untouched round-trip
+    assert(got(4L) == "")
+  }
+
   test("ev_k_anonymity: histogram mirrors a driver-side profile computation") {
     val ev = Readers.fixture(spark, sfDir, "events")
       .select(col("user_id"), col("event_type"), hour(col("ts")).cast("long").as("hod"))
