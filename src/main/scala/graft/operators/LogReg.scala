@@ -148,6 +148,13 @@ object LogReg {
                               out: String, keep: Seq[String]): (Seq[String], String) =
     duckStageChain(duckStages(z, out), from, prefix, out, keep)
 
+  /** Public sigmoid CTE chain for oracle builders living outside this
+    * object (returns the fragments only; the final CTE is named `prefix`).
+    */
+  def duckScoreCtesPublic(from: String, prefix: String, z: String,
+                          out: String, keep: Seq[String]): Seq[String] =
+    duckSigmoidCtes(from, prefix, z, out, keep)._1
+
   /** e^{-`a`} CTE chain for a nonnegative micro column — the softmax
     * building block ([[expNegStages]] in the DuckDB dialect).
     */

@@ -1279,6 +1279,35 @@ object TextQueries {
       oracle = Some(graft.operators.LogReg.duckCalibrationSql(
         "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
 
+    // active-learning margin mining: the 20 documents the trained filter is
+    // LEAST sure about (posterior closest to the 0.5 boundary) — the rows a
+    // labeling loop sends for human review first. Plans as
+    // TakeOrderedAndProject (bounded heap per partition), never a global
+    // sort — the same scale shape as every other top-k here
+    "text_lr_margin_mining" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.LogReg
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val x = LogReg.features(docs, "doc_id", "text",
+          col("lang") === "en", LrBuckets).localCheckpoint()
+        LogReg.score(spark, x, trainedLr(spark, sfDir))
+          .withColumn("margin", abs(col("sigma") - 500000L))
+          .select(col("doc_id"), col("y"), col("sigma"), col("margin"))
+          .orderBy(col("margin").asc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some {
+        val (ctes, wFin) = graft.operators.LogReg.duckTrainCtes(
+          "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen)
+        s"""WITH ${ctes.mkString(",\n")},
+           zs AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z
+                  FROM x JOIN $wFin USING (bkt) GROUP BY doc_id, y),
+           ${graft.operators.LogReg.duckScoreCtesPublic("zs", "sgm", "z", "sigma",
+              Seq("doc_id", "y")).mkString(",\n")}
+           SELECT doc_id, y, sigma, abs(sigma - 500000) AS margin
+           FROM sgm ORDER BY margin ASC, doc_id ASC LIMIT 20"""
+      }),
+
     // the persisted-model ingest workflow: train on the 90% base corpus,
     // persist the weights (writeModel/readModel with the feature-space
     // parameter guard — the signature-index convention), then FINE-TUNE

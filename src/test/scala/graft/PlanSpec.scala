@@ -628,4 +628,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(bg#") && !plan.contains("hashpartitioning(g#"),
       "scoring shuffles on a raw-bigram column")
   }
+
+  test("margin mining plans the top-20 as TakeOrderedAndProject, not a global sort") {
+    val plan = physicalPlan("text_lr_margin_mining")
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
 }
