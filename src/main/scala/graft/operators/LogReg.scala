@@ -173,11 +173,42 @@ object LogReg {
     */
   def features(docs: DataFrame, idCol: String, textCol: String,
                label: org.apache.spark.sql.Column, buckets: Int,
-               presence: Boolean = true): DataFrame = {
+               presence: Boolean = true): DataFrame =
+    featuresFromGrams(docs, idCol,
+      t => bigramsFromTokens(split(t, " ")), textCol, label, buckets, presence)
+
+  /** Character trigrams of a text column — the fastText-realistic
+    * featurization for language ID (word bigrams need the language's words
+    * to repeat across documents; char trigrams see orthography). Both
+    * engines slice by CHARACTER (Spark substring / DuckDB array slicing on
+    * VARCHAR), so the grams agree on any unicode text.
+    */
+  def charTrigrams(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // explicit short-text branch: Spark's sequence(1, 0) counts DOWN (the
+    // recorded bigramsFromTokens lesson), DuckDB's generate_series(1, 0)
+    // is empty — so the guard is load-bearing for cross-engine equality
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[charTrigrams]] (VARCHAR slicing is 1-based inclusive
+    * and character-indexed, matching Spark's substr).
+    */
+  def duckCharTrigrams(textSql: String): String =
+    s"list_transform(generate_series(1, greatest(length($textSql) - 2, 0)), " +
+      s"i -> $textSql[i:i+2])"
+
+  /** Grams-parameterized feature frame — [[features]] with a custom gram
+    * producer (word bigrams by default; [[charTrigrams]] for the char-gram
+    * variant).
+    */
+  def featuresFromGrams(docs: DataFrame, idCol: String,
+                        grams: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        textCol: String, label: org.apache.spark.sql.Column,
+                        buckets: Int, presence: Boolean = true): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
-      label.cast("long").as("y"), split(col(textCol), " ").as("__tk"))
-    base.select(col("doc_id"), col("y"),
-        explode(bigramsFromTokens(col("__tk"))).as("bg"))
+      label.cast("long").as("y"), grams(col(textCol)).as("__g"))
+    base.select(col("doc_id"), col("y"), explode(col("__g")).as("bg"))
       .select(col("doc_id"), col("y"), bucketOf(col("bg"), buckets).as("bkt"))
       .groupBy(col("doc_id"), col("y"), col("bkt"))
       .agg((if (presence) least(count(lit(1)), lit(1L)) else count(lit(1))).as("cnt"))
@@ -331,13 +362,14 @@ object LogReg {
     */
   def duckFeatureCte(name: String, targetSql: String, buckets: Int,
                      presence: Boolean, predSql: String,
-                     table: String): String = {
+                     table: String, gramsSql: String = ""): String = {
     val cntSql = if (presence) "least(count(*), 1)" else "count(*)"
+    val grams = if (gramsSql.nonEmpty) gramsSql else duckBigrams("text")
     s"""$name AS MATERIALIZED (
           SELECT doc_id, CAST(($targetSql) AS BIGINT) AS y,
                  ${duckBucketOf("g", buckets)} AS bkt,
                  CAST($cntSql AS BIGINT) AS cnt
-          FROM (SELECT *, unnest(${duckBigrams("text")}) AS g
+          FROM (SELECT *, unnest($grams) AS g
                 FROM $table WHERE $predSql) ex
           GROUP BY 1, 2, 3
           UNION ALL
@@ -381,9 +413,10 @@ object LogReg {
   def duckTrainCtes(targetSql: String, buckets: Int, steps: Int,
                     lrNum: Long, lrDen: Long, table: String = "documents",
                     presence: Boolean = true,
-                    predSql: String = "TRUE"): (Seq[String], String) = {
+                    predSql: String = "TRUE",
+                    gramsSql: String = ""): (Seq[String], String) = {
     import Selection.duckLnMicro
-    val x = duckFeatureCte("x", targetSql, buckets, presence, predSql, table)
+    val x = duckFeatureCte("x", targetSql, buckets, presence, predSql, table, gramsSql)
     val n = s"nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE $predSql)"
     // NB init, the duck twin of nbInit: per-bucket smoothed doc-frequency
     // log-odds plus the class-prior bias row
@@ -493,8 +526,9 @@ object LogReg {
     * model's own training frame.
     */
   def duckScorecardSql(targetSql: String, buckets: Int, steps: Int,
-                       lrNum: Long, lrDen: Long): String = {
-    val (ctes, wFin) = duckTrainCtes(targetSql, buckets, steps, lrNum, lrDen)
+                       lrNum: Long, lrDen: Long, gramsSql: String = ""): String = {
+    val (ctes, wFin) = duckTrainCtes(targetSql, buckets, steps, lrNum, lrDen,
+      gramsSql = gramsSql)
     val zs = s"zs AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
       s"FROM x JOIN $wFin USING (bkt) GROUP BY doc_id, y)"
     val (sigCtes, sigName) =

@@ -42,6 +42,14 @@ object TextQueries {
   val LrDen = 1L
   /** Fine-tune steps per ingest delta (text_lr_incremental). */
   val LrDeltaSteps = 2
+  /** Char-trigram variant constants: ~250 active features per doc (vs ~40
+    * word bigrams) make gradients ~6x larger, so the fine-tune rate drops
+    * accordingly (2/1 diverges to the all-negative corner — BASELINE.md
+    * round-10 char sweep).
+    */
+  val LrCharNum = 1L
+  val LrCharDen = 8L
+  val LrCharSteps = 3
 
   /** Training is deterministic (pure integer arithmetic, no sampling), so
     * the three text_lr_* queries share one training run per fixture dir —
@@ -1256,6 +1264,33 @@ object TextQueries {
       },
       oracle = Some(graft.operators.LogReg.duckScorecardSql(
         "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen))),
+
+    // the same trained filter over CHARACTER-trigram features — the
+    // featurization a fastText-style langid actually ships (char n-grams
+    // see orthography). Same integer training machinery, only the gram
+    // producer and the rate change (~250 active features per doc vs ~40:
+    // see LrChar* constants). The measured finding this query records: on
+    // the SYNTHETIC fixture word bigrams win (85% vs 71% — generated text
+    // carries its language signal in word identity, the languages share
+    // character statistics), the reverse of real-corpus behavior; the
+    // scorecard keeps that comparison a number, not an assumption
+    "text_lr_chargram_scorecard" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.LogReg
+        val docs = Readers.fixture(spark, sfDir, "documents")
+        val x = LogReg.featuresFromGrams(docs, "doc_id", LogReg.charTrigrams,
+          "text", col("lang") === "en", LrBuckets).localCheckpoint()
+        val w = LogReg.trainWeights(spark, x, docs.count(), LrBuckets,
+          LrCharSteps, LrCharNum, LrCharDen,
+          init = Some(LogReg.nbInit(x, LrBuckets)))
+        LogReg.score(spark, x, w)
+          .groupBy(col("y"), col("pred"))
+          .agg(count(lit(1)).as("n"), sum(col("sigma")).as("sum_sigma"))
+          .orderBy(col("y"), col("pred"))
+      },
+      oracle = Some(graft.operators.LogReg.duckScorecardSql(
+        "lang = 'en'", LrBuckets, LrCharSteps, LrCharNum, LrCharDen,
+        gramsSql = graft.operators.LogReg.duckCharTrigrams("text")))),
 
     // reliability diagram for the trained filter: posterior deciles vs the
     // empirical positive rate per band (sigma=1e6 folds into band 9). A

@@ -126,6 +126,19 @@ class LogRegSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("char trigrams: exact windows, short-text empty, unicode character-indexed") {
+    val spark2 = spark; import spark2.implicits._
+    val got = Seq("hello", "hi", "", "abc", "héllo")
+      .toDF("t").select(col("t"), LogReg.charTrigrams(col("t")).as("g"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("hello") == Seq("hel", "ell", "llo"))
+    assert(got("hi") == Seq.empty) // sequence(1,0) counts DOWN without the guard
+    assert(got("") == Seq.empty)
+    assert(got("abc") == Seq("abc"))
+    // character-indexed, not byte-indexed: é is one character
+    assert(got("héllo") == Seq("hél", "éll", "llo"))
+  }
+
   test("persisted model round-trips exactly and the feature-space guard fails loudly") {
     val docs = Readers.fixture(spark, sfDir, "documents")
     val buckets = 64
