@@ -617,6 +617,68 @@ object SimHash {
     // the pair set is pure waste for downstream consumers like clustering —
     // the registered query adds its own deterministic orderBy
   }
+
+  private def chunksOf(df: DataFrame, idCol: String, simhashCol: String): DataFrame =
+    graft.core.Readers.spread(
+      df.select(col(idCol).as("id"), col(simhashCol).as("sh")), col("id"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until Chunks).map(c =>
+          shiftright(col("sh"), ChunkBits * c).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
+
+  /** Ingest-time near-dup screen against a persisted hash index: every
+    * pair within MaxHamming that TOUCHES the new batch (delta × index plus
+    * delta × delta), with the corpus side supplied as already-computed
+    * 64-bit hashes — the expensive decode/hash step runs on the DELTA
+    * only, O(delta + index) per ingest. The pigeonhole bound makes this
+    * EXACTLY the full [[nearPairs]] set restricted to pairs touching a new
+    * id (nearPairs equals brute force, and a qualifying pair shares a
+    * chunk regardless of which side is the index), which is why the
+    * registered query shares the full twin's oracle with a final-row
+    * filter — the paragraphDedupIncremental convention.
+    */
+  def incrementalNearPairs(newHashes: DataFrame, indexHashes: DataFrame,
+                           idCol: String, simhashCol: String): DataFrame = {
+    val nc = chunksOf(newHashes, idCol, simhashCol).persist()
+    val ic = chunksOf(indexHashes, idCol, simhashCol)
+    def bandCond = col("x.chunk_idx") === col("y.chunk_idx") &&
+      col("x.chunk") === col("y.chunk")
+    // delta × index: ingest ids interleave with the corpus, normalize order
+    val cross = nc.as("x").join(ic.as("y"), bandCond && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
+        bit_count(expr("x.sh ^ y.sh")).cast("long").as("hamming"))
+    val within = nc.as("x").join(nc.as("y"), bandCond && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(expr("x.sh ^ y.sh")).cast("long").as("hamming"))
+    cross.union(within).distinct().filter(col("hamming") <= MaxHamming)
+  }
+
+  /** Persist a 64-bit hash index (id, sh) with its banding parameters —
+    * the writeSigIndex convention for the pHash/SimHash side.
+    */
+  def writeHashIndex(hashes: DataFrame, idCol: String, simhashCol: String,
+                     path: String): Unit =
+    hashes.select(col(idCol).as("id"), col(simhashCol).as("sh"))
+      .withColumn("chunks", lit(Chunks))
+      .withColumn("chunk_bits", lit(ChunkBits))
+      .withColumn("max_hamming", lit(MaxHamming))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a hash index, failing loudly on banding-parameter mismatch —
+    * a different chunking silently loses the pigeonhole guarantee.
+    */
+  def readHashIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    for (r <- idx.select("chunks", "chunk_bits", "max_hamming").head(1).headOption) {
+      require(r.getInt(0) == Chunks && r.getInt(1) == ChunkBits && r.getInt(2) == MaxHamming,
+        s"hash index at $path was built with chunks=${r.getInt(0)} " +
+          s"chunkBits=${r.getInt(1)} maxHamming=${r.getInt(2)}; this build expects " +
+          s"$Chunks/$ChunkBits/$MaxHamming — mismatched banding loses the pigeonhole guarantee")
+    }
+    idx.drop("chunks", "chunk_bits", "max_hamming")
+  }
 }
 
 /** Exact duplicated-SUBSTRING detection (Lee et al., "Deduplicating Training

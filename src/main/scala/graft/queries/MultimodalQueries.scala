@@ -144,6 +144,40 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
         maxHamming = graft.operators.SimHash.MaxHamming))),
 
+    // ingest-time image near-dup screen: the 10% delta's pHashes are
+    // checked against a PERSISTED hash index of the 90% corpus
+    // (writeHashIndex/readHashIndex with the banding-parameter guard) —
+    // the corpus images are never re-decoded, O(delta + index) per
+    // ingest. Pigeonhole equality makes the output exactly the full
+    // mm_phash_pairs set restricted to pairs touching a delta image, which
+    // is the oracle (the dedup_paragraph_incremental convention)
+    "mm_phash_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        import graft.operators.SimHash
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).cast("binary").as("img"))
+        val isDelta = col("doc_id") % 10 === 9
+        val corpusPh = Multimodal.extractMeta(docs.filter(!isDelta), "doc_id", "img")
+          .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-phash-idx").resolve("i").toString
+        SimHash.writeHashIndex(corpusPh, "id", "ph", path)
+        val deltaPh = Multimodal.extractMeta(docs.filter(isDelta), "doc_id", "img")
+          .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+        SimHash.incrementalNearPairs(deltaPh,
+            SimHash.readHashIndex(spark, path).withColumnRenamed("sh", "ph"),
+            "id", "ph")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val inner = Multimodal.duckPhashPairs("documents", "doc_id", "text",
+          maxHamming = graft.operators.SimHash.MaxHamming)
+        s"""WITH p AS ($inner)
+           SELECT doc_a, doc_b, hamming FROM p
+           WHERE doc_a % 10 = 9 OR doc_b % 10 = 9
+           ORDER BY doc_a, doc_b"""
+      }),
+
     // pHash hamming tuning curve: image near-pairs per hamming distance
     // with the cumulative at-or-under count — the image-side sibling of
     // dedup_hamming_curve (pick the pHash match threshold from the cliff);

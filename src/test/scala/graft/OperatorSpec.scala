@@ -1085,6 +1085,35 @@ class OperatorSpec extends SparkSpec {
     assert(MinHashLSH.readSigIndex(spark, emptyPath, 99, 9, 9).count() == 0)
   }
 
+  test("incremental pHash screen equals the full pair set restricted to delta-touching pairs") {
+    import graft.operators.{Multimodal, SimHash}
+    val imgs = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).cast("binary").as("img"))
+    val ph = Multimodal.extractMeta(imgs, "doc_id", "img")
+      .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+      .localCheckpoint()
+    val isDelta = col("id") % 10 === 9
+    val full = SimHash.nearPairs(ph, "id", "ph")
+      .filter(col("doc_a") % 10 === 9 || col("doc_b") % 10 === 9)
+      .as[(Long, Long, Long)].collect().toSet
+    // through the persisted index (restart-safe path), decode on delta only
+    val path = java.nio.file.Files.createTempDirectory("graft-phidx")
+      .resolve("i").toString
+    SimHash.writeHashIndex(ph.filter(!isDelta), "id", "ph", path)
+    val inc = SimHash.incrementalNearPairs(ph.filter(isDelta),
+        SimHash.readHashIndex(spark, path).withColumnRenamed("sh", "ph"), "id", "ph")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full, s"incremental ${inc.size} vs full-restricted ${full.size}")
+    // a mismatched banding must refuse the read, not silently lose recall —
+    // simulate by tampering with the metadata column
+    val bad = java.nio.file.Files.createTempDirectory("graft-phidx-b")
+      .resolve("i").toString
+    spark.read.parquet(path).withColumn("chunks", lit(8))
+      .write.parquet(bad)
+    val ex = intercept[IllegalArgumentException](SimHash.readHashIndex(spark, bad))
+    assert(ex.getMessage.contains("pigeonhole"), ex.getMessage)
+  }
+
   test("IVF index round-trips: persisted-index probe equals in-memory; mismatch fails loudly") {
     // restart-safety for sim_ivf_incremental (r9 verdict item 4): the index
     // written today must serve tomorrow's ingest identically, and an index
