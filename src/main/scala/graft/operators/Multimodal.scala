@@ -320,6 +320,68 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The landmark inverted-index rows of a clip set — what
+    * [[writeLandmarkIndex]] persists and the incremental matcher probes.
+    */
+  def audioLandmarks(df: DataFrame, idCol: String, binCol: String,
+                     width: Int, stride: Int, bandDiv: Long): DataFrame =
+    audioEnergy(df, idCol, binCol, width, stride)
+      .select(col("doc_id"), col("window_idx"),
+        expr(s"energy div $bandDiv").as("band"))
+
+  /** Ingest-time audio matcher: every pair sharing ≥ `minShared` landmarks
+    * that TOUCHES the new batch, with the corpus side supplied as a
+    * persisted landmark index — the corpus audio is never re-decoded,
+    * O(delta + index) per ingest. `n_shared` depends only on the two
+    * clips, so the output is EXACTLY the full [[audioFingerprintPairs]]
+    * set restricted to pairs touching a new id (the oracle-sharing
+    * convention of the pHash and paragraph screens).
+    */
+  def audioFingerprintIncremental(newDf: DataFrame, indexLm: DataFrame,
+                                  idCol: String, binCol: String,
+                                  width: Int, stride: Int, bandDiv: Long,
+                                  minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val nl = audioLandmarks(newDf, idCol, binCol, width, stride, bandDiv).persist()
+    def lmCond = col("x.window_idx") === col("y.window_idx") &&
+      col("x.band") === col("y.band")
+    val cross = nl.as("x").join(indexLm.as("y"),
+        lmCond && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val within = nl.as("x").join(nl.as("y"),
+        lmCond && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.unionByName(within)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Persist a landmark index with its extraction parameters. */
+  def writeLandmarkIndex(lm: DataFrame, width: Int, stride: Int,
+                         bandDiv: Long, path: String): Unit =
+    lm.withColumn("width", lit(width)).withColumn("stride", lit(stride))
+      .withColumn("band_div", lit(bandDiv))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a landmark index, refusing a parameter mismatch — landmarks from
+    * a different quantization silently match nothing.
+    */
+  def readLandmarkIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        expectWidth: Int, expectStride: Int,
+                        expectBandDiv: Long): DataFrame = {
+    val idx = spark.read.parquet(path)
+    for (r <- idx.select("width", "stride", "band_div").head(1).headOption) {
+      require(r.getInt(0) == expectWidth && r.getInt(1) == expectStride &&
+        r.getLong(2) == expectBandDiv,
+        s"landmark index at $path was built with width=${r.getInt(0)} " +
+          s"stride=${r.getInt(1)} bandDiv=${r.getLong(2)}; this ingest expects " +
+          s"$expectWidth/$expectStride/$expectBandDiv — mismatched quantization " +
+          "silently matches nothing (rebuild the index or match its parameters)")
+    }
+    idx.drop("width", "stride", "band_div")
+  }
+
   /** DuckDB twin of [[audioFingerprintPairs]] over `unhex(md5(text))`
     * payloads (the [[duckAudioEnergy]] staging).
     */

@@ -144,6 +144,37 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
         maxHamming = graft.operators.SimHash.MaxHamming))),
 
+    // ingest-time audio matcher: the 10% delta's clips are landmarked and
+    // probed against a PERSISTED landmark index of the 90% corpus
+    // (writeLandmarkIndex/readLandmarkIndex with the quantization guard) —
+    // the corpus audio is never re-decoded. n_shared depends only on the
+    // two clips, so the output is exactly the full mm_audio_fingerprint
+    // set restricted to delta-touching pairs, which is the oracle
+    "mm_audio_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
+        val isDelta = col("doc_id") % 10 === 9
+        val idxLm = Multimodal.audioLandmarks(docs.filter(!isDelta),
+          "doc_id", "pcm", width = 6, stride = 4, bandDiv = 1024L)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-lm-idx").resolve("i").toString
+        Multimodal.writeLandmarkIndex(idxLm, 6, 4, 1024L, path)
+        Multimodal.audioFingerprintIncremental(docs.filter(isDelta),
+            Multimodal.readLandmarkIndex(spark, path, 6, 4, 1024L),
+            "doc_id", "pcm", width = 6, stride = 4, bandDiv = 1024L,
+            minShared = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val inner = Multimodal.duckAudioFingerprintPairs("documents", "doc_id",
+          width = 6, stride = 4, bandDiv = 1024L, minShared = 3)
+        s"""WITH ap AS ($inner)
+           SELECT doc_a, doc_b, n_shared FROM ap
+           WHERE doc_a % 10 = 9 OR doc_b % 10 = 9
+           ORDER BY doc_a, doc_b"""
+      }),
+
     // ingest-time image near-dup screen: the 10% delta's pHashes are
     // checked against a PERSISTED hash index of the 90% corpus
     // (writeHashIndex/readHashIndex with the banding-parameter guard) —

@@ -1114,6 +1114,33 @@ class OperatorSpec extends SparkSpec {
     assert(ex.getMessage.contains("pigeonhole"), ex.getMessage)
   }
 
+  test("incremental audio matcher equals the full pair set restricted to delta-touching pairs") {
+    import graft.operators.Multimodal
+    val clips = docs.select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
+    val isDelta = col("doc_id") % 10 === 9
+    val full = Multimodal.audioFingerprintPairs(clips, "doc_id", "pcm",
+        width = 6, stride = 4, bandDiv = 1024L, minShared = 3)
+      .filter(col("doc_a") % 10 === 9 || col("doc_b") % 10 === 9)
+      .as[(Long, Long, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-lmidx")
+      .resolve("i").toString
+    Multimodal.writeLandmarkIndex(
+      Multimodal.audioLandmarks(clips.filter(!isDelta), "doc_id", "pcm", 6, 4, 1024L),
+      6, 4, 1024L, path)
+    val inc = Multimodal.audioFingerprintIncremental(clips.filter(isDelta),
+        Multimodal.readLandmarkIndex(spark, path, 6, 4, 1024L),
+        "doc_id", "pcm", 6, 4, 1024L, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full, s"incremental ${inc.size} vs full-restricted ${full.size}")
+    // drifted quantization must refuse the read
+    for ((w, s, b) <- Seq((8, 4, 1024L), (6, 2, 1024L), (6, 4, 512L))) {
+      val ex = intercept[IllegalArgumentException] {
+        Multimodal.readLandmarkIndex(spark, path, w, s, b)
+      }
+      assert(ex.getMessage.contains("silently matches nothing"), ex.getMessage)
+    }
+  }
+
   test("IVF index round-trips: persisted-index probe equals in-memory; mismatch fails loudly") {
     // restart-safety for sim_ivf_incremental (r9 verdict item 4): the index
     // written today must serve tomorrow's ingest identically, and an index
