@@ -616,6 +616,46 @@ object Sf1Probe {
       LogReg.trainWeights(spark, xd, delta.count(), 1024, 2, 2L, 1L,
         init = Some(lrModel)).count(_ != 0L).toLong
     }
+    // multimodal ingest screens: index build (amortized) vs delta probe
+    // (recurring) for the pHash and landmark matchers
+    def mmSplit(docs: DataFrame): (DataFrame, DataFrame) =
+      (docs.filter(col("doc_id") % 10 =!= 9), docs.filter(col("doc_id") % 10 === 9))
+    def phashProbe(docs: DataFrame, tag: String): Long = {
+      import graft.operators.{Multimodal, SimHash}
+      val imgs = docs.select(col("doc_id"),
+        substring(col("text"), 1, 32).cast("binary").as("img"))
+      val (base, delta) = mmSplit(imgs)
+      def ph(d: DataFrame) = Multimodal.extractMeta(d, "doc_id", "img")
+        .select(col("doc_id").as("id"), Multimodal.phash(col("feat")).as("ph"))
+      val path = s"$work/phidx_$tag"
+      SimHash.writeHashIndex(ph(base), "id", "ph", path)
+      SimHash.incrementalNearPairs(ph(delta),
+        SimHash.readHashIndex(spark, path).withColumnRenamed("sh", "ph"),
+        "id", "ph").count()
+    }
+    def audioProbe(docs: DataFrame, tag: String, bandDiv: Long): Long = {
+      import graft.operators.Multimodal
+      val clips = docs.select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
+      val (base, delta) = mmSplit(clips)
+      val path = s"$work/lmidx_${tag}_$bandDiv"
+      Multimodal.writeLandmarkIndex(
+        Multimodal.audioLandmarks(base, "doc_id", "pcm", 6, 4, bandDiv),
+        6, 4, bandDiv, path)
+      Multimodal.audioFingerprintIncremental(delta,
+        Multimodal.readLandmarkIndex(spark, path, 6, 4, bandDiv),
+        "doc_id", "pcm", 6, 4, bandDiv, minShared = 3).count()
+    }
+    timed("phash_gate 1x") { phashProbe(fixture("documents"), "1x") }
+    timed("phash_gate 10x") { phashProbe(docs10, s"x$mult") }
+    // bandDiv is the landmark-space width — THE scale lever of an inverted
+    // index matcher: the coarse 1024 quantization collapses the synthetic
+    // energies into ~2 bands (hot buckets → near-cartesian fan-out), the
+    // fine 16 quantization spreads them over ~100
+    timed("audio_gate_coarse 1x") { audioProbe(fixture("documents"), "1x", 1024L) }
+    timed("audio_gate_coarse 10x") { audioProbe(docs10, s"x$mult", 1024L) }
+    timed("audio_gate_fine 1x") { audioProbe(fixture("documents"), "1x", 16L) }
+    timed("audio_gate_fine 10x") { audioProbe(docs10, s"x$mult", 16L) }
+
     timed("lr_base_train 10x") { lrModel = lrBase(docs10); 1025L }
     timed("lr_delta_tune 10x") {
       import graft.operators.LogReg
