@@ -287,6 +287,79 @@ object Multimodal {
       .toDF()
   }
 
+  /** Distinct per-clip frame signatures: each sampled frame's feature
+    * vector rendered as an exact-match key — the video inverted-index unit
+    * (one row per distinct (clip, signature), presence semantics).
+    */
+  def videoFrameSigs(df: DataFrame, idCol: String, binCol: String,
+                     everyN: Int, decoder: VideoDecoder = StubVideoDecoder): DataFrame =
+    sampleFrames(df, idCol, binCol, everyN, decoder)
+      .select(col("doc_id"),
+        array_join(transform(col("feat"), x => x.cast("string")), "_").as("sig"))
+      .distinct()
+
+  /** Video near-dup matching: clip pairs sharing ≥ `minShared` DISTINCT
+    * frame signatures, joined through the signature inverted index — never
+    * clip × clip, and temporally shift-tolerant (the frame index is not
+    * part of the key, so a re-cut clip still matches on its shared
+    * frames). The video sibling of the audio landmark matcher; on the
+    * synthetic stub-decoded fixture only exact-duplicate payloads produce
+    * matching frames (documented convention — the plumbing is the real
+    * pipeline, a production deployment swaps the decoder).
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        everyN: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val sigs = videoFrameSigs(df, idCol, binCol, everyN).persist()
+    sigs.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Ingest-time video matcher against a persisted frame-signature index —
+    * decode on the delta only; the shared-distinct-signature count depends
+    * only on the clip pair, so the output is exactly the full
+    * [[videoNearDupPairs]] set restricted to delta-touching pairs (the
+    * restriction-oracle convention of the pHash/audio screens).
+    */
+  def videoNearDupIncremental(newDf: DataFrame, indexSigs: DataFrame,
+                              idCol: String, binCol: String,
+                              everyN: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val ns = videoFrameSigs(newDf, idCol, binCol, everyN).persist()
+    val cross = ns.as("x").join(indexSigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val within = ns.as("x").join(ns.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.unionByName(within)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Persist a frame-signature index with its sampling parameter. */
+  def writeFrameSigIndex(sigs: DataFrame, everyN: Int, path: String): Unit =
+    sigs.withColumn("every_n", lit(everyN)).write.mode("overwrite").parquet(path)
+
+  /** Read a frame-signature index, refusing a sampling mismatch — a
+    * different frame stride produces disjoint signature sets.
+    */
+  def readFrameSigIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        expectEveryN: Int): DataFrame = {
+    val idx = spark.read.parquet(path)
+    for (r <- idx.select("every_n").head(1).headOption) {
+      require(r.getInt(0) == expectEveryN,
+        s"frame-signature index at $path was sampled every_n=${r.getInt(0)}; " +
+          s"this ingest expects $expectEveryN — mismatched sampling produces " +
+          "disjoint signature sets (rebuild the index or match its stride)")
+    }
+    idx.drop("every_n")
+  }
+
   /** Audio fingerprint matching (the constellation/landmark shape — Wang
     * 2003): quantize each clip's energy windows into (window, band)
     * landmarks, join clips through the landmark INVERTED INDEX (an
@@ -381,6 +454,31 @@ object Multimodal {
     }
     idx.drop("width", "stride", "band_div")
   }
+
+  /** DuckDB twin of [[videoNearDupPairs]] at everyN = 1 over
+    * `unhex(md5(text))` payloads (the stub-decoder staging shared with the
+    * mm_scene_changes oracle).
+    */
+  def duckVideoNearDupPairs(table: String, idCol: String,
+                            minShared: Int): String =
+    s"""WITH hx AS (SELECT $idCol AS doc_id, md5(text) AS h FROM $table),
+       meta AS (SELECT doc_id, h,
+                  2 + CAST('0x' || substr(h, 7, 2) AS UBIGINT) % 6 AS nf FROM hx),
+       fr AS (SELECT doc_id, h,
+                     unnest(generate_series(0, CAST(nf - 1 AS INTEGER))) AS f
+              FROM meta),
+       feats AS (SELECT doc_id, f,
+                   list_transform(generate_series(0, 3), l ->
+                     CAST(list_sum(list_transform(generate_series(0, 3), m ->
+                       (CAST('0x' || substr(h, 2*(4*m + l) + 1, 2) AS UBIGINT) + 7*f) % 256))
+                       AS BIGINT)) AS feat
+                 FROM fr),
+       vsig AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_transform(feat, x -> CAST(x AS VARCHAR)), '_') AS sig
+                FROM feats)
+       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       FROM vsig x JOIN vsig y ON x.sig = y.sig AND x.doc_id < y.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= $minShared"""
 
   /** DuckDB twin of [[audioFingerprintPairs]] over `unhex(md5(text))`
     * payloads (the [[duckAudioEnergy]] staging).

@@ -144,6 +144,54 @@ object MultimodalQueries {
       oracle = Some(Multimodal.duckPhashPairs("documents", "doc_id", "text",
         maxHamming = graft.operators.SimHash.MaxHamming))),
 
+    // video near-dup matching: clip pairs sharing >= 2 DISTINCT frame
+    // signatures through the signature inverted index — never clip x clip,
+    // temporally shift-tolerant (frame index is not in the key). On the
+    // stub-decoded fixture only BYTE-identical payloads produce matching
+    // frames; sf0.01 has none (the oracle-gated empty set is the correct
+    // answer there — the text_pii_scan convention), sf0.1 has 8. Positive
+    // behavior and the incremental equivalence are OperatorSpec-pinned on
+    // planted clips; production swaps the decoder
+    "mm_video_neardup" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("vid"))
+        Multimodal.videoNearDupPairs(docs, "doc_id", "vid",
+            everyN = 1, minShared = 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(Multimodal.duckVideoNearDupPairs("documents", "doc_id",
+        minShared = 2) + "\nORDER BY doc_a, doc_b")),
+
+    // ...and its ingest twin: delta clips decoded and probed against a
+    // PERSISTED frame-signature index (writeFrameSigIndex/readFrameSigIndex
+    // with the sampling-stride guard). Shared-distinct-signature counts
+    // depend only on the clip pair, so the oracle is the full matcher
+    // restricted to delta-touching pairs
+    "mm_video_incremental" -> QueryEntry(
+      fn = (spark, sfDir) => {
+        val docs = Readers.fixture(spark, sfDir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("vid"))
+        val isDelta = col("doc_id") % 10 === 9
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-vsig-idx").resolve("i").toString
+        Multimodal.writeFrameSigIndex(
+          Multimodal.videoFrameSigs(docs.filter(!isDelta), "doc_id", "vid", 1),
+          everyN = 1, path)
+        Multimodal.videoNearDupIncremental(docs.filter(isDelta),
+            Multimodal.readFrameSigIndex(spark, path, expectEveryN = 1),
+            "doc_id", "vid", everyN = 1, minShared = 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val inner = Multimodal.duckVideoNearDupPairs("documents", "doc_id",
+          minShared = 2)
+        s"""WITH vp AS ($inner)
+           SELECT doc_a, doc_b, n_shared FROM vp
+           WHERE doc_a % 10 = 9 OR doc_b % 10 = 9
+           ORDER BY doc_a, doc_b"""
+      }),
+
     // ingest-time audio matcher: the 10% delta's clips are landmarked and
     // probed against a PERSISTED landmark index of the 90% corpus
     // (writeLandmarkIndex/readLandmarkIndex with the quantization guard) —

@@ -1114,6 +1114,36 @@ class OperatorSpec extends SparkSpec {
     assert(ex.getMessage.contains("pigeonhole"), ex.getMessage)
   }
 
+  test("video near-dup matcher: planted dup clips pair, distinct clips don't, incremental == restricted") {
+    import graft.operators.Multimodal
+    // ids chosen so 9/19 are the delta (id % 10 == 9): the dup pair (1, 9)
+    // straddles the index/delta split, (3, 13) sits entirely in the index
+    val payload = Seq.tabulate(16)(i => (i * 37 + 11).toByte).toArray
+    val other = Seq.tabulate(16)(i => (i * 53 + 5).toByte).toArray
+    val third = Seq.tabulate(16)(i => (i * 71 + 2).toByte).toArray
+    val clips = Seq((1L, payload), (9L, payload), (3L, other), (13L, other),
+      (7L, third)).toDF("doc_id", "vid")
+    val full = Multimodal.videoNearDupPairs(clips, "doc_id", "vid", 1, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.map(p => (p._1, p._2)) == Set((1L, 9L), (3L, 13L)), full.toString)
+    // identical payloads share ALL their frames
+    assert(full.forall(_._3 >= 2))
+    val isDelta = col("doc_id") % 10 === 9
+    val path = java.nio.file.Files.createTempDirectory("graft-vsidx")
+      .resolve("i").toString
+    Multimodal.writeFrameSigIndex(
+      Multimodal.videoFrameSigs(clips.filter(!isDelta), "doc_id", "vid", 1), 1, path)
+    val inc = Multimodal.videoNearDupIncremental(clips.filter(isDelta),
+        Multimodal.readFrameSigIndex(spark, path, 1), "doc_id", "vid", 1, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full.filter(p => p._1 % 10 == 9 || p._2 % 10 == 9), inc.toString)
+    // a different sampling stride must refuse the read
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.readFrameSigIndex(spark, path, 2)
+    }
+    assert(ex.getMessage.contains("disjoint signature sets"), ex.getMessage)
+  }
+
   test("incremental audio matcher equals the full pair set restricted to delta-touching pairs") {
     import graft.operators.Multimodal
     val clips = docs.select(col("doc_id"), unhex(md5(col("text"))).as("pcm"))
