@@ -655,6 +655,19 @@ object Sf1Probe {
     timed("audio_gate_coarse 10x") { audioProbe(docs10, s"x$mult", 1024L) }
     timed("audio_gate_fine 1x") { audioProbe(fixture("documents"), "1x", 16L) }
     timed("audio_gate_fine 10x") { audioProbe(docs10, s"x$mult", 16L) }
+    def videoProbe(docs: DataFrame, tag: String): Long = {
+      import graft.operators.Multimodal
+      val clips = docs.select(col("doc_id"), unhex(md5(col("text"))).as("vid"))
+      val (base, delta) = mmSplit(clips)
+      val path = s"$work/vsidx_$tag"
+      Multimodal.writeFrameSigIndex(
+        Multimodal.videoFrameSigs(base, "doc_id", "vid", 1), 1, path)
+      Multimodal.videoNearDupIncremental(delta,
+        Multimodal.readFrameSigIndex(spark, path, 1),
+        "doc_id", "vid", 1, minShared = 2).count()
+    }
+    timed("video_gate 1x") { videoProbe(fixture("documents"), "1x") }
+    timed("video_gate 10x") { videoProbe(docs10, s"x$mult") }
 
     timed("lr_base_train 10x") { lrModel = lrBase(docs10); 1025L }
     timed("lr_delta_tune 10x") {
