@@ -17,6 +17,22 @@ object CorpusQueries {
   private val TrainPct = 90
   private val ValPct = 5
 
+  /** The waterfall's gate-7 oracle fragment: the full LR training replay
+    * over CTE `table`, ending in `wf_sig(doc_id, sigma)`. Lives inside a
+    * nested WITH at the call site so its internal CTE names (x, nd, w0…)
+    * can't collide with the waterfall's own.
+    */
+  private def lrGateCtes(table: String): String = {
+    import graft.queries.TextQueries.{LrBuckets, LrSteps, LrNum, LrDen}
+    val (ctes, wFin) = graft.operators.LogReg.duckTrainCtes(
+      "lang = 'en'", LrBuckets, LrSteps, LrNum, LrDen, table = table)
+    val zs = s"zs AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z " +
+      s"FROM x JOIN $wFin USING (bkt) GROUP BY doc_id, y)"
+    val sig = graft.operators.LogReg.duckScoreCtesPublic(
+      "zs", "wf_sig", "z", "sigma", Seq("doc_id"))
+    (ctes ++ (zs +: sig)).mkString(",\n")
+  }
+
   /** Per-language keep rates (1/rate of each stratum), default 1/10. */
   private val SampleRates = Map("en" -> 2, "de" -> 5, "es" -> 5, "fr" -> 5)
   private val DefaultRate = 10
@@ -426,8 +442,9 @@ object CorpusQueries {
 
     // curation waterfall: the whole pipeline's per-gate survivor counts in
     // one table — input → exact dedup → near-dup components → eval
-    // decontamination → quality floor — the chart every curation review
-    // starts from (each row names the gate that paid for its cut). The
+    // decontamination → quality floor → perplexity cap → DSIR top-half →
+    // trained-LR filter — the chart every curation review starts from
+    // (each row names the gate that paid for its cut). The
     // gates are exactly the operators graft-curate chains, composed here
     // with cumulative semantics (each stage filters the previous stage's
     // survivors); token mass rides along so the cut is visible in budget
@@ -482,16 +499,31 @@ object CorpusQueries {
         val nW = ranked.count()
         val dsir = xentKept.join(
           ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
+          Seq("doc_id"), "left_semi").persist()
+        // gate 7: the trained LR filter over the DSIR survivors (the
+        // --lr-target-lang/--min-lr-sigma-micro curate stage at the 0.5
+        // posterior threshold) — trains ON the survivors, so the flagship
+        // composition exercises the round's training loop end-to-end
+        import graft.operators.LogReg
+        import graft.queries.TextQueries.{LrBuckets, LrSteps, LrNum, LrDen}
+        val xf = LogReg.features(dsir, "doc_id", "text",
+          col("lang") === "en", LrBuckets).localCheckpoint()
+        val wLr = LogReg.trainWeights(spark, xf, dsir.count(), LrBuckets,
+          LrSteps, LrNum, LrDen, init = Some(LogReg.nbInit(xf, LrBuckets)))
+        val lr = dsir.join(
+          LogReg.score(spark, xf, wLr)
+            .filter(col("sigma") >= 500000L).select("doc_id"),
           Seq("doc_id"), "left_semi")
         val rows = Seq(
           ("0_input", stat(docs)), ("1_exact_dedup", stat(exact)),
           ("2_near_dedup", stat(near)), ("3_decontaminated", stat(decon)),
           ("4_quality", stat(quality)), ("5_xent", stat(xentKept)),
-          ("6_dsir", stat(dsir)))
+          ("6_dsir", stat(dsir)), ("7_lr", stat(lr)))
           .map { case (s, (n, t)) => (s, n, t) }
         docs.unpersist(blocking = false); exact.unpersist(blocking = false)
         near.unpersist(blocking = false); decon.unpersist(blocking = false)
         quality.unpersist(blocking = false); xentKept.unpersist(blocking = false)
+        dsir.unpersist(blocking = false)
         rows.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
       },
       oracle = Some {
@@ -499,31 +531,31 @@ object CorpusQueries {
         val cand = s"""SELECT doc_a, doc_b FROM (${graft.operators.MinHashLSH.duckCandidatePairs(
             "ex_docs", "doc_id", "text", 3, 16, 4)}) AS cc
            WHERE est_jaccard >= 0.5"""
-        s"""WITH base AS (SELECT doc_id, text, lang,
+        s"""WITH base AS MATERIALIZED (SELECT doc_id, text, lang,
                                 CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tok
                          FROM documents),
            keepmin AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-           ex_docs AS (SELECT d.* FROM documents d JOIN keepmin k ON d.doc_id = k.doc_id),
-           ex AS (SELECT b.* FROM base b JOIN keepmin k ON b.doc_id = k.doc_id),
+           ex_docs AS MATERIALIZED (SELECT d.* FROM documents d JOIN keepmin k ON d.doc_id = k.doc_id),
+           ex AS MATERIALIZED (SELECT b.* FROM base b JOIN keepmin k ON b.doc_id = k.doc_id),
            ndrop AS (SELECT doc_id
                      FROM (${graft.operators.DedupClusters.duckComponents(cand)}) q
                      WHERE doc_id <> cluster_id),
-           nr AS (SELECT ex.* FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+           nr AS MATERIALIZED (SELECT ex.* FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
            toks AS (SELECT doc_id AS id, ${duckTokens("text")} AS tk FROM nr),
            shs AS (SELECT id, ${duckShinglesExpr("tk", 3)} AS sh FROM toks),
            eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE id % 100 = 7),
            train_sh AS (SELECT id, unnest(sh) AS shingle FROM shs WHERE id % 100 <> 7),
            contaminated AS (SELECT DISTINCT id FROM train_sh
                             WHERE shingle IN (SELECT shingle FROM eval_sh)),
-           dc AS (SELECT nr.* FROM nr
+           dc AS MATERIALIZED (SELECT nr.* FROM nr
                   WHERE doc_id % 100 <> 7
                     AND doc_id NOT IN (SELECT id FROM contaminated)),
-           ql AS (SELECT dc.* FROM dc,
+           ql AS MATERIALIZED (SELECT dc.* FROM dc,
                        (SELECT doc_id AS qid, ${duckTokens("text")} AS tk FROM dc) t
                   WHERE t.qid = dc.doc_id AND (${duckQualityScore("t.tk")}) >= 0.45),
            xw AS (WITH ${graft.operators.Vocab.duckLmXentCtes(duckTokens("text"), table = "ql")}
                   SELECT doc_id, mean_xent_micro FROM xent),
-           xg AS (SELECT ql.* FROM ql
+           xg AS MATERIALIZED (SELECT ql.* FROM ql
                   WHERE doc_id NOT IN (SELECT doc_id FROM xw
                                        WHERE mean_xent_micro > 3500000)),
            dw AS (${graft.operators.Selection.duckDsirWeights(
@@ -532,8 +564,11 @@ object CorpusQueries {
                            (ORDER BY dsir_micro DESC, doc_id ASC) AS rnk
                   FROM dw),
            dn AS (SELECT count(*) AS n FROM dw),
-           ds AS (SELECT xg.* FROM xg JOIN dr USING (doc_id), dn
-                  WHERE dr.rnk * 2 <= dn.n)
+           ds AS MATERIALIZED (SELECT xg.* FROM xg JOIN dr USING (doc_id), dn
+                  WHERE dr.rnk * 2 <= dn.n),
+           lw AS (WITH ${lrGateCtes("ds")}
+                  SELECT doc_id FROM wf_sig WHERE sigma >= 500000),
+           lf AS (SELECT ds.* FROM ds WHERE doc_id IN (SELECT doc_id FROM lw))
            SELECT '0_input' AS stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
            UNION ALL SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM ex
            UNION ALL SELECT '2_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM nr
@@ -541,6 +576,7 @@ object CorpusQueries {
            UNION ALL SELECT '4_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM ql
            UNION ALL SELECT '5_xent', count(*), CAST(sum(n_tok) AS BIGINT) FROM xg
            UNION ALL SELECT '6_dsir', count(*), CAST(sum(n_tok) AS BIGINT) FROM ds
+           UNION ALL SELECT '7_lr', count(*), CAST(sum(n_tok) AS BIGINT) FROM lf
            ORDER BY stage"""
       }),
 
