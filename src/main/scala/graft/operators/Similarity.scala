@@ -712,29 +712,65 @@ object Similarity {
     rankTopK(scored, "cos_micro", k)
   }
 
+  /** Hard budget on the brute-force candidate volume: at `n` rows the
+    * all-pairs product materializes n·(n−1)/2 scored pairs, so the row limit
+    * is derived as floor(sqrt(2·budget)) — 2.5e9 pairs ⇒ ~70k rows, tightened
+    * to 50k so the bound holds with margin. A pair is one codegen'd cosine
+    * over two staged vectors; 2.5e9 of them is minutes of cluster work, the
+    * most a "fixture/oracle exact path" should ever cost.
+    */
+  val EmbCosPairBudget: Long = 2500000000L
+
+  /** Hard budget on the broadcast side of the brute-force path in estimated
+    * bytes (rows × dims × 8 for the float→double staged vectors, plus the
+    * per-row norm). 32 MB is well under Spark's default 8 GB broadcast-join
+    * hard cap and small enough that 32+ concurrent tasks each holding the
+    * table stay cheap. 50k rows × 64 dims × 8 B = 25.6 MB fits; higher-dim
+    * embeddings trip this check at proportionally fewer rows.
+    */
+  val EmbCosBroadcastBudgetBytes: Long = 32L * 1024 * 1024
+
+  /** Default brute-force row limit = min(pair budget bound, byte budget at
+    * the 64-dim fixture width): 50000. See [[EmbCosPairBudget]] /
+    * [[EmbCosBroadcastBudgetBytes]] for the derivation; the runtime check in
+    * [[embCosPairsGuarded]] re-validates the byte budget against the MEASURED
+    * dimension, so a wider embedding degrades to LSH even under the row
+    * limit.
+    */
+  val EmbCosDefaultBruteForceRowLimit: Long = 50000L
+
   /** Embedding near-duplicate pairs at or above `thresholdMicro` cosine —
     * the detector behind dedup_embcos. Guarded like the full-mode Merkle
     * degrade (core/Fingerprints.scala `degradeToMerkle`): at or under
-    * `bruteForceRowLimit` rows the candidate space is the exact all-pairs
-    * product (the fixture/oracle path — every true pair found); past the
-    * limit it auto-degrades to LSH sign-bucket candidates with multi-probe
-    * (the `vec_a` side probes every bucket within `probeRadius` hamming
-    * bits of its own), so candidate generation stays bucketed — no
-    * cartesian survives at scale. Both paths stage norms once per vector,
-    * score candidates with the same exact cosine, and emit the same
-    * (vec_a, vec_b, cos_micro) rows; the LSH path is a SUBSET of the brute
-    * pairs (recall < 1 by design — sim_ann_recall / sim_radius_curve
-    * quantify the lever), never different scores. Each candidate pair
-    * matches at most once (for a fixed pair, only the single mask
-    * bucket_a⊕bucket_b can join it), so no dedup stage is needed. The
-    * degrade is logged, never silent.
+    * `bruteForceRowLimit` rows (default [[EmbCosDefaultBruteForceRowLimit]],
+    * derived from an explicit pair budget AND a broadcast-byte budget — not
+    * a guess) the candidate space is the exact all-pairs product (the
+    * fixture/oracle path — every true pair found); past the row limit, or
+    * when n × measured-dims × 8 bytes would exceed
+    * [[EmbCosBroadcastBudgetBytes]], it auto-degrades to LSH sign-bucket
+    * candidates with multi-probe (the `vec_a` side probes every bucket
+    * within `probeRadius` hamming bits of its own), so candidate generation
+    * stays bucketed — no cartesian and no oversized broadcast survives at
+    * scale. Both paths stage norms once per vector, score candidates with
+    * the same exact cosine, and emit the same (vec_a, vec_b, cos_micro)
+    * rows; the LSH path is a SUBSET of the brute pairs (recall < 1 by
+    * design — sim_ann_recall / sim_radius_curve quantify the lever), never
+    * different scores. Each candidate pair matches at most once (for a
+    * fixed pair, only the single mask bucket_a⊕bucket_b can join it), so no
+    * dedup stage is needed. The degrade is logged, never silent.
     */
   def embCosPairsGuarded(vectors: DataFrame, thresholdMicro: Long,
-                         bruteForceRowLimit: Long = 2000000L,
+                         bruteForceRowLimit: Long = EmbCosDefaultBruteForceRowLimit,
                          planeMatrix: Seq[Seq[Int]] = planes(8, 64),
                          probeRadius: Int = 2,
                          nRows: Option[Long] = None): DataFrame = {
     val n = nRows.getOrElse(vectors.count())
+    // broadcast-byte re-validation against the MEASURED width: only probed
+    // when the row limit alone would admit the brute path (one limit-1 job)
+    val bruteBytes: Long =
+      if (n > bruteForceRowLimit) Long.MaxValue
+      else vectors.select(size(col("embedding")).cast("long")).head(1)
+        .headOption.map(r => n * (r.getLong(0) + 1) * 8L).getOrElse(0L)
     // stream side spread for CPU parallelism; norms staged once per vector,
     // not once per pair
     val a0 = graft.core.Readers.spread(
@@ -743,10 +779,12 @@ object Similarity {
     val b0 = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
       .withColumn("nb", norm(col("vb")))
     val candidates =
-      if (n <= bruteForceRowLimit) a0.crossJoin(broadcast(b0))
+      if (n <= bruteForceRowLimit && bruteBytes <= EmbCosBroadcastBudgetBytes)
+        a0.crossJoin(broadcast(b0))
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"embCosPairs: $n vectors > bruteForceRowLimit=$bruteForceRowLimit; " +
+          s"embCosPairs: $n vectors (limit $bruteForceRowLimit rows / " +
+            s"$EmbCosBroadcastBudgetBytes broadcast bytes, est. $bruteBytes); " +
             s"degrading all-pairs product to LSH bucket candidates " +
             s"(${planeMatrix.length} planes, probe radius $probeRadius; recall < 1)")
         val masks = probeMasks(planeMatrix.length, probeRadius)

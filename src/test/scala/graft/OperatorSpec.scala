@@ -55,6 +55,41 @@ class OperatorSpec extends SparkSpec {
     info(s"embCos guard recall at sf0.001: ${got.size}/${brute.size}")
   }
 
+  test("embCos guard: default limit is budget-derived — LSH past 50k rows or past broadcast bytes") {
+    // r10 verdict item 1: the old 2M default admitted a 4e12-pair cross join.
+    // The new default must be the documented min(pair-budget, byte-budget)
+    // bound, and the guard must engage the LSH plan from the claimed row
+    // count WITHOUT building 50k real rows (nRows overrides the count).
+    assert(Similarity.EmbCosDefaultBruteForceRowLimit == 50000L)
+    assert(Similarity.EmbCosDefaultBruteForceRowLimit
+      * (Similarity.EmbCosDefaultBruteForceRowLimit - 1) / 2
+      <= Similarity.EmbCosPairBudget, "row limit violates the pair budget")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // just past the row limit: bucketed plan, no cartesian / nested-loop
+    val past = planOf(Similarity.embCosPairsGuarded(
+      emb, 450000L, nRows = Some(Similarity.EmbCosDefaultBruteForceRowLimit + 1)))
+    assert(!past.contains("CartesianProduct") && !past.contains("BroadcastNestedLoop"), past.linesIterator.take(20).mkString("\n"))
+    // at the row limit with fixture-width (64-dim) vectors: byte budget
+    // holds (50k x 65 x 8 B = 26 MB <= 32 MB) => exact brute path
+    val at = planOf(Similarity.embCosPairsGuarded(
+      emb, 450000L, nRows = Some(Similarity.EmbCosDefaultBruteForceRowLimit)))
+    assert(at.contains("CartesianProduct") || at.contains("BroadcastNestedLoop"),
+      "expected the exact all-pairs plan at the row limit")
+    // under the row limit but past the byte budget (wide vectors): the
+    // measured-dims re-validation must force the LSH plan anyway
+    // row-dependent values — constant arrays would fold, erasing the join
+    // keys and turning the bucket equi-join into a nested loop
+    val wide = spark.range(2).select(col("id").as("vec_id"),
+      array((0 until 1000).map(i =>
+        (col("id") * 0.001d + lit(0.01d * (i % 7))).cast("float")): _*).as("embedding"))
+    val bytesTripped = planOf(Similarity.embCosPairsGuarded(
+      wide, 450000L, planeMatrix = Similarity.planes(8, 1000),
+      nRows = Some(Similarity.EmbCosDefaultBruteForceRowLimit)))
+    assert(!bytesTripped.contains("CartesianProduct") && !bytesTripped.contains("BroadcastNestedLoop"),
+      "50k x 1000-dim (~400 MB) must trip the broadcast byte budget")
+  }
+
   test("scan-scale simhashDf equals the per-row simhash expression") {
     val sample = docs.limit(60)
     val viaDf = SimHash.simhashDf(sample, "doc_id", "text")
