@@ -109,12 +109,6 @@ object Selection {
     * domain; every document (target and raw alike) is scored — a useful
     * self-check is that target members rank high.
     */
-  /** The per-bucket log-likelihood-ratio table (bkt, llr_micro) — `buckets`
-    * rows, the broadcast/frozen-scorer side of DSIR. Buckets never observed
-    * in training are absent; their smoothed llr is the constant
-    * lnM(T_raw+B) − lnM(T_target+B) (both counts are 1), which stream
-    * scoring supplies as the default.
-    */
   /** (doc_id, is_t, bkt) — one row per bigram occurrence: the single
     * corpus-explode pass every DSIR stage reads. */
   private def bucketed(docs: DataFrame, idExpr: Column, textCol: String,
@@ -125,10 +119,14 @@ object Selection {
         explode(bigramsFromTokens(col("__tk"))).as("bg"))
       .select(col("doc_id"), col("is_t"), bucketOf(col("bg"), buckets).as("bkt"))
 
-  private def llrFromBucketed(bg: DataFrame, buckets: Int): DataFrame = {
-    val counts = bg.groupBy(col("bkt")).agg(
+  /** (bkt, n_t, n_r) per-bucket target/raw occurrence counts — ≤ `buckets`
+    * rows, the single aggregate every llr consumer derives from. */
+  private def countsFromBucketed(bg: DataFrame): DataFrame =
+    bg.groupBy(col("bkt")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("n_r"))
+
+  private def llrFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val totals = counts.agg(
       (sum(col("n_t")) + buckets).as("tt"), (sum(col("n_r")) + buckets).as("tr"))
     val llr0 = counts.crossJoin(broadcast(totals))
@@ -140,9 +138,28 @@ object Selection {
         (col("ln_nt") - col("ln_tt") - col("ln_nr") + col("ln_tr")).as("llr_micro"))
   }
 
-  def llrTable(docs: DataFrame, textCol: String, isTarget: Column,
-               buckets: Int): DataFrame =
-    llrFromBucketed(bucketed(docs, lit(0L), textCol, isTarget, buckets), buckets)
+  private def llrFromBucketed(bg: DataFrame, buckets: Int): DataFrame =
+    llrFromCounts(countsFromBucketed(bg), buckets)
+
+  /** The complete frozen scorer for [[dsirScoreRows]] in ONE corpus pass:
+    * (llr map, unseen-bucket default llr). Previously its two halves
+    * (llrTable + smoothedTotals) each exploded the corpus; here the
+    * ≤ `buckets`-row per-bucket count table is staged once and both the llr
+    * table and the smoothed totals read it. Bounded driver state: `buckets`
+    * map entries plus two longs.
+    */
+  def frozenScorer(docs: DataFrame, textCol: String, isTarget: Column,
+                   buckets: Int): (Map[Long, Long], Long) = {
+    val counts = countsFromBucketed(
+      bucketed(docs, lit(0L), textCol, isTarget, buckets)).persist()
+    val llr = llrFromCounts(counts, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = counts.agg(
+      (sum(col("n_t")) + buckets).as("tt"), (sum(col("n_r")) + buckets).as("tr"))
+      .head()
+    counts.unpersist(blocking = false)
+    (llr, lnMicroLong(t.getLong(1)) - lnMicroLong(t.getLong(0)))
+  }
 
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int,
@@ -176,20 +193,6 @@ object Selection {
     b.toLong * Ln2Micro + 2L * (z + (z2 * z / 1000000L) / 3L +
       (z4 * z / 1000000L) / 5L + ((z4 * z2 / 1000000L) * z / 1000000L) / 7L +
       ((z4 * z4 / 1000000L) * z / 1000000L) / 9L)
-  }
-
-  /** Smoothed bigram totals (T_target + buckets, T_raw + buckets): the
-    * denominators of the DSIR probabilities, and via [[lnMicroLong]] the
-    * unseen-bucket default llr for frozen-scorer streaming.
-    */
-  def smoothedTotals(docs: DataFrame, textCol: String, isTarget: Column,
-                     buckets: Int): (Long, Long) = {
-    val r = docs.select(isTarget.as("is_t"), split(col(textCol), " ").as("__tk"))
-      .select(col("is_t"), explode(bigramsFromTokens(col("__tk"))).as("bg"))
-      .agg((sum(when(col("is_t"), 1L).otherwise(0L)) + buckets).as("tt"),
-        (sum(when(!col("is_t"), 1L).otherwise(0L)) + buckets).as("tr"))
-      .head()
-    (r.getLong(0), r.getLong(1))
   }
 
   /** Stateless per-row DSIR scoring with a FROZEN scorer: the llr table

@@ -52,6 +52,42 @@ object CorpusQueries {
   /** DSIR hashed-feature space size (power of two, kilobyte-scale table). */
   private val DsirBuckets = 1024
 
+  /** The full-corpus DSIR weight table (doc_id, lang, n_bigrams, dsir_micro),
+    * localCheckpoint-ed once per fixture dir and shared by
+    * corpus_dsir_weights and corpus_dsir_select — r10 verdict item 2: the
+    * corpus explode + bucket aggregate is the expensive stage and it was
+    * paid per query. Keyed by session too (a checkpoint's blocks belong to
+    * the session that made them); the waterfall's gate-6 weights are NOT
+    * shareable — they score the gate-5 survivor slice, a different corpus.
+    */
+  private val dsirWeightsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private def dsirWeightsShared(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String): org.apache.spark.sql.DataFrame =
+    dsirWeightsCache.compute(sfDir, { (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else (spark, graft.operators.Selection.dsirWeights(
+        Readers.fixture(spark, sfDir, "documents"),
+        "doc_id", "text", col("lang") === "en", DsirBuckets,
+        carryCols = Seq("lang")).localCheckpoint())
+    })._2
+
+  /** The frozen DSIR scorer (llr map + unseen-bucket default) for
+    * corpus_dsir_stream, memoized per fixture dir — plain driver data
+    * (≤ DsirBuckets+1 longs), session-independent.
+    */
+  private val dsirScorerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Long, Long], Long)]()
+
+  private def dsirScorerShared(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): (Map[Long, Long], Long) =
+    dsirScorerCache.computeIfAbsent(sfDir, { _ =>
+      graft.operators.Selection.frozenScorer(
+        Readers.fixture(spark, sfDir, "documents"), "text",
+        col("lang") === "en", DsirBuckets)
+    })
+
   val entries: Map[String, QueryEntry] = Map(
 
     // source-weighted domain mixing: hash-sample each weighted source toward
@@ -923,11 +959,7 @@ object CorpusQueries {
 
     "corpus_dsir_weights" -> QueryEntry(
       fn = (spark, sfDir) =>
-        graft.operators.Selection.dsirWeights(
-          Readers.fixture(spark, sfDir, "documents"),
-          "doc_id", "text", col("lang") === "en", DsirBuckets,
-          carryCols = Seq("lang"))
-          .orderBy("doc_id"),
+        dsirWeightsShared(spark, sfDir).orderBy("doc_id"),
       oracle = Some(
         graft.operators.Selection.duckDsirWeights("lang = 'en'", DsirBuckets,
           carrySql = Seq("d.lang")) + "\nORDER BY doc_id")),
@@ -941,11 +973,7 @@ object CorpusQueries {
     // extra scan, no single-reducer order-by)
     "corpus_dsir_select" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val w = graft.operators.Selection.dsirWeights(
-          Readers.fixture(spark, sfDir, "documents"),
-          "doc_id", "text", col("lang") === "en", DsirBuckets,
-          carryCols = Seq("lang"))
-          .filter(col("lang") =!= "en")
+        val w = dsirWeightsShared(spark, sfDir).filter(col("lang") =!= "en")
         // distributed exact rank — the oracle's global `row_number()` form
         // would single-partition the whole weight table (Ranks scaladoc)
         val ranked = graft.operators.Ranks.globalRank(
@@ -980,13 +1008,7 @@ object CorpusQueries {
       fn = (spark, sfDir) => {
         import graft.operators.Selection
         import graft.streaming.{EventStreams, IngestStreams}
-        val spark2 = spark; import spark2.implicits._
-        val docsB = Readers.fixture(spark, sfDir, "documents")
-        val llr = Selection.llrTable(docsB, "text", col("lang") === "en", DsirBuckets)
-          .as[(Long, Long)].collect().toMap
-        val (tt, tr) = Selection.smoothedTotals(docsB, "text",
-          col("lang") === "en", DsirBuckets)
-        val dflt = Selection.lnMicroLong(tr) - Selection.lnMicroLong(tt)
+        val (llr, dflt) = dsirScorerShared(spark, sfDir)
         val stream = Selection.dsirScoreRows(
           IngestStreams.readDocuments(spark, DedupQueries.rawDocsDir(sfDir)),
           "doc_id", "text", llr, dflt, DsirBuckets)

@@ -51,6 +51,25 @@ object TextQueries {
   val LrCharDen = 8L
   val LrCharSteps = 3
 
+  /** The featurized full corpus (hashed word-bigram presence counts + label),
+    * localCheckpoint-ed once per fixture dir and shared by training,
+    * text_lr_scorecard, text_lr_calibration, and text_lr_margin_mining —
+    * r10 verdict item 2: the bigram explode is the expensive LR stage and
+    * each of those queries was rebuilding it. Keyed by session too (a
+    * checkpoint's blocks belong to the session that made them).
+    */
+  private val lrFeatCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private[graft] def lrFeatures(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String): org.apache.spark.sql.DataFrame =
+    lrFeatCache.compute(sfDir, { (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else (spark, graft.operators.LogReg.features(
+        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+        col("lang") === "en", LrBuckets).localCheckpoint())
+    })._2
+
   /** Training is deterministic (pure integer arithmetic, no sampling), so
     * the three text_lr_* queries share one training run per fixture dir —
     * the rawDocsDir memo convention. 1025 longs per entry.
@@ -62,10 +81,8 @@ object TextQueries {
                                sfDir: String): Array[Long] =
     lrCache.computeIfAbsent(sfDir, { _ =>
       import graft.operators.LogReg
-      val docs = Readers.fixture(spark, sfDir, "documents")
-      val nDocs = docs.count()
-      val x = LogReg.features(docs, "doc_id", "text",
-        col("lang") === "en", LrBuckets).localCheckpoint()
+      val nDocs = Readers.fixture(spark, sfDir, "documents").count()
+      val x = lrFeatures(spark, sfDir)
       LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
         LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
     })
@@ -1254,10 +1271,7 @@ object TextQueries {
     "text_lr_scorecard" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val x = LogReg.features(docs, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        LogReg.score(spark, x, trainedLr(spark, sfDir))
+        LogReg.score(spark, lrFeatures(spark, sfDir), trainedLr(spark, sfDir))
           .groupBy(col("y"), col("pred"))
           .agg(count(lit(1)).as("n"), sum(col("sigma")).as("sum_sigma"))
           .orderBy(col("y"), col("pred"))
@@ -1300,10 +1314,7 @@ object TextQueries {
     "text_lr_calibration" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val x = LogReg.features(docs, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        LogReg.score(spark, x, trainedLr(spark, sfDir))
+        LogReg.score(spark, lrFeatures(spark, sfDir), trainedLr(spark, sfDir))
           .withColumn("band", least(expr("sigma div 100000"), lit(9L)))
           .groupBy(col("band"))
           .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
@@ -1322,10 +1333,7 @@ object TextQueries {
     "text_lr_margin_mining" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val x = LogReg.features(docs, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        LogReg.score(spark, x, trainedLr(spark, sfDir))
+        LogReg.score(spark, lrFeatures(spark, sfDir), trainedLr(spark, sfDir))
           .withColumn("margin", abs(col("sigma") - 500000L))
           .select(col("doc_id"), col("y"), col("sigma"), col("margin"))
           .orderBy(col("margin").asc, col("doc_id").asc)
