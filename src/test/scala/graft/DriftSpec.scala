@@ -144,12 +144,27 @@ class DriftSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("corpus_ks_stream: drained ingest cells fold to the batch KS exactly") {
-    val batch = run("corpus_ks_length").as[(String, String, Long, Long, Long)]
-      .collect().toSeq
+  test("corpus_ks_stream: drained binned cells fold to the binned batch KS; state clamped") {
+    // the stream keys state on (source, log2 length bin) — its KS must equal
+    // the BATCH fold over the same bins (not the raw-length corpus_ks_length)
+    val binned = Readers.fixture(spark, sfDir, "documents")
+      .groupBy(col("source"),
+        (length(bin(greatest(col("n_chars"), lit(1L)))) - 1)
+          .cast("long").as("len_bin"))
+      .agg(count(lit(1)).as("c"))
+    val batch = graft.queries.DriftQueries.ksFromCells(binned, valueCol = "len_bin")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
     val streamed = run("corpus_ks_stream").as[(String, String, Long, Long, Long)]
       .collect().toSeq
     assert(streamed == batch)
+    // the state-bound contract: the key domain the stream aggregates over is
+    // ≤ |sources| × 64 rows no matter how long the ingest runs
+    val nSources = binned.select("source").distinct().count()
+    val nKeys = binned.count()
+    assert(nKeys <= nSources * 64,
+      s"binned state $nKeys rows exceeds the $nSources x 64 clamp")
+    val bins = binned.select("len_bin").as[Long].collect()
+    assert(bins.forall(b => b >= 0 && b < 64))
   }
 
   test("text_js_divergence: exact vs driver-side mirror; bounded by ln 2") {
