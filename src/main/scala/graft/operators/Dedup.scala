@@ -221,11 +221,16 @@ object MinHashLSH {
     val dupDoc = dup.select(expr(s"pid div $ParaStride").as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     val ratio = expr("(1000000 * coalesce(n_dup, 0L)) div n_paras")
-    perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
+    val result = perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
         ratio.as("dup_ratio_micro"),
         (ratio >= dropRatioMicro).as("drop_doc"))
+    // materialize-then-release (the incrementalCandidates lifecycle)
+    val out = result.persist()
+    out.count()
+    paras.unpersist(blocking = false)
+    out
   }
 
   /** Paragraph-granularity signature rows — the index-build step of the
@@ -292,11 +297,19 @@ object MinHashLSH {
     val dupDoc = dupNew.select(expr(s"pid div $ParaStride").as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     val ratio = expr("(1000000 * coalesce(n_dup, 0L)) div n_paras")
-    perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
+    val result = perDoc.join(dupDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
         ratio.as("dup_ratio_micro"),
         (ratio >= dropRatioMicro).as("drop_doc"))
+    // materialize-then-release: the delta paragraph cache (and the candidate
+    // frame incrementalCandidates left cached for this call's joins) must
+    // not outlive the ingest
+    val out = result.persist()
+    out.count()
+    parasNew.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB twin of [[paragraphDedup]] — same positional paragraphs, same
@@ -651,7 +664,14 @@ object SimHash {
     val within = nc.as("x").join(nc.as("y"), bandCond && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         bit_count(expr("x.sh ^ y.sh")).cast("long").as("hamming"))
-    cross.union(within).distinct().filter(col("hamming") <= MaxHamming)
+    val result = cross.union(within).distinct().filter(col("hamming") <= MaxHamming)
+    // materialize-then-release (the incrementalCandidates lifecycle): the
+    // delta chunk cache must not outlive this call — repeated ingests in a
+    // long-lived session would otherwise accumulate cached partitions
+    val out = result.persist()
+    out.count()
+    nc.unpersist(blocking = false)
+    out
   }
 
   /** Persist a 64-bit hash index (id, sh) with its banding parameters —
@@ -666,7 +686,11 @@ object SimHash {
       .write.mode("overwrite").parquet(path)
 
   /** Read a hash index, failing loudly on banding-parameter mismatch —
-    * a different chunking silently loses the pigeonhole guarantee.
+    * a different chunking silently loses the pigeonhole guarantee. An EMPTY
+    * index (no metadata rows) is deliberately accepted: it is the
+    * first-ever-ingest bootstrap state, and probing it is benign — zero
+    * cross pairs (correct for an empty corpus) while within-delta pairs
+    * still surface.
     */
   def readHashIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {

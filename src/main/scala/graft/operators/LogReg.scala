@@ -267,6 +267,14 @@ object LogReg {
   def trainWeights(spark: SparkSession, x: DataFrame, nDocs: Long,
                    buckets: Int, steps: Int, lrNum: Long, lrDen: Long,
                    init: Option[Array[Long]] = None): Array[Long] = {
+    // loud failure over silent divergence: nDocs=0 (an upstream gate dropped
+    // everything, or an empty ingest delta) would ArithmeticException
+    // mid-loop here while the DuckDB twin's `// (lrDen * nd.n)` yields NULL
+    // weights — the engines must fail the same way, at entry
+    require(nDocs > 0,
+      s"trainWeights: nDocs=$nDocs — training over an empty corpus slice " +
+        "has no gradient; guard the caller (the duck twin shares this " +
+        "precondition: its weight CTEs divide by the doc count)")
     val w = init.map(_.clone()).getOrElse(Array.fill(buckets + 1)(0L))
     for (_ <- 1 to steps) {
       val sig = withSigmoid(margins(x, weightsDf(spark, w)), "z", "sigma")
@@ -333,19 +341,30 @@ object LogReg {
   /** Read a persisted model, failing loudly when it was trained over a
     * different hashed feature space than this run expects — scoring with
     * mismatched buckets silently mis-scores EVERY document (the same
-    * hazard class as the signature-index parameter guard).
+    * hazard class as the signature-index parameter guard). Unlike the
+    * dedup-index readers (where an empty index is the legitimate bootstrap
+    * state), an empty or truncated model parquet is ALWAYS corruption: the
+    * implied all-zero weight vector scores every document sigma=500000 and
+    * silently passes any gate with threshold ≤ 0.5, so this reader requires
+    * exactly buckets+1 weight rows.
     */
   def readModel(spark: SparkSession, path: String,
                 expectBuckets: Int): Array[Long] = {
     val df = spark.read.parquet(path)
-    for (r <- df.select(col("buckets")).head(1).headOption) {
-      require(r.getInt(0) == expectBuckets,
-        s"model at $path was trained over buckets=${r.getInt(0)}; this run " +
-          s"expects $expectBuckets — rebuild the model or match its feature space")
-    }
+    // bounded collect: buckets+1 rows
+    val rows = df.select(col("bkt"), col("w"), col("buckets")).collect()
+    require(rows.nonEmpty,
+      s"model at $path has no weight rows — scoring with the implied " +
+        "all-zero vector would silently pass every document (rebuild the model)")
+    val b = rows.head.getInt(2)
+    require(b == expectBuckets,
+      s"model at $path was trained over buckets=$b; this run " +
+        s"expects $expectBuckets — rebuild the model or match its feature space")
+    require(rows.length == expectBuckets + 1,
+      s"model at $path has ${rows.length} weight rows; expected " +
+        s"${expectBuckets + 1} (buckets+1) — the artifact is truncated")
     val w = Array.fill(expectBuckets + 1)(0L)
-    df.select(col("bkt"), col("w")).collect() // bounded: buckets+1 rows
-      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
     w
   }
 
@@ -383,6 +402,12 @@ object LogReg {
     * (ctes, final weights CTE name). The duck twin of the
     * [[trainWeights]] loop body, reusable mid-chain (the incremental
     * fine-tune continues a persisted model with a different x).
+    *
+    * Precondition (shared with [[trainWeights]], which requires it at
+    * entry): `ndName`.n > 0. DuckDB's `// (lrDen * n)` on n=0 yields NULL
+    * weights instead of erroring, so an empty corpus slice would make the
+    * two engines diverge silently rather than fail loudly — callers guard
+    * the slice before emitting this SQL.
     */
   def duckGdStepCtes(xName: String, ndName: String, fromW: String,
                      start: Int, steps: Int, lrNum: Long,

@@ -311,11 +311,17 @@ object Multimodal {
                         everyN: Int, minShared: Int): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     val sigs = videoFrameSigs(df, idCol, binCol, everyN).persist()
-    sigs.as("x").join(sigs.as("y"),
+    val result = sigs.as("x").join(sigs.as("y"),
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // materialize-then-release (the incrementalCandidates lifecycle): the
+    // signature cache must not outlive this call
+    val out = result.persist()
+    out.count()
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** Ingest-time video matcher against a persisted frame-signature index —
@@ -336,9 +342,16 @@ object Multimodal {
     val within = ns.as("x").join(ns.as("y"),
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    cross.unionByName(within)
+    val result = cross.unionByName(within)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // materialize-then-release: the delta signature cache must not outlive
+    // the ingest — repeated ingests would otherwise accumulate cached
+    // partitions in a long-lived session
+    val out = result.persist()
+    out.count()
+    ns.unpersist(blocking = false)
+    out
   }
 
   /** Persist a frame-signature index with its sampling parameter. */
@@ -346,7 +359,9 @@ object Multimodal {
     sigs.withColumn("every_n", lit(everyN)).write.mode("overwrite").parquet(path)
 
   /** Read a frame-signature index, refusing a sampling mismatch — a
-    * different frame stride produces disjoint signature sets.
+    * different frame stride produces disjoint signature sets. An EMPTY
+    * index is deliberately accepted (the readHashIndex bootstrap-ingest
+    * convention: zero cross pairs is correct for an empty corpus).
     */
   def readFrameSigIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         expectEveryN: Int): DataFrame = {
@@ -425,9 +440,15 @@ object Multimodal {
     val within = nl.as("x").join(nl.as("y"),
         lmCond && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    cross.unionByName(within)
+    val result = cross.unionByName(within)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // materialize-then-release: the delta landmark cache must not outlive
+    // the ingest
+    val out = result.persist()
+    out.count()
+    nl.unpersist(blocking = false)
+    out
   }
 
   /** Persist a landmark index with its extraction parameters. */
@@ -438,7 +459,8 @@ object Multimodal {
       .write.mode("overwrite").parquet(path)
 
   /** Read a landmark index, refusing a parameter mismatch — landmarks from
-    * a different quantization silently match nothing.
+    * a different quantization silently match nothing. An EMPTY index is
+    * deliberately accepted (the readHashIndex bootstrap-ingest convention).
     */
   def readLandmarkIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         expectWidth: Int, expectStride: Int,

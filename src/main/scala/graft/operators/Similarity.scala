@@ -436,19 +436,25 @@ object Similarity {
   }
 
   /** Read a persisted IVF index back as (centroids, assignments), failing
-    * loudly on a parameter mismatch. An empty index (zero centroids) carries
-    * no metadata rows and probes against anything.
+    * loudly on a parameter mismatch. Unlike the dedup-index readers (where
+    * an EMPTY index is the legitimate first-ingest bootstrap state), an IVF
+    * index only exists as the output of a training run — zero centroids is
+    * always a corrupt or mis-pathed artifact, and probing it would return
+    * zero neighbors for every query (silent recall collapse), so this
+    * reader requires the centroid metadata row to exist.
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    expectK: Int, expectIters: Int): (DataFrame, DataFrame) = {
     val cent = spark.read.parquet(s"$path/centroids")
-    for (r <- cent.select("train_k", "train_iters").head(1).headOption) {
-      val (k, it) = (r.getInt(0), r.getInt(1))
-      require(k == expectK && it == expectIters,
-        s"IVF index at $path was trained with k=$k iters=$it; this probe " +
-          s"expects k=$expectK iters=$expectIters — a mismatched index " +
-          "silently degrades recall (rebuild the index or match its parameters)")
-    }
+    val r = cent.select("train_k", "train_iters").head(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"IVF index at $path has no centroids — probing it would return " +
+          "zero neighbors for every query (rebuild the index)"))
+    val (k, it) = (r.getInt(0), r.getInt(1))
+    require(k == expectK && it == expectIters,
+      s"IVF index at $path was trained with k=$k iters=$it; this probe " +
+        s"expects k=$expectK iters=$expectIters — a mismatched index " +
+        "silently degrades recall (rebuild the index or match its parameters)")
     (cent.drop("train_k", "train_iters"),
       spark.read.parquet(s"$path/assign").drop("train_k", "train_iters"))
   }

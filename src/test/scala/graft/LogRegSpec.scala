@@ -156,6 +156,38 @@ class LogRegSpec extends SparkSpec {
       LogReg.readModel(spark, path, 128)
     }
     assert(e.getMessage.contains("buckets=64"))
+    // an EMPTY model parquet must fail loudly too: the implied all-zero
+    // vector scores every doc sigma=500000 and silently passes any gate
+    val emptyPath = java.nio.file.Files
+      .createTempDirectory("graft-lr-m0").resolve("m").toString
+    LogReg.weightsTable(spark, w).filter(lit(false))
+      .withColumn("buckets", lit(buckets))
+      .withColumnRenamed("w_micro", "w")
+      .write.mode("overwrite").parquet(emptyPath)
+    val e0 = intercept[IllegalArgumentException] {
+      LogReg.readModel(spark, emptyPath, buckets)
+    }
+    assert(e0.getMessage.contains("no weight rows"))
+    // a TRUNCATED model (rows missing) is corruption, not a sparse vector
+    val truncPath = java.nio.file.Files
+      .createTempDirectory("graft-lr-mt").resolve("m").toString
+    spark.read.parquet(path).limit(buckets / 2)
+      .write.mode("overwrite").parquet(truncPath)
+    val et = intercept[IllegalArgumentException] {
+      LogReg.readModel(spark, truncPath, buckets)
+    }
+    assert(et.getMessage.contains("truncated"))
+  }
+
+  test("trainWeights refuses an empty corpus slice at entry") {
+    // nDocs=0 previously threw ArithmeticException mid-loop while the duck
+    // twin's integer division yielded NULL weights — loud, at entry, now
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val x = LogReg.features(docs, "doc_id", "text", col("lang") === "en", 64)
+    val e = intercept[IllegalArgumentException] {
+      LogReg.trainWeights(spark, x, 0L, 64, 1, 1L, 1L)
+    }
+    assert(e.getMessage.contains("nDocs=0"))
   }
 
   test("weight table is buckets+1 rows regardless of vocabulary size") {

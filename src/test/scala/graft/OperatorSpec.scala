@@ -1236,13 +1236,17 @@ class OperatorSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("silently degrades recall"), ex.getMessage)
     }
-    // empty index carries no metadata rows and probes against anything
+    // an empty IVF index is always corruption (it only exists as a training
+    // output — unlike the dedup indexes there is no bootstrap-empty state),
+    // and probing it would return zero neighbors for every query: refuse it
     val emptyPath = java.nio.file.Files.createTempDirectory("graft-ivfidx-e")
       .resolve("idx").toString
     Similarity.writeIvfIndex(cent.filter(col("cent_id") < 0),
       idx.filter(col("vec_id") < 0), 8, 2, emptyPath)
-    val (ce, ie) = Similarity.readIvfIndex(spark, emptyPath, 99, 9)
-    assert(ce.count() == 0 && ie.count() == 0)
+    val ee = intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, emptyPath, 8, 2)
+    }
+    assert(ee.getMessage.contains("no centroids"), ee.getMessage)
   }
 
   test("LSH dedup recall floor: banded candidates keep finding the exact near-dup pairs") {
