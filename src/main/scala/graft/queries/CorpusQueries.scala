@@ -88,6 +88,16 @@ object CorpusQueries {
         col("lang") === "en", DsirBuckets)
     })
 
+  /** Per-gate wall-seconds of the most recent corpus_waterfall run in this
+    * JVM — the attribution readout for the registry's most expensive row
+    * (r10 verdict item 6). A side channel rather than an output column
+    * because the driver's comparator hashes EVERY output column, so a
+    * nondeterministic time would red the oracle row; the same figures print
+    * as one `[waterfall]` stderr line in the bench log.
+    */
+  val lastWaterfallGateSeconds =
+    new java.util.concurrent.atomic.AtomicReference[Vector[(String, Double)]](Vector.empty)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // source-weighted domain mixing: hash-sample each weighted source toward
@@ -489,77 +499,108 @@ object CorpusQueries {
       fn = (spark, sfDir) => {
         import graft.operators.TextAnalysis.{qualityScore, tokens}
         val spark2 = spark; import spark2.implicits._
-        val docs = Readers.fixture(spark, sfDir, "documents")
-          .withColumn("n_tok", size(tokens(col("text"))).cast("long")).persist()
         def stat(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
           val r = df.agg(count(lit(1)), sum(col("n_tok"))).head
           (r.getLong(0), r.getLong(1))
         }
+        // each gate is built AND materialized (its stat() action) inside one
+        // timed block, so the per-gate seconds attribute the gate's own
+        // compute — including eager work like gate 7's training loop. The
+        // times land in lastWaterfallGateSeconds + a [waterfall] stderr
+        // line, NOT in the query output: the driver's comparator hashes
+        // every output column, so a nondeterministic column would red the
+        // oracle row
+        var rows = Vector.empty[(String, Long, Long)]
+        var secs = Vector.empty[(String, Double)]
+        def gate(name: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val t0 = System.nanoTime()
+          val df = build
+          val (n, tok) = stat(df)
+          rows :+= ((name, n, tok))
+          secs :+= ((name, (System.nanoTime() - t0) / 1e9))
+          df
+        }
+        val docs = gate("0_input") {
+          Readers.fixture(spark, sfDir, "documents")
+            .withColumn("n_tok", size(tokens(col("text"))).cast("long")).persist()
+        }
         // gate 1: exact dedup (keep min doc_id per md5 text)
-        val keep = docs.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val exact = docs.join(keep, Seq("doc_id"), "left_semi").persist()
+        val exact = gate("1_exact_dedup") {
+          val keep = docs.groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          docs.join(keep, Seq("doc_id"), "left_semi").persist()
+        }
         // gate 2: near-dup components over the survivors, keep cluster min
-        val pairs = graft.operators.MinHashLSH.candidatePairs(
-            exact, "doc_id", "text", 3, 16, 4)
-          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
-        val nearDrop = graft.operators.DedupClusters.components(pairs)
-          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-        val near = exact.join(nearDrop, Seq("doc_id"), "left_anti").persist()
+        val near = gate("2_near_dedup") {
+          val pairs = graft.operators.MinHashLSH.candidatePairs(
+              exact, "doc_id", "text", 3, 16, 4)
+            .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+          val nearDrop = graft.operators.DedupClusters.components(pairs)
+            .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+          exact.join(nearDrop, Seq("doc_id"), "left_anti").persist()
+        }
         // gate 3: decontaminate against the held-out eval slice
         val isEval = col("doc_id") % 100 === 7
-        val contaminated = Corpus.contaminatedIds(
-          near.filter(!isEval), near.filter(isEval), "doc_id", "text", shingleN = 3)
-        val decon = near.filter(!isEval)
-          .join(contaminated, Seq("doc_id"), "left_anti").persist()
+        val decon = gate("3_decontaminated") {
+          val contaminated = Corpus.contaminatedIds(
+            near.filter(!isEval), near.filter(isEval), "doc_id", "text", shingleN = 3)
+          near.filter(!isEval)
+            .join(contaminated, Seq("doc_id"), "left_anti").persist()
+        }
         // gate 4: quality floor (the shared scorer, the curate default)
-        val quality = decon.filter(qualityScore(tokens(col("text"))) >= 0.45)
-          .persist()
+        val quality = gate("4_quality") {
+          decon.filter(qualityScore(tokens(col("text"))) >= 0.45).persist()
+        }
         // gate 5: perplexity cap — LM trained on the gate-4 survivors, docs
         // above 3.5 micro-nats mean bigram cross-entropy drop (the
         // --max-xent-micro curate stage)
-        val xent = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
-        val xentKept = quality.join(
+        val xentKept = gate("5_xent") {
+          val xent = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
+          quality.join(
             xent.filter(col("mean_xent_micro") > 3500000L).select("doc_id"),
             Seq("doc_id"), "left_anti").persist()
+        }
         // gate 6: DSIR top half by English-target likelihood (the
-        // --dsir-target-lang/--dsir-keep-pct curate stage)
-        val wdf = graft.operators.Selection.dsirWeights(
-          xentKept, "doc_id", "text", col("lang") === "en", 1024)
-        // distributed exact rank — the oracle's global `row_number()` form
-        // would single-partition the whole weight table (Ranks scaladoc)
-        val ranked = graft.operators.Ranks.globalRank(
-          wdf, Seq(col("dsir_micro").desc, col("doc_id").asc), "rnk")
-        // ranked is cached + row-preserving, so this count is a cache read,
-        // not a second DSIR pass
-        val nW = ranked.count()
-        val dsir = xentKept.join(
-          ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
-          Seq("doc_id"), "left_semi").persist()
+        // --dsir-target-lang/--dsir-keep-pct curate stage); weights are
+        // per-run — they score the gate-5 survivor slice, not the corpus,
+        // so the shared dsirWeightsShared table does not apply
+        val dsir = gate("6_dsir") {
+          val wdf = graft.operators.Selection.dsirWeights(
+            xentKept, "doc_id", "text", col("lang") === "en", 1024)
+          // distributed exact rank — the oracle's global `row_number()` form
+          // would single-partition the whole weight table (Ranks scaladoc)
+          val ranked = graft.operators.Ranks.globalRank(
+            wdf, Seq(col("dsir_micro").desc, col("doc_id").asc), "rnk")
+          // ranked is cached + row-preserving, so this count is a cache
+          // read, not a second DSIR pass
+          val nW = ranked.count()
+          xentKept.join(
+            ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
+            Seq("doc_id"), "left_semi").persist()
+        }
         // gate 7: the trained LR filter over the DSIR survivors (the
         // --lr-target-lang/--min-lr-sigma-micro curate stage at the 0.5
         // posterior threshold) — trains ON the survivors, so the flagship
         // composition exercises the round's training loop end-to-end
-        import graft.operators.LogReg
-        import graft.queries.TextQueries.{LrBuckets, LrSteps, LrNum, LrDen}
-        val xf = LogReg.features(dsir, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        val wLr = LogReg.trainWeights(spark, xf, dsir.count(), LrBuckets,
-          LrSteps, LrNum, LrDen, init = Some(LogReg.nbInit(xf, LrBuckets)))
-        val lr = dsir.join(
-          LogReg.score(spark, xf, wLr)
-            .filter(col("sigma") >= 500000L).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val rows = Seq(
-          ("0_input", stat(docs)), ("1_exact_dedup", stat(exact)),
-          ("2_near_dedup", stat(near)), ("3_decontaminated", stat(decon)),
-          ("4_quality", stat(quality)), ("5_xent", stat(xentKept)),
-          ("6_dsir", stat(dsir)), ("7_lr", stat(lr)))
-          .map { case (s, (n, t)) => (s, n, t) }
+        gate("7_lr") {
+          import graft.operators.LogReg
+          import graft.queries.TextQueries.{LrBuckets, LrSteps, LrNum, LrDen}
+          val xf = LogReg.features(dsir, "doc_id", "text",
+            col("lang") === "en", LrBuckets).localCheckpoint()
+          val wLr = LogReg.trainWeights(spark, xf, dsir.count(), LrBuckets,
+            LrSteps, LrNum, LrDen, init = Some(LogReg.nbInit(xf, LrBuckets)))
+          dsir.join(
+            LogReg.score(spark, xf, wLr)
+              .filter(col("sigma") >= 500000L).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
         docs.unpersist(blocking = false); exact.unpersist(blocking = false)
         near.unpersist(blocking = false); decon.unpersist(blocking = false)
         quality.unpersist(blocking = false); xentKept.unpersist(blocking = false)
         dsir.unpersist(blocking = false)
+        lastWaterfallGateSeconds.set(secs)
+        System.err.println("[waterfall] " + secs.map {
+          case (s, t) => f"$s=$t%.2fs" }.mkString(" "))
         rows.toDF("stage", "n_docs", "n_tokens").orderBy("stage")
       },
       oracle = Some {

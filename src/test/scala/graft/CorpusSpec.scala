@@ -319,4 +319,15 @@ class CorpusSpec extends SparkSpec {
     assert(orderOf(Corpus.shuffle(docs, "doc_id", 8, 4)) != o7, "new epoch re-permutes")
     s7.unpersist()
   }
+
+  test("corpus_waterfall records attributable per-gate wall-seconds") {
+    import spark.implicits._
+    val out = SparkEntry.queries("corpus_waterfall")(spark, sfDir)
+      .select("stage").as[String].collect().toSeq
+    val secs = graft.queries.CorpusQueries.lastWaterfallGateSeconds.get()
+    // one timing per gate, same names, same order as the output stages —
+    // the readout that makes the registry's most expensive row attributable
+    assert(secs.map(_._1) == out, s"gates ${secs.map(_._1)} vs stages $out")
+    assert(secs.nonEmpty && secs.forall(_._2 >= 0.0))
+  }
 }
