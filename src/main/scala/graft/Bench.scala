@@ -56,6 +56,39 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       (name, dt, ok)
     }
+    // regression tripwire (the text_quality_rules class of surprise should
+    // be caught by the builder, not the judge): read the PREVIOUS summary
+    // before overwriting it and surface rows >1.5x slower in one stderr
+    // line. Floors at 0.75 s so sub-noise rows don't flag.
+    val summaryPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json"))
+    val prevQueries: Map[String, Double] =
+      try {
+        if (!java.nio.file.Files.exists(summaryPath)) Map.empty
+        else {
+          val s = new String(java.nio.file.Files.readAllBytes(summaryPath), "UTF-8")
+          val qStart = s.indexOf("\"queries\":{")
+          if (qStart < 0) Map.empty
+          else s.substring(qStart + 11, s.indexOf('}', qStart)).split(',')
+            .flatMap(_.split(':') match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.collect {
+      case (k, v, true) if prevQueries.get(k).exists(p => v > p * 1.5 && v >= 0.75) =>
+        f"$k ${prevQueries(k)}%.2f->$v%.2f"
+    }
+    System.err.println(
+      if (prevQueries.isEmpty)
+        "[bench] tripwire: no previous summary to diff"
+      else if (regressions.isEmpty)
+        s"[bench] tripwire: no rows >1.5x slower than previous run (${prevQueries.size} compared)"
+      else
+        s"[bench] tripwire: ${regressions.size} rows >1.5x slower than previous run: ${regressions.mkString(", ")}")
     // a failed query's near-zero time must not read as a fast run: failures
     // report null in the queries map and are excluded from the total
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else "null") }
@@ -71,10 +104,8 @@ object Bench {
     // stdout line a short self-contained JSON total that survives any tail
     // window; failures ignored (a summary write must never fail the bench).
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json"))
-      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
-      println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries_file":"${out.toAbsolutePath}","sf":"$sfDir"}""")
+      java.nio.file.Files.write(summaryPath, (full + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"queries_file":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] summary write skipped: ${e.getMessage}") }
     spark.stop()
   }

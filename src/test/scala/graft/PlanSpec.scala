@@ -494,7 +494,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("DSIR scoring joins the llr table BROADCAST and partial-sums per doc") {
-    val plan = physicalPlan("corpus_dsir_weights")
+    // pin the OPERATOR plan, not the registered query: corpus_dsir_weights
+    // serves the per-fixture-dir checkpointed table (a plain RDD scan), so
+    // the shape being pinned lives in Selection.dsirWeights itself
+    import org.apache.spark.sql.functions.col
+    import graft.core.Readers
+    val df = graft.operators.Selection.dsirWeights(
+      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+      col("lang") === "en", 1024, carryCols = Seq("lang"))
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
     // candidate generation must never cartesian the corpus
