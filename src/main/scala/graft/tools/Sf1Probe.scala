@@ -465,6 +465,57 @@ object Sf1Probe {
     timed("ks_length 1x") { ks(fixture("documents")) }
     timed("ks_length 10x") { ks(docs10) }
 
+    // -- binned KS stream state (corpus_ks_stream shape, round 11) ----------
+    // the state-clamp claim in numbers: complete-mode cells keyed on
+    // (source, log2 length bin) — the rows metric IS the streaming state
+    // size, which must stay ≤ sources×64 at ANY mult while the fold's wall
+    // stays flat (the raw-length key would grow the grid with the distinct
+    // length domain)
+    def ksBinned(docs: DataFrame): Long = {
+      val cells = docs.groupBy(col("source"),
+          (length(bin(greatest(col("n_chars"), lit(1L)))) - 1)
+            .cast("long").as("len_bin"))
+        .agg(count(lit(1)).as("c")).persist()
+      val state = cells.count()
+      graft.queries.DriftQueries.ksFromCells(cells, valueCol = "len_bin").count()
+      cells.unpersist(blocking = false)
+      state
+    }
+    timed("ks_binned_state 1x") { ksBinned(fixture("documents")) }
+    timed("ks_binned_state 10x") { ksBinned(docs10) }
+
+    // -- embcos degraded path (the round-11 guard's scale fallback) ---------
+    // past the budget-derived brute-force limit dedup_embcos runs the
+    // multi-probe sign-LSH candidate path; this measures that path at ×10.
+    // Staging multiplies each copy by its own pseudo-random ±1 sign pattern
+    // (bit `copy` of i·K, K odd): intra-copy cosines are EXACTLY preserved
+    // (both sides flip the same dims, s²=1) while cross-copy cosines
+    // decorrelate to ~0 — the embedding analogue of the per-copy token
+    // suffix. (A dim ROTATION was tried first and under-decorrelated: the
+    // synthetic embeddings are rotationally self-similar — same output as
+    // the flips but for the wrong reason.) Output at ×10 is dominated by
+    // the random-cosine tail, BY CONSTRUCTION of any ×10 staging: at 64
+    // dims random cosines are ~N(0, 1/64), the 0.45 threshold sits at
+    // 3.6σ, and ~1.25e9 scrambled cross pairs yield thousands of chance
+    // matches (0.70 — 5.6σ — yields 2, but also sits above the fixture's
+    // planted dups). The claim this probe makes is therefore about WALL,
+    // not output: ~130× more qualifying pairs for ~2× wall, because
+    // candidates stay bucket-local — the guard's degraded path absorbs a
+    // heavy output term without going cartesian.
+    lazy val embFlip10 = staged(s"embeddings_flip_x$mult") {
+      fixture("embeddings").crossJoin(broadcast(copies))
+        .select((col("vec_id") + col("copy") * keyOff).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(((CAST(i AS BIGINT) * 2654435761) div " +
+            "shiftleft(CAST(1 AS BIGINT), copy)) % 2 = 1, -x, x))")
+            .as("embedding"))
+    }
+    def embLsh(e: DataFrame): Long =
+      Similarity.embCosPairsGuarded(e, thresholdMicro = 450000L,
+        bruteForceRowLimit = 0L).count()
+    timed("embcos_lsh 1x") { embLsh(fixture("embeddings")) }
+    timed("embcos_lsh 10x") { embLsh(embFlip10) }
+
     // -- k-anonymity audit (ev_k_anonymity shape) ---------------------------
     // disjoint user copies: mult× users with identical per-user profiles —
     // the user-partitioned windows see mult× partitions of unchanged width,
