@@ -59,6 +59,9 @@ object CorpusQueries {
     * paid per query. Keyed by session too (a checkpoint's blocks belong to
     * the session that made them); the waterfall's gate-6 weights are NOT
     * shareable — they score the gate-5 survivor slice, a different corpus.
+    * Never evicted (the lrFeatures rationale: unpersisting a
+    * lineage-truncated checkpoint breaks queries still holding it), and
+    * bounded by distinct fixture dirs per JVM × one |docs|-row table.
     */
   private val dsirWeightsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()

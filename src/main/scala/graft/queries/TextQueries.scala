@@ -56,7 +56,12 @@ object TextQueries {
     * text_lr_scorecard, text_lr_calibration, and text_lr_margin_mining —
     * r10 verdict item 2: the bigram explode is the expensive LR stage and
     * each of those queries was rebuilding it. Keyed by session too (a
-    * checkpoint's blocks belong to the session that made them).
+    * checkpoint's blocks belong to the session that made them). Entries
+    * are DELIBERATELY never evicted: a localCheckpoint's lineage is
+    * truncated, so unpersisting one while a query still holds it cannot
+    * recompute and fails the query; the cache is bounded by the number of
+    * distinct fixture dirs a JVM touches (one in the driver's Verify/Bench
+    * runs, one in specs), each holding one ~corpus-sized frame.
     */
   private val lrFeatCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
