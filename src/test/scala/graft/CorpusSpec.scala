@@ -320,6 +320,26 @@ class CorpusSpec extends SparkSpec {
     s7.unpersist()
   }
 
+  test("frozen-scorer replay equals the batch DSIR weights bit for bit") {
+    // the round-11 one-pass frozenScorer (llr map + unseen-bucket default)
+    // must reproduce dsirWeights exactly when replayed over the training
+    // corpus — the property that lets corpus_dsir_stream share the batch
+    // oracle (previously held by construction of llrTable+smoothedTotals;
+    // pinned directly now that one fused pass builds both halves)
+    import graft.operators.Selection
+    val spark2 = spark; import spark2.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val (llr, dflt) = Selection.frozenScorer(docs, "text", col("lang") === "en", 1024)
+    assert(llr.size <= 1024)
+    val replay = Selection.dsirScoreRows(docs, "doc_id", "text", llr, dflt, 1024)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Selection.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", 1024)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replay == batch)
+    assert(replay.nonEmpty)
+  }
+
   test("corpus_waterfall records attributable per-gate wall-seconds") {
     import spark.implicits._
     val out = SparkEntry.queries("corpus_waterfall")(spark, sfDir)

@@ -179,6 +179,23 @@ class LogRegSpec extends SparkSpec {
     assert(et.getMessage.contains("truncated"))
   }
 
+  test("slice featurization: filtering the shared feature frame == featurizing the slice") {
+    // the text_lr_incremental rewire's correctness argument: features are
+    // per-(doc, bucket) rows, so a doc_id filter of the full frame IS the
+    // slice's featurization — pinned directly, not just via the oracle
+    val spark2 = spark; import spark2.implicits._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val pred = col("doc_id") % 10 === 9
+    val viaFilter = graft.queries.TextQueries.lrFeatures(spark, sfDir)
+      .filter(pred)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaSlice = LogReg.features(docs.filter(pred), "doc_id", "text",
+      col("lang") === "en", graft.queries.TextQueries.LrBuckets)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaFilter == viaSlice)
+    assert(viaFilter.nonEmpty)
+  }
+
   test("trainWeights refuses an empty corpus slice at entry") {
     // nDocs=0 previously threw ArithmeticException mid-loop while the duck
     // twin's integer division yielded NULL weights — loud, at entry, now
