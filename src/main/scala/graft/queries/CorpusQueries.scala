@@ -512,7 +512,14 @@ object CorpusQueries {
         // times land in lastWaterfallGateSeconds + a [waterfall] stderr
         // line, NOT in the query output: the driver's comparator hashes
         // every output column, so a nondeterministic column would red the
-        // oracle row
+        // oracle row. Every gate output is localCheckpoint-ed, not merely
+        // persisted: the later gates run MANY small actions (dsirWeights
+        // staging, the distributed rank, the GD loop's per-step jobs), and
+        // each action re-plans the whole gate-join lineage unless it is
+        // truncated at the boundary — the Ranks/Graph planning-cost lesson
+        // (measured here: 17.2 → 11.5 s at sf0.1, gates 6/7 7.8→2.4 /
+        // 6.2→3.4 s). The stat() materializes each gate anyway, so the
+        // eager checkpoint adds only the block write
         var rows = Vector.empty[(String, Long, Long)]
         var secs = Vector.empty[(String, Double)]
         def gate(name: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -531,7 +538,7 @@ object CorpusQueries {
         val exact = gate("1_exact_dedup") {
           val keep = docs.groupBy(md5(col("text")).as("h"))
             .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-          docs.join(keep, Seq("doc_id"), "left_semi").persist()
+          docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
         }
         // gate 2: near-dup components over the survivors, keep cluster min
         val near = gate("2_near_dedup") {
@@ -540,7 +547,7 @@ object CorpusQueries {
             .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
           val nearDrop = graft.operators.DedupClusters.components(pairs)
             .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-          exact.join(nearDrop, Seq("doc_id"), "left_anti").persist()
+          exact.join(nearDrop, Seq("doc_id"), "left_anti").localCheckpoint()
         }
         // gate 3: decontaminate against the held-out eval slice
         val isEval = col("doc_id") % 100 === 7
@@ -548,11 +555,11 @@ object CorpusQueries {
           val contaminated = Corpus.contaminatedIds(
             near.filter(!isEval), near.filter(isEval), "doc_id", "text", shingleN = 3)
           near.filter(!isEval)
-            .join(contaminated, Seq("doc_id"), "left_anti").persist()
+            .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
         }
         // gate 4: quality floor (the shared scorer, the curate default)
         val quality = gate("4_quality") {
-          decon.filter(qualityScore(tokens(col("text"))) >= 0.45).persist()
+          decon.filter(qualityScore(tokens(col("text"))) >= 0.45).localCheckpoint()
         }
         // gate 5: perplexity cap — LM trained on the gate-4 survivors, docs
         // above 3.5 micro-nats mean bigram cross-entropy drop (the
@@ -561,7 +568,7 @@ object CorpusQueries {
           val xent = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
           quality.join(
             xent.filter(col("mean_xent_micro") > 3500000L).select("doc_id"),
-            Seq("doc_id"), "left_anti").persist()
+            Seq("doc_id"), "left_anti").localCheckpoint()
         }
         // gate 6: DSIR top half by English-target likelihood (the
         // --dsir-target-lang/--dsir-keep-pct curate stage); weights are
@@ -579,7 +586,7 @@ object CorpusQueries {
           val nW = ranked.count()
           xentKept.join(
             ranked.filter(col("rnk") * 2L <= nW).select("doc_id"),
-            Seq("doc_id"), "left_semi").persist()
+            Seq("doc_id"), "left_semi").localCheckpoint()
         }
         // gate 7: the trained LR filter over the DSIR survivors (the
         // --lr-target-lang/--min-lr-sigma-micro curate stage at the 0.5
