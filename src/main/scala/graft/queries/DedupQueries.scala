@@ -945,10 +945,14 @@ object DedupQueries {
         val pref = PrefixJaccard.pairs(docs, "doc_id", "text",
             ShingleN, num = 1, den = 2)
           .select("doc_a", "doc_b")
+        // localCheckpoint, not persist: the self-join plans this frame on
+        // BOTH sides plus the totals pass, and its lineage is the union of
+        // three whole dedup pipelines — truncation caps the re-planning
+        // (the waterfall gate-boundary lesson)
         val tagged = lsh.withColumn("m", lit("lsh"))
           .union(sim.withColumn("m", lit("simhash")))
           .union(pref.withColumn("m", lit("prefix")))
-          .persist()
+          .localCheckpoint()
         val totals = tagged.groupBy(col("m")).agg(count(lit(1)).as("n"))
         val both = tagged.as("a")
           .join(tagged.as("b"), Seq("doc_a", "doc_b"))
