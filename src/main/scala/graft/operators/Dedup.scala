@@ -146,6 +146,16 @@ object MinHashLSH {
   def candidatePairsFromShingles(shingled: DataFrame, numPerm: Int, numBands: Int): DataFrame =
     candidatePairsFromSigs(signaturesFromShingles(shingled, numPerm), numPerm, numBands)
 
+  /** Candidate pairs from a pre-computed `(id, sig)` signature frame — the
+    * entry point for callers comparing several BANDINGS of one signature
+    * set (dedup_bands_curve): signatures cost one corpus pass and are
+    * banding-independent, so re-signing per configuration would triple the
+    * expensive stage.
+    */
+  def candidatePairsFromSignatures(sigs: DataFrame, numPerm: Int,
+                                   numBands: Int): DataFrame =
+    candidatePairsFromSigs(sigs, numPerm, numBands)
+
   /** Asymmetric containment over the LSH candidates: |A∩B|/|A| and |A∩B|/|B|
     * in integer micro-units, keeping pairs where EITHER direction clears the
     * threshold (quote/subset detection — the signal symmetric Jaccard

@@ -423,11 +423,18 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         val spark2 = spark; import spark2.implicits._
         val docs = Readers.fixture(spark, sfDir, "documents")
+        // shingles and signatures are banding-INDEPENDENT: stage each once
+        // (checkpointed — the per-band counts and semi-joins below are many
+        // small actions, and each would re-plan the full pipeline lineage)
+        // instead of re-shingling/re-signing per configuration
         val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+          .localCheckpoint()
+        val sigs = MinHashLSH.signaturesFromShingles(sh, NumPerm)
+          .localCheckpoint()
         val configs = Seq(2, 4, 8)
         val cands = configs.map { b =>
-          b -> MinHashLSH.candidatePairsFromShingles(sh, NumPerm, b)
-            .select("doc_a", "doc_b").persist()
+          b -> MinHashLSH.candidatePairsFromSignatures(sigs, NumPerm, b)
+            .select("doc_a", "doc_b").localCheckpoint()
         }
         val union = cands.map(_._2).reduce(_ unionByName _).distinct()
         val truePairs = union
@@ -435,15 +442,13 @@ object DedupQueries {
           .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .filter(expr("""size(array_intersect(sh_a, sh_b)) * 2 >=
                           size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"""))
-          .select("doc_a", "doc_b").persist()
+          .select("doc_a", "doc_b").localCheckpoint()
         val nTrue = truePairs.count()
         val rows = cands.map { case (b, c) =>
           val nCand = c.count()
           val hits = truePairs.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
           (b.toLong, nCand, hits, if (nTrue == 0) 0L else hits * 1000000L / nTrue)
         }
-        cands.foreach(_._2.unpersist(blocking = false))
-        truePairs.unpersist(blocking = false)
         rows.toDF("bands", "n_candidates", "n_true_found", "rel_recall_micro")
           .orderBy("bands")
       },
