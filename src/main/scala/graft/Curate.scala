@@ -255,6 +255,14 @@ object Curate {
 
   /** Runs the pipeline; returns per-stage surviving document counts (a
     * funnel, printed as the run summary and asserted by CurateSpec).
+    *
+    * Every stage boundary is localCheckpoint-ed, not merely persisted —
+    * the corpus_waterfall gate-boundary lesson: the later gates (DSIR
+    * rank, the LR training loop, priority sampling, chunk packing) run
+    * many small actions, and each would re-plan the full accumulated
+    * stage lineage; truncation caps plan depth at one stage. The funnel
+    * counts materialize every stage regardless, so the eager checkpoint
+    * adds only the block write.
     */
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
     val docs = spark.read.parquet(s"${cfg.docsDir}/documents.parquet")
@@ -263,7 +271,7 @@ object Curate {
     // exact dedup: keep the smallest id per distinct text
     val keepIds = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").persist()
+    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
 
     // near-dup dedup: LSH candidates → connected components → keep one
     // representative per cluster: minimum id by default, or the
@@ -294,14 +302,14 @@ object Curate {
         Seq("cluster_id"), "left_semi").select("doc_id")
       dropNearBase.unionByName(farms).distinct()
     }
-    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    val nearDeduped = exact.join(dropNear, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // optional eval-set decontamination (broadcast trigram semi-join)
     val decontaminated = cfg.decontaminateAgainst.fold(nearDeduped) { dir =>
       val eval = spark.read.parquet(s"$dir/documents.parquet")
       nearDeduped.join(
         Corpus.contaminatedIds(nearDeduped, eval, "doc_id", "text", shingleN = 3),
-        Seq("doc_id"), "left_anti").persist()
+        Seq("doc_id"), "left_anti").localCheckpoint()
     }
 
     // optional duplicated-substring screen: drop documents mostly covered by
@@ -315,7 +323,7 @@ object Curate {
         .coverage(decontaminated, "doc_id", "text", k = 8)
       val heavy = cov.filter(col("coverage_micro") > maxMicro)
         .select(col("id").as("doc_id"))
-      val out = decontaminated.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = decontaminated.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       out.count()
       cov.unpersist(blocking = false)
       out
@@ -331,7 +339,7 @@ object Curate {
         .boilerplate(substrScreened, "doc_id", "text", "source", k = 4, minDocs = 2)
       val heavy = bp.filter(col("removed_micro") > maxMicro)
         .select(col("id").as("doc_id"))
-      val out = substrScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = substrScreened.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       out.count()
       bp.unpersist(blocking = false)
       out
@@ -348,7 +356,7 @@ object Curate {
         paraTokens = 10, shingleN = 3, numPerm = 16, numBands = 4,
         minMatching = 12, dropRatioMicro = maxMicro)
       val heavy = pd.filter(col("drop_doc")).select("doc_id")
-      val out = bpScreened.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = bpScreened.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       out.count()
       out
     }
@@ -364,7 +372,7 @@ object Curate {
     else
       paraScreened
         .filter(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= cfg.minQuality))
-      .persist()
+      .localCheckpoint()
 
     val qualityCount = quality.count()
 
@@ -375,7 +383,7 @@ object Curate {
     val xentGated = cfg.maxXentMicro.fold(quality) { cap =>
       val x = graft.operators.Vocab.lmXent(quality, "doc_id", "text")
       val heavy = x.filter(col("mean_xent_micro") > cap).select("doc_id")
-      val out = quality.join(heavy, Seq("doc_id"), "left_anti").persist()
+      val out = quality.join(heavy, Seq("doc_id"), "left_anti").localCheckpoint()
       out.count()
       out
     }
@@ -385,7 +393,7 @@ object Curate {
     // drop-side alternative to redaction, one per-row HOF expression
     val piiGated = cfg.maxPiiPerMillion.fold(xentGated) { cap =>
       val out = xentGated.filter(
-        TextAnalysis.piiPerMillion(TextAnalysis.tokens(col("text"))) <= cap).persist()
+        TextAnalysis.piiPerMillion(TextAnalysis.tokens(col("text"))) <= cap).localCheckpoint()
       out.count()
       out
     }
@@ -396,7 +404,7 @@ object Curate {
     // (DSIR, the LR filter, chunking) see the redacted text
     val redacted = if (!cfg.redactPii) piiGated else {
       val out = piiGated.withColumn("text",
-        TextAnalysis.redactPii(TextAnalysis.tokens(col("text")))).persist()
+        TextAnalysis.redactPii(TextAnalysis.tokens(col("text")))).localCheckpoint()
       out.count()
       out
     }
@@ -416,7 +424,7 @@ object Curate {
         // ranked is cached + row-preserving: a cache read, not a re-score
         val n = ranked.count()
         val keep = ranked.filter(col("rnk") * 100L <= n * pct).select("doc_id")
-        val out = redacted.join(keep, Seq("doc_id"), "left_semi").persist()
+        val out = redacted.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
         out.count()
         out
       case _ => redacted
@@ -439,7 +447,7 @@ object Curate {
           LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
         val keep = LogReg.score(spark, x, w)
           .filter(col("sigma") >= minSigma).select("doc_id")
-        val out = dsirKept.join(keep, Seq("doc_id"), "left_semi").persist()
+        val out = dsirKept.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
         out.count()
         out
       case _ => dsirKept
@@ -454,7 +462,7 @@ object Curate {
           lrGated.withColumn("q",
             TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")))),
           "doc_id", expr("CAST(floor(q * 1000000) AS BIGINT) + 1"), k)
-        .drop("q", "w", "priority").persist()
+        .drop("q", "w", "priority").localCheckpoint()
     }
     // optional temperature-scaled source mix toward a token budget (the
     // corpus_mix_temperature operator): applied to whatever survived the
@@ -463,7 +471,7 @@ object Curate {
       sampled0.join(
         Corpus.temperatureMix(sampled0, "doc_id", "source", "text", budget)
           .select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
+        Seq("doc_id"), "left_semi").localCheckpoint()
     }
 
     // deterministic split, assigned by (parent) document BEFORE optional
@@ -492,7 +500,7 @@ object Curate {
         .join(split.select(col("doc_id"), col("lang"), col("split")), "doc_id")
         .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
           col("chunk_text").as("text"), col("lang"), col("split"))
-        .persist()
+        .localCheckpoint()
       packed.count()
       chunks.unpersist(blocking = false)
       packed
