@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Extract the per-query seconds map from a bench_summary.json line —
+    * the tripwire's previous-run side. Tolerant by design (a malformed or
+    * missing summary degrades to "no previous summary", never fails the
+    * bench): scans only the flat `"queries":{...}` object, skips `null`
+    * entries (failed queries) and anything non-numeric. Spec-pinned so a
+    * summary-format change can't silently disarm the tripwire.
+    */
+  private[graft] def parseQueriesMap(s: String): Map[String, Double] = {
+    val qStart = s.indexOf("\"queries\":{")
+    if (qStart < 0) Map.empty
+    else {
+      val end = s.indexOf('}', qStart)
+      if (end < 0) Map.empty
+      else s.substring(qStart + 11, end).split(',')
+        .flatMap(_.split(':') match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }).toMap
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,18 +87,8 @@ object Bench {
     val prevQueries: Map[String, Double] =
       try {
         if (!java.nio.file.Files.exists(summaryPath)) Map.empty
-        else {
-          val s = new String(java.nio.file.Files.readAllBytes(summaryPath), "UTF-8")
-          val qStart = s.indexOf("\"queries\":{")
-          if (qStart < 0) Map.empty
-          else s.substring(qStart + 11, s.indexOf('}', qStart)).split(',')
-            .flatMap(_.split(':') match {
-              case Array(k, v) =>
-                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-                catch { case _: NumberFormatException => None }
-              case _ => None
-            }).toMap
-        }
+        else parseQueriesMap(
+          new String(java.nio.file.Files.readAllBytes(summaryPath), "UTF-8"))
       } catch { case _: Throwable => Map.empty }
     val regressions = results.collect {
       case (k, v, true) if prevQueries.get(k).exists(p => v > p * 1.5 && v >= 0.75) =>

@@ -267,4 +267,18 @@ class CliSpec extends SparkSpec {
     assert(out.linesIterator.count(_.startsWith("| main")) == 4) // 2 tables x 2 targets
     assert(!out.contains("(err)"))
   }
+
+  test("bench tripwire parser: real summary shapes, nulls skipped, garbage degrades to empty") {
+    // the exact shape graft.Bench writes, including a failed (null) query
+    // and trailing fields AFTER the queries object (the min-map note)
+    val line = """{"metric":"total","value":3.5,"unit":"sec",""" +
+      """"queries":{"q_a":1.25,"q_b":null,"q_c":2.25},""" +
+      """"failures":["q_b"],"sf":"/x","note":"min map"}"""
+    assert(Bench.parseQueriesMap(line) == Map("q_a" -> 1.25, "q_c" -> 2.25))
+    // a format change that drops the queries object must DISARM, not throw —
+    // the tripwire degrades to "no previous summary"
+    assert(Bench.parseQueriesMap("""{"metric":"total","value":3.5}""").isEmpty)
+    assert(Bench.parseQueriesMap("not json at all").isEmpty)
+    assert(Bench.parseQueriesMap("""{"queries":{""").isEmpty)
+  }
 }
