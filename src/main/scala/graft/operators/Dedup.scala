@@ -163,9 +163,17 @@ object MinHashLSH {
     * UNSORTED output per the operator-sort policy (order at the query).
     */
   def containmentPairs(shingled: DataFrame, numPerm: Int, numBands: Int,
+                       thresholdMicro: Long): DataFrame =
+    containmentPairs(shingled,
+      candidatePairsFromShingles(shingled, numPerm, numBands), thresholdMicro)
+
+  /** [[containmentPairs]] with the candidate generation supplied by the
+    * caller — the seam for pipelines that already staged signatures (the
+    * DedupStaging memo) and should not re-sign the corpus here.
+    */
+  def containmentPairs(shingled: DataFrame, candidates: DataFrame,
                        thresholdMicro: Long): DataFrame = {
-    val pairs = candidatePairsFromShingles(shingled, numPerm, numBands)
-      .select("doc_a", "doc_b")
+    val pairs = candidates.select("doc_a", "doc_b")
     pairs
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -236,7 +244,12 @@ object MinHashLSH {
         coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
         ratio.as("dup_ratio_micro"),
         (ratio >= dropRatioMicro).as("drop_doc"))
-    // materialize-then-release (the incrementalCandidates lifecycle)
+    // materialize-then-release (the incrementalCandidates lifecycle). The
+    // RETURNED frame stays persisted and the CALLER owns it (r11 advisor
+    // item): it is per-doc-rollup-sized, the registered queries consume it
+    // within one harness invocation (Bench clears the CacheManager between
+    // queries), and a long-lived session that calls this repeatedly must
+    // unpersist each returned frame once done with it.
     val out = result.persist()
     out.count()
     paras.unpersist(blocking = false)

@@ -49,9 +49,22 @@ object PrefixJaccard {
     * shingle-set Jaccard >= num/den, jaccard_micro = floor(1e6*|inter|/|union|).
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
-            num: Int, den: Int): DataFrame = {
+            num: Int, den: Int): DataFrame =
+    pairsFromRows(shingleRows(df, idCol, textCol, shingleN), num, den)
+
+  /** [[pairs]] from a pre-staged `(id, sh)` distinct-shingle frame
+    * ([[MinHashLSH.shingled]] / the DedupStaging memo) — the seam that lets
+    * the exact join share the one tokenize+shingle pass the LSH pipeline
+    * already staged instead of re-running it (the r11 shared-staging item).
+    * The explode reads a materialized array column, so the
+    * InferFiltersFromGenerate recompute hazard documented on
+    * [[MinHashLSH.signatures]] does not apply.
+    */
+  def pairsFromShingles(shingled: DataFrame, num: Int, den: Int): DataFrame =
+    pairsFromRows(shingled.select(col("id"), explode(col("sh")).as("t")), num, den)
+
+  private def pairsFromRows(tok: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
-    val tok = shingleRows(df, idCol, textCol, shingleN)
     // document frequency per token: the global-order key (df asc, token asc)
     val dfDim = tok.groupBy("t").agg(count(lit(1)).as("df"))
     // one row per doc: the full sorted token set (for exact verification)

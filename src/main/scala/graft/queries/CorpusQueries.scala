@@ -540,10 +540,16 @@ object CorpusQueries {
             .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
           docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
         }
-        // gate 2: near-dup components over the survivors, keep cluster min
+        // gate 2: near-dup components over the survivors, keep cluster min.
+        // A doc's band hashes depend only on its own text, so candidate
+        // pairs among survivors == the staged full-corpus candidates with
+        // BOTH ends surviving — the gate slices the shared staged signature
+        // frame (one semi-join) instead of re-shingling the survivors
         val near = gate("2_near_dedup") {
-          val pairs = graft.operators.MinHashLSH.candidatePairs(
-              exact, "doc_id", "text", 3, 16, 4)
+          val survSigs = DedupStaging.signatures(spark, sfDir)
+            .join(exact.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          val pairs = graft.operators.MinHashLSH.candidatePairsFromSignatures(
+              survSigs, 16, 4)
             .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
           val nearDrop = graft.operators.DedupClusters.components(pairs)
             .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -604,10 +610,12 @@ object CorpusQueries {
               .filter(col("sigma") >= 500000L).select("doc_id"),
             Seq("doc_id"), "left_semi")
         }
-        docs.unpersist(blocking = false); exact.unpersist(blocking = false)
-        near.unpersist(blocking = false); decon.unpersist(blocking = false)
-        quality.unpersist(blocking = false); xentKept.unpersist(blocking = false)
-        dsir.unpersist(blocking = false)
+        // docs is a real CacheManager persist — release it. The gate frames
+        // (exact/near/…) are localCheckpoint-ed: their blocks are RDD-level,
+        // not CacheManager entries, so Dataset.unpersist on them is a no-op
+        // (the r11 advisor finding); reclamation is GC-driven via the
+        // ContextCleaner once this invocation's references drop
+        docs.unpersist(blocking = false)
         lastWaterfallGateSeconds.set(secs)
         System.err.println("[waterfall] " + secs.map {
           case (s, t) => f"$s=$t%.2fs" }.mkString(" "))

@@ -12,9 +12,12 @@ import graft.operators.{ExactSubstr, MinHashLSH, PrefixJaccard, SimHash, Similar
   */
 object DedupQueries {
 
-  private val ShingleN = 3
-  private val NumPerm = 16
-  private val NumBands = 4
+  // family-wide sketch parameters live with the shared staging (one
+  // checkpointed shingle/signature/simhash set serves every query below —
+  // the r11 shared-staging item; see DedupStaging's lifecycle scaladoc)
+  private val ShingleN = DedupStaging.ShingleN
+  private val NumPerm = DedupStaging.NumPerm
+  private val NumBands = DedupStaging.NumBands
   // ExactSubstr window: long enough that random 56-token docs don't collide,
   // short enough that the fixture's planted near-dups share whole windows
   private val SubstrK = 8
@@ -57,11 +60,11 @@ object DedupQueries {
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
 
-    // MinHash+LSH near-dup candidates: shingle → signature → band → bucket join
+    // MinHash+LSH near-dup candidates: shingle → signature → band → bucket
+    // join, off the shared staged signature frame
     "dedup_minhash_lsh" -> QueryEntry(
-      fn = (spark, sfDir) => MinHashLSH.candidatePairs(
-        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-        ShingleN, NumPerm, NumBands).orderBy("doc_a", "doc_b"),
+      fn = (spark, sfDir) =>
+        DedupStaging.candidatePairs(spark, sfDir).orderBy("doc_a", "doc_b"),
       oracle = Some(MinHashLSH.duckCandidatePairs(
         "documents", "doc_id", "text", ShingleN, NumPerm, NumBands))),
 
@@ -82,8 +85,7 @@ object DedupQueries {
               .agg(min(col("doc_id")).as("keep")),
             md5(col("text")) === col("h") && col("doc_id") =!= col("keep"), "left_semi")
           .select("doc_id")
-        val pairs = MinHashLSH.candidatePairs(texts, "doc_id", "text",
-            ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
         val nearDrop = graft.operators.DedupClusters.components(pairs)
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
@@ -131,9 +133,7 @@ object DedupQueries {
     "dedup_threshold_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.expressions.Window
-        val pairs = MinHashLSH.candidatePairs(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-          ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
         val w = Window.orderBy(col("n_matching").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pairs.groupBy(col("n_matching"))
@@ -236,12 +236,11 @@ object DedupQueries {
     // candidate-then-verify dedup pipeline; nothing touches O(n^2) pairs)
     "dedup_ngram_jaccard" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        // ONE persisted tokenize+shingle pass feeds both the LSH signature
-        // pipeline and the exact-Jaccard verification joins (r3 ran the
-        // shingle pass twice — once inside candidatePairs, once here)
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+        // the SHARED staged shingle and signature frames feed both the LSH
+        // candidate generation and the exact-Jaccard verification joins (r3
+        // ran the shingle pass twice; r12 shares it across the whole family)
+        val sh = DedupStaging.shingles(spark, sfDir)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .select("doc_a", "doc_b")
         pairs
           .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -271,9 +270,9 @@ object DedupQueries {
     // against a brute-force all-pairs oracle so the gate proves the
     // pruning loses nothing
     "dedup_jaccard_prefix" -> QueryEntry(
-      fn = (spark, sfDir) => PrefixJaccard.pairs(
-        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-        ShingleN, num = 1, den = 2).orderBy("doc_a", "doc_b"),
+      fn = (spark, sfDir) => PrefixJaccard.pairsFromShingles(
+        DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
+        .orderBy("doc_a", "doc_b"),
       oracle = Some(PrefixJaccard.duckPairs("documents", "doc_id", "text",
         ShingleN, num = 1, den = 2))),
 
@@ -285,9 +284,9 @@ object DedupQueries {
     // is a correctness bug, not a quality loss
     "dedup_prefix_clusters" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val pairs = PrefixJaccard.pairs(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-          ShingleN, num = 1, den = 2).select("doc_a", "doc_b")
+        val pairs = PrefixJaccard.pairsFromShingles(
+          DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
+          .select("doc_a", "doc_b")
         graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
       },
       oracle = Some(graft.operators.DedupClusters.duckComponents(
@@ -297,20 +296,18 @@ object DedupQueries {
     // incremental (daily-ingest) dedup: the NEW batch (doc_id % 10 == 9
     // stands in for today's arrivals) is checked against the EXISTING
     // corpus through its persisted band/signature index plus within-batch
-    // pairs — only the delta is shingled and signed, the corpus text is
-    // never re-read, and existing×existing pairs are absent by construction
-    // (resolved at their own ingest). O(delta + index) per ingest, the
-    // dedup analogue of pv_merkle_incremental
+    // pairs — the corpus text is never re-read, and existing×existing pairs
+    // are absent by construction (resolved at their own ingest). O(delta +
+    // index) per ingest, the dedup analogue of pv_merkle_incremental. Both
+    // sides here SLICE the staged signature frame (the staged frame IS the
+    // persisted index in this harness); the shingle-only-the-delta path is
+    // executed and probed by IngestProbe/Sf1Probe
     "dedup_incremental" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val sigsNew = MinHashLSH.signaturesFromShingles(
-          MinHashLSH.shingled(docs.filter(col("doc_id") % 10 === 9),
-            "doc_id", "text", ShingleN), NumPerm)
-        val sigsIdx = MinHashLSH.signaturesFromShingles(
-          MinHashLSH.shingled(docs.filter(col("doc_id") % 10 =!= 9),
-            "doc_id", "text", ShingleN), NumPerm)
-        MinHashLSH.incrementalCandidates(sigsNew, sigsIdx, NumPerm, NumBands)
+        val sigs = DedupStaging.signatures(spark, sfDir)
+        MinHashLSH.incrementalCandidates(
+          sigs.filter(col("id") % 10 === 9),
+          sigs.filter(col("id") % 10 =!= 9), NumPerm, NumBands)
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(MinHashLSH.duckIncrementalCandidates(
@@ -327,8 +324,7 @@ object DedupQueries {
     // The banding S-curve shows in the output: recall rises with the band
     "dedup_lsh_recall" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
+        val sh = DedupStaging.shingles(spark, sfDir)
         val probe = sh.filter(col("id") < ProbeDocs)
           .select(col("id").as("id_p"), col("sh").as("sh_p"))
         val exact = probe
@@ -340,7 +336,7 @@ object DedupQueries {
               + " DIV size(array_union(sh_p, sh_o))").as("j_micro"))
           .filter(col("j_micro") >= 500000L)
           .distinct() // both-ends-in-probe pairs arrive once per direction
-        val cand = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+        val cand = DedupStaging.candidatePairs(spark, sfDir)
           .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
         exact.join(cand, Seq("doc_a", "doc_b"), "left")
           .na.fill(Map("hit" -> 0L))
@@ -422,19 +418,20 @@ object DedupQueries {
     "dedup_bands_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         val spark2 = spark; import spark2.implicits._
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        // shingles and signatures are banding-INDEPENDENT: stage each once
-        // (checkpointed — the per-band counts and semi-joins below are many
-        // small actions, and each would re-plan the full pipeline lineage)
-        // instead of re-shingling/re-signing per configuration
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-          .localCheckpoint()
-        val sigs = MinHashLSH.signaturesFromShingles(sh, NumPerm)
-          .localCheckpoint()
+        // shingles and signatures are banding-INDEPENDENT: the SHARED staged
+        // frames serve all three configurations. Their lineage is a
+        // LogicalRDD, so the per-band frames below are shallow plans —
+        // persist() (not localCheckpoint) is now the right barrier for the
+        // many small count/semi-join actions, and because the output rows
+        // are pure driver data the per-invocation caches can be released
+        // DETERMINISTICALLY before returning (the r11 advisor item: the
+        // checkpointed forms lingered until GC)
+        val sh = DedupStaging.shingles(spark, sfDir)
+        val sigs = DedupStaging.signatures(spark, sfDir)
         val configs = Seq(2, 4, 8)
         val cands = configs.map { b =>
           b -> MinHashLSH.candidatePairsFromSignatures(sigs, NumPerm, b)
-            .select("doc_a", "doc_b").localCheckpoint()
+            .select("doc_a", "doc_b").persist()
         }
         val union = cands.map(_._2).reduce(_ unionByName _).distinct()
         val truePairs = union
@@ -442,15 +439,20 @@ object DedupQueries {
           .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .filter(expr("""size(array_intersect(sh_a, sh_b)) * 2 >=
                           size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"""))
-          .select("doc_a", "doc_b").localCheckpoint()
-        val nTrue = truePairs.count()
-        val rows = cands.map { case (b, c) =>
-          val nCand = c.count()
-          val hits = truePairs.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
-          (b.toLong, nCand, hits, if (nTrue == 0) 0L else hits * 1000000L / nTrue)
+          .select("doc_a", "doc_b").persist()
+        try {
+          val nTrue = truePairs.count()
+          val rows = cands.map { case (b, c) =>
+            val nCand = c.count()
+            val hits = truePairs.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
+            (b.toLong, nCand, hits, if (nTrue == 0) 0L else hits * 1000000L / nTrue)
+          }
+          rows.toDF("bands", "n_candidates", "n_true_found", "rel_recall_micro")
+            .orderBy("bands")
+        } finally {
+          truePairs.unpersist(blocking = false)
+          cands.foreach(_._2.unpersist(blocking = false))
         }
-        rows.toDF("bands", "n_candidates", "n_true_found", "rel_recall_micro")
-          .orderBy("bands")
       },
       oracle = Some {
         def cand(b: Int) = s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
@@ -482,9 +484,8 @@ object DedupQueries {
     // pair_explain join), then one ≤numPerm+1-row aggregate
     "dedup_sketch_calibration" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+        val sh = DedupStaging.shingles(spark, sfDir)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .select("doc_a", "doc_b", "n_matching")
         pairs
           .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -520,9 +521,8 @@ object DedupQueries {
 
     "dedup_pair_explain" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-        val pairs = MinHashLSH.candidatePairsFromShingles(sh, NumPerm, NumBands)
+        val sh = DedupStaging.shingles(spark, sfDir)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .select("doc_a", "doc_b")
         pairs
           .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -550,9 +550,9 @@ object DedupQueries {
     // stage and LSH candidates as the Jaccard verify — no extra corpus pass
     "dedup_containment" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val sh = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
-        MinHashLSH.containmentPairs(sh, NumPerm, NumBands, thresholdMicro = 800000L)
+        MinHashLSH.containmentPairs(
+          DedupStaging.shingles(spark, sfDir),
+          DedupStaging.candidatePairs(spark, sfDir), thresholdMicro = 800000L)
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(
@@ -567,10 +567,10 @@ object DedupQueries {
                           (1000000 * len(list_intersect(a.sh, b.sh))) // len(b.sh)) >= 800000
            ORDER BY doc_a, doc_b""")),
 
-    // per-document 64-bit SimHash signatures
+    // per-document 64-bit SimHash signatures (the shared staged frame)
     "dedup_simhash" -> QueryEntry(
       fn = (spark, sfDir) => {
-        SimHash.simhashDf(Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
+        DedupStaging.simhashes(spark, sfDir)
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
       },
@@ -587,9 +587,8 @@ object DedupQueries {
     "dedup_hamming_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.expressions.Window
-        val withSh = SimHash.simhashDf(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
-        val pairs = SimHash.nearPairs(withSh, "id", "simhash")
+        val pairs = SimHash.nearPairs(
+          DedupStaging.simhashes(spark, sfDir), "id", "simhash")
         val w = Window.orderBy(col("hamming").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
@@ -610,11 +609,10 @@ object DedupQueries {
 
     "dedup_simhash_pairs" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val withSh = SimHash.simhashDf(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text")
         // deterministic output order lives HERE, not in the operator — a
         // global sort of the pair set would be waste for other consumers
-        SimHash.nearPairs(withSh, "id", "simhash").orderBy("doc_a", "doc_b")
+        SimHash.nearPairs(DedupStaging.simhashes(spark, sfDir), "id", "simhash")
+          .orderBy("doc_a", "doc_b")
       },
       oracle = Some(
         s"""WITH sh AS (SELECT doc_id, ${SimHash.duckSimhash("text")} AS simhash FROM documents)
@@ -628,9 +626,7 @@ object DedupQueries {
     // into connected components, labeled by the minimum doc id
     "dedup_clusters" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val pairs = MinHashLSH.candidatePairs(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-          ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5)
           .select("doc_a", "doc_b")
         graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
@@ -648,9 +644,7 @@ object DedupQueries {
     // Two tiny aggregations after the components frame (clusters-sized)
     "dedup_cluster_sizes" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val pairs = MinHashLSH.candidatePairs(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-          ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5)
           .select("doc_a", "doc_b")
         graft.operators.DedupClusters.components(pairs)
@@ -684,8 +678,7 @@ object DedupQueries {
         import graft.operators.TextAnalysis._
         import org.apache.spark.sql.expressions.Window
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text",
-          ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
         val comp = graft.operators.DedupClusters.components(pairs)
         val scored = docs.select(col("doc_id"),
@@ -722,7 +715,7 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         import graft.operators.TextAnalysis._
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
         val drop = graft.operators.DedupClusters.components(pairs)
           .filter(col("doc_id") =!= col("cluster_id")) // keep the representative
@@ -940,15 +933,15 @@ object DedupQueries {
     // detector-choice question the individual queries can't
     "dedup_method_agreement" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val lsh = MinHashLSH.candidatePairs(docs, "doc_id", "text",
-            ShingleN, NumPerm, NumBands)
+        // all three detectors read the SHARED staged frames — the corpus is
+        // tokenized/shingled/signed zero times inside this query
+        val lsh = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
         val sim = SimHash.nearPairs(
-            SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
+            DedupStaging.simhashes(spark, sfDir), "id", "simhash")
           .select("doc_a", "doc_b")
-        val pref = PrefixJaccard.pairs(docs, "doc_id", "text",
-            ShingleN, num = 1, den = 2)
+        val pref = PrefixJaccard.pairsFromShingles(
+            DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
           .select("doc_a", "doc_b")
         // localCheckpoint, not persist: the self-join plans this frame on
         // BOTH sides plus the totals pass, and its lineage is the union of
@@ -1030,8 +1023,7 @@ object DedupQueries {
     "dedup_soft_weights" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text",
-            ShingleN, NumPerm, NumBands)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .filter(col("est_jaccard") >= 0.5)
           .select("doc_a", "doc_b")
         val comp = graft.operators.DedupClusters.components(pairs)

@@ -291,9 +291,7 @@ object SimilarityQueries {
     // (tiny) pair set joins the vector table, keyed by id
     "sim_text_crosscheck" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import graft.operators.MinHashLSH
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text", 3, 16, 4)
+        val pairs = DedupStaging.candidatePairs(spark, sfDir)
           .select("doc_a", "doc_b")
         val e = Readers.fixture(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"),
@@ -472,12 +470,10 @@ object SimilarityQueries {
     // Similarity.rrfFuse
     "sim_rrf_hybrid" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import graft.operators.MinHashLSH
         val e = Readers.fixture(spark, sfDir, "embeddings")
         val dense = Similarity.topK(e.filter(col("vec_id") < 8), e, 20)
           .select("query_id", "neighbor_id", "rank")
-        val sh = MinHashLSH.shingled(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", 3)
+        val sh = DedupStaging.shingles(spark, sfDir)
         val lex = Similarity.textJaccardTopK(sh, col("id") < 8, 20)
           .select("query_id", "neighbor_id", "rank")
         Similarity.rrfFuse(Seq(dense, lex), k = K)

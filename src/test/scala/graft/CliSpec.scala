@@ -281,4 +281,21 @@ class CliSpec extends SparkSpec {
     assert(Bench.parseQueriesMap("not json at all").isEmpty)
     assert(Bench.parseQueriesMap("""{"queries":{""").isEmpty)
   }
+
+  test("bench min-map fold: only decreases, failures ignored, subset runs keep the rest") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 3.0)
+    val run = Seq(
+      ("q_a", 0.5, true),   // faster: min drops
+      ("q_b", 9.0, true),   // slower (contended run): min must NOT rise
+      ("q_fail", 0.01, false), // failed: near-zero time must not enter the map
+      ("q_new", 4.0, true)) // first sighting: current time seeds the entry
+    val folded = Bench.foldMin(prev, run)
+    assert(folded == Map(
+      "q_a" -> 0.5, "q_b" -> 2.0, "q_gone" -> 3.0, "q_new" -> 4.0))
+    // round-trip through the writer's format and the tripwire's parser
+    val line = s"""{"metric":"per_query_min","note":"x","queries":""" +
+      folded.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}") + ""","sf":"/x"}"""
+    assert(Bench.parseQueriesMap(line) == folded)
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.Readers
+import graft.operators.{MinHashLSH, SimHash}
+import graft.queries.DedupStaging
+
+/** The shared dedup staging memo (r12): the staged shingle/signature/simhash
+  * frames must be value-identical to freshly-computed ones (the memo is a
+  * performance device, never a semantic one), and the explicit release hook
+  * must actually drop the checkpoint blocks — the staging-cache lifecycle
+  * contract the r11 verdict asked to pin.
+  */
+class StagingSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "n_matching").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("staged signatures are value-identical to a fresh signature pass") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val fresh = MinHashLSH.signatures(docs, "doc_id", "text",
+      DedupStaging.ShingleN, DedupStaging.NumPerm)
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getSeq[Long](1).toList)
+      }.toSet
+    val staged = DedupStaging.signatures(spark, sfDir)
+    assert(sigSet(staged) == sigSet(fresh))
+    fresh.unpersist(blocking = false)
+  }
+
+  test("staged candidate pairs equal the from-text pipeline's") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val fresh = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+      DedupStaging.ShingleN, DedupStaging.NumPerm, DedupStaging.NumBands)
+    assert(pairSet(DedupStaging.candidatePairs(spark, sfDir)) == pairSet(fresh))
+  }
+
+  test("staged simhash frame is value-identical to a fresh pass") {
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    def shSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "simhash").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shSet(DedupStaging.simhashes(spark, sfDir)) ==
+      shSet(SimHash.simhashDf(docs, "doc_id", "text")))
+  }
+
+  test("release() drops the checkpoint blocks deterministically; next access rebuilds") {
+    // force the staging to exist, then snapshot the RDD-level persists
+    val nDocs = DedupStaging.signatures(spark, sfDir).count()
+    val withStaging = spark.sparkContext.getPersistentRDDs.size
+    DedupStaging.release(sfDir)
+    val afterRelease = spark.sparkContext.getPersistentRDDs.size
+    assert(afterRelease < withStaging,
+      s"release() must unpersist the staged blocks ($withStaging -> $afterRelease)")
+    // the memo rebuilds on next access and stays value-correct
+    assert(DedupStaging.signatures(spark, sfDir).count() == nDocs)
+    assert(DedupStaging.shingles(spark, sfDir)
+      .filter(col("id") === 0L).count() == 1L)
+  }
+}

@@ -4,12 +4,17 @@ the rows that got more than FACTOR (default 1.5x) slower.
 
 Usage: python3 tools/bench_compare.py <prev_summary.json> <cur_summary.json> [factor]
 
-graft.Bench runs the same diff automatically against the summary it is
-about to overwrite (one `[bench] tripwire:` stderr line); this tool is the
-explicit cross-file form for comparing arbitrary rounds. Rows under 0.75 s
-in the current run never flag (sub-noise), and rows that are null (failed)
-on either side are skipped — a failure is a correctness problem, not a
-regression measurement.
+graft.Bench runs the same diff automatically, PREFERRING the best-known
+per-query min map (bench_min.json — format-compatible with this tool, so
+`bench_compare.py bench_min.json bench_summary.json` reproduces the
+tripwire's exact diff) and falling back to the summary it is about to
+overwrite (one `[bench] tripwire:` stderr line). Bench folds every run into
+bench_min.json per-query-min-wise and never raises an entry, so a single
+contended run (driver or builder) cannot poison the diff side. This tool is
+the explicit cross-file form for comparing arbitrary rounds. Rows under
+0.75 s in the current run never flag (sub-noise), and rows that are null
+(failed) on either side are skipped — a failure is a correctness problem,
+not a regression measurement.
 """
 import json
 import sys
