@@ -63,6 +63,24 @@ object PrefixJaccard {
   def pairsFromShingles(shingled: DataFrame, num: Int, den: Int): DataFrame =
     pairsFromRows(shingled.select(col("id"), explode(col("sh")).as("t")), num, den)
 
+  /** Broadcast budget for the prefix inverted index (the
+    * [[Similarity.EmbCosBroadcastBudgetBytes]] convention): when the
+    * MEASURED index size fits, the candidate self-join broadcasts it —
+    * Catalyst's own choice when its estimates are accurate, and 2.5×
+    * faster at fixture scale; past the budget it hash-shuffles on the
+    * prefix token (the 100 TB plan — a corpus-sized index must never
+    * broadcast, and an SMJ would pay a pointless O(n log n) sort per side).
+    * The pre-r12 text-input path got the broadcast via a stats
+    * UNDERESTIMATE; the staged LogicalRDD input has no stats at all, so the
+    * choice is made from measurement instead of estimate either way.
+    */
+  val PrefixBroadcastBudgetBytes: Long = 32L * 1024 * 1024
+
+  /** Conservative per-row overhead (bytes) of a prefix-index row beyond its
+    * token chars — three numeric columns plus hashed-relation bookkeeping.
+    */
+  private val PrefixRowOverheadBytes = 64L
+
   private def pairsFromRows(tok: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
     // document frequency per token: the global-order key (df asc, token asc)
@@ -79,11 +97,23 @@ object PrefixJaccard {
     try {
       // prefix length |x| - ceil(t|x|) + 1, all-integer ceil; posexplode
       // keeps each prefix token's 1-based position for the positional filter
-      val prefixed = docs
+      val withPlen = docs
         .withColumn("plen", expr(s"s - ((s * $num + ${den - 1}) div $den) + 1"))
+      val prefixed = withPlen
         .select(col("id"), col("s"),
           posexplode(expr("transform(slice(ord, 1, int(plen)), x -> x.t)")).as(Seq("p0", "pt")))
         .withColumn("px", col("p0") + 1).drop("p0")
+      // measure the index (docs is persisted and every consumer materializes
+      // it anyway, so this one ≤1-row agg costs a scheduling round, not a
+      // corpus pass) and pick the join per PrefixBroadcastBudgetBytes
+      val indexBytes = withPlen
+        .agg(coalesce(sum(expr(
+          s"aggregate(slice(ord, 1, int(plen)), 0L, (acc, x) -> acc + length(x.t) + $PrefixRowOverheadBytes)")),
+          lit(0L)))
+        .head.getLong(0)
+      val build =
+        if (indexBytes <= PrefixBroadcastBudgetBytes) prefixed.hint("broadcast")
+        else prefixed.hint("shuffle_hash")
       // inverted-index candidate join on prefix tokens + two sound prunes:
       // size filter (Jaccard >= t forces min/max >= t) and PPJoin's
       // positional filter — overlap <= 1 + min(|x|-px, |y|-py) for a pair's
@@ -94,7 +124,7 @@ object PrefixJaccard {
       // pair. Jaccard >= t needs overlap >= ceil(t/(1+t)·(|x|+|y|)), stated
       // division-free by cross-multiplying with t = num/den
       val cand = prefixed.as("a")
-        .join(prefixed.as("b"),
+        .join(build.as("b"),
           col("a.pt") === col("b.pt") && col("a.id") < col("b.id") &&
             least(col("a.s"), col("b.s")) * den >= greatest(col("a.s"), col("b.s")) * num &&
             (lit(1L) + least(col("a.s") - col("a.px"), col("b.s") - col("b.px"))) * (num + den)

@@ -148,6 +148,29 @@ object Sf1Probe {
     timed("incremental_dedup 1x") { incremental(fixture("documents")) }
     timed("incremental_dedup 10x") { incremental(docs10) }
 
+    // -- shared dedup staging (the DedupStaging shape, r12) -----------------
+    // the family-wide memo's two cost classes, measured separately: the
+    // ONE-TIME staged build (shingle + 16-perm sign, checkpointed) must scale
+    // ~linearly with the corpus, and the RECURRING per-detector cost off the
+    // staged frames must exclude re-tokenization entirely — three detector
+    // passes (two bandings + the exact prefix join) re-read only checkpoint
+    // blocks, so consumer wall tracks candidate work, not corpus passes
+    def stagedBuild(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = MinHashLSH.shingled(docs, "doc_id", "text", 3).localCheckpoint()
+      val sigs = MinHashLSH.signaturesFromShingles(sh, 16).localCheckpoint()
+      (sh, sigs)
+    }
+    lazy val staged1x = stagedBuild(fixture("documents"))
+    lazy val staged10x = stagedBuild(docs10)
+    timed("staged_build 1x") { staged1x._2.count() }
+    timed("staged_build 10x") { staged10x._2.count() }
+    def stagedConsumers(sh: DataFrame, sigs: DataFrame): Long =
+      MinHashLSH.candidatePairsFromSignatures(sigs, 16, 4).count() +
+        MinHashLSH.candidatePairsFromSignatures(sigs, 16, 8).count() +
+        graft.operators.PrefixJaccard.pairsFromShingles(sh, 1, 2).count()
+    timed("staged_consumers 1x") { stagedConsumers(staged1x._1, staged1x._2) }
+    timed("staged_consumers 10x") { stagedConsumers(staged10x._1, staged10x._2) }
+
     // -- boilerplate span removal (dedup_boilerplate shape) -----------------
     // per-copy suffixed tokens keep each copy's within-source repetition; the
     // (src, h) boilerplate groupBy sees 10x cells of the same per-cell size
