@@ -81,20 +81,38 @@ object PrefixJaccard {
     */
   private val PrefixRowOverheadBytes = 64L
 
-  private def pairsFromRows(tok: DataFrame, num: Int, den: Int): DataFrame = {
-    require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
+  /** One row per doc: the full sorted token set (for exact verification),
+    * the df-ordered set (for prefix extraction), and the set size — the
+    * threshold-INDEPENDENT stage of the PPJoin, so one staged copy serves
+    * every threshold (DedupStaging stages it per fixture dir). Returned
+    * UN-materialized; [[pairsFromDocs]] reads it from three plan positions,
+    * so callers must hand it a materialized (checkpointed) frame.
+    */
+  def docsFrame(tok: DataFrame): DataFrame = {
     // document frequency per token: the global-order key (df asc, token asc)
     val dfDim = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    // one row per doc: the full sorted token set (for exact verification)
-    // and the df-ordered set (for prefix extraction). Persisted: it feeds
-    // the prefix explode AND two verification joins.
-    val docs = tok.join(dfDim, "t")
+    tok.join(dfDim, "t")
       .groupBy("id")
       .agg(sort_array(collect_list(col("t"))).as("toks"),
         sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
       .withColumn("s", size(col("toks")).cast("long"))
-      .persist()
-    try {
+  }
+
+  private def pairsFromRows(tok: DataFrame, num: Int, den: Int): DataFrame =
+    // eager checkpoint, NOT persist-and-unpersist: the returned frame reads
+    // docs from three plan positions (prefix explode + both verify joins),
+    // so its materialization must outlive this call — the pre-r12 form
+    // unpersisted in a finally BEFORE the caller's action, which silently
+    // recomputed the double-collect_list aggregate three times per run.
+    // Blocks are reclaimed by the ContextCleaner once the result frame is
+    // unreferenced (a deterministic release is impossible for a dependency
+    // of a lazily-returned plan).
+    pairsFromDocs(docsFrame(tok).localCheckpoint(), num, den)
+
+  /** [[pairs]] from a pre-staged, MATERIALIZED [[docsFrame]]. */
+  def pairsFromDocs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
+    locally {
       // prefix length |x| - ceil(t|x|) + 1, all-integer ceil; posexplode
       // keeps each prefix token's 1-based position for the positional filter
       val withPlen = docs
@@ -103,9 +121,9 @@ object PrefixJaccard {
         .select(col("id"), col("s"),
           posexplode(expr("transform(slice(ord, 1, int(plen)), x -> x.t)")).as(Seq("p0", "pt")))
         .withColumn("px", col("p0") + 1).drop("p0")
-      // measure the index (docs is persisted and every consumer materializes
-      // it anyway, so this one ≤1-row agg costs a scheduling round, not a
-      // corpus pass) and pick the join per PrefixBroadcastBudgetBytes
+      // measure the index (docs is materialized, so this one ≤1-row agg
+      // reads blocks, not a corpus pass) and pick the join per
+      // PrefixBroadcastBudgetBytes
       val indexBytes = withPlen
         .agg(coalesce(sum(expr(
           s"aggregate(slice(ord, 1, int(plen)), 0L, (acc, x) -> acc + length(x.t) + $PrefixRowOverheadBytes)")),
@@ -140,7 +158,7 @@ object PrefixJaccard {
         .filter(col("inter") * den >= (col("sa") + col("sb") - col("inter")) * num)
         .select(col("doc_a"), col("doc_b"),
           expr("(1000000 * inter) div (sa + sb - inter)").as("jaccard_micro"))
-    } finally docs.unpersist(blocking = false)
+    }
   }
 
   /** DuckDB oracle: BRUTE-FORCE all-pairs exact Jaccard — deliberately

@@ -270,8 +270,8 @@ object DedupQueries {
     // against a brute-force all-pairs oracle so the gate proves the
     // pruning loses nothing
     "dedup_jaccard_prefix" -> QueryEntry(
-      fn = (spark, sfDir) => PrefixJaccard.pairsFromShingles(
-        DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
+      fn = (spark, sfDir) => PrefixJaccard.pairsFromDocs(
+        DedupStaging.prefixDocs(spark, sfDir), num = 1, den = 2)
         .orderBy("doc_a", "doc_b"),
       oracle = Some(PrefixJaccard.duckPairs("documents", "doc_id", "text",
         ShingleN, num = 1, den = 2))),
@@ -284,8 +284,8 @@ object DedupQueries {
     // is a correctness bug, not a quality loss
     "dedup_prefix_clusters" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val pairs = PrefixJaccard.pairsFromShingles(
-          DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
+        val pairs = PrefixJaccard.pairsFromDocs(
+          DedupStaging.prefixDocs(spark, sfDir), num = 1, den = 2)
           .select("doc_a", "doc_b")
         graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
       },
@@ -940,27 +940,47 @@ object DedupQueries {
         val sim = SimHash.nearPairs(
             DedupStaging.simhashes(spark, sfDir), "id", "simhash")
           .select("doc_a", "doc_b")
-        val pref = PrefixJaccard.pairsFromShingles(
-            DedupStaging.shingles(spark, sfDir), num = 1, den = 2)
+        val pref = PrefixJaccard.pairsFromDocs(
+            DedupStaging.prefixDocs(spark, sfDir), num = 1, den = 2)
           .select("doc_a", "doc_b")
-        // localCheckpoint, not persist: the self-join plans this frame on
-        // BOTH sides plus the totals pass, and its lineage is the union of
-        // three whole dedup pipelines — truncation caps the re-planning
-        // (the waterfall gate-boundary lesson)
-        val tagged = lsh.withColumn("m", lit("lsh"))
+        // the closed-enum flag fold (the corpus_split_leakage lesson): the
+        // method set is {lsh, prefix, simhash}, so ONE pair-keyed aggregate
+        // folds each pair to three membership flags and ONE 1-row aggregate
+        // counts every overlap — no pair-frame self-join, no checkpoint
+        // barrier, the whole query is a single job (r11 shipped this as a
+        // checkpointed self-join; with the staged inputs the flag fold
+        // halves it). Each detector emits distinct pairs, so max() flags
+        // are exact and the (m, m) diagonal equals the method's own count
+        val flags = lsh.withColumn("m", lit("lsh"))
           .union(sim.withColumn("m", lit("simhash")))
           .union(pref.withColumn("m", lit("prefix")))
-          .localCheckpoint()
-        val totals = tagged.groupBy(col("m")).agg(count(lit(1)).as("n"))
-        val both = tagged.as("a")
-          .join(tagged.as("b"), Seq("doc_a", "doc_b"))
-          .filter(col("a.m") <= col("b.m"))
-          .groupBy(col("a.m").as("method_a"), col("b.m").as("method_b"))
-          .agg(count(lit(1)).as("n_both"))
-        both
-          .join(broadcast(totals.select(col("m").as("method_a"), col("n").as("n_a"))), "method_a")
-          .join(broadcast(totals.select(col("m").as("method_b"), col("n").as("n_b"))), "method_b")
-          .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"), col("n_both"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(
+            max(when(col("m") === "lsh", 1L).otherwise(0L)).as("f_lsh"),
+            max(when(col("m") === "prefix", 1L).otherwise(0L)).as("f_pref"),
+            max(when(col("m") === "simhash", 1L).otherwise(0L)).as("f_sim"))
+        val t = flags.agg(
+          coalesce(sum(col("f_lsh")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("f_pref")), lit(0L)).as("n_pref"),
+          coalesce(sum(col("f_sim")), lit(0L)).as("n_sim"),
+          coalesce(sum(col("f_lsh") * col("f_pref")), lit(0L)).as("lsh_pref"),
+          coalesce(sum(col("f_lsh") * col("f_sim")), lit(0L)).as("lsh_sim"),
+          coalesce(sum(col("f_pref") * col("f_sim")), lit(0L)).as("pref_sim"))
+          .head()
+        val (nLsh, nPref, nSim) = (t.getLong(0), t.getLong(1), t.getLong(2))
+        val spark2 = spark; import spark2.implicits._
+        Seq(
+          ("lsh", "lsh", nLsh, nLsh, nLsh),
+          ("lsh", "prefix", nLsh, nPref, t.getLong(3)),
+          ("lsh", "simhash", nLsh, nSim, t.getLong(4)),
+          ("prefix", "prefix", nPref, nPref, nPref),
+          ("prefix", "simhash", nPref, nSim, t.getLong(5)),
+          ("simhash", "simhash", nSim, nSim, nSim))
+          // the oracle's inner join emits a method pair only when at least
+          // one common pair exists — reproduce that, or an overlap-free
+          // (or pair-free) corpus would row-count-mismatch
+          .filter(_._5 > 0L)
+          .toDF("method_a", "method_b", "n_a", "n_b", "n_both")
           .orderBy("method_a", "method_b")
       },
       oracle = Some {

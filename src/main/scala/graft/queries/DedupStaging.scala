@@ -5,8 +5,10 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+import org.apache.spark.sql.functions.explode
+
 import graft.core.Readers
-import graft.operators.{MinHashLSH, SimHash}
+import graft.operators.{MinHashLSH, PrefixJaccard, SimHash}
 
 /** Shared per-fixture-dir staging for the dedup family: ONE localCheckpoint-ed
   * shingle frame, ONE 16-perm signature frame, and ONE SimHash frame over the
@@ -50,7 +52,7 @@ object DedupStaging {
 
   private final case class Staged(spark: SparkSession, sh: DataFrame,
                                   sigs: DataFrame, simhash: DataFrame,
-                                  rddIds: Seq[Int])
+                                  prefixDocs: DataFrame, rddIds: Seq[Int])
 
   private val cache = new ConcurrentHashMap[String, Staged]()
 
@@ -72,12 +74,17 @@ object DedupStaging {
     val sigsRaw = MinHashLSH.signaturesFromShingles(sh, NumPerm)
     val sigs = sigsRaw.localCheckpoint()
     val simhash = SimHash.simhashDf(docs, "doc_id", "text").localCheckpoint()
+    // the PPJoin's threshold-independent per-doc stage (sorted token set +
+    // df-ordered set), derived from the staged shingles — one copy serves
+    // every exact-Jaccard threshold and every PPJoin consumer
+    val prefixDocs = PrefixJaccard.docsFrame(
+      sh.select(col("id"), explode(col("sh")).as("t"))).localCheckpoint()
     // the operators' internal persist barriers served the eager checkpoint
     // materialization; only the checkpoint blocks live on
     shRaw.unpersist(blocking = false)
     sigsRaw.unpersist(blocking = false)
     val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
-    Staged(spark, sh, sigs, simhash, ids)
+    Staged(spark, sh, sigs, simhash, prefixDocs, ids)
   }
 
   /** Staged `(id, sh)` distinct-shingle frame ([[MinHashLSH.shingled]], n=3). */
@@ -93,6 +100,12 @@ object DedupStaging {
   /** Staged `(id, simhash)` 64-bit SimHash frame ([[SimHash.simhashDf]]). */
   def simhashes(spark: SparkSession, sfDir: String): DataFrame =
     staged(spark, sfDir).simhash
+
+  /** Staged PPJoin per-doc stage ([[PrefixJaccard.docsFrame]]) — feed to
+    * [[PrefixJaccard.pairsFromDocs]] with any threshold.
+    */
+  def prefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    staged(spark, sfDir).prefixDocs
 
   /** The family-default banded candidate pairs `(doc_a, doc_b, n_matching,
     * est_jaccard)` off the staged signatures — what most callers want.
