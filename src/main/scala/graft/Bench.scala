@@ -61,6 +61,11 @@ object Bench {
       operators.SimHash.nearPairs(
         operators.SimHash.simhashDf(docs, "doc_id", "text"), "id", "simhash")
         .write.format("noop").mode("overwrite").save()
+      // the PPJoin pipeline JITs ~5-10 s cold (measured r12: the first
+      // prefix-join query absorbed it; Sf1Probe's prefix 1x read 13.3 s
+      // cold vs ~3 s warm) — warm it like the LSH/SimHash paths
+      operators.PrefixJaccard.pairs(docs, "doc_id", "text", 3, 1, 2)
+        .write.format("noop").mode("overwrite").save()
       core.Fingerprints.runModes(core.TestModes.All,
         spark.read.parquet(s"$sfDir/orders.parquet").limit(256),
         core.Fixtures.specs("orders"), core.VerifyConfig())
