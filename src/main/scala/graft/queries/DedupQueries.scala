@@ -85,9 +85,7 @@ object DedupQueries {
               .agg(min(col("doc_id")).as("keep")),
             md5(col("text")) === col("h") && col("doc_id") =!= col("keep"), "left_semi")
           .select("doc_id")
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
-        val nearDrop = graft.operators.DedupClusters.components(pairs)
+        val nearDrop = DedupStaging.clusters(spark, sfDir)
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         val dropped = exactDrop.unionByName(nearDrop).distinct()
           .withColumn("is_dropped", lit(1L))
@@ -625,12 +623,8 @@ object DedupQueries {
     // transitive dedup clusters: LSH candidates (est_jaccard >= 0.5) closed
     // into connected components, labeled by the minimum doc id
     "dedup_clusters" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        graft.operators.DedupClusters.components(pairs).orderBy("doc_id")
-      },
+      fn = (spark, sfDir) =>
+        DedupStaging.clusters(spark, sfDir).orderBy("doc_id"),
       oracle = Some(graft.operators.DedupClusters.duckComponents(
         s"""SELECT doc_a, doc_b FROM (${MinHashLSH.duckCandidatePairs(
             "documents", "doc_id", "text", ShingleN, NumPerm, NumBands)}) AS cc
@@ -644,10 +638,7 @@ object DedupQueries {
     // Two tiny aggregations after the components frame (clusters-sized)
     "dedup_cluster_sizes" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        graft.operators.DedupClusters.components(pairs)
+        DedupStaging.clusters(spark, sfDir)
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .groupBy((length(bin(col("sz"))) - 1).cast("long").as("log2_size"))
           .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
@@ -678,9 +669,7 @@ object DedupQueries {
         import graft.operators.TextAnalysis._
         import org.apache.spark.sql.expressions.Window
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
-        val comp = graft.operators.DedupClusters.components(pairs)
+        val comp = DedupStaging.clusters(spark, sfDir)
         val scored = docs.select(col("doc_id"),
           qualityScore(tokens(col("text"))).as("q"))
         comp.join(scored, "doc_id")
@@ -715,9 +704,7 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         import graft.operators.TextAnalysis._
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
-        val drop = graft.operators.DedupClusters.components(pairs)
+        val drop = DedupStaging.clusters(spark, sfDir)
           .filter(col("doc_id") =!= col("cluster_id")) // keep the representative
         val tk = tokens(col("text"))
         val quality = qualityScore(tk)
@@ -1043,10 +1030,7 @@ object DedupQueries {
     "dedup_soft_weights" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val pairs = DedupStaging.candidatePairs(spark, sfDir)
-          .filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        val comp = graft.operators.DedupClusters.components(pairs)
+        val comp = DedupStaging.clusters(spark, sfDir)
         val sizes = comp.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("cluster_size"))
         docs.select(col("doc_id"))

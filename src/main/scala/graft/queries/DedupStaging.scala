@@ -107,6 +107,33 @@ object DedupStaging {
   def prefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     staged(spark, sfDir).prefixDocs
 
+  /** The near-dup components at the family-default gate (LSH candidates at
+    * est_jaccard >= 0.5, closed transitively, labeled by cluster-min id) —
+    * six registered queries fold, join, or anti-join this same closure, and
+    * the iterative closure re-run per query was the family's next repeated
+    * stage after shingles/signatures. Memoized lazily (not in [[build]]:
+    * the closure derives from the staged signatures and only cluster
+    * consumers should pay it), checkpoint blocks recorded for [[release]].
+    */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.compute(sfDir, { (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val comp = graft.operators.DedupClusters.components(
+          candidatePairs(spark, sfDir)
+            .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
+            .select("doc_a", "doc_b")).localCheckpoint()
+        val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
+        clusterRddIds.put(sfDir, ids)
+        (spark, comp)
+      }
+    })._2
+
+  private val clusterCache = new ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+  private val clusterRddIds = new ConcurrentHashMap[String, Seq[Int]]()
+
   /** The family-default banded candidate pairs `(doc_a, doc_b, n_matching,
     * est_jaccard)` off the staged signatures — what most callers want.
     * Unsorted and un-materialized: each caller applies its own filters and
@@ -126,6 +153,12 @@ object DedupStaging {
     if (cur != null) {
       val persisted = cur.spark.sparkContext.getPersistentRDDs
       cur.rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    val curCl = clusterCache.remove(sfDir)
+    val clIds = clusterRddIds.remove(sfDir)
+    if (curCl != null && clIds != null) {
+      val persisted = curCl._1.sparkContext.getPersistentRDDs
+      clIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
     }
   }
 }

@@ -47,8 +47,20 @@ class StagingSpec extends SparkSpec {
       shSet(SimHash.simhashDf(docs, "doc_id", "text")))
   }
 
+  test("staged clusters equal a fresh closure over the same gated candidates") {
+    val fresh = graft.operators.DedupClusters.components(
+      DedupStaging.candidatePairs(spark, sfDir)
+        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b"))
+    def compSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compSet(DedupStaging.clusters(spark, sfDir)) == compSet(fresh))
+  }
+
   test("release() drops the checkpoint blocks deterministically; next access rebuilds") {
-    // force the staging to exist, then snapshot the RDD-level persists
+    // force the staging (clusters memo included) to exist, then snapshot
+    // the RDD-level persists
+    DedupStaging.clusters(spark, sfDir).count()
     val nDocs = DedupStaging.signatures(spark, sfDir).count()
     val withStaging = spark.sparkContext.getPersistentRDDs.size
     DedupStaging.release(sfDir)
