@@ -1108,9 +1108,13 @@ object TextQueries {
     // the apply half of the tokenizer: segment every document with a
     // freshly-trained 4-merge table (train + tokenize, end to end)
     "text_bpe_segment" -> QueryEntry(
+      // persist before the deterministic sort (the dedup_jaccard_prefix
+      // lesson): the segmentation fold is post-shuffle map work, so the
+      // global orderBy's range-bounds sample would re-execute it wholesale
       fn = (spark, sfDir) =>
         graft.operators.Vocab.bpeSegment(
           Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", iters = 4)
+          .persist()
           .orderBy("doc_id"),
       oracle = Some(graft.operators.Vocab.duckBpeSegment(iters = 4))),
 
