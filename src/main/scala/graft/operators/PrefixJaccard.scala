@@ -110,7 +110,15 @@ object PrefixJaccard {
     pairsFromDocs(docsFrame(tok).localCheckpoint(), num, den)
 
   /** [[pairs]] from a pre-staged, MATERIALIZED [[docsFrame]]. */
-  def pairsFromDocs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  def pairsFromDocs(docs: DataFrame, num: Int, den: Int): DataFrame =
+    pairsFromDocs(docs, num, den, PrefixBroadcastBudgetBytes)
+
+  /** Budget-parameterized form so the spec can pin BOTH guard paths (the
+    * embcos-guard convention): broadcast under the budget, shuffle-hash
+    * past it.
+    */
+  private[graft] def pairsFromDocs(docs: DataFrame, num: Int, den: Int,
+                                   budgetBytes: Long): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0, 1]")
     locally {
       // prefix length |x| - ceil(t|x|) + 1, all-integer ceil; posexplode
@@ -130,7 +138,7 @@ object PrefixJaccard {
           lit(0L)))
         .head.getLong(0)
       val build =
-        if (indexBytes <= PrefixBroadcastBudgetBytes) prefixed.hint("broadcast")
+        if (indexBytes <= budgetBytes) prefixed.hint("broadcast")
         else prefixed.hint("shuffle_hash")
       // inverted-index candidate join on prefix tokens + two sound prunes:
       // size filter (Jaccard >= t forces min/max >= t) and PPJoin's

@@ -381,6 +381,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("PPJoin guard: broadcast under the measured byte budget, shuffle-hash past it") {
+    // the embcos-guard convention, plan-pinned for BOTH paths: the prefix
+    // index broadcasts only when its MEASURED size fits the budget — at
+    // 100 TB the index is corpus-sized and must hash-shuffle, never sort
+    // and never broadcast (pre-r12 the broadcast came from a Catalyst
+    // stats underestimate)
+    import graft.operators.PrefixJaccard
+    import graft.queries.DedupStaging
+    // the registered dedup_jaccard_prefix persist()s its pair frame; drop it
+    // or the CacheManager substitutes that cached plan for both paths here
+    spark.catalog.clearCache()
+    val docs = DedupStaging.prefixDocs(spark, sfDir)
+    def candJoinLine(plan: String, marker: String): Boolean =
+      plan.linesIterator.exists(l => l.contains(marker) && l.contains("pt#"))
+    val under = PrefixJaccard.pairsFromDocs(docs, 1, 2, budgetBytes = Long.MaxValue)
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert(candJoinLine(pUnder, "BroadcastHashJoin"),
+      s"expected the candidate self-join on pt to broadcast under budget:\n$pUnder")
+    val over = PrefixJaccard.pairsFromDocs(docs, 1, 2, budgetBytes = 0L)
+    val pOver = over.queryExecution.executedPlan.toString
+    assert(candJoinLine(pOver, "ShuffledHashJoin"),
+      s"expected the candidate self-join on pt to hash-shuffle past budget:\n$pOver")
+    assert(!pOver.contains("BroadcastNestedLoop") && !pOver.contains("CartesianProduct"), pOver)
+    // both paths stay value-identical (the guard is a plan choice, never a
+    // semantic one)
+    assert(under.collect().toSet == over.collect().toSet)
+  }
+
   test("selective shuffle join injects a runtime bloom filter on the big side") {
     // the row-group-skipping sibling of the DPP pin: when the build side of
     // a shuffle join is selective, Spark's runtime filter should stamp a
