@@ -17,6 +17,36 @@ import graft.QueryEntry
   */
 object AnalyticsQueries {
 
+  /** Purchase-affinity edge list (cust·2 ↔ supp·2+1, both directions),
+    * checkpointed once per fixture dir: four graph queries (pagerank,
+    * ppr_seeds, bfs_levels, reach_hll) iterate over this same frame and
+    * each re-ran the lineitem⋈orders distinct — the DedupStaging device,
+    * in-file per the lrFeatCache convention. Same no-implicit-eviction
+    * lifecycle (truncated lineage cannot recompute); bounded by fixture
+    * dirs per JVM.
+    */
+  private val purchaseEdgesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private[graft] def purchaseEdges(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): org.apache.spark.sql.DataFrame =
+    purchaseEdgesCache.compute(sfDir, { (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else {
+        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        // both directions: a purchase is an undirected affinity edge; the
+        // two arms live in disjoint (even->odd / odd->even) key spaces
+        (spark, cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint())
+      }
+    })._2
+
   val entries: Map[String, QueryEntry] = Map(
 
     // TPC-H Q1-style pricing summary: the flagship scan→hash-agg plan.
@@ -530,17 +560,7 @@ object AnalyticsQueries {
     // engines. Oracle unrolls the rounds as CTE stages (the KMeans pattern)
     "q_pagerank" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        // both directions: a purchase is an undirected affinity edge; the
-        // two arms live in disjoint (even->odd / odd->even) key spaces
-        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRank(edges, iters = 3)
+        graft.operators.Graph.pageRank(purchaseEdges(spark, sfDir), iters = 3)
           .orderBy(col("rank").desc, col("node").asc).limit(20)
       },
       oracle = Some {
@@ -560,14 +580,7 @@ object AnalyticsQueries {
     // the seed restriction is one CASE on the node frame
     "q_ppr_seeds" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = purchaseEdges(spark, sfDir)
         val seeds = graft.core.Readers.fixture(spark, sfDir, "customer")
           .filter(col("c_custkey") <= 3).select((col("c_custkey") * 2).as("node"))
         graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 3)
@@ -594,14 +607,7 @@ object AnalyticsQueries {
     // stages (bounded depth, no recursion)
     "q_bfs_levels" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = purchaseEdges(spark, sfDir)
         val sources = graft.core.Readers.fixture(spark, sfDir, "customer")
           .filter(col("c_custkey") <= 3).select((col("c_custkey") * 2).as("node"))
         graft.operators.Graph.bfsLevels(edges, sources, maxDepth = 3)
@@ -625,14 +631,7 @@ object AnalyticsQueries {
     // applies the identical integer estimator — bit-equal by idempotence
     "q_reach_hll" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = purchaseEdges(spark, sfDir)
         graft.operators.Graph.reachHll(edges, iters = 2)
       },
       oracle = Some {
