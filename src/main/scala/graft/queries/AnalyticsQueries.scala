@@ -20,32 +20,32 @@ object AnalyticsQueries {
   /** Purchase-affinity edge list (cust·2 ↔ supp·2+1, both directions),
     * checkpointed once per fixture dir: four graph queries (pagerank,
     * ppr_seeds, bfs_levels, reach_hll) iterate over this same frame and
-    * each re-ran the lineitem⋈orders distinct — the DedupStaging device,
-    * in-file per the lrFeatCache convention. Same no-implicit-eviction
-    * lifecycle (truncated lineage cannot recompute); bounded by fixture
-    * dirs per JVM.
+    * each re-ran the lineitem⋈orders distinct — the DedupStaging device.
+    * Lifecycle: the shared [[graft.core.Staging]] memo (session-keyed,
+    * deterministic release via [[releasePurchaseEdges]]).
     */
-  private val purchaseEdgesCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val purchaseEdgesMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    { (spark, sfDir) =>
+      val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = graft.core.Readers.fixture(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      // both directions: a purchase is an undirected affinity edge; the
+      // two arms live in disjoint (even->odd / odd->even) key spaces
+      cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+    })
 
   private[graft] def purchaseEdges(spark: org.apache.spark.sql.SparkSession,
                                    sfDir: String): org.apache.spark.sql.DataFrame =
-    purchaseEdgesCache.compute(sfDir, { (_, cur) =>
-      if (cur != null && (cur._1 eq spark)) cur
-      else {
-        val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val o = graft.core.Readers.fixture(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        // both directions: a purchase is an undirected affinity edge; the
-        // two arms live in disjoint (even->odd / odd->even) key spaces
-        (spark, cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint())
-      }
-    })._2
+    purchaseEdgesMemo(spark, sfDir)
+
+  /** Drop a fixture dir's staged edge list (the DedupStaging.release twin). */
+  private[graft] def releasePurchaseEdges(sfDir: String): Unit =
+    purchaseEdgesMemo.release(sfDir)
 
   val entries: Map[String, QueryEntry] = Map(
 

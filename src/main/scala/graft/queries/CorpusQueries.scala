@@ -56,40 +56,33 @@ object CorpusQueries {
     * localCheckpoint-ed once per fixture dir and shared by
     * corpus_dsir_weights and corpus_dsir_select — r10 verdict item 2: the
     * corpus explode + bucket aggregate is the expensive stage and it was
-    * paid per query. Keyed by session too (a checkpoint's blocks belong to
-    * the session that made them); the waterfall's gate-6 weights are NOT
-    * shareable — they score the gate-5 survivor slice, a different corpus.
-    * Never evicted (the lrFeatures rationale: unpersisting a
-    * lineage-truncated checkpoint breaks queries still holding it), and
-    * bounded by distinct fixture dirs per JVM × one |docs|-row table.
+    * paid per query. The waterfall's gate-6 weights are NOT shareable —
+    * they score the gate-5 survivor slice, a different corpus. Lifecycle:
+    * the shared [[graft.core.Staging]] memo.
     */
-  private val dsirWeightsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val dsirWeightsMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    (spark, sfDir) => graft.operators.Selection.dsirWeights(
+      Readers.fixture(spark, sfDir, "documents"),
+      "doc_id", "text", col("lang") === "en", DsirBuckets,
+      carryCols = Seq("lang")).localCheckpoint())
 
   private def dsirWeightsShared(spark: org.apache.spark.sql.SparkSession,
                                 sfDir: String): org.apache.spark.sql.DataFrame =
-    dsirWeightsCache.compute(sfDir, { (_, cur) =>
-      if (cur != null && (cur._1 eq spark)) cur
-      else (spark, graft.operators.Selection.dsirWeights(
-        Readers.fixture(spark, sfDir, "documents"),
-        "doc_id", "text", col("lang") === "en", DsirBuckets,
-        carryCols = Seq("lang")).localCheckpoint())
-    })._2
+    dsirWeightsMemo(spark, sfDir)
 
   /** The frozen DSIR scorer (llr map + unseen-bucket default) for
     * corpus_dsir_stream, memoized per fixture dir — plain driver data
     * (≤ DsirBuckets+1 longs), session-independent.
     */
-  private val dsirScorerCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[Long, Long], Long)]()
+  private val dsirScorerMemo = new graft.core.Staging[(Map[Long, Long], Long)](
+    sessionScoped = false)((spark, sfDir) =>
+    graft.operators.Selection.frozenScorer(
+      Readers.fixture(spark, sfDir, "documents"), "text",
+      col("lang") === "en", DsirBuckets))
 
   private def dsirScorerShared(spark: org.apache.spark.sql.SparkSession,
                                sfDir: String): (Map[Long, Long], Long) =
-    dsirScorerCache.computeIfAbsent(sfDir, { _ =>
-      graft.operators.Selection.frozenScorer(
-        Readers.fixture(spark, sfDir, "documents"), "text",
-        col("lang") === "en", DsirBuckets)
-    })
+    dsirScorerMemo(spark, sfDir)
 
   /** Per-gate wall-seconds of the most recent corpus_waterfall run in this
     * JVM — the attribution readout for the registry's most expensive row

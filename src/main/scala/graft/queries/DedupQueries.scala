@@ -36,15 +36,15 @@ object DedupQueries {
   /** File-source streams need a directory; stage the documents fixture once
     * per sfDir (the rawEventsDir pattern from EventQueries).
     */
-  private val rawDocsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def rawDocsDir(sfDir: String): String =
-    rawDocsCache.computeIfAbsent(sfDir, { _ =>
+  private val rawDocsMemo = new graft.core.Staging[String](
+    sessionScoped = false)({ (_, sfDir) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir = Files.createTempDirectory("graft-docraw")
       Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("documents.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
+  private[graft] def rawDocsDir(sfDir: String): String = rawDocsMemo(sfDir)
 
   val entries: Map[String, QueryEntry] = Map(
 

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -26,16 +24,10 @@ import graft.operators.{MinHashLSH, PrefixJaccard, SimHash}
   * so the many downstream pair joins re-plan a two-node tree instead of the
   * whole tokenize→shingle→sign pipeline.
   *
-  * Lifecycle contract (the staging-cache contract, shared with `lrFeatCache`
-  * and `dsirWeightsCache`): entries are NOT evicted implicitly. A
-  * localCheckpoint's lineage is truncated, so dropping its blocks while any
-  * live plan references them cannot recompute and fails the query; the cache
-  * is therefore bounded by the number of distinct fixture dirs a JVM touches
-  * (one in the driver's Verify/Bench runs, one per spec suite). A long-lived
-  * multi-tenant session that is DONE with a fixture dir releases it
-  * explicitly via [[release]], which unpersists the checkpoint blocks
-  * deterministically (StagingSpec pins both directions) instead of waiting
-  * for GC-driven ContextCleaner reclamation.
+  * Lifecycle contract: see [[graft.core.Staging]] — the shared memo utility
+  * every staging cache in the repo now runs on (session-keyed, never evicted
+  * implicitly, deterministic [[release]] via the staged frames' own
+  * checkpoint-RDD handles; StagingSpec pins both directions).
   *
   * At 100 TB the staged frames are the persisted artifacts a real pipeline
   * writes once per corpus snapshot (the signature frame IS the LSH index
@@ -50,24 +42,17 @@ object DedupStaging {
   val NumPerm = 16
   val NumBands = 4
 
-  private final case class Staged(spark: SparkSession, sh: DataFrame,
-                                  sigs: DataFrame, simhash: DataFrame,
-                                  prefixDocs: DataFrame, rddIds: Seq[Int])
+  private final case class Staged(sh: DataFrame, sigs: DataFrame,
+                                  simhash: DataFrame, prefixDocs: DataFrame)
 
-  private val cache = new ConcurrentHashMap[String, Staged]()
+  // the shared staging memo ([[graft.core.Staging]]): session-keyed compute,
+  // deterministic release via the staged frames' own checkpoint-RDD handles
+  private val stagedMemo = new graft.core.Staging[Staged]()(build)
 
   private def staged(spark: SparkSession, sfDir: String): Staged =
-    cache.compute(sfDir, { (_, cur) =>
-      // keyed by session too: a checkpoint's blocks belong to the session
-      // that made them (the lrFeatCache convention)
-      if (cur != null && (cur.spark eq spark)) cur else build(spark, sfDir)
-    })
+    stagedMemo(spark, sfDir)
 
   private def build(spark: SparkSession, sfDir: String): Staged = {
-    // record which RDD-level persists this build creates so release() can
-    // drop exactly them (tests run sequentially — Test/parallelExecution is
-    // false — so the snapshot diff cannot capture a foreign suite's blocks)
-    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Readers.fixture(spark, sfDir, "documents")
     val shRaw = MinHashLSH.shingled(docs, "doc_id", "text", ShingleN)
     val sh = shRaw.localCheckpoint()
@@ -83,8 +68,7 @@ object DedupStaging {
     // materialization; only the checkpoint blocks live on
     shRaw.unpersist(blocking = false)
     sigsRaw.unpersist(blocking = false)
-    val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
-    Staged(spark, sh, sigs, simhash, prefixDocs, ids)
+    Staged(sh, sigs, simhash, prefixDocs)
   }
 
   /** Staged `(id, sh)` distinct-shingle frame ([[MinHashLSH.shingled]], n=3). */
@@ -116,23 +100,14 @@ object DedupStaging {
     * consumers should pay it), checkpoint blocks recorded for [[release]].
     */
   def clusters(spark: SparkSession, sfDir: String): DataFrame =
-    clusterCache.compute(sfDir, { (_, cur) =>
-      if (cur != null && (cur._1 eq spark)) cur
-      else {
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val comp = graft.operators.DedupClusters.components(
-          candidatePairs(spark, sfDir)
-            .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
-            .select("doc_a", "doc_b")).localCheckpoint()
-        val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
-        clusterRddIds.put(sfDir, ids)
-        (spark, comp)
-      }
-    })._2
+    clusterMemo(spark, sfDir)
 
-  private val clusterCache = new ConcurrentHashMap[
-    String, (SparkSession, DataFrame)]()
-  private val clusterRddIds = new ConcurrentHashMap[String, Seq[Int]]()
+  private val clusterMemo = new graft.core.Staging[DataFrame]()({ (spark, sfDir) =>
+    graft.operators.DedupClusters.components(
+      candidatePairs(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")).localCheckpoint()
+  })
 
   /** The family-default banded candidate pairs `(doc_a, doc_b, n_matching,
     * est_jaccard)` off the staged signatures — what most callers want.
@@ -149,16 +124,7 @@ object DedupStaging {
     * holding a released frame will fail (truncated lineage cannot recompute).
     */
   def release(sfDir: String): Unit = {
-    val cur = cache.remove(sfDir)
-    if (cur != null) {
-      val persisted = cur.spark.sparkContext.getPersistentRDDs
-      cur.rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-    }
-    val curCl = clusterCache.remove(sfDir)
-    val clIds = clusterRddIds.remove(sfDir)
-    if (curCl != null && clIds != null) {
-      val persisted = curCl._1.sparkContext.getPersistentRDDs
-      clIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    stagedMemo.release(sfDir)
+    clusterMemo.release(sfDir)
   }
 }

@@ -41,22 +41,25 @@ object EventQueries {
     * writing it inside the timed query inflated the r3 bench number.
     * [[graft.Bench]] triggers this during its untimed warmup.
     */
-  private val orderedEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val orderedEventsMemo = new graft.core.Staging[String](
+    sessionScoped = false)(buildOrderedEventsDir)
 
   /** Raw (unsorted) single-table stream fixture dir, staged ONCE per (JVM,
     * sfDir) and shared by every file-source streaming query — a per-query
     * copy would re-pay the fixture I/O and leak a temp dir per invocation.
+    * Session-independent (a temp dir holds no Spark state).
     */
-  private val rawEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def rawEventsDir(sfDir: String): String =
-    rawEventsCache.computeIfAbsent(sfDir, { _ =>
+  private val rawEventsMemo = new graft.core.Staging[String](
+    sessionScoped = false)({ (_, sfDir) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir = Files.createTempDirectory("graft-evraw")
       Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
+
+  private[graft] def rawEventsDir(sfDir: String): String =
+    rawEventsMemo(sfDir)
 
   /** Shared batch-and-stream oracle for the attribution twins — one string so
     * the two queries can never be checked against diverging SQL.
@@ -71,7 +74,10 @@ object EventQueries {
 
   private[graft] def orderedEventsDir(spark: org.apache.spark.sql.SparkSession,
                                       sfDir: String): String =
-    orderedEventsCache.computeIfAbsent(sfDir, { _ =>
+    orderedEventsMemo(spark, sfDir)
+
+  private def buildOrderedEventsDir(spark: org.apache.spark.sql.SparkSession,
+                                    sfDir: String): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft-evdedup").toString
       Readers.fixture(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -87,7 +93,7 @@ object EventQueries {
         s"ordered fixture must read as one split: ${files.length} files, " +
           s"${files.map(_.length).sum} bytes vs maxPartitionBytes=$maxSplit")
       dir
-    })
+  }
 
   /** Shared batch-and-stream oracle for the retention twins. */
   private lazy val RetentionOracle = """

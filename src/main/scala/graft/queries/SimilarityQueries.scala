@@ -30,15 +30,15 @@ object SimilarityQueries {
   /** File-source streams need a directory; stage the embeddings fixture
     * once per sfDir (the rawDocsDir pattern from DedupQueries).
     */
-  private val rawEmbCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def rawEmbDir(sfDir: String): String =
-    rawEmbCache.computeIfAbsent(sfDir, { _ =>
+  private val rawEmbMemo = new graft.core.Staging[String](
+    sessionScoped = false)({ (_, sfDir) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir = Files.createTempDirectory("graft-embraw")
       Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), dir.resolve("embeddings.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
+  private[graft] def rawEmbDir(sfDir: String): String = rawEmbMemo(sfDir)
 
   /** Shared oracle for sim_topk AND the ground-truth side of sim_ann_recall —
     * one string so recall is measured against exactly the gated baseline.

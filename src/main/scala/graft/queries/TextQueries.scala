@@ -55,42 +55,35 @@ object TextQueries {
     * localCheckpoint-ed once per fixture dir and shared by training,
     * text_lr_scorecard, text_lr_calibration, and text_lr_margin_mining —
     * r10 verdict item 2: the bigram explode is the expensive LR stage and
-    * each of those queries was rebuilding it. Keyed by session too (a
-    * checkpoint's blocks belong to the session that made them). Entries
-    * are DELIBERATELY never evicted: a localCheckpoint's lineage is
-    * truncated, so unpersisting one while a query still holds it cannot
-    * recompute and fails the query; the cache is bounded by the number of
-    * distinct fixture dirs a JVM touches (one in the driver's Verify/Bench
-    * runs, one in specs), each holding one ~corpus-sized frame.
+    * each of those queries was rebuilding it. Lifecycle: the shared
+    * [[graft.core.Staging]] memo (session-keyed, never evicted implicitly,
+    * deterministic release).
     */
-  private val lrFeatCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val lrFeatMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    (spark, sfDir) => graft.operators.LogReg.features(
+      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
+      col("lang") === "en", LrBuckets).localCheckpoint())
 
   private[graft] def lrFeatures(spark: org.apache.spark.sql.SparkSession,
                                 sfDir: String): org.apache.spark.sql.DataFrame =
-    lrFeatCache.compute(sfDir, { (_, cur) =>
-      if (cur != null && (cur._1 eq spark)) cur
-      else (spark, graft.operators.LogReg.features(
-        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-        col("lang") === "en", LrBuckets).localCheckpoint())
-    })._2
+    lrFeatMemo(spark, sfDir)
 
   /** Training is deterministic (pure integer arithmetic, no sampling), so
     * the three text_lr_* queries share one training run per fixture dir —
-    * the rawDocsDir memo convention. 1025 longs per entry.
+    * plain driver data (1025 longs), session-independent.
     */
-  private val lrCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
-  private[graft] def trainedLr(spark: org.apache.spark.sql.SparkSession,
-                               sfDir: String): Array[Long] =
-    lrCache.computeIfAbsent(sfDir, { _ =>
+  private val lrMemo = new graft.core.Staging[Array[Long]](sessionScoped = false)(
+    { (spark, sfDir) =>
       import graft.operators.LogReg
       val nDocs = Readers.fixture(spark, sfDir, "documents").count()
       val x = lrFeatures(spark, sfDir)
       LogReg.trainWeights(spark, x, nDocs, LrBuckets, LrSteps,
         LrNum, LrDen, init = Some(LogReg.nbInit(x, LrBuckets)))
     })
+
+  private[graft] def trainedLr(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): Array[Long] =
+    lrMemo(spark, sfDir)
 
   val entries: Map[String, QueryEntry] = Map(
 

@@ -72,4 +72,53 @@ class StagingSpec extends SparkSpec {
     assert(DedupStaging.shingles(spark, sfDir)
       .filter(col("id") === 0L).count() == 1L)
   }
+
+  test("Staging releases blocks via the staged frames' own RDD handles, " +
+    "walking case classes and collections") {
+    // r12 advisor items: no global getPersistentRDDs snapshot diff (a
+    // concurrent persist can never be captured), and a replaced entry's
+    // blocks are dropped — pinned here on the generic utility every memo
+    // now runs on
+    case class Staged2(a: org.apache.spark.sql.DataFrame,
+                       bs: Seq[org.apache.spark.sql.DataFrame], n: Long)
+    val memo = new graft.core.Staging[Staged2]()((s, _) =>
+      Staged2(s.range(10).toDF("x").localCheckpoint(),
+        Seq(s.range(4).toDF("y").localCheckpoint()), 7L))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val st = memo(spark, "staging-spec-key")
+    assert(st.a.count() == 10 && st.bs.head.count() == 4)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 2,
+      "two localCheckpoints must add exactly two RDD-level persists")
+    assert(memo(spark, "staging-spec-key").a eq st.a, "same session must hit")
+    memo.release("staging-spec-key")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release must drop exactly the staged frames' checkpoint blocks")
+    // rebuild after release stays value-correct
+    assert(memo(spark, "staging-spec-key").a.count() == 10)
+    memo.release("staging-spec-key")
+  }
+
+  test("session-independent Staging serves temp-dir memos without a session") {
+    var builds = 0
+    val memo = new graft.core.Staging[String](sessionScoped = false)({ (_, k) =>
+      builds += 1; s"dir-for-$k"
+    })
+    assert(memo("a") == "dir-for-a" && memo("a") == "dir-for-a" && builds == 1)
+    val scoped = new graft.core.Staging[String]()((_, k) => k)
+    intercept[IllegalArgumentException](scoped("a"))
+  }
+
+  test("purchaseEdges release hook drops the staged edge list") {
+    // a prior suite in this JVM may have staged it already — start clean
+    graft.queries.AnalyticsQueries.releasePurchaseEdges(sfDir)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = graft.queries.AnalyticsQueries.purchaseEdges(spark, sfDir)
+    val n = edges.count()
+    assert(n > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    graft.queries.AnalyticsQueries.releasePurchaseEdges(sfDir)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // rebuilds on next access
+    assert(graft.queries.AnalyticsQueries.purchaseEdges(spark, sfDir).count() == n)
+  }
 }
