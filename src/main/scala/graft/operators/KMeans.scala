@@ -106,7 +106,15 @@ object KMeans {
     */
   def summary(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val cent = train(vectors, k, iters).persist()
-    val sizes = assign(vectors, cent).groupBy(col("cent_id"))
+    summaryFromAssigned(cent, assign(vectors, cent))
+  }
+
+  /** [[summary]] over PRE-TRAINED centroids and their final assignment —
+    * the staged-trainer seam (`graft.queries.SimilarityStaging`): training
+    * runs once per fixture dir; the summary is a k-row join.
+    */
+  def summaryFromAssigned(cent: DataFrame, assigned: DataFrame): DataFrame = {
+    val sizes = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"))
     cent.join(sizes, "cent_id")
       .select(col("cent_id"),

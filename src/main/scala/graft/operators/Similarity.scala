@@ -364,8 +364,14 @@ object Similarity {
   /** IVF search over a ranked assignment: neighbors come from their home
     * cell; each query probes its `nprobe` nearest cells. Every neighbor
     * lives in exactly one cell and the probed cells are distinct, so no pair
-    * can match twice — no dedup stage.
+    * can match twice — no dedup stage. Public seam for staged (pre-built,
+    * checkpointed) assignment frames — [[SimilarityStaging]]'s consumers call
+    * this directly so the assignment is computed once per fixture dir, not
+    * once per query.
     */
+  def searchRanked(ranked: DataFrame, queryFilter: Column, k: Int,
+                   nprobe: Int): DataFrame = searchAssigned(ranked, queryFilter, k, nprobe)
+
   private def searchAssigned(ranked: DataFrame, queryFilter: Column, k: Int,
                              nprobe: Int): DataFrame = {
     val q = ranked.filter(queryFilter && col("rn") <= nprobe)
@@ -856,7 +862,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         norm(col("embedding")).as("nm"))
       .persist()
-    try {
+    try densityOutliersFromAssigned(assigned, thresholdMicro, minNeighbors)
+    finally assigned.unpersist(blocking = false)
+  }
+
+  /** [[densityOutliers]] over a PRE-BUILT home-cell assignment (vec_id,
+    * embedding, cent_id, nm) — the staged-assignment seam: the caller owns
+    * materialization (a checkpointed staging frame needs no persist here).
+    */
+  def densityOutliersFromAssigned(assigned: DataFrame, thresholdMicro: Long,
+                                  minNeighbors: Long): DataFrame = {
+    {
       val pairs = assigned.as("a").join(assigned.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
         .filter(cosineScaledWithNorms(col("a.embedding"), col("b.embedding"),
@@ -873,7 +889,7 @@ object Similarity {
         .persist()
       result.count()
       result
-    } finally assigned.unpersist(blocking = false)
+    }
   }
 
   /** DuckDB twin of [[densityOutliers]] — same coarse cells, same pair rule. */
@@ -968,10 +984,17 @@ object Similarity {
     * quantizing the DATABASE side (asymmetric, the Jégou insight).
     */
   def pqTopK(vectors: DataFrame, queryFilter: Column, k: Int, m: Int, dims: Int,
-             codebook: Int, iters: Int): DataFrame = {
-    val subDims = dims / m
-    val subs = pqTrain(vectors, m, dims, codebook, iters)
-    val queries = vectors.filter(queryFilter)
+             codebook: Int, iters: Int): DataFrame =
+    pqTopKWithSubs(pqTrain(vectors, m, dims, codebook, iters),
+      vectors.filter(queryFilter), k, dims / m)
+
+  /** ADC top-k over PRE-TRAINED subspaces — the staged-index seam: training
+    * (the expensive stage) runs once per fixture dir in
+    * `graft.queries.SimilarityStaging` and every PQ consumer scores against
+    * the same checkpointed codebooks/codes.
+    */
+  def pqTopKWithSubs(subs: Seq[PqSubspace], queries: DataFrame, k: Int,
+                     subDims: Int): DataFrame = {
     val lut = subs.map { ps =>
       queries.select(col("vec_id").as("query_id"),
           slice(col("embedding"), ps.sub * subDims + 1, subDims).as("qs"))

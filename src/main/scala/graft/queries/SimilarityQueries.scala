@@ -15,13 +15,14 @@ object SimilarityQueries {
 
   private val K = 10
   private val NumPlanes = 8
-  private val Dims = 64
+  // family parameters live on SimilarityStaging so the staged structures
+  // and the oracle strings here can never disagree
+  private val Dims = SimilarityStaging.Dims
   // 32 sketch dims (2× reduction): measured mean recall@10 via the
   // shortlist-5K rerank is 0.55 at sf0.01 — above both LSH (0.33) and IVF
   // (0.41) on the same hard fixture; 16 dims measured 0.38
-  private val JlDims = 32
-  private lazy val jlSigns = Similarity.planes(JlDims, Dims)
-  private val NumCentroids = 20
+  private lazy val jlSigns = SimilarityStaging.jlSigns
+  private val NumCentroids = SimilarityStaging.SampledCentroids
   // IVF queries probe their 4 nearest cells (of 20): 4× the single-cell
   // candidate scan for the recall measured by sim_ann_recall's floor gate
   private val Nprobe = 4
@@ -97,32 +98,36 @@ object SimilarityQueries {
 
   val entries: Map[String, QueryEntry] = Map(
 
-    // exact top-k: broadcast queries × full scan, windowed rank per query
+    // exact top-k: broadcast queries × full scan, bounded-heap rank per
+    // query — sliced from the ONE staged widest exact ranking
+    // (SimilarityStaging.exactTopK; ten consumers share the scan)
     "sim_topk" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+      fn = (spark, sfDir) =>
+        SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
-      },
+          .orderBy("query_id", "rank"),
       oracle = Some(TopkOracle)),
 
     // IVF coarse quantization: fixed-k deterministic centroid sample (size
     // independent of n), nearest-cell assignment, nprobe-cell search — the
-    // clustered ANN scale path
+    // clustered ANN scale path; the ranked assignment is the staged
+    // 20-cell index frame, built once per fixture dir
     "sim_ivf" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, Nprobe)
-          .select("query_id", "neighbor_id", "cos_micro", "rank")
-      },
+      fn = (spark, sfDir) =>
+        Similarity.searchRanked(SimilarityStaging.rankedSampled(spark, sfDir),
+            col("vec_id") < 8, K, Nprobe)
+          .select("query_id", "neighbor_id", "cos_micro", "rank"),
       oracle = Some(Similarity.duckIvfTopK(K, NumCentroids, "q.vec_id < 8", Nprobe))),
 
     // in-engine k-means training (2 unrolled Lloyd iterations): the trainer
     // for IVF centroids — deterministic hash init, floor-scaled cosine
-    // assignment, ordered-fold means for cross-engine bit parity
+    // assignment, ordered-fold means for cross-engine bit parity. The
+    // centroids and final assignment come from the staged trainer
+    // (SimilarityStaging — four queries shared this exact training run)
     "sim_kmeans" -> QueryEntry(
-      fn = (spark, sfDir) => graft.operators.KMeans.summary(
-        Readers.fixture(spark, sfDir, "embeddings"), k = 8, iters = 2),
+      fn = (spark, sfDir) => graft.operators.KMeans.summaryFromAssigned(
+        SimilarityStaging.centroids(spark, sfDir),
+        SimilarityStaging.assignTrained(spark, sfDir)),
       oracle = Some(graft.operators.KMeans.duckSummary(k = 8, iters = 2, dims = Dims))),
 
     // train → assign → probe, end to end: IVF search over the k-means-trained
@@ -138,9 +143,7 @@ object SimilarityQueries {
     // aggregate; shares via window over the k-row frame.
     "sim_cluster_drift" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
-        val cells = graft.operators.KMeans.assign(e, cent)
+        val cells = SimilarityStaging.assignTrained(spark, sfDir)
           .select(col("cent_id"), pmod(col("vec_id"), lit(2)).as("half"))
           .groupBy("cent_id")
           .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
@@ -175,12 +178,10 @@ object SimilarityQueries {
       }),
 
     "sim_ivf_kmeans" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
-        Similarity.ivfTopKWithCentroids(e, cent, col("vec_id") < 8, K, nprobe = 2)
-          .select("query_id", "neighbor_id", "cos_micro", "rank")
-      },
+      fn = (spark, sfDir) =>
+        Similarity.searchRanked(SimilarityStaging.rankedTrained(spark, sfDir),
+            col("vec_id") < 8, K, nprobe = 2)
+          .select("query_id", "neighbor_id", "cos_micro", "rank"),
       oracle = Some {
         val (ctes, last) = graft.operators.KMeans.duckTrainCtes(8, 2, Dims)
         val cos = Similarity.duckCosineScaled("v.embedding", "c.cv")
@@ -254,9 +255,7 @@ object SimilarityQueries {
     "sim_cluster_sample" -> QueryEntry(
       fn = (spark, sfDir) => {
         import org.apache.spark.sql.expressions.Window
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
-        val assigned = graft.operators.KMeans.assign(e, cent)
+        val assigned = SimilarityStaging.assignTrained(spark, sfDir)
         val sizes = assigned.groupBy(col("cent_id"))
           .agg(count(lit(1)).as("n_members"))
           .withColumn("quota", expr(graft.operators.Corpus.isqrtSql("n_members")))
@@ -345,8 +344,8 @@ object SimilarityQueries {
     "sim_pq_topk" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.pqTopK(e, col("vec_id") < 8, K, m = 4, dims = Dims,
-            codebook = 8, iters = 1)
+        Similarity.pqTopKWithSubs(SimilarityStaging.pqSubs(spark, sfDir),
+            e.filter(col("vec_id") < 8), K, Dims / SimilarityStaging.PqM)
           .select("query_id", "neighbor_id", "adc_micro", "rank")
       },
       oracle = Some(Similarity.duckPqTopK("q.vec_id < 8", K, m = 4,
@@ -364,9 +363,11 @@ object SimilarityQueries {
     // volume (Σ|cell|², never n²), the SemDeDup approximation applied to
     // density instead of dedup
     "sim_density_outliers" -> QueryEntry(
-      fn = (spark, sfDir) => Similarity.densityOutliers(
-        Readers.fixture(spark, sfDir, "embeddings"),
-        NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L)
+      fn = (spark, sfDir) => Similarity.densityOutliersFromAssigned(
+        SimilarityStaging.rankedSampled(spark, sfDir).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            Similarity.norm(col("embedding")).as("nm")),
+        thresholdMicro = 800000L, minNeighbors = 2L)
         .orderBy("vec_id"),
       oracle = Some(Similarity.duckDensityOutliers(
         NumCentroids, thresholdMicro = 800000L, minNeighbors = 2L))),
@@ -378,7 +379,7 @@ object SimilarityQueries {
     "sim_cell_occupancy" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.cellOccupancy(e, Similarity.collectCentroids(e, NumCentroids))
+        Similarity.cellOccupancy(e, SimilarityStaging.cellCentroids(spark, sfDir))
           .orderBy("cell")
       },
       oracle = Some(Similarity.duckCellOccupancy(NumCentroids))),
@@ -390,8 +391,7 @@ object SimilarityQueries {
     // looked like at train time, the stream says what ingest is doing to it
     "sim_cell_occupancy_stream" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val cents = Similarity.collectCentroids(e, NumCentroids)
+        val cents = SimilarityStaging.cellCentroids(spark, sfDir)
         val stream = graft.streaming.IngestStreams.readDocuments(
           spark, rawEmbDir(sfDir))
         val counts = Similarity.cellOccupancy(stream, cents)
@@ -413,7 +413,7 @@ object SimilarityQueries {
     "sim_easy_negatives" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val top = Similarity.topK(e.filter(col("vec_id") < 8), e, K)
+        val top = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
           .select(col("query_id"), col("neighbor_id"))
         val cand = e.select(col("vec_id").as("neighbor_id"))
           .crossJoin(broadcast(
@@ -470,8 +470,7 @@ object SimilarityQueries {
     // Similarity.rrfFuse
     "sim_rrf_hybrid" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val dense = Similarity.topK(e.filter(col("vec_id") < 8), e, 20)
+        val dense = SimilarityStaging.exactTopK(spark, sfDir, 20, queryBound = 8)
           .select("query_id", "neighbor_id", "rank")
         val sh = DedupStaging.shingles(spark, sfDir)
         val lex = Similarity.textJaccardTopK(sh, col("id") < 8, 20)
@@ -516,7 +515,7 @@ object SimilarityQueries {
     "sim_mmr_rerank" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val shortlist = Similarity.topK(e.filter(col("vec_id") < 8), e, 20)
+        val shortlist = SimilarityStaging.exactTopK(spark, sfDir, 20, queryBound = 8)
         Similarity.mmrRerank(shortlist, e, k = 8, lamNum = 7L, lamDen = 10L)
           .select("query_id", "neighbor_id", "cos_micro", "mmr_rank")
       },
@@ -527,8 +526,9 @@ object SimilarityQueries {
     "sim_pq_rerank" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val shortlist = Similarity.pqTopK(e, col("vec_id") < 8, 3 * K, m = 4,
-          dims = Dims, codebook = 8, iters = 1)
+        val shortlist = Similarity.pqTopKWithSubs(
+          SimilarityStaging.pqSubs(spark, sfDir),
+          e.filter(col("vec_id") < 8), 3 * K, Dims / SimilarityStaging.PqM)
         Similarity.rerankExact(shortlist, e, K)
           .select("query_id", "neighbor_id", "cos_micro", "rank")
       },
@@ -578,7 +578,7 @@ object SimilarityQueries {
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
         val labels = e.select(col("vec_id"), col("label").cast("long").as("label"))
-        val top = Similarity.topK(e.filter(col("vec_id") < 32), e, K)
+        val top = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 32)
         val votes = top
           .join(labels.withColumnRenamed("vec_id", "neighbor_id")
             .withColumnRenamed("label", "n_label"), "neighbor_id")
@@ -622,8 +622,7 @@ object SimilarityQueries {
       fn = (spark, sfDir) =>
         // posexplode to (vec_id, dim, value): the driver's comparator hashes
         // scalar cells only — a raw array<bigint> column is unhashable there
-        Similarity.jlProject(Readers.fixture(spark, sfDir, "embeddings"),
-          "vec_id", "embedding", jlSigns)
+        SimilarityStaging.jl32(spark, sfDir)
           .select(col("vec_id"), posexplode(col("jl")).as(Seq("dim", "value")))
           .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
           .orderBy("vec_id", "dim"),
@@ -643,10 +642,10 @@ object SimilarityQueries {
     "sim_jl_recall" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        // exact appears twice (hits + query list) — persist-barrier as in
-        // sim_ann_recall; proj feeds both sides of the sketch ranking
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
-        val proj = Similarity.jlProject(e, "vec_id", "embedding", jlSigns).persist()
+        // exact and proj are staged checkpoints — the old per-query persist
+        // barriers (each frame feeds 2+ plan positions) ride on the staging
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
+        val proj = SimilarityStaging.jl32(spark, sfDir)
         val shortlist = Similarity.jlTopK(proj.filter(col("vec_id") < 8), proj, 5 * K)
         val reranked = Similarity.rerankExact(shortlist, e, K)
         recallOf(exact, reranked, "jl").orderBy("method", "query_id")
@@ -708,7 +707,7 @@ object SimilarityQueries {
     "sim_radius_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val nQ = exact.select("query_id").distinct().count()
         Seq(0, 1, 2).map { r =>
           val ann = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K,
@@ -762,18 +761,23 @@ object SimilarityQueries {
     "sim_jl_dims_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val nQ = exact.select("query_id").distinct().count()
         Seq(8, 16, 32).map { d =>
-          val proj = Similarity.jlProject(e, "vec_id", "embedding",
-            Similarity.planes(d, Dims)).persist()
+          // the widest (32-dim) projection is the staged family sketch; the
+          // narrower curve points project fresh under a per-point persist
+          val staged32 = d == SimilarityStaging.JlDims
+          val proj =
+            if (staged32) SimilarityStaging.jl32(spark, sfDir)
+            else Similarity.jlProject(e, "vec_id", "embedding",
+              Similarity.planes(d, Dims)).persist()
           val shortlist = Similarity.jlTopK(proj.filter(col("vec_id") < 8), proj, 5 * K)
           val rr = Similarity.rerankExact(shortlist, e, K)
           val hits = exact.select("query_id", "neighbor_id")
             .join(rr.select("query_id", "neighbor_id"),
               Seq("query_id", "neighbor_id"), "left_semi")
             .count()
-          proj.unpersist(blocking = false)
+          if (!staged32) proj.unpersist(blocking = false)
           (d.toLong, hits, hits * 1000000L / (K * nQ))
         }.pipe { rows =>
           val spark2 = spark; import spark2.implicits._
@@ -819,7 +823,7 @@ object SimilarityQueries {
     "sim_matryoshka_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val nQ = exact.select("query_id").distinct().count()
         Seq(8, 16, 32).map { d =>
           val t = e.select(col("vec_id"),
@@ -866,11 +870,11 @@ object SimilarityQueries {
     // ground truth is the shared gated baseline
     "sim_nprobe_curve" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val e = Readers.fixture(spark, sfDir, "embeddings")
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val nQ = exact.select("query_id").distinct().count()
         Seq(1, 2, 4).map { np =>
-          val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, np)
+          val ivf = Similarity.searchRanked(
+            SimilarityStaging.rankedSampled(spark, sfDir), col("vec_id") < 8, K, np)
           val hits = exact.select("query_id", "neighbor_id")
             .join(ivf.select("query_id", "neighbor_id"),
               Seq("query_id", "neighbor_id"), "left_semi")
@@ -899,14 +903,14 @@ object SimilarityQueries {
     "sim_ann_recall" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        // persist-barrier (the SimHash.nearPairs pattern): the exact ranking
-        // appears FOUR times in the final plan (hits + query list, × two
-        // methods) — without the barrier the broadcast-scan/window ranking
-        // recomputes per reference; lsh/ivf appear once each, so a barrier
-        // there would only add write traffic
-        val exact = Similarity.topK(e.filter(col("vec_id") < 8), e, K).persist()
+        // the exact ranking appears FOUR times in the final plan (hits +
+        // query list, × two methods) — the staged checkpoint is the barrier
+        // that used to be a per-query persist; lsh appears once (no barrier
+        // needed), ivf probes the staged 20-cell assignment
+        val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val lsh = Similarity.annTopK(e.filter(col("vec_id") < 8), e, K, planeMatrix)
-        val ivf = Similarity.ivfTopK(e, col("vec_id") < 8, K, NumCentroids, Nprobe)
+        val ivf = Similarity.searchRanked(
+          SimilarityStaging.rankedSampled(spark, sfDir), col("vec_id") < 8, K, Nprobe)
         recallOf(exact, lsh, "lsh").unionByName(recallOf(exact, ivf, "ivf"))
           .orderBy("method", "query_id")
       },

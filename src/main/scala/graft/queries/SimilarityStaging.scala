@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Readers, Staging}
+import graft.operators.{KMeans, Similarity}
+
+/** Shared per-fixture-dir staging for the similarity family — the r12
+  * verdict's top item: the deterministic trained structures (k-means
+  * centroids, IVF assignments, PQ sub-codebooks, the JL sketch, and the
+  * exact ground-truth top-k) were re-trained/re-scored independently by up
+  * to ten registered queries each (9 `KMeans.train` sites, 6 exact-top-k
+  * recomputes). Each structure is its own lazy [[graft.core.Staging]] memo,
+  * so a query pays only for the structures it actually consumes.
+  *
+  * At 100 TB every one of these IS the persisted index artifact a real
+  * retrieval pipeline trains once per corpus snapshot and serves many
+  * queries from ([[Similarity.writeIvfIndex]] persists exactly the
+  * centroid + assignment pair staged here); the memo gives the bench the
+  * same train-once/probe-many contract.
+  *
+  * Value identity with the fresh formulations is pinned by StagingSpec —
+  * every stage is deterministic (hash-ordered init, ordered-fold means,
+  * floor-scaled integer scores), so staging is a performance device, never
+  * a semantic one, and the DuckDB oracles are unchanged.
+  */
+object SimilarityStaging {
+
+  /** Family-wide parameters (shared with the DuckDB oracle twins). */
+  val Dims = 64
+  val TrainK = 8
+  val TrainIters = 2
+  val PqM = 4
+  val PqCodebook = 8
+  val PqIters = 1
+  val SampledCentroids = 20
+  val JlDims = 32
+  /** Widest exact ground truth any consumer needs: queries `vec_id < 32`
+    * (sim_knn_accuracy), k = 20 (the rrf/mmr shortlists). Narrower
+    * consumers SLICE it — ranks are per-query, so filtering by query id
+    * and rank preserves both membership and rank values exactly.
+    */
+  val ExactQueryBound = 32L
+  val ExactK = 20
+
+  private[queries] lazy val jlSigns = Similarity.planes(JlDims, Dims)
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Readers.fixture(spark, sfDir, "embeddings")
+
+  // --- exact ground truth -------------------------------------------------
+
+  private val exactMemo = new Staging[DataFrame]()({ (spark, sfDir) =>
+    val e = emb(spark, sfDir)
+    Similarity.topK(e.filter(col("vec_id") < ExactQueryBound), e, ExactK)
+      .localCheckpoint()
+  })
+
+  /** Exact brute-force cosine top-`k` for queries `vec_id < queryBound`,
+    * sliced from the one staged widest ranking (query_id, neighbor_id,
+    * cos_micro, rank). Six recall/curve queries and four shortlist
+    * consumers derive from this single scan.
+    */
+  def exactTopK(spark: SparkSession, sfDir: String, k: Int,
+                queryBound: Long): DataFrame = {
+    require(k <= ExactK && queryBound <= ExactQueryBound,
+      s"staged exact ranking covers k<=$ExactK, queries<$ExactQueryBound; " +
+        s"asked k=$k, queries<$queryBound")
+    exactMemo(spark, sfDir)
+      .filter(col("query_id") < queryBound && col("rank") <= k)
+  }
+
+  // --- trained k-means structures (k=8, iters=2) ---------------------------
+
+  private val centroidsMemo = new Staging[DataFrame]()((spark, sfDir) =>
+    KMeans.train(emb(spark, sfDir), TrainK, TrainIters).localCheckpoint())
+
+  /** The family's ONE trained centroid set ([[KMeans.train]] k=8, iters=2)
+    * — previously retrained by four registered queries.
+    */
+  def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroidsMemo(spark, sfDir)
+
+  private val rankedTrainedMemo = new Staging[DataFrame]()((spark, sfDir) =>
+    Similarity.assignRanked(emb(spark, sfDir), centroids(spark, sfDir))
+      .localCheckpoint())
+
+  /** Full ranked assignment (vec_id, embedding, cent_id, rn) against the
+    * trained centroids — feed to [[Similarity.searchRanked]] with any
+    * nprobe; `rn = 1` is the home-cell index frame.
+    */
+  def rankedTrained(spark: SparkSession, sfDir: String): DataFrame =
+    rankedTrainedMemo(spark, sfDir)
+
+  /** Home-cell slice of [[rankedTrained]] ([[KMeans.assign]] equivalent). */
+  def assignTrained(spark: SparkSession, sfDir: String): DataFrame =
+    rankedTrained(spark, sfDir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+
+  // --- sampled-centroid IVF assignment (the untrained coarse quantizer) ----
+
+  private val rankedSampledMemo = new Staging[DataFrame]()({ (spark, sfDir) =>
+    val e = emb(spark, sfDir)
+    Similarity.assignRanked(e, Similarity.sampleCentroids(e, SampledCentroids))
+      .localCheckpoint()
+  })
+
+  /** Ranked assignment against the deterministic 20-centroid sample —
+    * shared by sim_ivf, sim_nprobe_curve (×3), sim_ann_recall, and the
+    * density-outlier screen.
+    */
+  def rankedSampled(spark: SparkSession, sfDir: String): DataFrame =
+    rankedSampledMemo(spark, sfDir)
+
+  // --- PQ sub-codebooks -----------------------------------------------------
+
+  private val pqMemo = new Staging[Seq[Similarity.PqSubspace]]()({ (spark, sfDir) =>
+    Similarity.pqTrain(emb(spark, sfDir), PqM, Dims, PqCodebook, PqIters).map { ps =>
+      // re-home the trainer's CacheManager persists as checkpoint blocks:
+      // the bench clears the cache between queries, and a persisted frame
+      // would silently retrain per consumer
+      val staged = Similarity.PqSubspace(ps.sub,
+        ps.centroids.localCheckpoint(), ps.codes.localCheckpoint())
+      ps.centroids.unpersist(blocking = false)
+      staged
+    }
+  })
+
+  /** The m=4 trained PQ subspaces (codebooks + per-vector codes) shared by
+    * sim_pq_topk and sim_pq_rerank via [[Similarity.pqTopKWithSubs]].
+    */
+  def pqSubs(spark: SparkSession, sfDir: String): Seq[Similarity.PqSubspace] =
+    pqMemo(spark, sfDir)
+
+  // --- JL sketch ------------------------------------------------------------
+
+  private val jlMemo = new Staging[DataFrame]()((spark, sfDir) =>
+    Similarity.jlProject(emb(spark, sfDir), "vec_id", "embedding", jlSigns)
+      .localCheckpoint())
+
+  /** The 32-dim integer JL projection of the corpus — shared by
+    * sim_jl_project (its output), sim_jl_recall, and sim_jl_dims_curve's
+    * widest variant.
+    */
+  def jl32(spark: SparkSession, sfDir: String): DataFrame =
+    jlMemo(spark, sfDir)
+
+  // --- collected coarse centroids (driver-side, for the streaming path) -----
+
+  private val cellCentroidsMemo = new Staging[Seq[(Long, Array[Float])]](
+    sessionScoped = false)((spark, sfDir) =>
+    Similarity.collectCentroids(emb(spark, sfDir), SampledCentroids))
+
+  /** The 20 sampled centroids as driver data ([[Similarity.collectCentroids]])
+    * — the streaming-safe assignment expression's input, shared by the
+    * occupancy twins.
+    */
+  def cellCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Array[Float])] =
+    cellCentroidsMemo(spark, sfDir)
+
+  /** Deterministically drop a fixture dir's staged similarity structures
+    * (the [[DedupStaging.release]] twin).
+    */
+  def release(sfDir: String): Unit = {
+    exactMemo.release(sfDir)
+    rankedTrainedMemo.release(sfDir)
+    centroidsMemo.release(sfDir)
+    rankedSampledMemo.release(sfDir)
+    pqMemo.release(sfDir)
+    jlMemo.release(sfDir)
+    cellCentroidsMemo.release(sfDir)
+  }
+}

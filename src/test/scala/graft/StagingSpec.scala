@@ -108,6 +108,66 @@ class StagingSpec extends SparkSpec {
     intercept[IllegalArgumentException](scoped("a"))
   }
 
+  test("staged exact top-k slices are value-identical to fresh topK runs") {
+    import graft.operators.Similarity
+    import graft.queries.SimilarityStaging
+    val e = Readers.fixture(spark, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the narrow consumer slice (k=10, queries<8) must equal a fresh direct
+    // topK — ranks are per-query, so slicing preserves membership AND ranks
+    val fresh = Similarity.topK(e.filter(col("vec_id") < 8), e, 10)
+    assert(rows(SimilarityStaging.exactTopK(spark, sfDir, 10, 8)) == rows(fresh))
+    // the widest slice too (k=20, queries<32)
+    val fresh20 = Similarity.topK(e.filter(col("vec_id") < 32), e, 20)
+    assert(rows(SimilarityStaging.exactTopK(spark, sfDir, 20, 32)) == rows(fresh20))
+    intercept[IllegalArgumentException](
+      SimilarityStaging.exactTopK(spark, sfDir, 21, 8))
+  }
+
+  test("staged trained structures are value-identical to fresh training") {
+    import graft.operators.{KMeans, Similarity}
+    import graft.queries.SimilarityStaging
+    val e = Readers.fixture(spark, sfDir, "embeddings")
+    // centroids: same deterministic trainer, same params
+    def centSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSet
+    val freshCent = KMeans.train(e, SimilarityStaging.TrainK, SimilarityStaging.TrainIters)
+    assert(centSet(SimilarityStaging.centroids(spark, sfDir)) == centSet(freshCent))
+    // the staged-assignment IVF search equals the fresh-centroid form
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val freshIvf = Similarity.ivfTopKWithCentroids(e, freshCent,
+      col("vec_id") < 8, 10, nprobe = 2)
+    val stagedIvf = Similarity.searchRanked(
+      SimilarityStaging.rankedTrained(spark, sfDir), col("vec_id") < 8, 10, 2)
+    assert(rows(stagedIvf) == rows(freshIvf))
+    // PQ: staged subspaces produce the same ADC ranking as a fresh train
+    val freshPq = Similarity.pqTopK(e, col("vec_id") < 8, 10,
+      SimilarityStaging.PqM, SimilarityStaging.Dims,
+      SimilarityStaging.PqCodebook, SimilarityStaging.PqIters)
+    val stagedPq = Similarity.pqTopKWithSubs(
+      SimilarityStaging.pqSubs(spark, sfDir), e.filter(col("vec_id") < 8), 10,
+      SimilarityStaging.Dims / SimilarityStaging.PqM)
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "adc_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pqRows(stagedPq) == pqRows(freshPq))
+  }
+
+  test("SimilarityStaging.release drops the staged blocks; next access rebuilds") {
+    import graft.queries.SimilarityStaging
+    val n = SimilarityStaging.jl32(spark, sfDir).count()
+    SimilarityStaging.centroids(spark, sfDir).count()
+    val withStaging = spark.sparkContext.getPersistentRDDs.size
+    SimilarityStaging.release(sfDir)
+    assert(spark.sparkContext.getPersistentRDDs.size < withStaging)
+    assert(SimilarityStaging.jl32(spark, sfDir).count() == n)
+    SimilarityStaging.release(sfDir)
+  }
+
   test("purchaseEdges release hook drops the staged edge list") {
     // a prior suite in this JVM may have staged it already — start clean
     graft.queries.AnalyticsQueries.releasePurchaseEdges(sfDir)
