@@ -178,6 +178,32 @@ object Sf1Probe {
     timed("staged_consumers 1x") { stagedConsumers(staged1x._2) }
     timed("staged_consumers 10x") { stagedConsumers(staged10x._2) }
 
+    // -- staged similarity structures (SimilarityStaging shape, r13) --------
+    // the trained-index memo's two cost classes: the ONE-TIME train
+    // (k-means k=8/iters=2 + full ranked assignment, checkpointed — the
+    // artifact writeIvfIndex persists) vs the RECURRING probe cost, three
+    // IVF searches at nprobe 1/2/4 off the staged assignment. Consumers
+    // re-read only checkpoint blocks: recurring wall tracks probe work and
+    // excludes re-training entirely — the train-once/probe-many contract
+    // the registered sim family now runs on
+    def simStagedBuild(e: DataFrame): DataFrame = {
+      val cent = graft.operators.KMeans.train(e, k = 8, iters = 2).localCheckpoint()
+      Similarity.assignRanked(e, cent).localCheckpoint()
+    }
+    def simStagedConsumers(ranked: DataFrame): Long =
+      Seq(1, 2, 4).map(np =>
+        Similarity.searchRanked(ranked, col("vec_id") % keyOff < 8, 10, np).count()).sum
+    if (enabled("sim_staged_")) {
+      val warm = simStagedBuild(fixture("embeddings").limit(64))
+      simStagedConsumers(warm)
+    }
+    lazy val simStaged1x = simStagedBuild(fixture("embeddings"))
+    lazy val simStaged10x = simStagedBuild(emb10)
+    timed("sim_staged_build 1x") { simStaged1x.count() }
+    timed("sim_staged_build 10x") { simStaged10x.count() }
+    timed("sim_staged_consumers 1x") { simStagedConsumers(simStaged1x) }
+    timed("sim_staged_consumers 10x") { simStagedConsumers(simStaged10x) }
+
     // -- boilerplate span removal (dedup_boilerplate shape) -----------------
     // per-copy suffixed tokens keep each copy's within-source repetition; the
     // (src, h) boilerplate groupBy sees 10x cells of the same per-cell size

@@ -298,4 +298,23 @@ class CliSpec extends SparkSpec {
         .mkString("{", ",", "}") + ""","sf":"/x"}"""
     assert(Bench.parseQueriesMap(line) == folded)
   }
+
+  test("bench min-map sf/cpus guard: mismatched maps are ignored, legacy accepted") {
+    // r12 advisor (medium): a min map recorded at a different scale factor
+    // or CPU count would seed unbeatable minimums — flag mismatch, accept
+    // same-config and legacy (pre-cpus-field) files
+    val r13 = """{"metric":"per_query_min","cpus":"32","queries":{"q_a":1.0},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.compatibleQueriesMap(r13, "/root/testdata/sf0.1", "32") ==
+      Map("q_a" -> 1.0))
+    assert(Bench.compatibleQueriesMap(r13, "/root/testdata/sf0.01", "32").isEmpty)
+    assert(Bench.compatibleQueriesMap(r13, "/root/testdata/sf0.1", "8").isEmpty)
+    assert(Bench.sfCpusMismatch(r13, "/root/testdata/sf0.01", "32"))
+    // legacy r12 format: sf recorded, no cpus field — accepted as-is
+    val legacy = """{"metric":"per_query_min","queries":{"q_a":2.0},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.compatibleQueriesMap(legacy, "/root/testdata/sf0.1", "32") ==
+      Map("q_a" -> 2.0))
+    assert(Bench.compatibleQueriesMap(legacy, "/root/testdata/sf0.01", "32").isEmpty)
+  }
 }

@@ -42,8 +42,18 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("q3_topk_orders").contains("TakeOrderedAndProject"))
   }
 
-  test("similarity top-k broadcasts the query side") {
-    assert(physicalPlan("sim_topk").contains("Broadcast"))
+  test("similarity top-k broadcasts the query side (in the staging build); " +
+    "the registered query reads the checkpoint") {
+    // r13: the exact scan moved into SimilarityStaging's ONE-TIME build —
+    // the broadcast pin holds on the fresh formulation, and the registered
+    // query must be a slice of the checkpointed staging frame (no rescan)
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Readers.fixture(spark, sfDir, "embeddings")
+    val fresh = graft.operators.Similarity.topK(e.filter(col("vec_id") < 8), e, 10)
+    assert(fresh.queryExecution.executedPlan.toString.contains("Broadcast"))
+    val registered = physicalPlan("sim_topk")
+    assert(registered.contains("Scan ExistingRDD"), registered)
+    assert(!registered.contains("FileScan"), registered)
   }
 
   test("decontamination broadcasts the eval shingle set (no big-side shuffle)") {
