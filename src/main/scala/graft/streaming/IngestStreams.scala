@@ -168,7 +168,17 @@ object IngestStreams {
       .withColumn("tk", tokens(col(textCol)))
       .select(explode(shinglesFromTokens(col("tk"), shingleN)).as("shingle"))
       .distinct()
+    // spread the arriving batch BEFORE the shingle explode: a single-file
+    // microbatch (and the single-file batch fixture) otherwise plans as one
+    // partition, so the tokenize→shingle→probe pipeline ran on one core —
+    // the whole gap between this twin (~5 s) and contaminatedIds (~0.7 s)
+    // in the r13 StreamProbes decomposition. A stateless repartition is
+    // legal ahead of the stateful dedup; it moves each arriving doc's text
+    // once — bounded by the delta, and a no-op cost-wise when the batch
+    // already arrives as many splits (the 100 TB case).
     docs.filter(col(textCol).isNotNull)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
         explode(shinglesFromTokens(tokens(col(textCol)), shingleN)).as("shingle"))
       .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
