@@ -1069,7 +1069,6 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, queryFilter: Column, k: Int,
                 kc: Int, nprobe: Int, m: Int, dims: Int,
                 codebook: Int, iters: Int): DataFrame = {
-    val subDims = dims / m
     val cent = KMeans.train(vectors, kc, iters).persist()
     cent.count()
     val assigned = KMeans.assign(vectors, cent)
@@ -1081,9 +1080,21 @@ object Similarity {
     val nResid = resid.count()
     val subs = pqTrain(resid.select(col("vec_id"), col("embedding")),
       m, dims, codebook, iters, nRows = Some(nResid))
-    val codes = subs.map(_.codes).reduce(_ unionAll _)
     val homes = resid.select(col("vec_id"), col("home_cell"))
-    val queries = vectors.filter(queryFilter)
+    ivfPqProbeTopK(cent, homes, subs, vectors.filter(queryFilter), k, nprobe,
+      dims / m)
+  }
+
+  /** The IVF-PQ probe against a PRE-TRAINED index (coarse centroids,
+    * home-cell list, residual sub-codebooks) — the staged-index seam:
+    * production IVF-PQ trains offline once per corpus snapshot and serves
+    * every query from the artifact (`graft.queries.SimilarityStaging`
+    * stages exactly these three frames).
+    */
+  def ivfPqProbeTopK(cent: DataFrame, homes: DataFrame, subs: Seq[PqSubspace],
+                     queries: DataFrame, k: Int, nprobe: Int,
+                     subDims: Int): DataFrame = {
+    val codes = subs.map(_.codes).reduce(_ unionAll _)
     // nprobe nearest cells per query (ranked by the same floor-scaled cosine
     // as every IVF path), each carrying the EXACT query-to-centroid dot term
     val probed = assignRanked(queries, cent).filter(col("rn") <= nprobe)

@@ -543,8 +543,10 @@ object SimilarityQueries {
     "sim_ivfpq" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        Similarity.ivfPqTopK(e, col("vec_id") < 8, K, kc = 8, nprobe = 2,
-            m = 4, dims = Dims, codebook = 8, iters = 1)
+        val (cent, homes, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
+        Similarity.ivfPqProbeTopK(cent, homes, subs,
+            e.filter(col("vec_id") < 8), K, nprobe = 2,
+            subDims = Dims / SimilarityStaging.PqM)
           .select("query_id", "neighbor_id", "score_micro", "rank")
       },
       oracle = Some(Similarity.duckIvfPqTopK("q.vec_id < 8", K, kc = 8,

@@ -133,6 +133,43 @@ object SimilarityStaging {
   def pqSubs(spark: SparkSession, sfDir: String): Seq[Similarity.PqSubspace] =
     pqMemo(spark, sfDir)
 
+  // --- IVF-PQ index (coarse cells + residual codebooks) ---------------------
+
+  /** sim_ivfpq's index parameters (shared with its DuckDB oracle twin). */
+  val IvfPqKc = 8
+  val IvfPqIters = 1
+
+  private val ivfPqMemo = new Staging[
+      (DataFrame, DataFrame, Seq[Similarity.PqSubspace])]()({ (spark, sfDir) =>
+    import org.apache.spark.sql.functions.{broadcast, zip_with}
+    val e = emb(spark, sfDir)
+    val cent = KMeans.train(e, IvfPqKc, IvfPqIters).localCheckpoint()
+    // residuals checkpoint once; `homes` slices that checkpoint, so release
+    // finds its blocks through the homes frame's own plan
+    val resid = KMeans.assign(e, cent).join(broadcast(cent), "cent_id")
+      .select(col("vec_id"), col("cent_id").as("home_cell"),
+        zip_with(col("embedding"), col("cv"),
+          (a, b) => a.cast("double") - b).as("embedding"))
+      .localCheckpoint()
+    val subs = Similarity.pqTrain(resid.select(col("vec_id"), col("embedding")),
+        PqM, Dims, PqCodebook, PqIters, nRows = Some(resid.count()))
+      .map { ps =>
+        val staged = Similarity.PqSubspace(ps.sub,
+          ps.centroids.localCheckpoint(), ps.codes.localCheckpoint())
+        ps.centroids.unpersist(blocking = false)
+        staged
+      }
+    (cent, resid.select(col("vec_id"), col("home_cell")), subs)
+  })
+
+  /** The trained IVF-PQ index (coarse centroids, home cells, residual
+    * sub-codebooks) — fed to [[Similarity.ivfPqProbeTopK]]; trained offline
+    * once per corpus snapshot in production, per fixture dir here.
+    */
+  def ivfPqIndex(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame, Seq[Similarity.PqSubspace]) =
+    ivfPqMemo(spark, sfDir)
+
   // --- JL sketch ------------------------------------------------------------
 
   private val jlMemo = new Staging[DataFrame]()((spark, sfDir) =>
@@ -168,6 +205,7 @@ object SimilarityStaging {
     centroidsMemo.release(sfDir)
     rankedSampledMemo.release(sfDir)
     pqMemo.release(sfDir)
+    ivfPqMemo.release(sfDir)
     jlMemo.release(sfDir)
     cellCentroidsMemo.release(sfDir)
   }

@@ -85,6 +85,28 @@ object TextQueries {
                                sfDir: String): Array[Long] =
     lrMemo(spark, sfDir)
 
+  /** The char-trigram feature frame + trained weights — the chargram
+    * scorecard's deliberately DIFFERENT feature space (it cannot share the
+    * word-bigram memo), staged with the same contract. Previously the
+    * query re-featurized and re-trained inline per invocation and left its
+    * un-memoized checkpoint blocks to GC.
+    */
+  private val lrCharMemo = new graft.core.Staging[
+      (org.apache.spark.sql.DataFrame, Array[Long])]()({ (spark, sfDir) =>
+    import graft.operators.LogReg
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val x = LogReg.featuresFromGrams(docs, "doc_id", LogReg.charTrigrams,
+      "text", col("lang") === "en", LrBuckets).localCheckpoint()
+    val w = LogReg.trainWeights(spark, x, docs.count(), LrBuckets,
+      LrCharSteps, LrCharNum, LrCharDen,
+      init = Some(LogReg.nbInit(x, LrBuckets)))
+    (x, w)
+  })
+
+  private[graft] def lrCharTrained(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (org.apache.spark.sql.DataFrame, Array[Long]) =
+    lrCharMemo(spark, sfDir)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // token/char stats + quality score per document
@@ -1293,12 +1315,7 @@ object TextQueries {
     "text_lr_chargram_scorecard" -> QueryEntry(
       fn = (spark, sfDir) => {
         import graft.operators.LogReg
-        val docs = Readers.fixture(spark, sfDir, "documents")
-        val x = LogReg.featuresFromGrams(docs, "doc_id", LogReg.charTrigrams,
-          "text", col("lang") === "en", LrBuckets).localCheckpoint()
-        val w = LogReg.trainWeights(spark, x, docs.count(), LrBuckets,
-          LrCharSteps, LrCharNum, LrCharDen,
-          init = Some(LogReg.nbInit(x, LrBuckets)))
+        val (x, w) = lrCharTrained(spark, sfDir)
         LogReg.score(spark, x, w)
           .groupBy(col("y"), col("pred"))
           .agg(count(lit(1)).as("n"), sum(col("sigma")).as("sum_sigma"))

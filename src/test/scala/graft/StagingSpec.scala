@@ -157,6 +157,24 @@ class StagingSpec extends SparkSpec {
     assert(pqRows(stagedPq) == pqRows(freshPq))
   }
 
+  test("staged IVF-PQ probe is value-identical to the fresh train+probe") {
+    import graft.operators.Similarity
+    import graft.queries.SimilarityStaging
+    val e = Readers.fixture(spark, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "score_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = Similarity.ivfPqTopK(e, col("vec_id") < 8, 10,
+      kc = SimilarityStaging.IvfPqKc, nprobe = 2, m = SimilarityStaging.PqM,
+      dims = SimilarityStaging.Dims, codebook = SimilarityStaging.PqCodebook,
+      iters = SimilarityStaging.IvfPqIters)
+    val (cent, homes, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
+    val staged = Similarity.ivfPqProbeTopK(cent, homes, subs,
+      e.filter(col("vec_id") < 8), 10, nprobe = 2,
+      subDims = SimilarityStaging.Dims / SimilarityStaging.PqM)
+    assert(rows(staged) == rows(fresh))
+  }
+
   test("SimilarityStaging.release drops the staged blocks; next access rebuilds") {
     import graft.queries.SimilarityStaging
     val n = SimilarityStaging.jl32(spark, sfDir).count()
