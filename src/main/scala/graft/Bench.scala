@@ -115,6 +115,8 @@ object Bench {
       // contract as the frames above
       queries.TextQueries.trainedLr(spark, sfDir)
       queries.TextQueries.lrCharTrained(spark, sfDir)
+      queries.TextQueries.bpeSegShared(spark, sfDir)
+      queries.TextQueries.bpeMergesShared(spark, sfDir)
       SparkEntry.queries("corpus_dsir_weights")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       queries.AnalyticsQueries.purchaseEdges(spark, sfDir)

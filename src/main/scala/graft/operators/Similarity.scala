@@ -1080,21 +1080,30 @@ object Similarity {
     val nResid = resid.count()
     val subs = pqTrain(resid.select(col("vec_id"), col("embedding")),
       m, dims, codebook, iters, nRows = Some(nResid))
-    val homes = resid.select(col("vec_id"), col("home_cell"))
-    ivfPqProbeTopK(cent, homes, subs, vectors.filter(queryFilter), k, nprobe,
-      dims / m)
+    // carry the home cell ON the code rows: the codes ⋈ homes join was a
+    // corpus-sized × corpus-sized equi-join executed per query — denoting
+    // it at index-build time leaves the probe with one scan of the homed
+    // code table plus broadcast joins only
+    val codesHomed = subs.map(_.codes).reduce(_ unionAll _)
+      .join(resid.select(col("vec_id"), col("home_cell")), "vec_id")
+    ivfPqProbeTopK(cent, codesHomed, subs, vectors.filter(queryFilter), k,
+      nprobe, dims / m)
   }
 
-  /** The IVF-PQ probe against a PRE-TRAINED index (coarse centroids,
-    * home-cell list, residual sub-codebooks) — the staged-index seam:
-    * production IVF-PQ trains offline once per corpus snapshot and serves
-    * every query from the artifact (`graft.queries.SimilarityStaging`
-    * stages exactly these three frames).
+  /** The IVF-PQ probe against a PRE-TRAINED index: coarse centroids, the
+    * homed code table (vec_id, sub, code, home_cell — home cells are part
+    * of the index artifact, never re-joined at query time), and the
+    * residual sub-codebooks (for the per-query lookup tables). The
+    * staged-index seam: production IVF-PQ trains offline once per corpus
+    * snapshot and serves every query from the artifact
+    * (`graft.queries.SimilarityStaging` stages exactly these frames).
+    * Probe plan: one scan of the homed codes + two broadcast joins
+    * (probed-cells gate, per-query LUT) + a map-side-combined ADC sum —
+    * no corpus-sized join survives to query time.
     */
-  def ivfPqProbeTopK(cent: DataFrame, homes: DataFrame, subs: Seq[PqSubspace],
-                     queries: DataFrame, k: Int, nprobe: Int,
-                     subDims: Int): DataFrame = {
-    val codes = subs.map(_.codes).reduce(_ unionAll _)
+  def ivfPqProbeTopK(cent: DataFrame, codesHomed: DataFrame,
+                     subs: Seq[PqSubspace], queries: DataFrame, k: Int,
+                     nprobe: Int, subDims: Int): DataFrame = {
     // nprobe nearest cells per query (ranked by the same floor-scaled cosine
     // as every IVF path), each carrying the EXACT query-to-centroid dot term
     val probed = assignRanked(queries, cent).filter(col("rn") <= nprobe)
@@ -1108,8 +1117,7 @@ object Similarity {
         .select(col("query_id"), lit(ps.sub).as("sub"), col("cent_id").as("code"),
           floor(dot(col("qs"), col("cv")) * 1e6).cast("long").as("pdot"))
     }.reduce(_ unionAll _)
-    val scored = graft.core.Readers.spread(codes, col("vec_id"))
-      .join(homes, "vec_id")
+    val scored = graft.core.Readers.spread(codesHomed, col("vec_id"))
       .join(broadcast(probed), col("home_cell") === col("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))

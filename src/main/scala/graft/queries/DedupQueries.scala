@@ -884,12 +884,17 @@ object DedupQueries {
     // before pairing (boilerplate is a frequency fact, not O(n²) pairs)
     "dedup_cdc_shared" -> QueryEntry(
       fn = (spark, sfDir) =>
-        graft.operators.Cdc.sharedPairs(graft.operators.Cdc.chunks(
+        // chunksRolling, not chunks: the pair detector runs on the O(n)/doc
+        // Karp-Rabin kernel (the 100 TB cut path), with the ROLLING oracle
+        // CTE reproducing its exact cut set (the kernels hash differently,
+        // so each has its own twin); the per-window-md5 kernel's cost is
+        // priced separately by dedup_cdc_savings vs _rolling
+        graft.operators.Cdc.sharedPairs(graft.operators.Cdc.chunksRolling(
             Readers.fixture(spark, sfDir, "documents"),
             "doc_id", "text", CdcWindow, CdcDivisor), maxDocsPerChunk = 8)
           .orderBy("doc_a", "doc_b"),
       oracle = Some(
-        s"""WITH ${graft.operators.Cdc.duckChunksCtes(CdcWindow, CdcDivisor)},
+        s"""WITH ${graft.operators.Cdc.duckChunksRollingCtes(CdcWindow, CdcDivisor)},
              ${graft.operators.Cdc.duckSharedPairs(8)}
            SELECT doc_a, doc_b, shared_chunks, shared_chars
            FROM cdc_pairs ORDER BY doc_a, doc_b""")),

@@ -543,8 +543,8 @@ object SimilarityQueries {
     "sim_ivfpq" -> QueryEntry(
       fn = (spark, sfDir) => {
         val e = Readers.fixture(spark, sfDir, "embeddings")
-        val (cent, homes, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
-        Similarity.ivfPqProbeTopK(cent, homes, subs,
+        val (cent, codesHomed, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
+        Similarity.ivfPqProbeTopK(cent, codesHomed, subs,
             e.filter(col("vec_id") < 8), K, nprobe = 2,
             subDims = Dims / SimilarityStaging.PqM)
           .select("query_id", "neighbor_id", "score_micro", "rank")

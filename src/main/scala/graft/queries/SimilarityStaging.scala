@@ -144,27 +144,36 @@ object SimilarityStaging {
     import org.apache.spark.sql.functions.{broadcast, zip_with}
     val e = emb(spark, sfDir)
     val cent = KMeans.train(e, IvfPqKc, IvfPqIters).localCheckpoint()
-    // residuals checkpoint once; `homes` slices that checkpoint, so release
-    // finds its blocks through the homes frame's own plan
+    // residuals persist only for the build (training + coding reads them
+    // twice); the durable artifacts are the checkpoints below
     val resid = KMeans.assign(e, cent).join(broadcast(cent), "cent_id")
       .select(col("vec_id"), col("cent_id").as("home_cell"),
         zip_with(col("embedding"), col("cv"),
           (a, b) => a.cast("double") - b).as("embedding"))
+      .persist()
+    val subs0 = Similarity.pqTrain(resid.select(col("vec_id"), col("embedding")),
+      PqM, Dims, PqCodebook, PqIters, nRows = Some(resid.count()))
+    // home cells ride ON the code rows (see Similarity.ivfPqProbeTopK — the
+    // probe must not re-join corpus-sized frames at query time)
+    val codesHomed = subs0.map(_.codes).reduce(_ unionAll _)
+      .join(resid.select(col("vec_id"), col("home_cell")), "vec_id")
       .localCheckpoint()
-    val subs = Similarity.pqTrain(resid.select(col("vec_id"), col("embedding")),
-        PqM, Dims, PqCodebook, PqIters, nRows = Some(resid.count()))
-      .map { ps =>
-        val staged = Similarity.PqSubspace(ps.sub,
-          ps.centroids.localCheckpoint(), ps.codes.localCheckpoint())
-        ps.centroids.unpersist(blocking = false)
-        staged
-      }
-    (cent, resid.select(col("vec_id"), col("home_cell")), subs)
+    val subs = subs0.map { ps =>
+      val stagedCent = ps.centroids.localCheckpoint()
+      ps.centroids.unpersist(blocking = false)
+      // per-sub codes slice the staged homed table — no extra blocks
+      Similarity.PqSubspace(ps.sub, stagedCent,
+        codesHomed.filter(col("sub") === ps.sub)
+          .select(col("vec_id"), col("sub"), col("code")))
+    }
+    resid.unpersist(blocking = false)
+    (cent, codesHomed, subs)
   })
 
-  /** The trained IVF-PQ index (coarse centroids, home cells, residual
-    * sub-codebooks) — fed to [[Similarity.ivfPqProbeTopK]]; trained offline
-    * once per corpus snapshot in production, per fixture dir here.
+  /** The trained IVF-PQ index (coarse centroids, the homed code table, and
+    * the residual sub-codebooks) — fed to [[Similarity.ivfPqProbeTopK]];
+    * trained offline once per corpus snapshot in production, per fixture
+    * dir here.
     */
   def ivfPqIndex(spark: SparkSession, sfDir: String):
       (DataFrame, DataFrame, Seq[Similarity.PqSubspace]) =

@@ -107,6 +107,32 @@ object TextQueries {
       sfDir: String): (org.apache.spark.sql.DataFrame, Array[Long]) =
     lrCharMemo(spark, sfDir)
 
+  /** The 4-merge BPE segmentation of the corpus (train + apply — the
+    * iterative fold is the expensive stage), shared by text_bpe_segment and
+    * text_bpe_fertility, which re-trained and re-segmented independently.
+    */
+  private val bpeSegMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    (spark, sfDir) => graft.operators.Vocab.bpeSegment(
+      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", iters = 4)
+      .localCheckpoint())
+
+  private[graft] def bpeSegShared(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): org.apache.spark.sql.DataFrame =
+    bpeSegMemo(spark, sfDir)
+
+  /** The 8-iteration BPE merge table (one trained tokenizer per fixture
+    * dir — text_bpe_merges' output and the corpus-snapshot artifact a real
+    * pipeline persists).
+    */
+  private val bpeMergesMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    (spark, sfDir) => graft.operators.Vocab.bpeMerges(
+      Readers.fixture(spark, sfDir, "documents"), "text", iters = 8)
+      .localCheckpoint())
+
+  private[graft] def bpeMergesShared(spark: org.apache.spark.sql.SparkSession,
+                                     sfDir: String): org.apache.spark.sql.DataFrame =
+    bpeMergesMemo(spark, sfDir)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // token/char stats + quality score per document
@@ -1115,22 +1141,15 @@ object TextQueries {
 
     // BPE tokenizer training: 8 highest-count-bigram merges over the corpus
     "text_bpe_merges" -> QueryEntry(
-      fn = (spark, sfDir) =>
-        graft.operators.Vocab.bpeMerges(
-          Readers.fixture(spark, sfDir, "documents"), "text", iters = 8),
+      fn = (spark, sfDir) => bpeMergesShared(spark, sfDir),
       oracle = Some(graft.operators.Vocab.duckBpeMerges(iters = 8))),
 
-    // the apply half of the tokenizer: segment every document with a
-    // freshly-trained 4-merge table (train + tokenize, end to end)
+    // the apply half of the tokenizer: segment every document with the
+    // trained 4-merge table (train + tokenize, end to end — staged once per
+    // fixture dir; the checkpoint is also the persist-before-sort barrier
+    // the segmentation fold needs ahead of the global orderBy)
     "text_bpe_segment" -> QueryEntry(
-      // persist before the deterministic sort (the dedup_jaccard_prefix
-      // lesson): the segmentation fold is post-shuffle map work, so the
-      // global orderBy's range-bounds sample would re-execute it wholesale
-      fn = (spark, sfDir) =>
-        graft.operators.Vocab.bpeSegment(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", iters = 4)
-          .persist()
-          .orderBy("doc_id"),
+      fn = (spark, sfDir) => bpeSegShared(spark, sfDir).orderBy("doc_id"),
       oracle = Some(graft.operators.Vocab.duckBpeSegment(iters = 4))),
 
     // BPE compression audit: corpus fertility before merges (character
@@ -1143,7 +1162,7 @@ object TextQueries {
     "text_bpe_fertility" -> QueryEntry(
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
-        val seg = graft.operators.Vocab.bpeSegment(docs, "doc_id", "text", iters = 4)
+        val seg = bpeSegShared(spark, sfDir)
         val bpe = seg.agg(sum(col("n_pieces")).as("n_bpe_pieces"))
         val base = docs.select(
             size(tokens(col("text"))).cast("long").as("w"),

@@ -22,10 +22,18 @@ object VerifierQueries {
     */
   private def digestDf(spark: SparkSession, sfDir: String, tables: Seq[String],
                        mode: String, c: VerifyConfig): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val target = ParquetTarget("t", sfDir)
-    val rows = tables.sorted.map { t =>
-      (t, Fingerprints.runMode(mode, target.read(spark, t), spec(t), c))
+    // per-table fan-out — the reference's own concurrency model (one
+    // goroutine per table; `core/Report.scala:73` is the per-target twin):
+    // each digest is a short driver-blocking job chain, and running them
+    // serially left the cluster idle between actions
+    val futures = tables.sorted.map { t =>
+      Future((t, Fingerprints.runMode(mode, target.read(spark, t), spec(t), c)))
     }
+    val rows = futures.map(Await.result(_, Duration.Inf))
     import spark.implicits._
     rows.toDF("table_name", "fingerprint")
   }
@@ -387,12 +395,18 @@ object VerifierQueries {
     // week's Monday (non-epoch) anchor
     "pv_tz_units" -> QueryEntry(
       fn = (spark, sfDir) => {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
         import spark.implicits._
         val target = ParquetTarget("t", sfDir)
+        // the 8 precision variants are independent bookend digests over the
+        // same table — fan them out like digestDf's per-table futures
         TzUnits.map { u =>
-          (u, Fingerprints.runMode(TestModes.Bookend, target.read(spark, "events"),
-            spec("events"), reportCfg.copy(tsPrecision = u)))
-        }.toDF("unit", "fingerprint")
+          Future((u, Fingerprints.runMode(TestModes.Bookend,
+            target.read(spark, "events"), spec("events"),
+            reportCfg.copy(tsPrecision = u))))
+        }.map(Await.result(_, Duration.Inf)).toDF("unit", "fingerprint")
       },
       oracle = Some(TzUnits.map { u =>
         s"SELECT '$u' AS unit, " +

@@ -168,8 +168,8 @@ class StagingSpec extends SparkSpec {
       kc = SimilarityStaging.IvfPqKc, nprobe = 2, m = SimilarityStaging.PqM,
       dims = SimilarityStaging.Dims, codebook = SimilarityStaging.PqCodebook,
       iters = SimilarityStaging.IvfPqIters)
-    val (cent, homes, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
-    val staged = Similarity.ivfPqProbeTopK(cent, homes, subs,
+    val (cent, codesHomed, subs) = SimilarityStaging.ivfPqIndex(spark, sfDir)
+    val staged = Similarity.ivfPqProbeTopK(cent, codesHomed, subs,
       e.filter(col("vec_id") < 8), 10, nprobe = 2,
       subDims = SimilarityStaging.Dims / SimilarityStaging.PqM)
     assert(rows(staged) == rows(fresh))
