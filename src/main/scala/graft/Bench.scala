@@ -117,9 +117,12 @@ object Bench {
       queries.TextQueries.lrCharTrained(spark, sfDir)
       queries.TextQueries.bpeSegShared(spark, sfDir)
       queries.TextQueries.bpeMergesShared(spark, sfDir)
+      queries.TextQueries.srcHeadTerms(spark, sfDir)
+      queries.TextQueries.lmXentShared(spark, sfDir)
       SparkEntry.queries("corpus_dsir_weights")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       queries.AnalyticsQueries.purchaseEdges(spark, sfDir)
+      queries.AnalyticsQueries.coClickLp(spark, sfDir)
       core.Fingerprints.runModes(core.TestModes.All,
         spark.read.parquet(s"$sfDir/orders.parquet").limit(256),
         core.Fixtures.specs("orders"), core.VerifyConfig())

@@ -671,10 +671,19 @@ object Corpus {
     * |domains| micro of truncation.
     */
   def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
-                    domainCol: String, alphaMicro: Long = 10000L): DataFrame = {
-    val x = Vocab.lmXent(docs, idCol, textCol) // (doc_id, n_bigrams, mean_xent_micro)
-    val per = x.join(
-        docs.select(col(idCol).as("doc_id"), col(domainCol).as("source")), "doc_id")
+                    domainCol: String, alphaMicro: Long = 10000L): DataFrame =
+    doremiWeightsFromXent(Vocab.lmXent(docs, idCol, textCol),
+      docs.select(col(idCol).as("doc_id"), col(domainCol).as("source")),
+      alphaMicro)
+
+  /** [[doremiWeights]] over a PRE-BUILT per-doc cross-entropy table
+    * (doc_id, n_bigrams, mean_xent_micro) — the staged-LM seam: the bigram
+    * LM build is the expensive stage and three registered queries share one
+    * staged copy (`TextQueries.lmXentShared`).
+    */
+  def doremiWeightsFromXent(x: DataFrame, docSources: DataFrame,
+                            alphaMicro: Long = 10000L): DataFrame = {
+    val per = x.join(docSources, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("mean_xent_micro")).as("sx"))
       .withColumn("loss_micro", expr("sx div n_docs")) // xent >= 0: positive div

@@ -47,6 +47,49 @@ object AnalyticsQueries {
   private[graft] def releasePurchaseEdges(sfDir: String): Unit =
     purchaseEdgesMemo.release(sfDir)
 
+  /** Co-click affinity edge list — users clicking the same item within 30
+    * minutes ([[graft.operators.RangeJoin.withinIntervalPairs]], the
+    * expensive interval self-join) — staged once per fixture dir: FIVE
+    * graph queries (triangles, node_similarity, communities, modularity,
+    * link_prediction) rebuilt this identical frame.
+    */
+  private val coClickEdgesMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    { (spark, sfDir) =>
+      val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("m"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.RangeJoin.withinIntervalPairs(
+          clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+        .localCheckpoint()
+    })
+
+  private[graft] def coClickEdges(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): org.apache.spark.sql.DataFrame =
+    coClickEdgesMemo(spark, sfDir)
+
+  /** (both-directions co-click edges, their 3-iteration LPA labels) — the
+    * community structure shared by q_communities and q_modularity (each
+    * re-ran the full propagation).
+    */
+  private val coClickLpMemo = new graft.core.Staging[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()(
+    { (spark, sfDir) =>
+      val pairs = coClickEdges(spark, sfDir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
+      val lp = graft.operators.Graph.labelPropagation(edges, iters = 3)
+        .localCheckpoint()
+      (edges, lp)
+    })
+
+  private[graft] def coClickLp(spark: org.apache.spark.sql.SparkSession, sfDir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    coClickLpMemo(spark, sfDir)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // TPC-H Q1-style pricing summary: the flagship scan→hash-agg plan.
@@ -652,17 +695,9 @@ object AnalyticsQueries {
     // same graph naively — banding is an identity, orientation is unwound by
     // the sorted-triple output
     "q_triangles" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("m"),
-            unix_micros(col("ts")).as("ts_us"))
-        val edges = graft.operators.RangeJoin.withinIntervalPairs(
-            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
-          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-        graft.operators.Graph.triangles(edges).orderBy("t1", "t2", "t3")
-      },
+      fn = (spark, sfDir) =>
+        graft.operators.Graph.triangles(coClickEdges(spark, sfDir))
+          .orderBy("t1", "t2", "t3"),
       oracle = Some {
         val edgesSql =
           """SELECT DISTINCT x.user_id AS a, y.user_id AS b
@@ -715,17 +750,9 @@ object AnalyticsQueries {
     // one map-side-combined count (see operators/Graph.nodeSimilarity) —
     // never a per-node adjacency-set intersection
     "q_node_similarity" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("m"),
-            unix_micros(col("ts")).as("ts_us"))
-        val edges = graft.operators.RangeJoin.withinIntervalPairs(
-            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
-          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-        graft.operators.Graph.nodeSimilarity(edges).orderBy("a", "b")
-      },
+      fn = (spark, sfDir) =>
+        graft.operators.Graph.nodeSimilarity(coClickEdges(spark, sfDir))
+          .orderBy("a", "b"),
       oracle = Some {
         val edgesSql =
           """SELECT DISTINCT x.user_id AS a, y.user_id AS b
@@ -745,17 +772,7 @@ object AnalyticsQueries {
     // label; output also carries each community's size for readability
     "q_communities" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("m"),
-            unix_micros(col("ts")).as("ts_us"))
-        val pairs = graft.operators.RangeJoin.withinIntervalPairs(
-            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
-          .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
-        val edges = pairs.unionByName(
-          pairs.select(col("dst").as("src"), col("src").as("dst")))
-        val lp = graft.operators.Graph.labelPropagation(edges, iters = 3)
+        val (_, lp) = coClickLp(spark, sfDir)
         val sizes = lp.groupBy(col("community")).agg(count(lit(1)).as("community_size"))
         lp.join(sizes, "community")
           .select(col("node"), col("community"), col("community_size"))
@@ -790,17 +807,8 @@ object AnalyticsQueries {
     // output judgeable instead of just well-formed
     "q_modularity" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("m"),
-            unix_micros(col("ts")).as("ts_us"))
-        val pairs = graft.operators.RangeJoin.withinIntervalPairs(
-            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
-          .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
-        val edges = pairs.unionByName(
-          pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
-        val lp = graft.operators.Graph.labelPropagation(edges, iters = 3).persist()
+        // staged checkpoints replace the old per-query persist barriers
+        val (edges, lp) = coClickLp(spark, sfDir)
         val m2 = edges.count()
         val lab = lp.select(col("node"), col("community"))
         val intra = edges
@@ -1131,17 +1139,9 @@ object AnalyticsQueries {
     // the triangle orientation and why the cap is also the right
     // semantics) — the "same cluster, not yet linked" screen
     "q_link_prediction" -> QueryEntry(
-      fn = (spark, sfDir) => {
-        val clicks = graft.core.Readers.fixture(spark, sfDir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("m"),
-            unix_micros(col("ts")).as("ts_us"))
-        val edges = graft.operators.RangeJoin.withinIntervalPairs(
-            clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
-          .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-        graft.operators.Graph.linkPrediction(edges, maxCenterDeg = 30, topN = 20)
-      },
+      fn = (spark, sfDir) =>
+        graft.operators.Graph.linkPrediction(coClickEdges(spark, sfDir),
+          maxCenterDeg = 30, topN = 20),
       oracle = Some {
         val edgesSql =
           """SELECT DISTINCT x.user_id AS a, y.user_id AS b

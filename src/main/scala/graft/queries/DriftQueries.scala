@@ -713,16 +713,9 @@ object DriftQueries {
     "text_js_divergence" -> QueryEntry(
       fn = (spark, sfDir) => {
         val Ln2 = graft.operators.Selection.Ln2Micro
-        val ex = Readers.spread(
-          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
-          .filter(col("source").isNotNull)
-          .select(col("source"), explode(tokens(col("text"))).as("term"))
-        val staged = ex.persist()
-        val head = staged.groupBy("term").agg(count(lit(1)).as("tf"))
-          .orderBy(col("tf").desc, col("term").asc).limit(50)
-          .select("term")
-        val st = staged.join(broadcast(head), "term")
-          .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        // the (source, head-term) distribution is the staged stage shared
+        // with text_source_vocab_l1 (TextQueries.srcHeadTerms)
+        val (st, head) = TextQueries.srcHeadTerms(spark, sfDir)
         val totals = st.groupBy("source").agg(sum(col("n")).as("tot"))
           .filter(col("tot") > 0)
         val cells = totals.crossJoin(broadcast(head))

@@ -1534,22 +1534,12 @@ object EventQueries {
       fn = (spark, sfDir) => {
         // ONE source stream self-joined (attributionJoin filters each side);
         // measured equivalent to two separate readStream instances — the
-        // cost is join-state machinery, not the source scan.
-        //
-        // State partitioning is sized to the stream volume: an interval
-        // join runs FOUR state stores per shuffle partition and commits all
-        // of them every microbatch, so partition count is a per-batch
-        // overhead floor independent of data. StreamProbes (r13): at this
-        // fixture scale 32 partitions = 6.2-7.6 s vs 8 partitions =
-        // 2.5-2.9 s with identical output (the batch-equivalent compute is
-        // 0.5-1.6 s). Partitioning is fixed at query start from the
-        // session's shuffle partitions — an isolated child session carries
-        // the stream-sized setting without touching the caller's; a
-        // production deployment raises it with event rate (state volume per
-        // partition, the real sizing rule, is unaffected by correctness).
-        val ss = spark.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val ev = graft.streaming.EventStreams.readEvents(ss, rawEventsDir(sfDir))
+        // cost is join-state machinery, not the source scan. State
+        // partitioning is sized by runToBatch (the interval join runs FOUR
+        // state stores per partition and commits all of them every
+        // microbatch — StreamProbes r13: 32p = 6.2-7.6 s vs 8p = 2.5-2.9 s,
+        // identical output, batch-equivalent compute 0.5-1.6 s).
+        val ev = graft.streaming.EventStreams.readEvents(spark, rawEventsDir(sfDir))
         val joined = graft.streaming.EventStreams.attributionJoin(ev, ev, AttributionUs)
         graft.streaming.EventStreams.runToBatch(joined,
           s"ev_attr_${System.nanoTime()}", org.apache.spark.sql.streaming.OutputMode.Append)

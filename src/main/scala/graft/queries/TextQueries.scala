@@ -133,6 +133,50 @@ object TextQueries {
                                      sfDir: String): org.apache.spark.sql.DataFrame =
     bpeMergesMemo(spark, sfDir)
 
+  /** The shared per-source head-term distribution: the global top-50 term
+    * list and the (source, term, n) counts restricted to it —
+    * text_source_vocab_l1 and text_js_divergence (DriftQueries) each
+    * rebuilt exactly this explode + two aggregates before comparing the
+    * resulting distributions pairwise.
+    */
+  private val srcHeadTermMemo = new graft.core.Staging[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()(
+    { (spark, sfDir) =>
+      val ex = Readers.spread(
+        Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
+        .filter(col("source").isNotNull)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .persist()
+      val head = ex.groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term").asc).limit(50)
+        .select("term").localCheckpoint()
+      val stHead = ex.join(broadcast(head), "term")
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      ex.unpersist(blocking = false)
+      (stHead, head)
+    })
+
+  /** (per-source head-term counts, the top-50 head) — see [[srcHeadTermMemo]]. */
+  private[graft] def srcHeadTerms(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    srcHeadTermMemo(spark, sfDir)
+
+  /** The per-doc bigram-LM cross-entropy table over the full corpus
+    * ([[graft.operators.Vocab.lmXent]]) — the LM build is the expensive
+    * stage and three queries consumed their own copy (text_lm_xent,
+    * corpus_ppl_buckets, corpus_domain_reweight). The waterfall's gate-5
+    * xent is NOT shareable (it trains on the gate-4 survivor slice).
+    */
+  private val lmXentMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
+    (spark, sfDir) => graft.operators.Vocab.lmXent(
+      Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id")),
+      "doc_id", "text").localCheckpoint())
+
+  private[graft] def lmXentShared(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): org.apache.spark.sql.DataFrame =
+    lmXentMemo(spark, sfDir)
+
   val entries: Map[String, QueryEntry] = Map(
 
     // token/char stats + quality score per document
@@ -384,16 +428,7 @@ object TextQueries {
     // is ≤|sources|²·k narrow rows. NULL sources excluded as usual
     "text_source_vocab_l1" -> QueryEntry(
       fn = (spark, sfDir) => {
-        val docs = Readers.spread(
-          Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
-          .filter(col("source").isNotNull)
-          .select(col("source"), explode(tokens(col("text"))).as("term"))
-        val staged = docs.persist()
-        val top = staged.groupBy("term").agg(count(lit(1)).as("tf"))
-          .orderBy(col("tf").desc, col("term").asc).limit(50)
-          .select("term")
-        val st = staged.join(broadcast(top), "term")
-          .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        val (st, _) = srcHeadTerms(spark, sfDir)
         val totals = st.groupBy("source").agg(sum(col("n")).as("tot"))
         val shares = st.join(totals, "source")
           .select(col("source"), col("term"), expr("n * 1000000 div tot").as("share"))
@@ -1002,10 +1037,7 @@ object TextQueries {
     // text_lm_score; the ln staging is two extra columns on the vocab-sized
     // LM table, not on the corpus
     "text_lm_xent" -> QueryEntry(
-      fn = (spark, sfDir) =>
-        graft.operators.Vocab.lmXent(
-          Readers.spread(Readers.fixture(spark, sfDir, "documents"), col("doc_id")),
-          "doc_id", "text").orderBy("doc_id"),
+      fn = (spark, sfDir) => lmXentShared(spark, sfDir).orderBy("doc_id"),
       oracle = Some(
         s"""WITH ${graft.operators.Vocab.duckLmXentCtes(duckTokens("text"))}
            SELECT doc_id, n_bigrams, mean_xent_micro FROM xent ORDER BY doc_id""")),
@@ -1019,7 +1051,7 @@ object TextQueries {
       fn = (spark, sfDir) => {
         val docs = Readers.spread(
           Readers.fixture(spark, sfDir, "documents"), col("doc_id"))
-        val x = graft.operators.Vocab.lmXent(docs, "doc_id", "text")
+        val x = lmXentShared(spark, sfDir)
         docs.select(col("doc_id"), col("source"), col("n_chars"))
           .join(x, "doc_id")
           .withColumn("band", expr("mean_xent_micro div 500000"))

@@ -597,10 +597,28 @@ object EventStreams {
       }
       .start()
 
-  def runToBatch(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+  /** Drain a stream to a memory table and return it as a batch frame.
+    *
+    * `statePartitions` sizes the query's state/shuffle partitioning — fixed
+    * at query START from the session conf, so it is set here (and restored
+    * after) rather than per caller. Every stateful operator commits one
+    * state store per partition per microbatch, so partition count is a
+    * per-batch overhead floor independent of data (StreamProbes r13: the
+    * 4-store interval join read 6.2-7.6 s at 32 partitions vs 2.5-2.9 s at
+    * 8, identical output). 8 fits the fixture-scale streams; a production
+    * deployment sizes it to state volume per partition — correctness never
+    * depends on it.
+    */
+  def runToBatch(df: DataFrame, name: String, mode: OutputMode,
+                 statePartitions: Int = 8): DataFrame = {
+    val sess = df.sparkSession
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 }
