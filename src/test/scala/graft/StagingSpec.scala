@@ -186,6 +186,48 @@ class StagingSpec extends SparkSpec {
     SimilarityStaging.release(sfDir)
   }
 
+  test("r13 staged stages are value-identical to their fresh formulations") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis.tokens
+    // LM cross-entropy table == a fresh Vocab.lmXent pass
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    def xentSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_bigrams", "mean_xent_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(xentSet(graft.queries.TextQueries.lmXentShared(spark, sfDir)) ==
+      xentSet(graft.operators.Vocab.lmXent(docs, "doc_id", "text")))
+    // source head-term counts == the fresh explode + top-50 + counts
+    val ex = docs.filter(col("source").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val freshHead = ex.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(50).select("term")
+    val freshSt = ex.join(broadcast(freshHead), "term")
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    val (st, head) = graft.queries.TextQueries.srcHeadTerms(spark, sfDir)
+    def stSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(stSet(st) == stSet(freshSt))
+    assert(head.collect().map(_.getString(0)).toSet ==
+      freshHead.collect().map(_.getString(0)).toSet)
+    // co-click LPA labels == a fresh propagation over a fresh edge list
+    val clicks = Readers.fixture(spark, sfDir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("m"),
+        unix_micros(col("ts")).as("ts_us"))
+    val freshPairs = graft.operators.RangeJoin.withinIntervalPairs(
+        clicks, "user_id", "m", "ts_us", tolerance = 1800000000L)
+      .select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+    val freshEdges = freshPairs.unionByName(
+      freshPairs.select(col("dst").as("src"), col("src").as("dst")))
+    val freshLp = graft.operators.Graph.labelPropagation(freshEdges, iters = 3)
+    val (_, lp) = graft.queries.AnalyticsQueries.coClickLp(spark, sfDir)
+    def lpSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "community").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lpSet(lp) == lpSet(freshLp))
+  }
+
   test("purchaseEdges release hook drops the staged edge list") {
     // a prior suite in this JVM may have staged it already — start clean
     graft.queries.AnalyticsQueries.releasePurchaseEdges(sfDir)
