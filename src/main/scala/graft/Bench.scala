@@ -98,6 +98,7 @@ object Bench {
           queries.DedupStaging.prefixDocs(spark, sfDir), 1, 2)
         .write.format("noop").mode("overwrite").save()
       queries.DedupStaging.clusters(spark, sfDir)
+      queries.DedupStaging.paraSigs(spark, sfDir)
       // similarity staging: trained centroids/assignments, PQ codebooks, JL
       // sketch, exact ground truth — all eager localCheckpoints, so touching
       // the accessor materializes them
@@ -115,6 +116,7 @@ object Bench {
       // contract as the frames above
       queries.TextQueries.trainedLr(spark, sfDir)
       queries.TextQueries.lrCharTrained(spark, sfDir)
+      queries.TextQueries.lrBaseTrained(spark, sfDir)
       queries.TextQueries.bpeSegShared(spark, sfDir)
       queries.TextQueries.bpeMergesShared(spark, sfDir)
       queries.TextQueries.srcHeadTerms(spark, sfDir)

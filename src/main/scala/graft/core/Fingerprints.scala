@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType, StructType}
 
 import graft.canon.Canon
+import graft.core.Readers
 import graft.functions.{Digests, GraftFunctions}
 
 /** Verification run configuration — mirrors the reference's `Config` defaults
@@ -80,7 +81,17 @@ object Fingerprints {
     */
   def hashedRows(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): DataFrame = {
     val cols = hashableColumns(df, spec)
-    df.select(
+    // spread BEFORE the per-row canonicalize+md5 projection (r13; guide §2.5
+    // input skew / §6): a single-row-group parquet file — the fixture shape,
+    // and the small-file shape generally — is unsplittable, so without the
+    // repartition the whole table's md5 work pipelines into ONE scan task
+    // no matter how many cores the session has. Keyed by the first PK
+    // column (uniform for any real key; digests are global-sort/aggregate
+    // shaped, so partitioning never changes a result); no-PK specs keep the
+    // scan shape (their only hash consumers are PK-free aggregates).
+    val spreadDf =
+      if (spec.pks.nonEmpty) Readers.spreadBySize(df, col(spec.pks.head)) else df
+    spreadDf.select(
       Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k"),
       Canon.rowHash(df.schema, cols, cfg.tsPrecision, spec.jsonColumns).as("h"))
   }
@@ -235,8 +246,20 @@ object Fingerprints {
     * column's count/min/max (e.g. swapping two mid-range values) passes —
     * run it as the screen, the Merkle/full digest as the confirm.
     */
-  def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String =
-    df.agg(statsDigestCol(df.schema, spec, cfg).as("fp")).head().getString(0)
+  def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
+    // spread before the aggregate for the same single-row-group reason as
+    // [[hashedRows]] — the per-column canonText evaluation for min/max is
+    // the CPU stage. No PK requirement here (stats covers P8 tables), so
+    // key on the whole row; count/min/max are commutative, result unchanged.
+    // key on the hashable (non-map) columns: hash partitioning rejects
+    // MapType, and stats must stay computable for every table shape
+    val keyCols = df.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val spreadDf =
+      if (keyCols.isEmpty) df else Readers.spreadBySize(df, struct(keyCols: _*))
+    spreadDf.agg(statsDigestCol(df.schema, spec, cfg).as("fp")).head().getString(0)
+  }
 
   /** The stats fingerprint as a single aggregate Column over `schema`'s
     * compared columns — the batch mode above and the streaming continuous
@@ -395,7 +418,12 @@ object Fingerprints {
     // pk columns ride along (aliased positionally so they can't collide with
     // k/h/sk) for the composite-PK sparse semantics, which semi-join per column
     val khOpt: Option[(DataFrame, Long)] = if (!needsHash) None else Try {
-      val kh = df.select(
+      // same pre-projection spread as [[hashedRows]] (r13): the one-off
+      // canonicalize+hash pass must not pipeline into a single scan task
+      // when the input is unsplittable (missing PK columns still throw
+      // inside this Try — the per-mode (err) degrade is unchanged)
+      val src = if (spec.pks.nonEmpty) Readers.spreadBySize(df, col(spec.pks.head)) else df
+      val kh = src.select(
         Canon.pkSortKey(df.schema, spec.pks, cfg.hashPrimaryKeys, cfg.tsPrecision).as("k") +:
           Canon.rowHash(df.schema, hashableColumns(df, spec), cfg.tsPrecision, spec.jsonColumns).as("h") +:
           GraftFunctions.md5Signed64(

@@ -174,6 +174,24 @@ object Readers {
   def spread(df: DataFrame, key: Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
+  /** Scale-adaptive spread (r13): partition count derived from the plan's
+    * size estimate — one partition per `bytesPerTask` of input, capped at
+    * defaultParallelism — so a 5-row dimension table pays NO exchange, the
+    * single-row-group fixture fact tables fan out across the machine, and
+    * a genuinely large input behaves exactly like [[spread]] (the cap).
+    * Sources without real statistics estimate huge and take the cap — the
+    * safe side for the CPU-heavy stages this guards. Use before per-row
+    * expensive projections whose input may be unsplittable; results must
+    * be (and for every caller here are) partitioning-independent.
+    */
+  def spreadBySize(df: DataFrame, key: Column,
+                   bytesPerTask: Long = 256 * 1024): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(df.sparkSession.sparkContext.defaultParallelism)
+    val target = ((bytes / bytesPerTask) min cap) max BigInt(1)
+    if (target <= 1) df else df.repartition(target.toInt, key)
+  }
+
   /** Columns stored as TIMESTAMP(NANOS) in the fixture parquet (TESTDATA.md). */
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 

@@ -231,7 +231,27 @@ object MinHashLSH {
                      numBands: Int, minMatching: Int,
                      dropRatioMicro: Long): DataFrame = {
     val paras = paragraphs(df, idCol, textCol, paraTokens).persist()
-    val pairs = candidatePairs(paras, "pid", "ptext", shingleN, numPerm, numBands)
+    val sigs = signaturesFromShingles(
+      shingled(paras, "pid", "ptext", shingleN), numPerm)
+    val out = paragraphDedupFromStaged(paras, sigs, numPerm, numBands,
+      minMatching, dropRatioMicro)
+    paras.unpersist(blocking = false)
+    out
+  }
+
+  /** [[paragraphDedup]] from pre-staged paragraph units + their signature
+    * frame (r13: the two registered paragraph queries re-tokenized,
+    * re-shingled, and re-signed the whole corpus per invocation — the staged
+    * frames are the persisted paragraph index artifact, the exact
+    * [[DedupStaging]] shingle/signature contract one granularity down).
+    * `paras` is the (doc_id, pid, ptext) unit frame, `sigs` the matching
+    * (id=pid, sig) frame ([[paragraphSigs]] rows); value identity with the
+    * from-text path is StagingSpec-pinned.
+    */
+  def paragraphDedupFromStaged(paras: DataFrame, sigs: DataFrame,
+                               numPerm: Int, numBands: Int, minMatching: Int,
+                               dropRatioMicro: Long): DataFrame = {
+    val pairs = candidatePairsFromSignatures(sigs, numPerm, numBands)
       .filter(col("n_matching") >= minMatching &&
         expr(s"doc_a div $ParaStride") =!= expr(s"doc_b div $ParaStride"))
     val dup = pairs.select(col("doc_b").as("pid")).distinct()
@@ -252,7 +272,6 @@ object MinHashLSH {
     // unpersist each returned frame once done with it.
     val out = result.persist()
     out.count()
-    paras.unpersist(blocking = false)
     out
   }
 

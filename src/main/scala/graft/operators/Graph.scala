@@ -80,8 +80,16 @@ object Graph {
         .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
       case None => nodeSet.withColumn("is_seed", lit(true))
     }).persist()
-    withDeg.count()
-    nodes.count() // materialize BOTH consumers before releasing the edge cache
+    // materialize BOTH consumers before releasing the edge cache; the two
+    // jobs are independent, so overlap them (guide §2.6)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f1 = Future(withDeg.count())
+      val f2 = Future(nodes.count())
+      Await.result(f1, Duration.Inf); Await.result(f2, Duration.Inf)
+    }
     e.unpersist(blocking = false)
     var rank = nodes.select(col("node"),
       when(col("is_seed"), lit(unit)).otherwise(lit(0L)).as("rank"))

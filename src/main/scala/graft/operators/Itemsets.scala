@@ -66,10 +66,22 @@ object Itemsets {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"pairRules: dropped $nWide baskets wider than maxBasketItems=" +
           s"$maxBasketItems frequent items (quadratic fan-out guard)")
-    val fb = fbAll.join(wide, Seq("basket"), "left_anti").persist()
-    val pairs = fb.select(col("basket"), col("item").as("item_a"))
-      .join(fb.select(col("basket"), col("item").as("item_b")), Seq("basket"))
-      .filter(col("item_a") < col("item_b"))
+    val fb = fbAll.join(wide, Seq("basket"), "left_anti")
+    // pair generation without the basket self-join: one aggregate collects
+    // each basket's item set sorted, and an in-task HOF emits the ordered
+    // pairs — the same O(width²) fan-out the join produced and the same
+    // (item_a < item_b) pairs (sorted distinct items, i < j), minus the
+    // join's second full exchange of fb and its persist barrier. Buffer
+    // safety at scale: collect_list runs on the POST-guard frame, so
+    // per-basket aggregation state is ≤ maxBasketItems items — the count
+    // guard above stays constant-state exactly so this buffer stays bounded.
+    val pairs = fb.groupBy("basket")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> struct(x AS item_a, y AS item_b))))")).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minSupport)
     val result = pairs
@@ -84,7 +96,6 @@ object Itemsets {
     result.count()
     b.unpersist(blocking = false)
     freq.unpersist(blocking = false)
-    fb.unpersist(blocking = false)
     wide.unpersist(blocking = false)
     result
   }

@@ -36,10 +36,19 @@ object Quantiles {
       exactGroupRowLimit: Long = ExactGroupRowLimit): (DataFrame, Boolean) = {
     // hottest-group size, not total rows: per-group buffering is the hazard,
     // and a billion-row table with uniform small groups is exact-safe while
-    // a million-row table with one hot group is not
-    val hottest = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("m")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    // a million-row table with one hot group is not. Short-circuit: the
+    // hottest group can never exceed the TOTAL row count, and a plain
+    // count() is a zero-column scan (for a parquet source, row counts come
+    // from footer metadata — no column decode, no exchange), so tables
+    // whose total is already under the limit skip the grouped-count pass
+    // entirely; only genuinely large inputs pay the per-group measurement,
+    // and the degrade decision is unchanged in every case.
+    val total = df.count()
+    val hottest =
+      if (total <= exactGroupRowLimit) total
+      else df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("m")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     val degraded = hottest > exactGroupRowLimit
     if (degraded)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -54,7 +63,14 @@ object Quantiles {
       // exact interpolates to double)
       c.cast("double").as(name)
     } :+ count(lit(1)).as("n")
-    val out = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // spread by VALUE before the aggregate (r13; guide §2.5): percentile's
+    // partial state is a per-value count map built row-by-row, and an
+    // unsplittable input (the single-row-group fixture shape) pipelines all
+    // of it into one task; hashing on the value column spreads the build
+    // across cores while grouping on the (few) group keys would not. The
+    // value-count maps merge commutatively, so the result is unchanged.
+    val data = graft.core.Readers.spread(df, col(valueCol))
+    val out = data.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
       .orderBy(groupCol)
     (out, degraded)
   }

@@ -77,7 +77,16 @@ object Sketches {
     def sketch(df: DataFrame, key: Column): Array[BigInt] =
       df.select(hash64(key).as("h")).distinct().orderBy(col("h").asc).limit(k)
         .collect().map(r => BigInt(r.getDecimal(0).toBigInteger))
-    val (sa, sb) = (sketch(dfA, keyA), sketch(dfB, keyB))
+    // the two sketch builds are independent TakeOrdered jobs — submit both
+    // and let the second back-fill the first's straggler tail (guide §2.6:
+    // actions are only sequential because driver code calls them
+    // sequentially)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val saF = Future(sketch(dfA, keyA))
+    val sbF = Future(sketch(dfB, keyB))
+    val (sa, sb) = (Await.result(saF, Duration.Inf), Await.result(sbF, Duration.Inf))
     def thetaOf(s: Array[BigInt]): BigInt = if (s.length < k) two64 else s.last
     val theta = thetaOf(sa) min thetaOf(sb)
     val (fa, fb) = (sa.filter(_ < theta).toSet, sb.filter(_ < theta).toSet)
@@ -150,9 +159,15 @@ object Sketches {
     posexplode(array((0 until depth).map(i =>
       MinHashLSH.permHash(key.cast("string"), i) % width): _*))
 
-  /** Build the counter table: (d, b, c) with exactly the non-empty cells. */
+  /** Build the counter table: (d, b, c) with exactly the non-empty cells.
+    * The key column is spread across cores first (r13; guide §2.5): the
+    * md5-lane explode is the CPU stage, and an unsplittable input (single
+    * row group, gzip, one hot file) would otherwise pipeline it into one
+    * task; counters are plain counts, so partitioning never changes them.
+    */
   def cmsCounters(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
-    df.select(cmsLanes(key, depth, width).as(Seq("d", "b")))
+    graft.core.Readers.spread(df.select(key.cast("string").as("cms_k")), col("cms_k"))
+      .select(cmsLanes(col("cms_k"), depth, width).as(Seq("d", "b")))
       .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
 
   /** Point-query the sketch for each key in `keys`: the classic min over the
@@ -213,8 +228,16 @@ object Sketches {
     * counters against terabytes of join input.
     */
   def cmsInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame = {
-    val ip = countersA.select(col("d"), col("b"), col("c").as("ca"))
-      .join(broadcast(countersB.select(col("d"), col("b"), col("c").as("cb"))),
+    // each counter table feeds TWO consumers — the inner-product join and
+    // the observed-lane frame below — and without a barrier each consumer
+    // re-ran the full counter build (scan + depth-way explode + aggregate)
+    // from scratch, doubling both input scans. Persist both eagerly-enough
+    // (the 1-row result materializes before release; the PPJoin lesson:
+    // never unpersist ahead of the consuming action).
+    val ca = countersA.persist()
+    val cb = countersB.persist()
+    val ip = ca.select(col("d"), col("b"), col("c").as("ca"))
+      .join(broadcast(cb.select(col("d"), col("b"), col("c").as("cb"))),
         Seq("d", "b"))
       .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("ip"))
     // a lane with ZERO colliding buckets proves the exact join is empty —
@@ -223,10 +246,15 @@ object Sketches {
     // disjoint key sets, and returning no rows at all when no bucket
     // collides anywhere). Left-join from the observed lane frame and
     // coalesce the missing products to 0 so every lane contributes
-    val lanes = countersA.select(col("d"))
-      .union(countersB.select(col("d"))).distinct()
-    lanes.join(ip, Seq("d"), "left")
+    val lanes = ca.select(col("d"))
+      .union(cb.select(col("d"))).distinct()
+    val result = lanes.join(ip, Seq("d"), "left")
       .agg(min(coalesce(col("ip"), lit(0L))).as("est_join"))
+      .persist()
+    result.count()
+    ca.unpersist(blocking = false)
+    cb.unpersist(blocking = false)
+    result
   }
 
   /** The counter-build half of [[duckCms]] as a standalone SELECT — shared

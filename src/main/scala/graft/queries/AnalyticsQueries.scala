@@ -463,14 +463,21 @@ object AnalyticsQueries {
         def seg(p: String) = orders.filter(col("o_orderpriority") === p)
           .select(col("o_custkey").as("k")).distinct()
         val (a, b) = (seg("1-URGENT"), seg("5-LOW"))
-        val est = Sketches.kmvSetOps(a, col("k"), b, col("k"), k = 256)
+        // sketch estimate and exact flag-join are independent driver
+        // actions — overlap them (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val estF = Future(Sketches.kmvSetOps(a, col("k"), b, col("k"), k = 256))
         // exact counts in ONE pass: full-outer flag join of the two key sets
-        val flags = a.withColumn("fa", lit(1L))
+        val flagsF = Future(a.withColumn("fa", lit(1L))
           .join(b.withColumn("fb", lit(1L)), Seq("k"), "full_outer")
           .agg(sum(when(col("fa").isNotNull && col("fb").isNull, 1L).otherwise(0L)),
             sum(when(col("fa").isNotNull && col("fb").isNotNull, 1L).otherwise(0L)),
             count(lit(1L)))
-          .as[(Long, Long, Long)].head()
+          .as[(Long, Long, Long)].head())
+        val est = Await.result(estF, Duration.Inf)
+        val flags = Await.result(flagsF, Duration.Inf)
         val exact = Map("a_minus_b" -> flags._1, "intersect" -> flags._2,
           "union" -> flags._3)
         est.map { case (op, n, e) => (op, n, e, exact(op)) }
@@ -499,11 +506,20 @@ object AnalyticsQueries {
         val spark2 = spark; import spark2.implicits._
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
         val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+        // four independent scalar jobs (2 exact countDistinct, 2 sketch
+        // builds) — fan them out instead of running serially (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val exLi = Future(li.agg(countDistinct(col("l_partkey"))).head().getLong(0))
+        val exO = Future(orders.agg(countDistinct(col("o_custkey"))).head().getLong(0))
+        val kmvLi = Future(Sketches.kmvDistinct(li, col("l_partkey"), 256))
+        val kmvO = Future(Sketches.kmvDistinct(orders, col("o_custkey"), 256))
         Seq(
-          ("l_partkey", li.agg(countDistinct(col("l_partkey"))).head().getLong(0),
-            Sketches.kmvDistinct(li, col("l_partkey"), 256)),
-          ("o_custkey", orders.agg(countDistinct(col("o_custkey"))).head().getLong(0),
-            Sketches.kmvDistinct(orders, col("o_custkey"), 256)))
+          ("l_partkey", Await.result(exLi, Duration.Inf),
+            Await.result(kmvLi, Duration.Inf)),
+          ("o_custkey", Await.result(exO, Duration.Inf),
+            Await.result(kmvO, Duration.Inf)))
           .toDF("key_col", "exact_distinct", "kmv_estimate")
           .orderBy("key_col")
       },
@@ -530,11 +546,19 @@ object AnalyticsQueries {
         val spark2 = spark; import spark2.implicits._
         val li = graft.core.Readers.fixture(spark, sfDir, "lineitem")
         val orders = graft.core.Readers.fixture(spark, sfDir, "orders")
+        // same fan-out as q_distinct_kmv: four independent scalar jobs
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val exLi = Future(li.agg(countDistinct(col("l_partkey"))).head().getLong(0))
+        val exO = Future(orders.agg(countDistinct(col("o_custkey"))).head().getLong(0))
+        val hllLi = Future(Sketches.hllDistinct(li, col("l_partkey")))
+        val hllO = Future(Sketches.hllDistinct(orders, col("o_custkey")))
         Seq(
-          ("l_partkey", li.agg(countDistinct(col("l_partkey"))).head().getLong(0),
-            Sketches.hllDistinct(li, col("l_partkey"))),
-          ("o_custkey", orders.agg(countDistinct(col("o_custkey"))).head().getLong(0),
-            Sketches.hllDistinct(orders, col("o_custkey"))))
+          ("l_partkey", Await.result(exLi, Duration.Inf),
+            Await.result(hllLi, Duration.Inf)),
+          ("o_custkey", Await.result(exO, Duration.Inf),
+            Await.result(hllO, Duration.Inf)))
           .toDF("key_col", "exact_distinct", "hll_estimate")
           .orderBy("key_col")
       },

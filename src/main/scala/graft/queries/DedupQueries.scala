@@ -29,7 +29,7 @@ object DedupQueries {
   private val CdcDivisor = 64
   // paragraph dedup: 10-token units; a paragraph "matches" at >= 12 of 16
   // signature positions (est Jaccard 0.75); a doc drops at >= 60% dup'd
-  private val ParaTokens = 10
+  private val ParaTokens = DedupStaging.ParaTokens
   private val ParaMinMatching = 12
   private val ParaDropRatioMicro = 600000L
 
@@ -334,6 +334,14 @@ object DedupQueries {
         val exact = probe
           .crossJoin(sh.select(col("id").as("id_o"), col("sh").as("sh_o")))
           .filter(col("id_p") =!= col("id_o"))
+          // length prefilter (r13; the PPJoin length bound): J(A,B) =
+          // |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose size
+          // ratio is under the 0.5 floor can never pass the j_micro filter
+          // below — drop them on two O(1) size() reads before paying the
+          // per-pair array_intersect/array_union. Value-identical: a
+          // necessary condition only.
+          .filter(size(col("sh_p")) * 2 >= size(col("sh_o")) &&
+            size(col("sh_o")) * 2 >= size(col("sh_p")))
           .select(least(col("id_p"), col("id_o")).as("doc_a"),
             greatest(col("id_p"), col("id_o")).as("doc_b"),
             expr("(CAST(size(array_intersect(sh_p, sh_o)) AS BIGINT) * 1000000)"
@@ -446,11 +454,17 @@ object DedupQueries {
           .select("doc_a", "doc_b").persist()
         try {
           val nTrue = truePairs.count()
-          val rows = cands.map { case (b, c) =>
+          // per-banding counts + semi-join counts are independent jobs over
+          // persisted frames — overlap them (guide §2.6)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val rowFs = cands.map { case (b, c) => Future {
             val nCand = c.count()
             val hits = truePairs.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
             (b.toLong, nCand, hits, if (nTrue == 0) 0L else hits * 1000000L / nTrue)
-          }
+          } }
+          val rows = rowFs.map(Await.result(_, Duration.Inf))
           rows.toDF("bands", "n_candidates", "n_true_found", "rel_recall_micro")
             .orderBy("bands")
         } finally {
@@ -761,11 +775,13 @@ object DedupQueries {
     // signature positions (est Jaccard 0.75), drop at >= 60% duplicated
     "dedup_paragraph" -> QueryEntry(
       fn = (spark, sfDir) =>
-        MinHashLSH.paragraphDedup(
-          Readers.fixture(spark, sfDir, "documents"), "doc_id", "text",
-          paraTokens = ParaTokens, shingleN = ShingleN, numPerm = NumPerm,
-          numBands = NumBands, minMatching = ParaMinMatching,
-          dropRatioMicro = ParaDropRatioMicro)
+        // staged paragraph units + signature index (r13): value-identical
+        // to the from-text MinHashLSH.paragraphDedup, StagingSpec-pinned
+        MinHashLSH.paragraphDedupFromStaged(
+          DedupStaging.paraUnits(spark, sfDir),
+          DedupStaging.paraSigs(spark, sfDir),
+          numPerm = NumPerm, numBands = NumBands,
+          minMatching = ParaMinMatching, dropRatioMicro = ParaDropRatioMicro)
           .orderBy("doc_id"),
       oracle = Some(MinHashLSH.duckParagraphDedup(
         "documents", "doc_id", "text", ParaTokens, ShingleN, NumPerm,
@@ -781,8 +797,16 @@ object DedupQueries {
       fn = (spark, sfDir) => {
         val docs = Readers.fixture(spark, sfDir, "documents")
         val isNew = col("doc_id") % 10 === 9
-        MinHashLSH.paragraphDedupIncremental(
-          docs.filter(isNew), docs.filter(!isNew), "doc_id", "text",
+        // corpus-side index = a doc-id SLICE of the staged paragraph
+        // signature frame (a paragraph's signature depends only on its own
+        // text, so the slice equals a fresh corpus-side build — the
+        // dedup_incremental staged-slice convention; StagingSpec-pinned).
+        // Only the delta tokenizes/shingles/signs per run: O(delta + index).
+        MinHashLSH.paragraphDedupFromIndex(
+          docs.filter(isNew),
+          DedupStaging.paraSigs(spark, sfDir)
+            .filter(expr(s"(id div ${MinHashLSH.ParaStride}) % 10") =!= 9),
+          "doc_id", "text",
           ParaTokens, ShingleN, NumPerm, NumBands,
           ParaMinMatching, ParaDropRatioMicro)
           .orderBy("doc_id")

@@ -41,6 +41,8 @@ object DedupStaging {
   val ShingleN = 3
   val NumPerm = 16
   val NumBands = 4
+  /** Paragraph unit width (dedup_paragraph family). */
+  val ParaTokens = 10
 
   private final case class Staged(sh: DataFrame, sigs: DataFrame,
                                   simhash: DataFrame, prefixDocs: DataFrame)
@@ -119,6 +121,35 @@ object DedupStaging {
     MinHashLSH.candidatePairsFromSignatures(
       signatures(spark, sfDir), NumPerm, NumBands)
 
+  /** Paragraph-granularity staging — the (doc_id, pid, ptext) unit frame
+    * and its 16-perm signature index, shared by dedup_paragraph and its
+    * ingest twin (each re-tokenized/shingled/signed the whole corpus per
+    * invocation). The signature frame is the persisted paragraph index
+    * ([[MinHashLSH.paragraphSigs]] rows, id = pid); the incremental twin
+    * SLICES it by doc id — a paragraph's signature depends only on its own
+    * text, so the slice equals a fresh corpus-side index build
+    * (StagingSpec-pinned). Lazy like [[clusters]]: only paragraph consumers
+    * pay the build.
+    */
+  def paraUnits(spark: SparkSession, sfDir: String): DataFrame =
+    paraMemo(spark, sfDir)._1
+
+  def paraSigs(spark: SparkSession, sfDir: String): DataFrame =
+    paraMemo(spark, sfDir)._2
+
+  private val paraMemo = new graft.core.Staging[(DataFrame, DataFrame)]()(
+    { (spark, sfDir) =>
+      val docs = Readers.fixture(spark, sfDir, "documents")
+      val paras = MinHashLSH.paragraphs(docs, "doc_id", "text", ParaTokens)
+        .localCheckpoint()
+      val sh = MinHashLSH.shingled(paras, "pid", "ptext", ShingleN)
+      val sigsRaw = MinHashLSH.signaturesFromShingles(sh, NumPerm)
+      val sigs = sigsRaw.localCheckpoint()
+      sh.unpersist(blocking = false)
+      sigsRaw.unpersist(blocking = false)
+      (paras, sigs)
+    })
+
   /** Deterministically drop a fixture dir's staged frames and their
     * checkpoint blocks. Callers own the ordering: any query plan still
     * holding a released frame will fail (truncated lineage cannot recompute).
@@ -126,5 +157,6 @@ object DedupStaging {
   def release(sfDir: String): Unit = {
     stagedMemo.release(sfDir)
     clusterMemo.release(sfDir)
+    paraMemo.release(sfDir)
   }
 }

@@ -765,22 +765,30 @@ object SimilarityQueries {
         val e = Readers.fixture(spark, sfDir, "embeddings")
         val exact = SimilarityStaging.exactTopK(spark, sfDir, K, queryBound = 8)
         val nQ = exact.select("query_id").distinct().count()
-        Seq(8, 16, 32).map { d =>
-          // the widest (32-dim) projection is the staged family sketch; the
-          // narrower curve points project fresh under a per-point persist
-          val staged32 = d == SimilarityStaging.JlDims
-          val proj =
-            if (staged32) SimilarityStaging.jl32(spark, sfDir)
-            else Similarity.jlProject(e, "vec_id", "embedding",
-              Similarity.planes(d, Dims)).persist()
-          val shortlist = Similarity.jlTopK(proj.filter(col("vec_id") < 8), proj, 5 * K)
-          val rr = Similarity.rerankExact(shortlist, e, K)
-          val hits = exact.select("query_id", "neighbor_id")
-            .join(rr.select("query_id", "neighbor_id"),
-              Seq("query_id", "neighbor_id"), "left_semi")
-            .count()
-          if (!staged32) proj.unpersist(blocking = false)
-          (d.toLong, hits, hits * 1000000L / (K * nQ))
+        // the three curve points are independent job chains — overlap them
+        // (guide §2.6); each point's persist/unpersist stays inside its own
+        // future, so lifecycles don't cross
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Seq(8, 16, 32).map { d => Future {
+            // the widest (32-dim) projection is the staged family sketch; the
+            // narrower curve points project fresh under a per-point persist
+            val staged32 = d == SimilarityStaging.JlDims
+            val proj =
+              if (staged32) SimilarityStaging.jl32(spark, sfDir)
+              else Similarity.jlProject(e, "vec_id", "embedding",
+                Similarity.planes(d, Dims)).persist()
+            val shortlist = Similarity.jlTopK(proj.filter(col("vec_id") < 8), proj, 5 * K)
+            val rr = Similarity.rerankExact(shortlist, e, K)
+            val hits = exact.select("query_id", "neighbor_id")
+              .join(rr.select("query_id", "neighbor_id"),
+                Seq("query_id", "neighbor_id"), "left_semi")
+              .count()
+            if (!staged32) proj.unpersist(blocking = false)
+            (d.toLong, hits, hits * 1000000L / (K * nQ))
+          } }.map(Await.result(_, Duration.Inf))
         }.pipe { rows =>
           val spark2 = spark; import spark2.implicits._
           rows.toDF("jl_dims", "n_hits", "mean_recall_micro")

@@ -491,7 +491,9 @@ class PlanSpec extends SparkSpec {
     val df = graft.operators.Itemsets.pairRules(baskets, minSupport = 5L)
     val plan = df.queryExecution.executedPlan.toString
     // the only permitted product is the broadcast of the 1-row basket count;
-    // the pair step itself must be a basket-keyed equi-join
+    // the pair step is a basket-keyed aggregate + in-task HOF pair
+    // generation (r13: replaced the basket self-join), so no join in the
+    // plan may be a product and counts must stay map-side partial
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }

@@ -228,6 +228,46 @@ class StagingSpec extends SparkSpec {
     assert(lpSet(lp) == lpSet(freshLp))
   }
 
+  test("staged paragraph units/signatures are value-identical to fresh passes") {
+    import org.apache.spark.sql.functions._
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val P = DedupStaging.ParaTokens
+    // full two-pass off the staged frames == the from-text operator
+    def docSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_paras", "n_dup_paras", "dup_ratio_micro")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = MinHashLSH.paragraphDedup(docs, "doc_id", "text", P,
+      DedupStaging.ShingleN, DedupStaging.NumPerm, DedupStaging.NumBands,
+      minMatching = 12, dropRatioMicro = 600000L)
+    val staged = MinHashLSH.paragraphDedupFromStaged(
+      DedupStaging.paraUnits(spark, sfDir), DedupStaging.paraSigs(spark, sfDir),
+      DedupStaging.NumPerm, DedupStaging.NumBands,
+      minMatching = 12, dropRatioMicro = 600000L)
+    assert(docSet(staged) == docSet(fresh))
+    // the incremental twin's corpus index: staged-slice == fresh build
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val sliced = DedupStaging.paraSigs(spark, sfDir)
+      .filter(expr(s"(id div ${MinHashLSH.ParaStride}) % 10") =!= 9)
+    val freshCorpus = MinHashLSH.paragraphSigs(
+      docs.filter(col("doc_id") % 10 =!= 9), "doc_id", "text", P,
+      DedupStaging.ShingleN, DedupStaging.NumPerm)
+    assert(sigSet(sliced) == sigSet(freshCorpus))
+  }
+
+  test("staged LR base model equals a fresh base-slice train") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LogReg
+    import graft.queries.TextQueries
+    val x = TextQueries.lrFeatures(spark, sfDir).filter(col("doc_id") % 10 =!= 9)
+    val fresh = LogReg.trainWeights(spark, x,
+      Readers.fixture(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 =!= 9).count(),
+      TextQueries.LrBuckets, TextQueries.LrSteps, TextQueries.LrNum,
+      TextQueries.LrDen, init = Some(LogReg.nbInit(x, TextQueries.LrBuckets)))
+    assert(TextQueries.lrBaseTrained(spark, sfDir).toSeq == fresh.toSeq)
+  }
+
   test("purchaseEdges release hook drops the staged edge list") {
     // a prior suite in this JVM may have staged it already — start clean
     graft.queries.AnalyticsQueries.releasePurchaseEdges(sfDir)
