@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Emit forked run output RAW (no [info]/[error] logger prefixes): the bench
+// contract is ONE parseable JSON line on stdout, and sbt's LoggedOutput
+// wrapper prefixed it with "[info] " — unparseable to the driver.
+run / outputStrategy := Some(StdoutOutput)

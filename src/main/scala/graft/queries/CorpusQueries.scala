@@ -70,6 +70,14 @@ object CorpusQueries {
                                 sfDir: String): org.apache.spark.sql.DataFrame =
     dsirWeightsMemo(spark, sfDir)
 
+  /** Bench staging hook: materialize the staged DSIR weight table as its own
+    * TIMED staging_build_* row (the r13 judge's accounting fix — the warmup
+    * previously ran the full corpus_dsir_weights query untimed).
+    */
+  private[graft] def dsirWeightsStaged(spark: org.apache.spark.sql.SparkSession,
+                                       sfDir: String): org.apache.spark.sql.DataFrame =
+    dsirWeightsShared(spark, sfDir)
+
   /** The frozen DSIR scorer (llr map + unseen-bucket default) for
     * corpus_dsir_stream, memoized per fixture dir — plain driver data
     * (≤ DsirBuckets+1 longs), session-independent.
