@@ -85,8 +85,11 @@ object Bench {
     "staging_build_text_lr_trained" -> (() => { queries.TextQueries.trainedLr(spark, sfDir); () }),
     "staging_build_text_lr_chargram" -> (() => { queries.TextQueries.lrCharTrained(spark, sfDir); () }),
     "staging_build_text_lr_base" -> (() => { queries.TextQueries.lrBaseTrained(spark, sfDir); () }),
-    "staging_build_text_bpe_segment" -> (() => { queries.TextQueries.bpeSegShared(spark, sfDir); () }),
+    // merges BEFORE segment: the segmentation applies the merge table's
+    // 4-row prefix (greedy BPE is prefix-stable), so building merges first
+    // keeps each row's seconds attributed to its own artifact
     "staging_build_text_bpe_merges" -> (() => { queries.TextQueries.bpeMergesShared(spark, sfDir); () }),
+    "staging_build_text_bpe_segment" -> (() => { queries.TextQueries.bpeSegShared(spark, sfDir); () }),
     "staging_build_text_src_head_terms" -> (() => { queries.TextQueries.srcHeadTerms(spark, sfDir); () }),
     "staging_build_text_lm_xent" -> (() => { queries.TextQueries.lmXentShared(spark, sfDir); () }),
     "staging_build_corpus_dsir_weights" -> (() => { queries.CorpusQueries.dsirWeightsStaged(spark, sfDir); () }),

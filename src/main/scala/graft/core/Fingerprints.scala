@@ -49,7 +49,11 @@ object TestModes {
   * Scale notes (100 TB target):
   *   - `hashedRows` is a narrow projection: Catalyst prunes the parquet scan
   *     to exactly the hashed columns and the whole row→md5 pipeline is
-  *     whole-stage-codegen'd per partition — no shuffle.
+  *     whole-stage-codegen'd per partition. On a splittable input there is
+  *     no shuffle; only when the planned scan cannot spread (one row group,
+  *     gzip, a single hot file) does a pre-projection repartition fire
+  *     ([[Readers.spreadBySize]]'s splittability gate) so the md5 work is
+  *     not pipelined into one task.
   *   - `exactDigest` needs a global PK-order — a range-partition exchange
   *     (parallel sort) followed by a sequential driver-side MD5 chain.
   *     MD5-chaining is inherently sequential, so byte-parity with the
@@ -246,15 +250,27 @@ object Fingerprints {
     * column's count/min/max (e.g. swapping two mid-range values) passes —
     * run it as the screen, the Merkle/full digest as the confirm.
     */
+  /** Mirror of Spark's hash-partitioning hashability rule: MapType is
+    * rejected wherever it appears in the type tree, not just top-level.
+    */
+  private[core] def typeContainsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => typeContainsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => typeContainsMap(a.elementType)
+      case _ => false
+    }
+
   def statsDigest(df: DataFrame, spec: TableSpec, cfg: VerifyConfig): String = {
     // spread before the aggregate for the same single-row-group reason as
     // [[hashedRows]] — the per-column canonText evaluation for min/max is
     // the CPU stage. No PK requirement here (stats covers P8 tables), so
     // key on the whole row; count/min/max are commutative, result unchanged.
-    // key on the hashable (non-map) columns: hash partitioning rejects
-    // MapType, and stats must stay computable for every table shape
-    val keyCols = df.schema.fields.filterNot(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // key on the hashable columns only: hash partitioning rejects MapType
+    // at ANY nesting depth (a struct/array wrapping a map is just as
+    // unhashable — r13 advisor), and stats must stay computable for every
+    // table shape; when nothing hashable remains, no spread
+    val keyCols = df.schema.fields.filterNot(f => typeContainsMap(f.dataType))
       .map(f => col(f.name)).toSeq
     val spreadDf =
       if (keyCols.isEmpty) df else Readers.spreadBySize(df, struct(keyCols: _*))

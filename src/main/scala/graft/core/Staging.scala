@@ -88,6 +88,14 @@ object Staging {
     case _ => ()
   }
 
+  /** Release the checkpoint blocks reachable from ONE frame — the
+    * deterministic-release seam for operators that localCheckpoint a
+    * per-invocation intermediate (not a memo-staged artifact) and must not
+    * leave its blocks to GC (r14: pageRank's co-partitioned edge frame).
+    */
+  def releaseFrame(ds: Dataset[_]): Unit =
+    checkpointRdds(ds).foreach(r => Try(r.unpersist(blocking = false)))
+
   /** The RDDs behind a frame's `LogicalRDD` leaves — for a localCheckpoint-ed
     * frame (or anything derived from one) these are exactly the persisted
     * checkpoint RDDs; unpersisting a never-persisted LogicalRDD (e.g. a

@@ -183,13 +183,29 @@ object Readers {
     * safe side for the CPU-heavy stages this guards. Use before per-row
     * expensive projections whose input may be unsplittable; results must
     * be (and for every caller here are) partitioning-independent.
+    *
+    * Splittability gate (r13 advisor): a big SPLITTABLE table already scans
+    * in parallel, and repartitioning raw rows in front of the projection
+    * would be a full-table exchange that exists only to "spread" work the
+    * scan spreads natively — at 100 TB, pure cost. So the spread fires only
+    * when the planned scan's actual partition count is well below the
+    * target (one row group, gzip, a single hot file); a scan already at
+    * half the target parallelism or better keeps its native split shape
+    * and pays NO exchange.
     */
   def spreadBySize(df: DataFrame, key: Column,
                    bytesPerTask: Long = 256 * 1024): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val cap = BigInt(df.sparkSession.sparkContext.defaultParallelism)
     val target = ((bytes / bytesPerTask) min cap) max BigInt(1)
-    if (target <= 1) df else df.repartition(target.toInt, key)
+    if (target <= 1) df
+    else {
+      // physical-planning only (no job): the scan's real split count
+      val scanParts =
+        try df.rdd.getNumPartitions catch { case _: Throwable => 1 }
+      if (2 * scanParts >= target.toInt) df
+      else df.repartition(target.toInt, key)
+    }
   }
 
   /** Columns stored as TIMESTAMP(NANOS) in the fixture parquet (TESTDATA.md). */

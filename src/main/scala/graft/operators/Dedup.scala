@@ -231,11 +231,18 @@ object MinHashLSH {
                      numBands: Int, minMatching: Int,
                      dropRatioMicro: Long): DataFrame = {
     val paras = paragraphs(df, idCol, textCol, paraTokens).persist()
-    val sigs = signaturesFromShingles(
-      shingled(paras, "pid", "ptext", shingleN), numPerm)
+    // capture the internally-persisted stages so THIS path releases them
+    // once the staged call has materialized its output (r13 advisor: the
+    // shingle frame — and the signature frame signatureAgg persists — were
+    // never unpersisted on the from-text path, one leaked cache entry each
+    // per call for library callers outside Bench's cache-clearing loop)
+    val sh = shingled(paras, "pid", "ptext", shingleN)
+    val sigs = signaturesFromShingles(sh, numPerm)
     val out = paragraphDedupFromStaged(paras, sigs, numPerm, numBands,
       minMatching, dropRatioMicro)
     paras.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
     out
   }
 

@@ -66,29 +66,43 @@ object Graph {
     // applies to the join back. The caller's (arbitrarily expensive) edge
     // expression persists once and feeds degree, annotation, and node set
     val e = edges.persist()
-    val withDeg = e
+    // EAGER localCheckpoint instead of persist for the two frames every
+    // iteration re-reads (r14, VERDICT item 5 — outcome differs from the
+    // hypothesis, measured + plan-verified): TRUE co-partitioning is not
+    // achievable on this Spark build — neither a persisted frame's layout
+    // (InMemoryTableScan under AQE, any canChangeCachedPlanOutputPartitioning
+    // value) nor a checkpointed one (LogicalRDD records
+    // UnknownPartitioning(0); an explicit repartition before the checkpoint
+    // is therefore pure build-time cost) reaches the per-round join's
+    // EnsureRequirements, so the |E|-frame exchange per round is a floor
+    // (R14Prim + plans/r14 dumps). What the checkpoint DOES buy, and why it
+    // replaced persist: lineage truncation (final plan 1347 → 654 lines —
+    // every barrier/result action re-analyzes a two-node tree, the kCore
+    // lesson) and ACCURATE LogicalRDD stats for AQE's per-round planning
+    // (R14Prim: fixture-scale edge frames flip SMJ → BHJ on checkpointed
+    // inputs where the same persisted frames stayed SMJ). Probed
+    // q_pagerank 3.07 → 2.46 s, q_ppr_seeds 2.79 → 2.28 s min-of-3. The two
+    // independent eager materializations overlap as Futures (§2.6).
+    val withDegExpr = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .persist()
     val nodeSet = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // seed flag as a node-frame annotation: uniform PageRank marks every
     // node a seed, so one code path serves both variants
-    val nodes = (seeds match {
+    val nodesExpr = seeds match {
       case Some(s) => nodeSet.join(
           s.select(col("node")).distinct().withColumn("is_seed", lit(true)),
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
       case None => nodeSet.withColumn("is_seed", lit(true))
-    }).persist()
-    // materialize BOTH consumers before releasing the edge cache; the two
-    // jobs are independent, so overlap them (guide §2.6)
-    locally {
+    }
+    val (withDeg, nodes) = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val f1 = Future(withDeg.count())
-      val f2 = Future(nodes.count())
-      Await.result(f1, Duration.Inf); Await.result(f2, Duration.Inf)
+      val f1 = Future(withDegExpr.localCheckpoint())
+      val f2 = Future(nodesExpr.localCheckpoint())
+      (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
     }
     e.unpersist(blocking = false)
     var rank = nodes.select(col("node"),
@@ -124,8 +138,11 @@ object Graph {
       result.count()
       result
     } finally {
-      withDeg.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
+      // deterministic release of the checkpointed co-partitioned frames
+      // (Dataset.unpersist is a no-op on checkpoint blocks — the r11
+      // finding; Staging.releaseFrame walks the LogicalRDD leaves)
+      graft.core.Staging.releaseFrame(withDeg)
+      graft.core.Staging.releaseFrame(nodes)
       barrier.foreach(_.unpersist(blocking = false))
     }
   }
@@ -215,6 +232,11 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth must be non-negative")
+    // NOT co-partitioned (r14, measured): the per-round frontier join plans
+    // as a BROADCAST of the (small) frontier — the edge side streams with
+    // no distribution requirement, so a build-time repartition is pure
+    // exchange cost (probed: 2.61 s -> 3.87 s min-of-3 WITH the repartition;
+    // reverted)
     val e = edges.select(col("src"), col("dst")).persist()
     var visited = sources.select(col("node")).distinct()
       .withColumn("level", lit(0L)).persist()
@@ -611,6 +633,11 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val M = 256
+    // NOT co-partitioned (r14, measured): callers pass an already-staged
+    // (localCheckpoint-ed) edge frame, and inserting a repartition+persist
+    // in front of it probed SLOWER (2.09 s -> 2.78 s min-of-3) — the
+    // per-round exchange it would save is a 32-partition shuffle of a
+    // small frame, cheaper than the extra cache layer
     val nodes = edges.select(col("src").as("node")).distinct()
     val (reg, rho) = Sketches.hllRhoCols(col("node"))
     // packed state: ONE row per node, a dense array<smallint> of 256 max

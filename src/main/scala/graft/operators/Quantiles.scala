@@ -37,18 +37,31 @@ object Quantiles {
     // hottest-group size, not total rows: per-group buffering is the hazard,
     // and a billion-row table with uniform small groups is exact-safe while
     // a million-row table with one hot group is not. Short-circuit: the
-    // hottest group can never exceed the TOTAL row count, and a plain
-    // count() is a zero-column scan (for a parquet source, row counts come
-    // from footer metadata — no column decode, no exchange), so tables
-    // whose total is already under the limit skip the grouped-count pass
-    // entirely; only genuinely large inputs pay the per-group measurement,
-    // and the degrade decision is unchanged in every case.
-    val total = df.count()
-    val hottest =
-      if (total <= exactGroupRowLimit) total
-      else df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // hottest group can never exceed the TOTAL row count, and for a BARE
+    // source scan a plain count() is metadata-only (parquet footer row
+    // counts — no column decode, no exchange). For derived inputs
+    // (filters/joins/generated columns) count() is a real job, so those go
+    // straight to the one grouped-count pass (r13 advisor: the
+    // unconditional count was an extra full pass, and over-threshold
+    // inputs paid BOTH passes). The degrade decision is identical either
+    // way: hottest <= total, so total <= limit implies not-degraded, and
+    // the grouped max answers it exactly otherwise.
+    def hottestViaGroups(): Long =
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("m")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    val metadataCountable = df.queryExecution.optimizedPlan.collect {
+      case n => n
+    }.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
+    val hottest =
+      if (metadataCountable) {
+        val total = df.count()
+        if (total <= exactGroupRowLimit) total else hottestViaGroups()
+      } else hottestViaGroups()
     val degraded = hottest > exactGroupRowLimit
     if (degraded)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -68,8 +81,13 @@ object Quantiles {
     // unsplittable input (the single-row-group fixture shape) pipelines all
     // of it into one task; hashing on the value column spreads the build
     // across cores while grouping on the (few) group keys would not. The
-    // value-count maps merge commutatively, so the result is unchanged.
-    val data = graft.core.Readers.spread(df, col(valueCol))
+    // value-count maps merge commutatively, so the EXACT result is
+    // unchanged. The DEGRADED path keeps the caller's partitioning (r13
+    // advisor): approx_percentile's Greenwald-Khanna sketch is
+    // merge-order-sensitive, so re-keying there could shift the sketch
+    // output relative to the undecorated plan.
+    val data =
+      if (degraded) df else graft.core.Readers.spread(df, col(valueCol))
     val out = data.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
       .orderBy(groupCol)
     (out, degraded)

@@ -293,6 +293,19 @@ object Vocab {
     import spark.implicits._
     val merges = bpeMerges(docs, textCol, iters)
       .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    bpeSegmentWithMerges(docs, idCol, textCol, merges)
+  }
+
+  /** Apply-only half of [[bpeSegment]]: fold an ALREADY-TRAINED merge list
+    * over the corpus (r14). Greedy BPE training is prefix-stable — merge
+    * i+1 depends only on merges 1..i and the deterministic argmax — so the
+    * first k rows of a longer-trained merge table ARE the k-iteration
+    * training, and a caller holding a staged merge table segments without
+    * re-training (StagingSpec pins prefix == short-training and
+    * staged-seg == fresh-seg).
+    */
+  def bpeSegmentWithMerges(docs: DataFrame, idCol: String, textCol: String,
+                           merges: Seq[(String, String)]): DataFrame = {
     var words = graft.core.Readers.spread(
       docs.select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "seg"))), col("doc_id"))

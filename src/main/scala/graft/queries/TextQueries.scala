@@ -134,9 +134,19 @@ object TextQueries {
     * text_bpe_fertility, which re-trained and re-segmented independently.
     */
   private val bpeSegMemo = new graft.core.Staging[org.apache.spark.sql.DataFrame]()(
-    (spark, sfDir) => graft.operators.Vocab.bpeSegment(
-      Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", iters = 4)
-      .localCheckpoint())
+    { (spark, sfDir) =>
+      // greedy BPE is prefix-stable (merge i+1 depends only on merges 1..i
+      // and the deterministic argmax tiebreak), so the 4-iteration
+      // segmentation applies the FIRST 4 rows of the staged 8-merge table
+      // instead of training a second 4-iteration fold from scratch (r14:
+      // the seg staging row re-ran bpeMerges end-to-end; StagingSpec pins
+      // prefix == short-training and staged-seg == fresh-seg)
+      val merges = bpeMergesShared(spark, sfDir).orderBy("it").collect()
+        .take(4).map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Vocab.bpeSegmentWithMerges(
+        Readers.fixture(spark, sfDir, "documents"), "doc_id", "text", merges)
+        .localCheckpoint()
+    })
 
   private[graft] def bpeSegShared(spark: org.apache.spark.sql.SparkSession,
                                   sfDir: String): org.apache.spark.sql.DataFrame =

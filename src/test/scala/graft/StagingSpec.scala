@@ -281,4 +281,73 @@ class StagingSpec extends SparkSpec {
     // rebuilds on next access
     assert(graft.queries.AnalyticsQueries.purchaseEdges(spark, sfDir).count() == n)
   }
+
+  test("waterfall gate-7 device: staged LR feature slice == fresh featurization of the slice") {
+    // featurization is per-doc-local (tokenize -> bigram -> bucket -> per-doc
+    // counts + one bias row), so slicing the staged full-corpus feature
+    // frame by doc id must equal featurizing the sliced docs directly --
+    // the equivalence corpus_waterfall's gate 7 relies on (r14)
+    import graft.operators.LogReg
+    import graft.queries.TextQueries
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val subset = docs.filter(col("doc_id") % 3 === 1)
+    val fresh = LogReg.features(subset, "doc_id", "text",
+      col("lang") === "en", TextQueries.LrBuckets)
+    val sliced = TextQueries.lrFeatures(spark, sfDir)
+      .join(subset.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def featSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(featSet(sliced) == featSet(fresh))
+  }
+
+  test("waterfall gate-3 device: staged shingle slice decontamination == contaminatedIds") {
+    // a doc's shingle set depends only on its own text, so the staged
+    // full-corpus shingle frame sliced by doc id drives the same
+    // eval-overlap decision as re-shingling the survivor slice (r14)
+    import org.apache.spark.sql.functions.{broadcast, explode}
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 100 === 7
+    val train = docs.filter(!isEval)
+    val eval_ = docs.filter(isEval)
+    val fresh = graft.operators.Corpus.contaminatedIds(
+      train, eval_, "doc_id", "text", shingleN = DedupStaging.ShingleN)
+      .collect().map(_.getLong(0)).toSet
+    val stagedSh = DedupStaging.shingles(spark, sfDir)
+    val evalShingles = stagedSh
+      .join(eval_.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val sliced = stagedSh
+      .join(train.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(col("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sliced == fresh)
+  }
+
+  test("BPE prefix stability: first k merges of a longer training == k-iteration training") {
+    // greedy BPE computes merge i+1 from merges 1..i with a deterministic
+    // argmax, so a longer-trained merge table's prefix IS the shorter
+    // training -- the equivalence the staged 4-iter segmentation relies on
+    // when it applies the staged 8-merge table's first 4 rows (r14)
+    import graft.operators.Vocab
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("it").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val long = rows(Vocab.bpeMerges(docs, "text", iters = 6)).take(3)
+    val short = rows(Vocab.bpeMerges(docs, "text", iters = 3))
+    assert(long == short)
+  }
+
+  test("staged BPE segmentation (merge-prefix apply) == fresh 4-iteration bpeSegment") {
+    import graft.operators.Vocab
+    import graft.queries.TextQueries
+    val docs = Readers.fixture(spark, sfDir, "documents")
+    def segSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fresh = segSet(Vocab.bpeSegment(docs, "doc_id", "text", iters = 4))
+    val staged = segSet(TextQueries.bpeSegShared(spark, sfDir))
+    assert(staged == fresh)
+  }
 }
