@@ -206,13 +206,23 @@ object LogReg {
                         grams: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                         textCol: String, label: org.apache.spark.sql.Column,
                         buckets: Int, presence: Boolean = true): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      label.cast("long").as("y"), grams(col(textCol)).as("__g"))
-    base.select(col("doc_id"), col("y"), explode(col("__g")).as("bg"))
+    // spread BEFORE the gram explode (r14; guide §2.5): the per-gram md5
+    // bucketing is the CPU stage of every LR featurization, and the staged
+    // builders feed this straight from an unsplittable fixture scan — one
+    // task hashed the whole corpus. Per-doc feature rows + integer-sum
+    // aggregates are partitioning-invariant, so the result is unchanged
+    // (StagingSpec gate-7 device test + text_lr oracle rows). The gram
+    // expression stays INLINE in the generator (the recorded
+    // InferFiltersFromGenerate lesson — an attribute explode re-computes
+    // the gram pipeline per synthesized filter).
+    val src = graft.core.Readers.spread(
+      docs.select(col(idCol).as("doc_id"), label.cast("long").as("y"),
+        col(textCol).as("__t")), col("doc_id"))
+    src.select(col("doc_id"), col("y"), explode(grams(col("__t"))).as("bg"))
       .select(col("doc_id"), col("y"), bucketOf(col("bg"), buckets).as("bkt"))
       .groupBy(col("doc_id"), col("y"), col("bkt"))
       .agg((if (presence) least(count(lit(1)), lit(1L)) else count(lit(1))).as("cnt"))
-      .unionByName(base.select(col("doc_id"), col("y"),
+      .unionByName(src.select(col("doc_id"), col("y"),
         lit(buckets.toLong).as("bkt"), lit(1L).as("cnt")))
   }
 
